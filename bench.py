@@ -1,0 +1,99 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: one per operator family, weighted toward the
+# scan/join/agg/window/dedup/similarity paths that dominate at scale.
+# Stats run in production mode (exact=False → sketch percentiles/HLL,
+# constant-memory partials — the same semantics the reference gets from
+# Athena approx_percentile); the exact variants exist for the sf0.01
+# duckdb-oracle gate where hash-matching requires them.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_revenue_by_nation",
+    "correlations_lineitem",
+    "value_counts_orderpriority",
+]
+
+
+def _bench_extras(spark):
+    """Library-call benchmarks (production/sketch mode)."""
+    from workbench_spark.operators import eda
+    from workbench_spark.session import read_table
+
+    def descriptive_stats_approx(spark, sf_dir):
+        li = read_table(spark, sf_dir, "lineitem")
+        return eda.descriptive_stats(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], exact=False
+        )
+
+    def outliers_approx(spark, sf_dir):
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+        return eda.outliers(li, ["l_extendedprice"], exact=False)
+
+    return {
+        "descriptive_stats_lineitem": descriptive_stats_approx,
+        "outliers_lineitem_price": outliers_approx,
+    }
+
+
+def main() -> None:
+    from workbench_spark.queries import queries
+    from workbench_spark.session import get_spark
+
+    spark = get_spark("bench")
+    reg = queries()
+    to_run = {n: reg[n] for n in HEADLINE if n in reg}
+    to_run.update(_bench_extras(spark))
+    timings: dict[str, float] = {}
+    # warm the JVM + file listing once
+    next(iter(to_run.values()))(spark, SF_DIR).count()
+    total = 0.0
+    for name, fn in to_run.items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

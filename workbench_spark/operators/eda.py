@@ -1,0 +1,340 @@
+"""EDA statistics operators (SURVEY §2.4 A1-A10, §2.6 O1-O3).
+
+Reference semantics (all generated-SQL-to-Athena in the reference):
+- row count            — athena_source.py:187-190
+- distinct counts      — algorithms/sql/column_stats.py:13-23
+- null counts          — algorithms/sql/column_stats.py:26-36
+- zero counts          — algorithms/sql/column_stats.py:39-49
+- descriptive stats    — algorithms/sql/descriptive_stats.py:14-83
+- correlations         — algorithms/sql/correlations.py:14-91
+- value_counts         — algorithms/sql/value_counts.py:13-63
+- outliers             — algorithms/sql/outliers.py:20-216
+- sample / smart_sample— algorithms/sql/sample_rows.py:13-52, athena_source.py:364-394
+
+Spark-first design: each stat is ONE DataFrame aggregation pass (the
+reference issues one Athena query per stat family; we fuse per family and
+could fuse across families). All expressions are built-in pyspark.sql
+functions → JVM-side, whole-stage-codegen'd, no Python in the hot path.
+
+At 100 TB: these are map-side-combinable aggregations over a parquet scan
+with column pruning — a single shuffle of tiny partial-agg state per
+column. ``exact=False`` switches count-distinct and percentiles to the
+sketch-based forms (approx_count_distinct / percentile_approx) which keep
+constant-size state; exact mode exists for oracle hash-matching at test SF.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NUMERIC_SPARK_TYPES = (
+    T.DoubleType,
+    T.FloatType,
+    T.IntegerType,
+    T.LongType,
+    T.ShortType,
+    T.ByteType,
+    T.DecimalType,
+)
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    """Numeric columns per the reference's athena-type list
+    (descriptive_stats.py:53 + outliers.py:86: double/float/int/bigint/
+    smallint/tinyint/decimal)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, NUMERIC_SPARK_TYPES)]
+
+
+def string_bool_columns(df: DataFrame) -> list[str]:
+    """String/boolean columns per value_counts.py:31."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.StringType, T.BooleanType))
+    ]
+
+
+# ---------------------------------------------------------------- A1
+def row_count(df: DataFrame) -> int:
+    return df.count()
+
+
+# ---------------------------------------------------------------- A2
+def distinct_counts(df: DataFrame, columns: list[str] | None = None, exact: bool = True) -> DataFrame:
+    """COUNT(DISTINCT c) for every column in one pass (column_stats.py:13-23).
+
+    One wide row, columns aliased ``<col>``. ``exact=False`` → HLL sketch
+    (approx_count_distinct) for 100TB-scale single-pass profiling.
+    """
+    cols = columns or df.columns
+    fn = F.countDistinct if exact else F.approx_count_distinct
+    return df.agg(*[fn(c).alias(c) for c in cols])
+
+
+# ---------------------------------------------------------------- A3
+def null_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """COUNT(CASE WHEN c IS NULL THEN 1 END) per column (column_stats.py:26-36)."""
+    cols = columns or df.columns
+    return df.agg(
+        *[F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(c) for c in cols]
+    )
+
+
+# ---------------------------------------------------------------- A4
+def zero_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """COUNT(CASE WHEN c = 0 THEN 1 END) per numeric column (column_stats.py:39-49)."""
+    cols = columns or numeric_columns(df)
+    return df.agg(
+        *[F.count(F.when(F.col(c) == 0, F.lit(1))).alias(c) for c in cols]
+    )
+
+
+# ---------------------------------------------------------------- A5
+DESCRIPTIVE_STATS = ("min", "q1", "median", "q3", "max", "mean", "stddev")
+
+
+def descriptive_stats(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """Per numeric column: min, q1, median, q3, max, mean, stddev
+    (descriptive_stats.py:14-83) — one aggregation pass, then unpivoted to
+    one row per column: (column_name, min, q1, median, q3, max, mean, stddev).
+
+    The reference uses Athena approx_percentile; for oracle hash-matching we
+    default to exact ``percentile`` (linear interpolation — same contract as
+    duckdb quantile_cont). ``exact=False`` uses percentile_approx (t-digest
+    style sketch, constant memory) — the right choice at 100 TB.
+    """
+    cols = columns or numeric_columns(df)
+    pct = "percentile" if exact else "percentile_approx"
+    aggs = []
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.min(d).alias(f"{c}___min"),
+            F.expr(f"{pct}(CAST({c} AS DOUBLE), 0.25)").alias(f"{c}___q1"),
+            F.expr(f"{pct}(CAST({c} AS DOUBLE), 0.5)").alias(f"{c}___median"),
+            F.expr(f"{pct}(CAST({c} AS DOUBLE), 0.75)").alias(f"{c}___q3"),
+            F.max(d).alias(f"{c}___max"),
+            F.avg(d).alias(f"{c}___mean"),
+            F.stddev(d).alias(f"{c}___stddev"),
+        ]
+    wide = df.agg(*aggs)
+    # Unpivot driver-side structure (cols known statically; the agg row is 1 row)
+    stack_args = ", ".join(
+        "'{c}', {fields}".format(
+            c=c, fields=", ".join(f"`{c}___{s}`" for s in DESCRIPTIVE_STATS)
+        )
+        for c in cols
+    )
+    n = len(cols)
+    fields = ", ".join(DESCRIPTIVE_STATS)
+    return wide.selectExpr(
+        f"stack({n}, {stack_args}) AS (column_name, {fields})"
+    )
+
+
+# ---------------------------------------------------------------- A6
+def correlations(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE aggregation
+    (correlations.py:14-91). Output: (column_1, column_2, correlation),
+    both orientations like the reference's nested dict, sorted desc by |r|
+    within column_1.
+    """
+    cols = columns or numeric_columns(df)
+    aggs = []
+    pairs = []
+    for i, c in enumerate(cols):
+        for d in cols[i + 1 :]:
+            aggs.append(F.corr(F.col(c).cast("double"), F.col(d).cast("double")).alias(f"{c}__{d}"))
+            pairs.append((c, d))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', '{d}', `{c}__{d}`" for c, d in pairs)
+    long = wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (column_1, column_2, correlation)"
+    )
+    # both orientations (reference returns nested dict keyed both ways)
+    sym = long.unionAll(
+        long.select(
+            F.col("column_2").alias("column_1"),
+            F.col("column_1").alias("column_2"),
+            "correlation",
+        )
+    )
+    return sym.orderBy("column_1", F.abs(F.col("correlation")).desc(), "column_2")
+
+
+# ---------------------------------------------------------------- A7
+def value_counts(
+    df: DataFrame, column: str, top_n: int = 20
+) -> DataFrame:
+    """Top-N + bottom-N value counts for one string/bool column
+    (value_counts.py:13-63): GROUP BY c ORDER BY cnt DESC LIMIT 20
+    UNION ALL ... ASC LIMIT 20, dedup'd. NULL → 'NaN' like the reference.
+    Ties broken by value for determinism (reference relies on Athena's
+    unstable ordering; we pin it).
+    """
+    counted = (
+        df.select(F.coalesce(F.col(column).cast("string"), F.lit("NaN")).alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    top = counted.orderBy(F.col("count").desc(), F.col("value").asc()).limit(top_n)
+    bottom = counted.orderBy(F.col("count").asc(), F.col("value").desc()).limit(top_n)
+    return (
+        top.unionAll(bottom)
+        .dropDuplicates(["value"])
+        .orderBy(F.col("count").desc(), F.col("value").asc())
+    )
+
+
+# ---------------------------------------------------------------- A8
+def column_stats(df: DataFrame, exact: bool = True) -> dict:
+    """Composite per-column stats dict (column_stats.py:52-121): dtype,
+    unique, nulls, zeros (numeric), descriptive_stats (numeric).
+    Fused into 2 jobs (one wide agg + descriptive pass) vs the
+    reference's ~5 Athena queries.
+    """
+    num_cols = numeric_columns(df)
+    dtypes = dict(df.dtypes)
+    uniq_row = distinct_counts(df, exact=exact).first().asDict()
+    null_row = null_counts(df).first().asDict()
+    zero_row = zero_counts(df, num_cols).first().asDict() if num_cols else {}
+    desc_rows = (
+        {r["column_name"]: r.asDict() for r in descriptive_stats(df, num_cols, exact=exact).collect()}
+        if num_cols
+        else {}
+    )
+    out: dict = {}
+    for c in df.columns:
+        out[c] = {"dtype": dtypes[c], "unique": uniq_row[c], "nulls": null_row[c]}
+        if c in zero_row:
+            out[c]["num_zeros"] = zero_row[c]
+        if c in desc_rows:
+            d = desc_rows[c]
+            out[c]["descriptive_stats"] = {k: d[k] for k in DESCRIPTIVE_STATS}
+    return out
+
+
+# ---------------------------------------------------------------- A9 / P4
+def outlier_bounds(
+    df: DataFrame, columns: list[str] | None = None, scale: float = 1.5, exact: bool = True
+) -> dict[str, tuple[float, float]]:
+    """IQR outlier bounds per numeric column (outliers.py:20-120):
+    [q1 - scale*IQR, q3 + scale*IQR]. Columns with <3 distinct values are
+    skipped (reference skips unary/binary columns, outliers.py:95-104).
+    One aggregation pass for quantiles + one for distinct gate.
+    """
+    cols = columns or numeric_columns(df)
+    if not cols:
+        return {}
+    pct = "percentile" if exact else "percentile_approx"
+    aggs = []
+    for c in cols:
+        aggs.append(F.expr(f"{pct}(CAST({c} AS DOUBLE), 0.25)").alias(f"{c}___q1"))
+        aggs.append(F.expr(f"{pct}(CAST({c} AS DOUBLE), 0.75)").alias(f"{c}___q3"))
+        # gate only asks "more than 2 distinct?" — HLL sketch is exact enough
+        # at tiny cardinalities and avoids an exact-distinct shuffle at scale
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}___nd"))
+    row = df.agg(*aggs).first()
+    bounds = {}
+    for c in cols:
+        if row[f"{c}___nd"] is None or row[f"{c}___nd"] <= 2:
+            continue
+        q1, q3 = row[f"{c}___q1"], row[f"{c}___q3"]
+        if q1 is None or q3 is None:
+            continue
+        iqr = q3 - q1
+        bounds[c] = (q1 - scale * iqr, q3 + scale * iqr)
+    return bounds
+
+
+def outliers(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    scale: float = 1.5,
+    scan_limit: int = 5000,
+    top_n_per_group: int = 10,
+    order_cols: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Outlier rows labelled ``outlier_group`` = '{col}_low'/'{col}_high'
+    (outliers.py:128-216): predicate scan with OR'd bound conditions
+    (LIMIT scan_limit), then top-N rows per group ordered by the offending
+    column (most extreme first).
+
+    The predicate is pushed down to the parquet scan by Catalyst; the
+    top-N is a per-group window over the (small, capped) scan result.
+    ``order_cols`` pins a deterministic tiebreak for oracle matching.
+    """
+    bounds = outlier_bounds(df, columns, scale, exact=exact)
+    if not bounds:
+        return df.limit(0).withColumn("outlier_group", F.lit(""))
+    conds = [
+        (F.col(c) < lb) | (F.col(c) > ub) for c, (lb, ub) in bounds.items()
+    ]
+    scanned = df.filter(reduce(or_, conds))
+    if scan_limit:
+        scanned = scanned.limit(scan_limit)
+
+    # label: first matching column, low before high (reference iterates columns)
+    group_expr = None
+    for c, (lb, ub) in reversed(list(bounds.items())):
+        branch = F.when(F.col(c) < lb, F.lit(f"{c}_low")).when(
+            F.col(c) > ub, F.lit(f"{c}_high")
+        )
+        group_expr = branch.otherwise(group_expr) if group_expr is not None else branch
+    labelled = scanned.withColumn("outlier_group", group_expr)
+
+    # top-N most extreme per group: low groups ascending, high groups descending
+    tiebreak = [F.col(c) for c in (order_cols or [])]
+    sort_val = None
+    for c, (lb, ub) in bounds.items():
+        lo = F.when(F.col("outlier_group") == f"{c}_low", F.col(c).cast("double"))
+        hi = F.when(F.col("outlier_group") == f"{c}_high", -F.col(c).cast("double"))
+        sort_val = (
+            lo.otherwise(hi.otherwise(sort_val)) if sort_val is not None else lo.otherwise(hi)
+        )
+    w = Window.partitionBy("outlier_group").orderBy(F.col("__sortval").asc(), *tiebreak)
+    return (
+        labelled.withColumn("__sortval", sort_val)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n_per_group)
+        .drop("__sortval", "__rn")
+    )
+
+
+# ---------------------------------------------------------------- O3 / A10
+def sample_rows(df: DataFrame, rows: int = 100, seed: int = 42, total: int | None = None) -> DataFrame:
+    """Bernoulli sample targeting ``rows`` with the reference's 110% fudge +
+    clamp (sample_rows.py:33-49). Deterministic under a fixed seed."""
+    n = total if total is not None else df.count()
+    if n <= rows:
+        return df
+    frac = min(1.0, max(rows / n * 1.1, 0.001))
+    return df.sample(fraction=frac, seed=seed).limit(rows)
+
+
+def deterministic_sample(df: DataFrame, key_col: str, mod: int = 100, keep: int = 5) -> DataFrame:
+    """Hash-free deterministic sample: keep rows where key % mod < keep.
+    Engine-portable (same rows in Spark and any SQL oracle) — this is the
+    t2-checkable stand-in for Bernoulli sampling."""
+    return df.filter((F.col(key_col) % mod) < keep)
+
+
+def smart_sample(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rows: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Outliers ∪ sample, dedup on all columns except the group label
+    (athena_source.py:364-394)."""
+    out = outliers(df, columns).drop("outlier_group")
+    samp = sample_rows(df, rows=rows, seed=seed)
+    return out.unionAll(samp).dropDuplicates(df.columns)

@@ -1,0 +1,101 @@
+"""SparkSession factory for workbench_spark.
+
+The reference delegates all SQL to AWS Athena (Presto/Trino) —
+``/root/reference/src/workbench/core/artifacts/athena_source.py:206-244``.
+Here, a single SparkSession with Catalyst/AQE is the engine. All defaults
+are chosen for correctness-vs-duckdb (UTC timestamps, ANSI-off) and for
+scale (AQE on, skew-join handling on, shuffle partitions sized to cores).
+
+On a real cluster, callers override master/memory via spark-submit; this
+factory only sets semantics-level and adaptive-execution configs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEF_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "workbench_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with workbench defaults.
+
+    Scale notes: AQE handles runtime partition coalescing and skew-join
+    splitting, so the static ``shuffle.partitions`` only needs to be a
+    reasonable upper bound (cores locally; thousands on a real cluster,
+    where it should be set via spark-submit to ~2-3x total cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", _DEF_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); read as long
+        # and convert in read_table (lossless: data has no sub-us component)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver parquet table, normalizing nanosecond timestamps
+    (read as long via nanosAsLong) back to TimestampType."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # preserve original column order
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
+    """Register the driver's parquet tables as temp views; return dict of DFs.
+
+    Mirrors the reference's Glue-catalog registration
+    (``athena_source.py:196-204``) — a table name resolvable in SQL —
+    without any service round-trip.
+    """
+    names = tables or [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
