@@ -1,0 +1,70 @@
+"""Invariant tests for similarity operators without SQL oracles:
+LSH recall vs brute force, plan-shape checks (broadcast on the small side)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from workbench_spark.session import get_spark
+
+    return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.fixture(scope="session")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_lsh_knn_recall_vs_bruteforce(spark, emb):
+    from workbench_spark.operators.similarity import cosine_knn, lsh_cosine_knn
+
+    exact = cosine_knn(emb, k=5)
+    approx = lsh_cosine_knn(emb, k=5, n_planes=6, n_tables=6, dim=64)
+    e = {(r["id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["id"], r["neighbor_id"]): r["cosine_sim"] for r in approx.collect()}
+    recall = len(e & set(a)) / len(e)
+    # i.i.d. random 64-dim vectors are the worst case for hyperplane LSH
+    # (neighbors barely closer than random); the operator's value shows on
+    # clustered real embeddings — here we just require better-than-chance
+    # (chance for k=5 of 499: ~0.01) and exact scores on returned pairs
+    assert recall > 0.15, f"LSH recall {recall:.3f} too low"
+    exact_scores = {
+        (r["id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_knn(emb, k=499).collect()
+    }
+    for pair, sim in list(a.items())[:50]:
+        assert abs(exact_scores[pair] - sim) < 1e-9  # candidates scored exactly
+
+
+def test_lsh_deterministic_under_seed(spark, emb):
+    from workbench_spark.operators.similarity import lsh_cosine_knn
+
+    a = sorted(map(tuple, lsh_cosine_knn(emb, k=3, seed=7, dim=64).collect()))
+    b = sorted(map(tuple, lsh_cosine_knn(emb, k=3, seed=7, dim=64).collect()))
+    assert a == b
+
+
+def test_knn_self_excluded_and_k_rows(spark, emb):
+    from workbench_spark.operators.similarity import cosine_knn
+
+    q = emb.filter(F.col("vec_id") < 10)
+    out = cosine_knn(emb, queries=q, k=5)
+    rows = out.collect()
+    assert all(r["id"] != r["neighbor_id"] for r in rows)
+    counts = out.groupBy("id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
+
+
+def test_knn_broadcasts_query_side(spark, emb):
+    """The query side must broadcast — the reference set must never shuffle."""
+    from workbench_spark.operators.similarity import cosine_knn
+
+    q = emb.filter(F.col("vec_id") < 10)
+    plan = cosine_knn(emb, queries=q, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]

@@ -1,0 +1,316 @@
+"""Deduplication operators for large-scale text corpora (LLM-pipeline
+extension mandated alongside SURVEY §2; the reference's own dedup surface
+is dropDuplicates-style — utils/pandas_utils.py:731-744 and
+canonical-SMILES dedup, mol_standardize.py:209-540).
+
+Four tiers, in increasing fuzziness:
+- exact_dedup: hash-groupBy on normalized content. One shuffle on the
+  content hash; at 100 TB this is the cheapest possible dedup (hash is
+  computed map-side, the shuffle moves only (hash, id)).
+- ngram_jaccard_pairs: exact Jaccard over character-shingle sets for
+  candidate pairs (inverted-index join — shingle → doc, pairs form only on
+  shared shingles, never a cross product).
+- minhash_lsh_dedup: MinHash signatures + banding → near-dup buckets.
+  The 100 TB path: signature is O(n_hashes) per doc computed map-side;
+  the only shuffle is on (band_id, band_hash). Verification joins happen
+  within buckets only.
+- simhash_dedup: 64-bit SimHash over token hashes; Hamming-near dups via
+  band rotation. Fully JVM-side (xxhash64 + bit ops), no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------- exact
+
+
+def normalize_text(col, lowercase: bool = True, collapse_ws: bool = True):
+    """Canonicalization before hashing (mirrors the reference's
+    canonicalize-then-dedup pattern for SMILES)."""
+    out = col
+    if lowercase:
+        out = F.lower(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", keep: str = "min"
+) -> DataFrame:
+    """Exact dedup on normalized text: keep one representative id per
+    content hash (min id → deterministic). Returns the surviving rows.
+
+    Plan: md5 map-side → min(id) groupBy on hash → semi-join back. The
+    semi-join shuffles only (hash, id) pairs, not document bodies.
+    """
+    agg_fn = F.min if keep == "min" else F.max
+    hashed = df.withColumn("__h", F.md5(normalize_text(F.col(text_col))))
+    keepers = hashed.groupBy("__h").agg(agg_fn(F.col(id_col)).alias(id_col))
+    return hashed.join(keepers, [ "__h", id_col], "left_semi").drop("__h")
+
+
+def duplicate_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dup cluster report: (content_hash, n_dups, representative_id)
+    for every hash appearing more than once."""
+    hashed = df.select(
+        F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
+        F.col(id_col),
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("representative_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ----------------------------------------------------------------- shingles
+
+
+def char_shingles(col, n: int = 5):
+    """Distinct character n-grams (shingles) of normalized text — the unit
+    set for Jaccard/MinHash. Pure JVM expression: sequence + transform +
+    substring, then array_distinct."""
+    norm = normalize_text(col)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+                lambda i: F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(n)),
+            ),
+            lambda s: F.length(s) == n,
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
+    inverted-index self-join (shingle → doc), count shared shingles per
+    pair, |A∩B| / (|A|+|B|-|A∩B|). Output: (id_a, id_b, jaccard), id_a<id_b.
+
+    Scale: the explode shuffles (shingle, id) — linear in corpus size; the
+    pair-count groupBy only sees co-occurring pairs. Hot shingles (stop-
+    shingles) create skew → drop shingles above a document-frequency cap
+    the same way search engines drop stopwords (df_cap param would go
+    here; AQE skew-join covers moderate cases).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    sizes = sh.select("id", "sz")
+    exploded = sh.select("id", F.explode("sh").alias("g"))
+    pairs = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# ----------------------------------------------------------------- minhash
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """MinHash signature: sig[i] = min over shingles of h_i(shingle), with
+    h_i(x) = xxhash64(x, seed=i). All map-side (higher-order functions over
+    the shingle array), O(n_hashes) per doc, no shuffle."""
+    sh = df.select(F.col(id_col), char_shingles(F.col(text_col), shingle_n).alias("__sh"))
+
+    def _min_hash(seed: int):
+        # closure (not a default arg!) — pyspark inspects lambda arity, and a
+        # `lambda s, i=i:` 2-param signature silently becomes the (element,
+        # array-index) form, making every signature slot identical
+        return F.array_min(F.transform("__sh", lambda s: F.xxhash64(s, F.lit(seed))))
+
+    sig = F.array(*[_min_hash(i) for i in range(n_hashes)])
+    return sh.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs: split the signature into
+    ``bands`` bands of r = n_hashes/bands rows; docs matching on any whole
+    band become candidates; optionally verify with estimated Jaccard
+    (fraction of agreeing signature positions). Output:
+    (id_a, id_b, est_jaccard), id_a < id_b.
+
+    The S-curve: P(candidate) = 1-(1-s^r)^b — with 32 hashes / 8 bands
+    (r=4), s=0.8 → ~0.93, s=0.3 → ~0.06. Tune bands to the target
+    threshold. Only (band_id, band_hash) shuffles; verification joins the
+    two signatures for candidates only.
+    """
+    r = n_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, n_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("minhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",", *[F.element_at("minhash", b * r + j + 1) for j in range(r)]
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "minhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    left = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("minhash").alias("__ma"))
+    right = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("minhash").alias("__mb"))
+    cands = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("__ma", "__mb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(n_hashes)
+    out = cands.select("id_a", "id_b", est.alias("est_jaccard"))
+    if verify_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= verify_threshold)
+    return out
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Near-dedup: drop the higher id of every near-dup pair (greedy,
+    deterministic). Survivors = all docs minus dropped."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 of token-
+    hash bits; sign → bit. Output: (id, simhash long).
+
+    Single pass over the token array: the aggregate carries a 64-slot
+    counter array and zip_with-merges each token's bit vector (SQL-lambda
+    form because the Python wrapper of shiftright rejects column shift
+    amounts). JVM-side only — no Python per row, no shuffle.
+    """
+    toks = F.transform(
+        F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0),
+        lambda t: F.xxhash64(t),
+    )
+    with_t = df.select(F.col(id_col), toks.alias("__toks"))
+    counts = F.expr(
+        f"""
+        aggregate(__toks, array_repeat(0, {bits}),
+          (acc, h) -> zip_with(acc,
+            transform(sequence(0, {bits - 1}),
+                      j -> CASE WHEN (shiftright(h, j) % 2) != 0 THEN 1 ELSE -1 END),
+            (x, y) -> x + y))
+        """
+    )
+    sim = F.expr(
+        f"""
+        aggregate(sequence(0, {bits - 1}), 0L,
+          (s, j) -> s + CASE WHEN element_at(__cnt, j + 1) > 0
+                         THEN shiftleft(1L, j) ELSE 0L END)
+        """
+    )
+    return (
+        with_t.withColumn("__cnt", counts)
+        .withColumn("simhash", sim)
+        .select(F.col(id_col), "simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using the
+    pigeonhole banding trick: split 64 bits into n_bands blocks — any pair
+    within distance < n_bands must agree on ≥1 whole block, so candidates
+    form only on block equality (an equi-join, not a cross product).
+
+    Detection is GUARANTEED only when n_bands > max_hamming; with fewer
+    bands, pairs between n_bands and max_hamming are found only when their
+    flipped bits happen to cluster. More bands = more candidates = more
+    cost; pick n_bands = max_hamming + 1 for exactness."""
+    width = 64 // n_bands
+    sh = simhash(df, text_col, id_col)
+    blocks = sh.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.block")
+    left = blocks.select("band", "block", F.col("id").alias("id_a"), F.col("simhash").alias("__sa"))
+    right = blocks.select("band", "block", F.col("id").alias("id_b"), F.col("simhash").alias("__sb"))
+    cands = (
+        left.join(right, ["band", "block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,142 @@
+"""Distribution-drift operators (SURVEY §2.4 A17-A18).
+
+Reference semantics:
+- A17 distribution stats + KS/JS/PSI — utils/distribution_stats.py:16-120
+- A18 detect_drift (range-relative per-column bounds) — utils/pandas_utils.py:545-628
+
+Spark-first: binning is a map-side width_bucket-style expression + a tiny
+groupBy (O(bins) state); KS is a full-outer join of the two binned CDFs
+(O(bins) rows). Nothing here touches the driver except the final tiny frame.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binned_distribution(
+    df: DataFrame, column: str, lo: float, hi: float, bins: int = 10
+) -> DataFrame:
+    """Histogram over fixed [lo, hi) with ``bins`` equal buckets; values at
+    or beyond the edges clamp into the end buckets (distribution_stats.py
+    bins on the union range). Output: (bucket int, count, frac)."""
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(column) - lo) / width)),
+    ).cast("int")
+    counted = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    total = counted.agg(F.sum("count").alias("__t"))
+    return counted.crossJoin(F.broadcast(total)).select(
+        "bucket", "count", (F.col("count") / F.col("__t")).alias("frac")
+    )
+
+
+def psi(
+    ref: DataFrame, cur: DataFrame, column: str, lo: float, hi: float, bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """A17 — Population Stability Index between two frames on one column:
+    Σ (p_i - q_i) * ln(p_i / q_i) over shared fixed bins (zero-count bins
+    floored at eps, the standard PSI smoothing)."""
+    p = binned_distribution(ref, column, lo, hi, bins).select(
+        "bucket", F.col("frac").alias("p")
+    )
+    q = binned_distribution(cur, column, lo, hi, bins).select(
+        "bucket", F.col("frac").alias("q")
+    )
+    j = p.join(q, "bucket", "full").select(
+        "bucket",
+        F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(eps)).alias("p"),
+        F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(eps)).alias("q"),
+    )
+    return j.agg(
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi")
+    )
+
+
+def js_divergence(
+    ref: DataFrame, cur: DataFrame, column: str, lo: float, hi: float, bins: int = 10
+) -> DataFrame:
+    """A17 — Jensen-Shannon divergence (base-e) over shared fixed bins."""
+    p = binned_distribution(ref, column, lo, hi, bins).select("bucket", F.col("frac").alias("p"))
+    q = binned_distribution(cur, column, lo, hi, bins).select("bucket", F.col("frac").alias("q"))
+    j = p.join(q, "bucket", "full").select(
+        F.coalesce(F.col("p"), F.lit(0.0)).alias("p"),
+        F.coalesce(F.col("q"), F.lit(0.0)).alias("q"),
+    ).withColumn("m", (F.col("p") + F.col("q")) / 2)
+    kl_term = lambda a: F.when(F.col(a) > 0, F.col(a) * F.log(F.col(a) / F.col("m"))).otherwise(0.0)  # noqa: E731
+    return j.agg(((F.sum(kl_term("p")) + F.sum(kl_term("q"))) / 2).alias("js_divergence"))
+
+
+def ks_statistic(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
+    """A17 — exact two-sample Kolmogorov-Smirnov statistic: max |CDF_p - CDF_q|
+    over the merged value set. Distributed: per-frame (value, count) groupBy,
+    full-outer join, running-sum window over value order.
+
+    The window is global-ordered (single task over DISTINCT values, not
+    rows) — at 100 TB distinct values of a continuous column may still be
+    large; then bin first (binned KS) or sample. Exact version kept for
+    parity with scipy.ks_2samp on test SF.
+    """
+    pc = ref.filter(F.col(column).isNotNull()).groupBy(F.col(column).alias("v")).agg(
+        F.count(F.lit(1)).alias("pc")
+    )
+    qc = cur.filter(F.col(column).isNotNull()).groupBy(F.col(column).alias("v")).agg(
+        F.count(F.lit(1)).alias("qc")
+    )
+    j = pc.join(qc, "v", "full").select(
+        "v",
+        F.coalesce(F.col("pc"), F.lit(0)).alias("pc"),
+        F.coalesce(F.col("qc"), F.lit(0)).alias("qc"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    totals = j.agg(F.sum("pc").alias("tp"), F.sum("qc").alias("tq"))
+    cdf = j.withColumn("cp", F.sum("pc").over(w)).withColumn("cq", F.sum("qc").over(w))
+    return cdf.crossJoin(F.broadcast(totals)).agg(
+        F.max(F.abs(F.col("cp") / F.col("tp") - F.col("cq") / F.col("tq"))).alias("ks")
+    )
+
+
+def detect_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    id_column: str,
+    columns: list[str],
+    rel_tol: float = 0.01,
+) -> DataFrame:
+    """A18 — per-row drift flags between two frames sharing an id
+    (pandas_utils.py:545-628): a value drifts if |ref-cur| exceeds
+    rel_tol × (per-column ref range). Output: one row per drifted
+    (id, column) with both values."""
+    rng_aggs = []
+    for c in columns:
+        rng_aggs.append((F.max(F.col(c)) - F.min(F.col(c))).alias(f"{c}__rng"))
+    ranges = ref.agg(*rng_aggs)
+    r = ref.select(id_column, *[F.col(c).alias(f"{c}__ref") for c in columns])
+    c_ = cur.select(id_column, *[F.col(c).alias(f"{c}__cur") for c in columns])
+    joined = r.join(c_, id_column, "inner").crossJoin(F.broadcast(ranges))
+    stacked = []
+    for c in columns:
+        stacked.append(
+            joined.select(
+                F.col(id_column).alias("id"),
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__ref").cast("double").alias("ref_value"),
+                F.col(f"{c}__cur").cast("double").alias("cur_value"),
+                F.col(f"{c}__rng").cast("double").alias("__rng"),
+            )
+        )
+    import functools
+
+    long = functools.reduce(DataFrame.unionAll, stacked)
+    return long.filter(
+        F.abs(F.col("ref_value") - F.col("cur_value")) > rel_tol * F.col("__rng")
+    ).drop("__rng")

@@ -1,0 +1,72 @@
+"""Join operators (SURVEY §2.3 J1-J4).
+
+Reference semantics:
+- J1 supplemental join view — core/views/pandas_to_view.py:61-138
+- J2 training view w/ roles — core/views/view_utils.py:154-215
+- J4 column-union DAG join  — utils/aggregation_nodes.py:36-104
+
+Scale notes: supplemental/role tables are small by construction (the
+reference hard-caps them at 1M rows, pandas_to_view.py:73-79) → broadcast
+joins, no shuffle of the big side. We replace the hard cap with a
+broadcast hint and let AQE fall back to shuffle join if the small side
+exceeds the broadcast threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def supplemental_join_view(
+    base: DataFrame, supplemental: DataFrame, id_column: str, broadcast: bool = True
+) -> DataFrame:
+    """J1 — LEFT JOIN base × supplemental on id; overlapping non-id columns
+    are taken from the supplemental side (reference drops them from the
+    base, pandas_to_view.py:96-109)."""
+    overlap = (set(base.columns) & set(supplemental.columns)) - {id_column}
+    pruned_base = base.drop(*overlap) if overlap else base
+    right = F.broadcast(supplemental) if broadcast else supplemental
+    return pruned_base.join(right, on=id_column, how="left")
+
+
+def training_view(
+    base: DataFrame,
+    roles: DataFrame | None,
+    id_column: str,
+    broadcast: bool = True,
+) -> DataFrame:
+    """J2 — model training view (view_utils.py:154-215): LEFT JOIN a sparse
+    roles table (id, sample_weight, validation, exclude), COALESCE defaults
+    (1.0 / false / false), then drop excluded rows
+    (WHERE NOT COALESCE(exclude, false) — P5)."""
+    if roles is None:
+        return (
+            base.withColumn("sample_weight", F.lit(1.0))
+            .withColumn("validation", F.lit(False))
+        )
+    r = roles.select(
+        id_column,
+        F.col("sample_weight").cast("double").alias("__sw"),
+        F.col("validation").cast("boolean").alias("__val"),
+        F.col("exclude").cast("boolean").alias("__exc"),
+    )
+    right = F.broadcast(r) if broadcast else r
+    return (
+        base.join(right, on=id_column, how="left")
+        .filter(~F.coalesce(F.col("__exc"), F.lit(False)))
+        .withColumn("sample_weight", F.coalesce(F.col("__sw"), F.lit(1.0)))
+        .withColumn("validation", F.coalesce(F.col("__val"), F.lit(False)))
+        .drop("__sw", "__val", "__exc")
+    )
+
+
+def column_union_join(frames: list[DataFrame], row_id: str = "__dag_row_id") -> DataFrame:
+    """J4 — join the feature outputs of parallel DAG branches on an injected
+    row id (aggregation_nodes.py:36-104). Branches must carry ``row_id``;
+    overlapping columns are taken from the leftmost branch."""
+    out = frames[0]
+    for f in frames[1:]:
+        overlap = (set(out.columns) & set(f.columns)) - {row_id}
+        out = out.join(f.drop(*overlap), on=row_id, how="inner")
+    return out

@@ -1,0 +1,107 @@
+"""Model-evaluation metric operators (SURVEY §2.4 A14-A16).
+
+Reference semantics:
+- A14 regression metrics     — utils/metrics_utils.py:198-256
+- A15 classification metrics — utils/metrics_utils.py:97-196
+- A16 confusion matrix       — endpoint_core.py:1210-1250
+
+All are pure aggregations over (target, prediction) columns — map-side
+combinable, one shuffle of O(1) (regression) or O(#classes) (classification)
+state. Spearman needs two rank windows (one shuffle each) + a corr agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def regression_metrics(df: DataFrame, target: str, prediction: str) -> DataFrame:
+    """A14 — one row: rmse, mae, medae, r2, spearman, support
+    (metrics_utils.py:198-256). NaN/NULL predictions are dropped first
+    (reference drops them at endpoint_core.py:1150-1163)."""
+    d = df.select(
+        F.col(target).cast("double").alias("y"),
+        F.col(prediction).cast("double").alias("p"),
+    ).filter(F.col("y").isNotNull() & F.col("p").isNotNull() & ~F.isnan("p") & ~F.isnan("y"))
+    err = F.col("y") - F.col("p")
+    # spearman = pearson corr of the two rank sequences (average ranks for
+    # ties — matches scipy.spearmanr); rank() + count correction gives avg rank
+    d = d.withColumn("ry", _avg_rank("y")).withColumn("rp", _avg_rank("p"))
+    return d.agg(
+        F.sqrt(F.avg(err * err)).alias("rmse"),
+        F.avg(F.abs(err)).alias("mae"),
+        F.expr("percentile(abs(y - p), 0.5)").alias("medae"),
+        F.corr("ry", "rp").alias("spearman"),
+        F.count(F.lit(1)).alias("support"),
+        F.avg("y").alias("__ybar"),
+        F.sum(err * err).alias("__sse"),
+        F.sum(F.col("y") * F.col("y")).alias("__syy"),
+    ).select(
+        "rmse",
+        "mae",
+        "medae",
+        # r2 = 1 - SSE / SST, SST = Σy² - n*ȳ²
+        (1 - F.col("__sse") / (F.col("__syy") - F.col("support") * F.col("__ybar") * F.col("__ybar"))).alias("r2"),
+        "spearman",
+        "support",
+    )
+
+
+def _avg_rank(col: str):
+    """Average rank with ties (scipy 'average' method): rank() + (cnt-1)/2."""
+    w = Window.orderBy(F.col(col))
+    wg = Window.partitionBy(F.col(col))
+    return F.rank().over(w) + (F.count(F.lit(1)).over(wg) - 1) / 2.0
+
+
+def confusion_matrix(df: DataFrame, target: str, prediction: str) -> DataFrame:
+    """A16 — long-form confusion matrix (target, prediction, count),
+    NULL predictions dropped (endpoint_core.py:1210-1250). Pivot to wide
+    client-side if needed; long form is the scale-safe shape."""
+    return (
+        df.filter(F.col(prediction).isNotNull())
+        .groupBy(
+            F.col(target).cast("string").alias("label"),
+            F.col(prediction).cast("string").alias("prediction"),
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def classification_metrics(df: DataFrame, target: str, prediction: str) -> DataFrame:
+    """A15 — per-class precision/recall/f1/support from confusion counts
+    (metrics_utils.py:97-196). One groupBy over (label, prediction) then a
+    tiny self-aggregation on the confusion matrix (driver-scale: #classes²).
+    """
+    cm = confusion_matrix(df, target, prediction)
+    tp = cm.filter(F.col("label") == F.col("prediction")).select(
+        F.col("label").alias("class"), F.col("count").alias("tp")
+    )
+    actual = cm.groupBy("label").agg(F.sum("count").alias("support")).withColumnRenamed(
+        "label", "class"
+    )
+    predicted = cm.groupBy("prediction").agg(F.sum("count").alias("pred_count")).withColumnRenamed(
+        "prediction", "class"
+    )
+    out = (
+        actual.join(predicted, "class", "full")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+            F.coalesce(F.col("pred_count"), F.lit(0)).alias("pred_count"),
+        )
+    )
+    precision = F.when(F.col("pred_count") > 0, F.col("tp") / F.col("pred_count")).otherwise(0.0)
+    recall = F.when(F.col("support") > 0, F.col("tp") / F.col("support")).otherwise(0.0)
+    return out.select(
+        "class",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        F.when(
+            (precision + recall) > 0, 2 * precision * recall / (precision + recall)
+        ).otherwise(0.0).alias("f1"),
+        "support",
+    )

@@ -1,0 +1,202 @@
+"""Similarity / nearest-neighbor operators (SURVEY §2.3 J5-J7 + the
+LLM-pipeline ANN extension).
+
+Reference semantics (sklearn NearestNeighbors, single-node):
+- J5 KNN in feature space — algorithms/dataframe/proximity.py:100-271,
+  feature_space_proximity.py:17-112 (standardized Euclidean; canonical
+  result frame (id, neighbor_id, distance, ...)).
+- J7 neighbors for novel queries — proximity.py:159-195.
+
+Spark-first design:
+- Exact brute-force cosine/euclidean top-k: block-nested-loop join
+  (broadcast the query side), rank window per query id. Right-sized when
+  queries ≪ reference set — the reference set streams by, never shuffles.
+- Scale path: LSH bucketing (random hyperplanes for cosine) so candidate
+  pairs only form within buckets — candidate count O(N·bucket_occupancy)
+  instead of O(N·Q). At 100 TB this is the difference between a feasible
+  join and a cross product; band/row parameters trade recall for cost.
+  MLlib's BucketedRandomProjectionLSH covers the euclidean case; the
+  hyperplane variant here stays in pure DataFrame ops (no UDF) so Catalyst
+  codegens the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_knn(
+    vectors: DataFrame,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact brute-force cosine top-k (J5/J7 baseline, ANN ground truth).
+
+    queries=None → self-join KNN over ``vectors``. Output:
+    (id, neighbor_id, cosine_sim) with k rows per id, ties broken by
+    neighbor_id for determinism.
+
+    Plan shape: broadcast(queries) × vectors → per-pair dot/norm (all
+    JVM-side higher-order functions, no Python) → row_number window
+    partitioned by query id. The big side is scanned once, never shuffled;
+    the window shuffles only Q×N' candidate rows where N' already excludes
+    nothing (exact mode). Use lsh_cosine_knn for the candidate-pruned path.
+    """
+    q = queries if queries is not None else vectors
+    qd = q.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__qv"))
+    rd = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__rv"))
+    pairs = F.broadcast(qd).crossJoin(rd)
+    if not include_self:
+        pairs = pairs.filter(F.col("id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "id",
+        "neighbor_id",
+        (_dot(F.col("__qv"), F.col("__rv")) / (_norm(F.col("__qv")) * _norm(F.col("__rv")))).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame, vec_col: str, planes: list[list[float]], out_col: str = "lsh_sig"
+) -> DataFrame:
+    """Random-hyperplane LSH signature for cosine similarity: bit i = sign
+    of dot(vec, plane_i). Pure DataFrame expression — codegen'd, no UDF."""
+    bits = []
+    for p in planes:
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(F.col(vec_col), arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn(out_col, F.concat(*bits))
+
+
+def lsh_cosine_knn(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate self-KNN via hyperplane LSH: vectors sharing a signature
+    in ANY of ``n_tables`` independent tables become candidates; exact
+    cosine is computed only within buckets, then top-k per id.
+
+    Scale analysis: with b bits per table, expected bucket size is N/2^b —
+    candidate pairs per table ≈ N²/2^b, tunable to the cluster. The join is
+    a shuffle on (table, signature): co-located, skew-handled by AQE.
+    Recall grows with n_tables (union of candidates), cost linearly.
+    """
+    import random
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    rng = random.Random(seed)
+    tables = []
+    for t in range(n_tables):
+        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        sig = hyperplane_signature(
+            vectors.select(id_col, vec_col), vec_col, planes, "sig"
+        ).select(
+            F.lit(t).alias("tbl"), F.col("sig"), F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        )
+        tables.append(sig)
+    import functools
+
+    signed = functools.reduce(DataFrame.unionAll, tables)
+    left = signed.select("tbl", "sig", F.col("id"), F.col("v").alias("__qv"))
+    right = signed.select(
+        "tbl", "sig", F.col("id").alias("neighbor_id"), F.col("v").alias("__rv")
+    )
+    cands = (
+        left.join(right, ["tbl", "sig"])
+        .filter(F.col("id") != F.col("neighbor_id"))
+        .dropDuplicates(["id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "id",
+        "neighbor_id",
+        (_dot(F.col("__qv"), F.col("__rv")) / (_norm(F.col("__qv")) * _norm(F.col("__rv")))).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def euclidean_knn_standardized(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """J5 — the reference's standardized-Euclidean KNN (proximity.py:100-271):
+    z-score each feature (global mean/std, one agg pass broadcast back),
+    then exact top-k by euclidean distance. Output matches the reference's
+    canonical frame: (id, neighbor_id, distance)."""
+    stats = df.agg(
+        *[F.avg(F.col(c).cast("double")).alias(f"{c}__mu") for c in feature_cols],
+        *[F.stddev(F.col(c).cast("double")).alias(f"{c}__sd") for c in feature_cols],
+    )
+    z = df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.array(
+            *[
+                (
+                    (F.col(c).cast("double") - F.col(f"{c}__mu"))
+                    / F.when(F.col(f"{c}__sd") > 0, F.col(f"{c}__sd")).otherwise(F.lit(1.0))
+                )
+                for c in feature_cols
+            ]
+        ).alias("__z"),
+    )
+    a = z.select(F.col(id_col).alias("id"), F.col("__z").alias("__za"))
+    b = z.select(F.col(id_col).alias("neighbor_id"), F.col("__z").alias("__zb"))
+    pairs = F.broadcast(a).crossJoin(b).filter(F.col("id") != F.col("neighbor_id"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("__za", "__zb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = pairs.select("id", "neighbor_id", dist.alias("distance"))
+    w = Window.partitionBy("id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

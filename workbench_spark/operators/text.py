@@ -1,0 +1,157 @@
+"""Text-analysis operators for training-data pipelines (LLM-pipeline
+extension; the reference's analogous row-wise column operators are the
+chem UDFs, SURVEY §2.9 — same shape: string column in, feature columns out).
+
+All hot-path expressions are built-in pyspark.sql.functions (regexp,
+split, transform/aggregate) — JVM-side, codegen'd, zero Python per row.
+Each operator is embarrassingly parallel (no shuffle at all): the natural
+100 TB shape for per-document feature extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------ token counts
+
+
+def token_count(col) -> Column:
+    """Whitespace token count: number of \\S+ runs."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\S+"), 0))
+
+
+def word_count(col) -> Column:
+    """Word-ish token count under a BPE-ish segmentation: letter runs,
+    digit runs, and single punctuation marks each count as one token —
+    approximates subword tokenizer pre-splitting."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def char_count(col) -> Column:
+    return F.length(col)
+
+
+def add_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """token/word/char counts + avg token length as columns."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_words", word_count(t))
+        .withColumn("n_chars_computed", char_count(t))
+        .withColumn(
+            "avg_token_len",
+            F.when(
+                token_count(t) > 0,
+                (F.length(F.regexp_replace(t, r"\s+", "")) / token_count(t)),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+# ------------------------------------------------------------ quality score
+
+_STOPWORDS_EN = (
+    "the a an and or but if then is are was were be been to of in on for with "
+    "as at by from that this it not no he she they we you i his her its their"
+).split()
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features (Gopher/C4-style length & symbol rules):
+    punct_ratio, digit_ratio, upper_ratio, stopword_ratio, mean_word_len,
+    and a composite quality_score in [0,1]. All closed-form expressions."""
+    t = F.col(text_col)
+    n_char = F.greatest(F.length(t), F.lit(1))
+    n_tok = token_count(t)
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    digits = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    uppers = F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), 0))
+    stop_pattern = r"(?i)\b(" + "|".join(_STOPWORDS_EN) + r")\b"
+    stops = F.size(F.regexp_extract_all(t, F.lit(stop_pattern), 0))
+    out = (
+        df.withColumn("punct_ratio", punct / n_char)
+        .withColumn("digit_ratio", digits / n_char)
+        .withColumn("upper_ratio", uppers / n_char)
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, stops / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.when(n_tok > 0, F.length(F.regexp_replace(t, r"\s+", "")) / n_tok).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+    # composite: penalize symbol soup, reward stopword presence + sane word len
+    score = (
+        F.lit(1.0)
+        - F.least(F.col("punct_ratio") * 2, F.lit(0.5))
+        - F.least(F.col("digit_ratio"), F.lit(0.3))
+    ) * F.when(
+        (F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return out.withColumn("quality_score", F.round(F.greatest(score, F.lit(0.0)), 6))
+
+
+# ------------------------------------------------------------ language ID
+
+# tiny marker-word inventories; deterministic and SQL-portable (the point is
+# the Spark plumbing — swap in fasttext via pandas_udf for production)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des"],
+    "es": ["el", "la", "los", "las", "es", "una", "que", "por", "para", "con"],
+}
+
+
+def lang_scores(col) -> dict[str, Column]:
+    scores = {}
+    for lang, words in _LANG_MARKERS.items():
+        pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        scores[lang] = F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+    return scores
+
+
+def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hit counts,
+    'und' (undetermined) when all zero. Ties broken by language code order
+    for determinism."""
+    scores = lang_scores(F.col(text_col))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # reversed alphabetical so the alphabetically-earliest language wins ties
+    for lang in sorted(scores, reverse=True):
+        s = scores[lang]
+        best_lang = F.when((s >= best_score) & (s > 0), F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(best_score, s)
+    return df.withColumn(out_col, best_lang)
+
+
+# ------------------------------------------------------------ fingerprint
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Normalized-content fingerprint (md5 of lowercased, whitespace-
+    collapsed text) — the exact-dup key. See dedup.exact_dedup."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))
+
+
+def rolling_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 16) -> DataFrame:
+    """Winnowing-style rolling fingerprints: xxhash64 of each ``window``-char
+    shingle of normalized text (distinct). Output exploded: (id, shingle_hash).
+    Feed into an inverted-index join for plagiarism/containment detection."""
+    from workbench_spark.operators.dedup import char_shingles
+
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(char_shingles(F.col(text_col), window), lambda s: F.xxhash64(s))
+            )
+        ).alias("shingle_hash"),
+    )

@@ -1,0 +1,111 @@
+"""Window operators (SURVEY §2.5 W1-W5, §2.6 O4-O5).
+
+Reference semantics:
+- W1 latest-snapshot dedup — feature_set_core.py:370-391
+- W2 max-time-per-group    — utils/chem_utils/misc.py:35-36
+- W3 top-N per group       — algorithms/sql/outliers.py:192-216
+- W4 quantile-bucket split — utils/pandas_utils.py:244-268
+- O5 temporal split        — utils/pandas_utils.py:398-434
+
+Scale notes: every operator here is a single hash-partitioned window
+(shuffle on the partition key only). W4's global ntile is the exception —
+a global ORDER BY window is single-task; at 100 TB use the range-
+partitioned variant (ntile_buckets with pre_rank_col) or percent_rank
+over a repartitionByRange sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_snapshot(
+    df: DataFrame,
+    id_column: str,
+    event_time_column: str,
+    tiebreakers: list[str] | None = None,
+    deleted_column: str | None = None,
+) -> DataFrame:
+    """W1 — keep the latest row per id by event time (feature_set_core.py:
+    370-391): row_number() OVER (PARTITION BY id ORDER BY event_time DESC,
+    <tiebreakers> DESC) == 1, then drop soft-deleted rows.
+
+    One shuffle on id_column; at scale this is the canonical
+    'current snapshot of an upsert log' pattern.
+    """
+    order = [F.col(event_time_column).desc()] + [
+        F.col(c).desc() for c in (tiebreakers or [])
+    ]
+    w = Window.partitionBy(id_column).orderBy(*order)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    if deleted_column is not None and deleted_column in df.columns:
+        out = out.filter(~F.coalesce(F.col(deleted_column), F.lit(False)))
+    return out
+
+
+def max_time_per_group(df: DataFrame, id_column: str, time_column: str) -> DataFrame:
+    """W2 — keep rows whose time equals the per-id max (misc.py:35-36)."""
+    w = Window.partitionBy(id_column)
+    return (
+        df.withColumn("__maxt", F.max(time_column).over(w))
+        .filter(F.col(time_column) == F.col("__maxt"))
+        .drop("__maxt")
+    )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    n: int,
+) -> DataFrame:
+    """W3 — top-N rows per group (outliers.py:192-216 nlargest/nsmallest).
+    ``order_cols`` are Column expressions (include explicit tiebreakers for
+    determinism)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def ntile_buckets(df: DataFrame, order_col: str, q: int, tiebreakers: list[str] | None = None) -> DataFrame:
+    """W4 — assign quantile bucket 1..q by order_col
+    (split_dataframe_by_quantiles, pandas_utils.py:244-268).
+
+    NOTE: global ORDER BY window = single task. Fine at test SF; at 100 TB
+    use percent_rank over repartitionByRange or approx-quantile cut points
+    (ntile_buckets_scalable below).
+    """
+    order = [F.col(order_col)] + [F.col(c) for c in (tiebreakers or [])]
+    w = Window.orderBy(*order)
+    return df.withColumn("bucket", F.ntile(q).over(w))
+
+
+def ntile_buckets_scalable(
+    df: DataFrame, order_col: str, q: int, relative_error: float = 1e-4
+) -> DataFrame:
+    """Scale path for W4: bucket by approx-quantile cut points — no global
+    sort, one lightweight quantile pass + a map-side bucket assignment.
+    Bucket boundaries are approximate but the operator is fully parallel."""
+    probs = [i / q for i in range(1, q)]
+    cuts = df.approxQuantile(order_col, probs, relative_error)
+    expr = F.lit(q)
+    for i in reversed(range(len(cuts))):
+        expr = F.when(F.col(order_col) <= cuts[i], F.lit(i + 1)).otherwise(expr)
+    return df.withColumn("bucket", expr)
+
+
+def temporal_split(
+    df: DataFrame, time_column: str, cutoff: str
+) -> tuple[DataFrame, DataFrame]:
+    """O5 — (train, holdout) at a date cutoff (pandas_utils.py:398-434):
+    rows with time <= cutoff OR unparseable/null → train; > cutoff → holdout.
+    Both sides are pushdown-able filters over the same scan."""
+    ts = F.to_timestamp(F.col(time_column))
+    cut = F.lit(cutoff).cast("timestamp")
+    train = df.filter(ts.isNull() | (ts <= cut))
+    holdout = df.filter(ts > cut)
+    return train, holdout

@@ -401,3 +401,553 @@ def o3_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     return deterministic_sample(o, "o_orderkey", 100, 5)
+
+
+# =====================================================================
+# Window operators (SURVEY §2.5) + temporal split (O5)
+# =====================================================================
+
+
+@query(
+    "w1_latest_event_per_user",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM (
+      SELECT e.*, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    ) WHERE rn = 1
+    """,
+)
+def w1_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — latest-snapshot dedup (feature_set_core.py:370-391) applied to
+    the events stream: newest event per user, event_id as tiebreaker."""
+    from workbench_spark.operators.windows import latest_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_snapshot(ev, "user_id", "ts", tiebreakers=["event_id"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "w3_top_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, ROW_NUMBER() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w3_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — top-N per group (outliers.py:192-216 pattern)."""
+    from workbench_spark.operators.windows import top_n_per_group
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return top_n_per_group(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+@query(
+    "w4_acctbal_quartiles",
+    """
+    SELECT bucket, COUNT(*) AS n, ROUND(SUM(c_acctbal), 4) AS total_bal
+    FROM (
+      SELECT c_acctbal, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+      FROM customer
+    ) GROUP BY bucket
+    """,
+)
+def w4_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — quantile-bucket split (pandas_utils.py:244-268) summarized per
+    bucket. Global-window variant for oracle parity; ntile_buckets_scalable
+    is the 100 TB path."""
+    from workbench_spark.operators.windows import ntile_buckets
+
+    c = _t(spark, sf_dir, "customer")
+    return (
+        ntile_buckets(c, "c_acctbal", 4, tiebreakers=["c_custkey"])
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "o5_temporal_split_counts",
+    """
+    SELECT
+      COUNT(CASE WHEN o_orderdate <= TIMESTAMP '1997-01-01 00:00:00' THEN 1 END) AS train_rows,
+      COUNT(CASE WHEN o_orderdate >  TIMESTAMP '1997-01-01 00:00:00' THEN 1 END) AS holdout_rows
+    FROM orders
+    """,
+)
+def o5_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — temporal split at a cutoff (pandas_utils.py:398-434);
+    unparseable/null dates fall to the train side."""
+    from workbench_spark.operators.windows import temporal_split
+
+    o = _t(spark, sf_dir, "orders")
+    train, holdout = temporal_split(o, "o_orderdate", "1997-01-01 00:00:00")
+    return train.agg(F.count(F.lit(1)).alias("train_rows")).crossJoin(
+        holdout.agg(F.count(F.lit(1)).alias("holdout_rows"))
+    )
+
+
+# =====================================================================
+# Joins (SURVEY §2.3)
+# =====================================================================
+
+
+@query(
+    "j1_customer_order_rollup",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, s.order_count,
+           s.total_spent
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS order_count,
+             ROUND(SUM(o_totalprice), 4) AS total_spent
+      FROM orders GROUP BY o_custkey
+    ) s ON c.c_custkey = s.o_custkey
+    """,
+)
+def j1_suppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — supplemental join view (pandas_to_view.py:61-138): base table
+    LEFT JOIN a small supplemental frame on the id column (broadcast)."""
+    from workbench_spark.operators.joins import supplemental_join_view
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    suppl = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+        )
+    )
+    return supplemental_join_view(c, suppl, "c_custkey")
+
+
+@query(
+    "j2_training_view",
+    """
+    SELECT c.c_custkey, c.c_acctbal,
+           COALESCE(r.sample_weight, 1.0) AS sample_weight,
+           COALESCE(r.validation, FALSE) AS validation
+    FROM customer c
+    LEFT JOIN (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 2.0 ELSE 1.0 END AS sample_weight,
+             c_custkey % 5 = 0 AS validation,
+             c_custkey % 17 = 0 AS exclude
+      FROM customer WHERE c_custkey % 3 = 0
+    ) r ON c.c_custkey = r.c_custkey
+    WHERE NOT COALESCE(r.exclude, FALSE)
+    """,
+)
+def j2_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/P5 — model training view with role columns (view_utils.py:154-215):
+    sparse roles LEFT JOIN + COALESCE defaults + NOT-exclude filter. Roles
+    are derived deterministically from custkey so the oracle can rebuild them."""
+    from workbench_spark.operators.joins import training_view
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    roles = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, 2.0).otherwise(1.0).alias("sample_weight"),
+            (F.col("c_custkey") % 5 == 0).alias("validation"),
+            (F.col("c_custkey") % 17 == 0).alias("exclude"),
+        )
+    )
+    return training_view(c, roles, "c_custkey")
+
+
+# =====================================================================
+# Content hashing (A21/F12) + scalar-function families (F3-F6)
+# =====================================================================
+
+
+@query(
+    "table_hash_lineitem",
+    None,  # oracle attached below via table_hash_oracle_sql
+)
+def a21_table_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 — order-insensitive table content hash (athena_utils.py:123-220
+    redesigned as a commutative aggregate)."""
+    from workbench_spark.operators.hashing import table_hash
+
+    li = _t(spark, sf_dir, "lineitem")
+    return table_hash(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+    )
+
+
+from workbench_spark.operators.hashing import table_hash_oracle_sql as _thos  # noqa: E402
+
+_ORACLES["table_hash_lineitem"] = _thos(
+    "lineitem", ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+)
+
+
+@query(
+    "a12_gmean_rollup",
+    """
+    SELECT event_type,
+           ROUND(EXP(AVG(LN(value + 1))), 6) AS gmean_value,
+           COUNT(*) AS n
+    FROM (
+      SELECT e.*, MAX(ts) OVER (PARTITION BY user_id) AS maxt FROM events e
+    ) WHERE ts = maxt
+    GROUP BY event_type
+    """,
+)
+def a12_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/W2/F5 — rollup_experimental_data (chem_utils/misc.py:17-46):
+    keep max-time rows per id, then geometric mean exp(avg(ln(x)))."""
+    from workbench_spark.operators.windows import max_time_per_group
+
+    ev = _t(spark, sf_dir, "events")
+    latest = max_time_per_group(ev, "user_id", "ts")
+    return latest.groupBy("event_type").agg(
+        F.round(F.exp(F.avg(F.log(F.col("value") + 1))), 6).alias("gmean_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "f6_json_extract_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS null_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def f6_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — JSON-string column probing (pandas_to_data.py:147-153 contract:
+    nested data travels as JSON strings, queried via JSON_EXTRACT →
+    get_json_object in Spark)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNull(), F.lit(1))).alias("null_k"),
+    )
+
+
+@query(
+    "f3_iso8601_day_counts",
+    """
+    SELECT strftime(ts, '%Y-%m-%dT00:00:00.000Z') AS day_iso, COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def f3_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — ISO-8601 datetime formatting (datetime_utils contract used at
+    pandas_to_features.py:113-129): day-truncated ISO strings as group key."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias(
+            "day_iso"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+# =====================================================================
+# Set operations (U1-U3) / P9 row filters
+# =====================================================================
+
+
+@query(
+    "u2_union_dedup",
+    """
+    SELECT DISTINCT o_orderkey, o_orderstatus FROM (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def u2_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/U3 — union + dropDuplicates (athena_source.py:385-391 smart_sample
+    combine step)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return a.unionAll(b).dropDuplicates()
+
+
+@query(
+    "p9_drop_null_rows",
+    """
+    SELECT COUNT(*) AS surviving_rows FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
+      AND NOT isnan(value)
+    """,
+)
+def p9_nandrop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — remove_rows_with_nans (pandas_utils.py:515-542): INF→NaN→drop
+    across a column subset."""
+    ev = _t(spark, sf_dir, "events")
+    cond = (
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("props").isNotNull()
+        & ~F.isnan("value")
+    )
+    return ev.filter(cond).agg(F.count(F.lit(1)).alias("surviving_rows"))
+
+
+# =====================================================================
+# Model metrics (A14-A16) + drift (A17-A18)
+# =====================================================================
+
+
+@query(
+    "a14_regression_metrics",
+    """
+    WITH d AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS y,
+             CAST(o_totalprice * 0.9 + 20000 AS DOUBLE) AS p
+      FROM orders
+    ),
+    ranked AS (
+      SELECT y, p,
+             RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry,
+             RANK() OVER (ORDER BY p) + (COUNT(*) OVER (PARTITION BY p) - 1) / 2.0 AS rp
+      FROM d
+    )
+    SELECT ROUND(SQRT(AVG((y - p) * (y - p))), 4) AS rmse,
+           ROUND(AVG(ABS(y - p)), 4) AS mae,
+           ROUND(quantile_cont(ABS(y - p), 0.5), 4) AS medae,
+           ROUND(1 - SUM((y-p)*(y-p)) / (SUM(y*y) - COUNT(*) * AVG(y) * AVG(y)), 6) AS r2,
+           ROUND(corr(ry, rp), 6) AS spearman,
+           COUNT(*) AS support
+    FROM ranked
+    """,
+)
+def a14_reg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — regression metrics (metrics_utils.py:198-256) over a
+    deterministic synthetic prediction column (0.9*y + 20000) so the oracle
+    can reproduce it."""
+    from workbench_spark.operators.metrics import regression_metrics
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_totalprice") * 0.9 + 20000).alias("p"),
+    )
+    m = regression_metrics(o, "y", "p")
+    return m.select(
+        F.round("rmse", 4).alias("rmse"),
+        F.round("mae", 4).alias("mae"),
+        F.round("medae", 4).alias("medae"),
+        F.round("r2", 6).alias("r2"),
+        F.round("spearman", 6).alias("spearman"),
+        "support",
+    )
+
+
+@query(
+    "a16_confusion_matrix",
+    """
+    SELECT CAST(event_type AS VARCHAR) AS label,
+           CASE WHEN value >= 50 THEN 'purchase' ELSE 'click' END AS prediction,
+           COUNT(*) AS count
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def a16_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — confusion matrix in long form (endpoint_core.py:1210-1250)
+    with a deterministic threshold 'classifier' over events.value."""
+    from workbench_spark.operators.metrics import confusion_matrix
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    pred = ev.withColumn(
+        "pred", F.when(F.col("value") >= 50, "purchase").otherwise("click")
+    )
+    return confusion_matrix(pred, "event_type", "pred")
+
+
+@query(
+    "a15_classification_metrics",
+    """
+    WITH cm AS (
+      SELECT CAST(event_type AS VARCHAR) AS label,
+             CASE WHEN value >= 50 THEN 'purchase' ELSE 'click' END AS prediction,
+             COUNT(*) AS cnt
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tp AS (SELECT label AS class, cnt AS tp FROM cm WHERE label = prediction),
+    actual AS (SELECT label AS class, CAST(SUM(cnt) AS BIGINT) AS support FROM cm GROUP BY 1),
+    predicted AS (SELECT prediction AS class, CAST(SUM(cnt) AS BIGINT) AS pred_count FROM cm GROUP BY 1),
+    joined AS (
+      SELECT COALESCE(a.class, p.class) AS class,
+             COALESCE(t.tp, 0) AS tp,
+             COALESCE(a.support, 0) AS support,
+             COALESCE(p.pred_count, 0) AS pred_count
+      FROM actual a
+      FULL JOIN predicted p ON a.class = p.class
+      LEFT JOIN tp t ON COALESCE(a.class, p.class) = t.class
+    )
+    SELECT class,
+           ROUND(CASE WHEN pred_count > 0 THEN CAST(tp AS DOUBLE) / pred_count ELSE 0.0 END, 6) AS precision,
+           ROUND(CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END, 6) AS recall,
+           ROUND(CASE WHEN (CASE WHEN pred_count > 0 THEN CAST(tp AS DOUBLE) / pred_count ELSE 0.0 END
+                          + CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END) > 0
+                 THEN 2 * (CASE WHEN pred_count > 0 THEN CAST(tp AS DOUBLE) / pred_count ELSE 0.0 END)
+                        * (CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END)
+                      / ((CASE WHEN pred_count > 0 THEN CAST(tp AS DOUBLE) / pred_count ELSE 0.0 END)
+                       + (CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / support ELSE 0.0 END))
+                 ELSE 0.0 END, 6) AS f1,
+           support
+    FROM joined
+    """,
+)
+def a15_cls_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — per-class precision/recall/f1/support (metrics_utils.py:97-196)."""
+    from workbench_spark.operators.metrics import classification_metrics
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    pred = ev.withColumn(
+        "pred", F.when(F.col("value") >= 50, "purchase").otherwise("click")
+    )
+    m = classification_metrics(pred, "event_type", "pred")
+    return m.select(
+        "class",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        "support",
+    )
+
+
+@query(
+    "a17_psi_events_value",
+    """
+    WITH p AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT))) AS bucket,
+             COUNT(*) AS c
+      FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+    ),
+    q AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS INT))) AS bucket,
+             COUNT(*) AS c
+      FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+      SELECT GREATEST(COALESCE(CAST(p.c AS DOUBLE) / (SELECT SUM(c) FROM p), 0.0), 1e-6) AS pf,
+             GREATEST(COALESCE(CAST(q.c AS DOUBLE) / (SELECT SUM(c) FROM q), 0.0), 1e-6) AS qf
+      FROM p FULL JOIN q ON p.bucket = q.bucket
+    )
+    SELECT ROUND(SUM((pf - qf) * LN(pf / qf)), 6) AS psi FROM j
+    """,
+)
+def a17_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — PSI between even- and odd-user event values over fixed bins
+    [0,100)/10 (distribution_stats.py:16-120)."""
+    from workbench_spark.operators.drift import psi
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("user_id") % 2 == 0)
+    cur = ev.filter(F.col("user_id") % 2 == 1)
+    return psi(ref, cur, "value", 0.0, 100.0, 10).select(
+        F.round("psi", 6).alias("psi")
+    )
+
+
+@query(
+    "a17_ks_events_value",
+    """
+    WITH pc AS (
+      SELECT value AS v, COUNT(*) AS pc FROM events
+      WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+    ),
+    qc AS (
+      SELECT value AS v, COUNT(*) AS qc FROM events
+      WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(pc.v, qc.v) AS v, COALESCE(pc, 0) AS pc, COALESCE(qc, 0) AS qc
+      FROM pc FULL JOIN qc ON pc.v = qc.v
+    ),
+    cdf AS (
+      SELECT SUM(pc) OVER (ORDER BY v) AS cp, SUM(qc) OVER (ORDER BY v) AS cq FROM j
+    )
+    SELECT ROUND(MAX(ABS(CAST(cp AS DOUBLE) / (SELECT SUM(pc) FROM j)
+                       - CAST(cq AS DOUBLE) / (SELECT SUM(qc) FROM j))), 6) AS ks
+    FROM cdf
+    """,
+)
+def a17_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — exact two-sample KS statistic (distribution_stats.py KS path)."""
+    from workbench_spark.operators.drift import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("user_id") % 2 == 0)
+    cur = ev.filter(F.col("user_id") % 2 == 1)
+    return ks_statistic(ref, cur, "value").select(F.round("ks", 6).alias("ks"))
+
+
+@query(
+    "a18_detect_drift",
+    """
+    WITH rng AS (
+      SELECT MAX(o_totalprice) - MIN(o_totalprice) AS r FROM orders
+    ),
+    cur AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.5
+                  ELSE o_totalprice END AS v
+      FROM orders
+    )
+    SELECT o.o_orderkey AS id, 'o_totalprice' AS column_name,
+           ROUND(CAST(o.o_totalprice AS DOUBLE), 4) AS ref_value,
+           ROUND(CAST(c.v AS DOUBLE), 4) AS cur_value
+    FROM orders o JOIN cur c ON o.o_orderkey = c.o_orderkey, rng
+    WHERE ABS(o.o_totalprice - c.v) > 0.01 * rng.r
+    """,
+)
+def a18_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 — detect_drift (pandas_utils.py:545-628): per-row range-relative
+    drift between a frame and a deterministically perturbed copy."""
+    from workbench_spark.operators.drift import detect_drift
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    cur = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.5)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    d = detect_drift(o, cur, "o_orderkey", ["o_totalprice"], rel_tol=0.01)
+    return d.select(
+        "id",
+        "column_name",
+        F.round("ref_value", 4).alias("ref_value"),
+        F.round("cur_value", 4).alias("cur_value"),
+    )
+
+
+# register the training-data-pipeline extension queries (text/dedup/knn)
+from workbench_spark import queries_pipeline as _qp  # noqa: E402,F401

@@ -1,0 +1,322 @@
+"""Correctness-gate queries for the training-data-pipeline extension:
+text analysis, deduplication, similarity search (registered into the same
+registry as workbench_spark.queries; imported from there).
+
+Engine-portability notes:
+- Shingle/Jaccard/token oracles are exact DuckDB replicas (list
+  comprehensions + regexp_extract_all).
+- MinHash/SimHash signatures use Spark's xxhash64 — not reproducible in
+  DuckDB → those entries ship without oracles (driver records rows-only),
+  but their *invariants* (pair symmetry, estimator within tolerance of the
+  exact Jaccard pairs) are covered in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workbench_spark.queries import _t, query
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+
+@query(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_words,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish segmentation) — pure regexp
+    expressions, zero Python per row."""
+    from workbench_spark.operators.text import char_count, token_count, word_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        word_count(t).alias("n_words"),
+        char_count(t).cast("long").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "text_quality_features",
+    """
+    SELECT doc_id,
+           ROUND(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS punct_ratio,
+           ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS digit_ratio,
+           ROUND(CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                 THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                      / len(regexp_extract_all(text, '\\S+'))
+                 ELSE 0.0 END, 6) AS mean_word_len
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal ratios (C4/Gopher-style heuristics); the composite
+    quality_score is library-side (tested in tests/), ratios oracle-checked.
+
+    NOTE on punct regex: Spark \\w == [a-zA-Z0-9_] (ASCII by default);
+    DuckDB RE2 \\w differs, so the oracle spells the class out.
+    """
+    from workbench_spark.operators.text import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    qf = quality_features(d)
+    return qf.select(
+        "doc_id",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+    )
+
+
+_LANG_SQL_SCORE = {
+    "en": "the|and|of|to|is|in|that|it|was|for",
+    "de": "der|die|das|und|ist|nicht|ein|eine|mit|von",
+    "fr": "le|la|les|et|est|une|que|pour|dans|des",
+    "es": "el|la|los|las|es|una|que|por|para|con",
+}
+
+
+@query(
+    "text_lang_detect",
+    """
+    WITH scores AS (
+      SELECT doc_id,
+             {scores}
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE
+             WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr'
+           END AS lang_pred
+    FROM scores
+    """.format(
+        scores=",\n             ".join(
+            f"len(regexp_extract_all(text, '(?i)\\b({pat})\\b')) AS s_{lang}"
+            for lang, pat in _LANG_SQL_SCORE.items()
+        )
+    ),
+)
+def text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax over per-language hit counts,
+    alphabetical tiebreak, 'und' when nothing matches)."""
+    from workbench_spark.operators.text import detect_language
+
+    d = _t(spark, sf_dir, "documents")
+    return detect_language(d).select("doc_id", "lang_pred")
+
+
+@query(
+    "text_fingerprint_counts",
+    """
+    SELECT doc_id,
+           len(list_distinct([substr(t, i, 16) for i in
+                generate_series(1, GREATEST(length(t) - 15, 1))])) AS n_fingerprints
+    FROM (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    )
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-fingerprint cardinality per doc (the winnowing primitive);
+    the hashes themselves are xxhash64 (not portable), their COUNT is."""
+    from workbench_spark.operators.text import rolling_hashes
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        rolling_hashes(d, window=16)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+    )
+
+
+# =====================================================================
+# Deduplication
+# =====================================================================
+
+
+@query(
+    "dedup_exact_clusters",
+    """
+    SELECT md5(trim(regexp_replace(lower(substr(text, 1, 40)), '\\s+', ' ', 'g'))) AS content_hash,
+           COUNT(*) AS n_dups,
+           MIN(doc_id) AS representative_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup clusters on a 40-char normalized prefix (the full-text
+    column has no exact dups in the synthetic corpus; prefixing induces
+    realistic collision clusters while exercising the same plan)."""
+    from workbench_spark.operators.dedup import duplicate_clusters
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    return duplicate_clusters(d)
+
+
+@query(
+    "dedup_exact_survivors",
+    """
+    SELECT COUNT(*) AS survivors FROM (
+      SELECT MIN(doc_id) FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(substr(text, 1, 40)), '\\s+', ' ', 'g')))
+    )
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-min-id: surviving row count."""
+    from workbench_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    return exact_dedup(d).agg(F.count(F.lit(1)).alias("survivors"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))]) AS g
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id < 100)
+    ),
+    ex AS (SELECT id, UNNEST(g) AS g, len(g) AS sz FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.4
+    """,
+)
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs over doc_id<100 via inverted-
+    index join (no cross product — pairs only form on shared shingles)."""
+    from workbench_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_minhash_pairs")  # xxhash64 signatures — rows-only check
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) near-dup candidate pairs with estimated
+    Jaccard ≥ 0.5. Estimator quality vs exact Jaccard asserted in
+    tests/test_dedup.py (oracle not expressible: xxhash64)."""
+    from workbench_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, verify_threshold=0.5)
+
+
+@query("dedup_simhash_pairs")  # xxhash64+bit ops — rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming ≤ 3 via 4-band pigeonhole."""
+    from workbench_spark.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(d)
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+
+@query(
+    "knn_cosine_bruteforce",
+    """
+    SELECT id, neighbor_id, cosine_sim FROM (
+      SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                        b.vec_id ASC) AS rn
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 20
+    ) WHERE rn <= 5
+    """,
+)
+def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J7 + ANN baseline — exact cosine top-5 for 20 query vectors
+    against the full embedding table (broadcast queries × scan refs;
+    the reference set never shuffles)."""
+    from workbench_spark.operators.similarity import cosine_knn
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = cosine_knn(e, queries=q, k=5)
+    return out.select("id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@query("knn_cosine_lsh")  # seeded random hyperplanes — rows-only check
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate KNN (the 100 TB path: candidates form
+    only within signature buckets). Recall vs brute force asserted in
+    tests/test_similarity.py."""
+    from workbench_spark.operators.similarity import lsh_cosine_knn
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_knn(e, k=5, n_planes=6, n_tables=3, dim=64)
+
+
+@query(
+    "knn_euclidean_standardized",
+    """
+    WITH stats AS (
+      SELECT AVG(c_acctbal) AS mu, STDDEV(c_acctbal) AS sd FROM customer
+    ),
+    z AS (
+      SELECT c_custkey, (c_acctbal - mu) / (CASE WHEN sd > 0 THEN sd ELSE 1 END) AS z
+      FROM customer, stats
+    )
+    SELECT id, neighbor_id, distance FROM (
+      SELECT a.c_custkey AS id, b.c_custkey AS neighbor_id,
+             ROUND(ABS(a.z - b.z), 6) AS distance,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.c_custkey
+               ORDER BY ABS(a.z - b.z) ASC, b.c_custkey ASC) AS rn
+      FROM z a JOIN z b ON a.c_custkey != b.c_custkey
+      WHERE a.c_custkey <= 20
+    ) WHERE rn <= 3
+    """,
+)
+def knn_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — the reference's standardized-Euclidean KNN frame
+    (proximity.py:100-271) on a 1-D feature (acctbal), top-3 for 20 ids."""
+    from workbench_spark.operators.similarity import euclidean_knn_standardized
+
+    c = _t(spark, sf_dir, "customer")
+    out = euclidean_knn_standardized(c, ["c_acctbal"], "c_custkey", k=3)
+    out = out.filter(F.col("id") <= 20)
+    return out.select("id", "neighbor_id", F.round("distance", 6).alias("distance"))

@@ -66,7 +66,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div — float division loses microseconds above 2^53 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # preserve original column order
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
