@@ -1,0 +1,212 @@
+"""API-layer tests (DataSource / FeatureSet / stores / Meta) — mirrors the
+reference's integration-test style (SURVEY §5) against the driver tables,
+with a throwaway warehouse per session."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from workbench_spark.session import get_spark
+
+    return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.fixture(scope="session")
+def warehouse():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+@pytest.fixture(scope="session")
+def ds(spark, warehouse):
+    from workbench_spark.api import DataSource
+
+    return DataSource(f"{SF_DIR}/orders.parquet", "orders_ds", spark=spark, warehouse=warehouse)
+
+
+def test_datasource_basics(ds):
+    assert ds.num_rows() == 1500
+    assert ds.num_columns() == 6
+    assert "o_orderkey" in ds.columns
+    assert ds.column_types()["o_totalprice"] == "double"
+    assert ds.ready()
+
+
+def test_datasource_query(ds):
+    out = ds.query(
+        "SELECT o_orderpriority, count(*) AS n FROM orders_ds GROUP BY 1"
+    ).collect()
+    assert sum(r["n"] for r in out) == 1500
+
+
+def test_datasource_views(ds):
+    ds.set_display_columns(["o_orderkey", "o_totalprice"])
+    v = ds.view_df("display")
+    assert v.columns == ["o_orderkey", "o_totalprice"]
+    out = ds.query("SELECT count(*) AS n FROM orders_ds___display").first()
+    assert out["n"] == 1500
+
+
+def test_datasource_stats_cached(ds):
+    stats = ds.cached_stats()
+    assert stats["num_rows"] == 1500
+    cs = stats["column_stats"]
+    assert cs["o_totalprice"]["nulls"] == 0
+    assert "descriptive_stats" in cs["o_totalprice"]
+    assert cs["o_orderpriority"]["unique"] == 5
+
+
+def test_datasource_attach_existing(spark, warehouse, ds):
+    from workbench_spark.api import DataSource
+
+    again = DataSource(name="orders_ds", spark=spark, warehouse=warehouse)
+    assert again.num_rows() == 1500
+
+
+def test_feature_set_snapshot_semantics(spark, warehouse):
+    from workbench_spark.api import FeatureSet
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01T00:00:00.000Z"), (2, "b", "2024-01-01T00:00:00.000Z")],
+        "id int, val string, event_time string",
+    )
+    fs = FeatureSet(df, "fs_test", id_column="id", event_time_column="event_time",
+                    spark=spark, warehouse=warehouse)
+    assert fs.num_rows() == 2
+    # append a newer version of id=1 → snapshot keeps latest only
+    df2 = spark.createDataFrame(
+        [(1, "a2", "2024-02-01T00:00:00.000Z")], "id int, val string, event_time string"
+    )
+    fs.append(df2)
+    snap = {r["id"]: r["val"] for r in fs.snapshot().collect()}
+    assert snap == {1: "a2", 2: "b"}
+    assert fs.offline_store().count() == 3  # versions retained
+
+
+def test_feature_set_training_view_roles(spark, warehouse):
+    from workbench_spark.api import FeatureSet
+
+    df = spark.createDataFrame(
+        [(i, float(i), "2024-01-01T00:00:00.000Z") for i in range(10)],
+        "id int, x double, event_time string",
+    )
+    fs = FeatureSet(df, "fs_roles", id_column="id", event_time_column="event_time",
+                    spark=spark, warehouse=warehouse)
+    roles = spark.createDataFrame(
+        [(0, 2.0, True, False), (1, 1.0, False, True)],
+        "id int, sample_weight double, validation boolean, exclude boolean",
+    )
+    fs.set_training_roles(roles)
+    tv = fs.training_view()
+    rows = {r["id"]: r for r in tv.collect()}
+    assert 1 not in rows  # excluded
+    assert rows[0]["sample_weight"] == 2.0 and rows[0]["validation"] is True
+    assert rows[5]["sample_weight"] == 1.0 and rows[5]["validation"] is False
+
+
+def test_feature_set_type_coercion(spark, warehouse):
+    from workbench_spark.api.feature_set import coerce_feature_types
+
+    df = spark.createDataFrame(
+        [(True, 1.5)], "flag boolean, x double"
+    ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    out = coerce_feature_types(df)
+    types = dict(out.dtypes)
+    assert types["flag"] == "int"
+    assert types["ts"] == "string"
+    assert out.first()["ts"].endswith("Z")
+
+
+def test_df_store_roundtrip(spark, warehouse):
+    from workbench_spark.api import DFStore
+
+    store = DFStore(spark, root=warehouse)
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    store.upsert("test/frame", df)
+    assert store.get("test/frame").count() == 5
+    store.append("test/frame", df)
+    assert store.get("test/frame").count() == 10
+    assert "test/frame" in store.list()
+    store.delete("test/frame")
+    assert store.get("test/frame") is None
+
+
+def test_parameter_store_gzip(warehouse):
+    from workbench_spark.api import ParameterStore
+
+    ps = ParameterStore(root=warehouse)
+    ps.upsert("small", {"a": 1})
+    assert ps.get("small") == {"a": 1}
+    big = {"data": "x" * 10_000}
+    ps.upsert("big", big)
+    assert ps.get("big") == big
+    assert sorted(ps.list()) == ["big", "small"]
+    ps.delete("small")
+    assert ps.get("small") is None
+
+
+def test_inference_store(spark, warehouse):
+    from workbench_spark.api import InferenceStore
+
+    st = InferenceStore(spark, root=warehouse)
+    preds = spark.createDataFrame(
+        [("r1", 0.9, 17), ("r2", 0.1, 42)], "id string, pred_value double, extra int"
+    )
+    st.add_inference_results(preds, model="m1", meta_fields=["extra"], tags=["t1", "t2"])
+    out = st.query("SELECT * FROM inference_store WHERE model = 'm1'")
+    rows = out.collect()
+    assert len(rows) == 2
+    assert rows[0]["tags"] == ["t1", "t2"]  # string→list round-trip
+    assert '"extra":17' in [r["meta"] for r in rows if r["id"] == "r1"][0]
+    st.delete()
+
+
+def test_graph_store(spark, warehouse):
+    from workbench_spark.api import GraphStore
+
+    gs = GraphStore(root=warehouse)
+    g = {"nodes": [{"id": 1}, {"id": 2}], "links": [{"source": 1, "target": 2, "weight": 0.5}]}
+    gs.upsert("nets/karate", g)
+    assert gs.get("nets/karate") == g
+    edges = gs.edges_df("nets/karate", spark)
+    assert edges.count() == 1
+    assert gs.list() == ["nets/karate"]
+
+
+def test_meta_listings(spark, warehouse, ds):
+    from workbench_spark.api import Meta
+
+    m = Meta(spark, warehouse=warehouse)
+    names = [r["name"] for r in m.data_sources().collect()]
+    assert "orders_ds" in names
+
+
+def test_one_hot_and_undummify(spark):
+    from workbench_spark.functions.encoding import one_hot_encode, undummify
+
+    df = spark.createDataFrame(
+        [(1, "tacos"), (2, "pizza"), (3, "tacos"), (4, "fish")], "id int, food string"
+    )
+    enc = one_hot_encode(df, ["food"])
+    assert "food" not in enc.columns
+    assert {"food_tacos", "food_pizza", "food_fish"} <= set(enc.columns)
+    row = {r["id"]: r for r in enc.collect()}
+    assert row[1]["food_tacos"] == 1 and row[1]["food_pizza"] == 0
+    dec = undummify(enc.drop("id").withColumn("id", F.lit(1)))
+    assert "food" in dec.columns
+
+
+def test_one_hot_gate_skips_high_cardinality(spark):
+    from workbench_spark.functions.encoding import one_hot_encode
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id int, c string")
+    out = one_hot_encode(df, ["c"])
+    assert out.columns == df.columns  # gate: nunique >= 10 → skipped

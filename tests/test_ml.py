@@ -1,0 +1,125 @@
+"""Model/Endpoint + ML-analysis operator tests."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from workbench_spark.session import get_spark
+
+    return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.fixture(scope="session")
+def warehouse():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def test_regression_model_end_to_end(spark, warehouse):
+    from workbench_spark.api.model import Model
+
+    # learnable by construction: per-order net revenue from qty/line stats
+    # (the synthetic o_totalprice is independent of lineitems — corr ~0)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_rev"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).select(
+        "net_rev", "total_qty", "avg_price", "n_lines",
+        (F.col("l_orderkey") % 5 == 0).alias("validation"),
+    )
+    m = Model.train(
+        df, "price_model", target="net_rev",
+        features=["total_qty", "avg_price", "n_lines"],
+        model_type="regressor", algo="xgb",
+        warehouse=warehouse, spark=spark,
+    )
+    metrics = m.metrics()
+    assert metrics is not None and metrics["r2"] > 0.5, metrics
+    ep = m.to_endpoint()
+    out = ep.transform(df.limit(10))
+    assert "prediction" in out.columns and out.count() == 10
+
+
+def test_classifier_model(spark, warehouse):
+    from workbench_spark.api.model import Model
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    # learnable: label = value >= 50 banded into named classes
+    df = ev.select(
+        F.when(F.col("value") >= 50, "high").otherwise("low").alias("band"),
+        "value",
+        (F.col("event_id") % 4 == 0).alias("validation"),
+    )
+    m = Model.train(
+        df, "band_model", target="band", features=["value"],
+        model_type="classifier", algo="rf", warehouse=warehouse, spark=spark,
+    )
+    assert set(m.class_labels()) == {"high", "low"}
+    stats = m.metrics()
+    per_class = {r["class"]: r for r in stats["class_metrics"]}
+    assert per_class["high"]["f1"] > 0.95
+    ep = m.to_endpoint()
+    res = ep.inference(df.limit(50), capture=False)
+    assert "prediction" in res.df.columns
+
+
+def test_smart_aggregator_reduces_rows(spark):
+    from workbench_spark.operators.ml_analysis import smart_aggregator
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    out = smart_aggregator(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], target_rows=100
+    )
+    n = out.count()
+    assert n <= 110
+    total = out.agg(F.sum("aggregation_count")).first()[0]
+    assert total == 6000  # every source row accounted for
+
+
+def test_projection_2d_pca(spark):
+    from workbench_spark.operators.ml_analysis import projection_2d
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(500)
+    out = projection_2d(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], "l_orderkey"
+    )
+    assert out.columns == ["l_orderkey", "x", "y"]
+    assert out.count() == 500
+
+
+def test_proximity_graph_and_smoothness(spark):
+    from workbench_spark.operators.ml_analysis import laplacian_smoothness, proximity_graph
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    edges = proximity_graph(c, ["c_acctbal"], "c_custkey", k=3)
+    assert edges.count() == 150 * 3
+    sm = laplacian_smoothness(edges, c, "c_custkey", "c_acctbal")
+    assert sm.count() > 0
+    row = sm.first()
+    assert row["smoothness"] >= 0
+
+
+def test_residual_features(spark):
+    from workbench_spark.operators.ml_analysis import residual_features
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_acctbal", (F.col("c_acctbal") * 0.9).alias("pred")
+    )
+    out = residual_features(c, "c_custkey", "c_acctbal", "pred", ["c_acctbal"], k=3)
+    assert out.count() == 150
+    assert "neighbor_mean_abs_residual" in out.columns

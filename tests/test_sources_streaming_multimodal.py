@@ -1,0 +1,108 @@
+"""Tests: heavy loader (flatten/timestamps), multimodal plumbing,
+streaming windowed aggregation, drift monitor batch path."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from workbench_spark.session import get_spark
+
+    return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def test_flatten_structs_and_heavy_loader(spark, tmp_path):
+    from workbench_spark.sources.loaders import heavy_json_to_table
+
+    p = tmp_path / "nested.jsonl"
+    rows = [
+        {"id": 1, "user": {"name": "a", "geo": {"lat": 1.5, "lon": 2.5}}, "ts": "2024-01-01 10:00:00"},
+        {"id": 2, "user": {"name": "b", "geo": {"lat": 3.5, "lon": 4.5}}, "ts": "2024-01-02 11:30:00"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = heavy_json_to_table(spark, str(p), timestamp_columns=["ts"])
+    assert "user_name" in df.columns and "user_geo_lat" in df.columns
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() == 2
+    assert df.filter(F.col("user_geo_lat") == 1.5).first()["user_name"] == "a"
+
+
+def test_multimodal_metadata_and_frames(spark):
+    from workbench_spark.operators.multimodal import (
+        attach_media,
+        extract_media_metadata,
+        frame_sample,
+        media_feature_udf,
+        stub_feature_fn,
+    )
+
+    payloads = [(i, bytes([i % 256] * (100 + i))) for i in range(20)]
+    df = spark.createDataFrame(payloads, "media_id int, payload binary")
+    m = attach_media(df, "payload", "image")
+    assert {"media_type", "byte_size", "content_hash"} <= set(m.columns)
+    meta = extract_media_metadata(m, "payload")
+    rows = meta.collect()
+    assert all(64 <= r["width"] <= 255 for r in rows)
+    # deterministic: same payload → same pseudo-dimensions
+    again = {r["media_id"]: (r["width"], r["height"]) for r in extract_media_metadata(m, "payload").collect()}
+    assert all(again[r["media_id"]] == (r["width"], r["height"]) for r in rows)
+
+    emb = m.withColumn("embedding", media_feature_udf(stub_feature_fn, 8)("payload"))
+    e = emb.first()["embedding"]
+    assert len(e) == 8 and all(0 <= v <= 1 for v in e)
+
+    frames = frame_sample(m, "payload", n_frames=4)
+    assert frames.count() == 20 * 4
+    assert frames.groupBy("content_hash").count().filter(F.col("count") != 4).count() == 0
+
+
+def test_streaming_windowed_counts(spark):
+    from workbench_spark.streaming.monitor import run_stream_to_memory, stream_windowed_counts
+
+    from workbench_spark.session import read_table
+
+    ev = read_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "stream_src")
+        ev.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = stream_windowed_counts(
+            spark, src, schema, window="1 hour", watermark="2 hours"
+        )
+        out = run_stream_to_memory(stream, "ev_counts")
+        batch = (
+            ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # append-mode memory sink emits only closed windows; every emitted
+        # row must match the batch computation exactly
+        emitted = out.collect()
+        assert len(emitted) > 0
+        batch_map = {
+            (r["win"]["start"], r["event_type"]): r["n"] for r in batch.collect()
+        }
+        for r in emitted:
+            assert batch_map[(r["window_start"], r["event_type"])] == r["n"]
+
+
+def test_drift_monitor_batch_path(spark):
+    from workbench_spark.session import read_table
+    from workbench_spark.streaming.monitor import capture_inference, check_drift
+
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        cap = os.path.join(d, "capture")
+        capture_inference(ev.limit(300), cap)
+        report = check_drift(spark, cap, ev, "value", 0.0, 100.0)
+        assert report["captured_rows"] == 300
+        assert report["psi"] < 0.5  # same distribution → low psi
+        assert 0 <= report["ks"] <= 1

@@ -1,0 +1,21 @@
+"""Public API surface — mirrors ``workbench.api`` (reference:
+src/workbench/api/__init__.py:26-58): DataSource, FeatureSet, Meta,
+DFStore, ParameterStore, InferenceStore, GraphStore. Model/Endpoint live
+in workbench_spark.api.model (MLlib-backed)."""
+
+from workbench_spark.api.data_source import DataSource
+from workbench_spark.api.feature_set import FeatureSet
+from workbench_spark.api.meta import Meta
+from workbench_spark.api.registry import Registry
+from workbench_spark.api.stores import DFStore, GraphStore, InferenceStore, ParameterStore
+
+__all__ = [
+    "DataSource",
+    "FeatureSet",
+    "Meta",
+    "Registry",
+    "DFStore",
+    "GraphStore",
+    "InferenceStore",
+    "ParameterStore",
+]

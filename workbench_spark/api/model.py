@@ -1,0 +1,225 @@
+"""Model + Endpoint — MLlib-backed training and inference (SURVEY §3.3).
+
+Reference flow being re-expressed:
+- fs.to_model(...) → FeaturesToModel.transform — features_to_model.py:157-431:
+  builds the training view, exports data, launches a SageMaker training job.
+  Here: MLlib Pipeline.fit on the training view — same cluster, no
+  container hop, no CSV/HTTP dtype laundering (endpoint_core.py:860-905
+  exists solely to undo that boundary; it disappears).
+- model.to_endpoint() → ModelToEndpoint — deploys; here Endpoint wraps
+  model.transform.
+- endpoint.inference(df) — endpoint_core.py:452-595: predictions +
+  residuals + metrics (A14-A16) + capture to the InferenceStore.
+
+Model registry metadata (metrics, hyperparameters, feature list) lands in
+the artifact sidecar — the reference stores these in the SageMaker Model
+Registry (model_core.py:118-171).
+
+The SageMaker deployment wrapper (chunked CSV/HTTP inference,
+endpoint_core.py:814-905) is AWS-specific and out of local-engine scope
+per BASELINE.json; its interface is stubbed in sagemaker_adapter.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import GBTClassifier, LogisticRegression, RandomForestClassifier
+from pyspark.ml.feature import StringIndexer, VectorAssembler
+from pyspark.ml.regression import GBTRegressor, LinearRegression, RandomForestRegressor
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workbench_spark.api.registry import Registry, validate_name
+
+REGRESSORS = {
+    "xgb": GBTRegressor,  # gradient-boosted trees = the XGBoost-parity model
+    "gbt": GBTRegressor,
+    "rf": RandomForestRegressor,
+    "linear": LinearRegression,
+}
+CLASSIFIERS = {
+    "xgb": GBTClassifier,
+    "gbt": GBTClassifier,
+    "rf": RandomForestClassifier,
+    "logistic": LogisticRegression,
+}
+
+
+class Model:
+    def __init__(
+        self,
+        name: str,
+        spark: SparkSession | None = None,
+        warehouse: str | None = None,
+    ):
+        from workbench_spark.session import get_spark
+
+        self.spark = spark or get_spark()
+        self.name = validate_name(name)
+        self.registry = Registry(warehouse)
+
+    # ------------------------------------------------------------ training
+    @classmethod
+    def train(
+        cls,
+        df: DataFrame,
+        name: str,
+        target: str,
+        features: list[str],
+        model_type: str = "regressor",
+        algo: str = "xgb",
+        hyperparams: dict[str, Any] | None = None,
+        spark: SparkSession | None = None,
+        warehouse: str | None = None,
+    ) -> "Model":
+        """Train an MLlib pipeline on a training-view DataFrame. Honors the
+        J2 role columns when present: rows with validation=true are held
+        out for the eval metrics; sample_weight feeds weightCol."""
+        self = cls(name, spark=spark, warehouse=warehouse)
+        hp = hyperparams or {}
+        assembler = VectorAssembler(
+            inputCols=features, outputCol="__features", handleInvalid="skip"
+        )
+        stages = [assembler]
+        weight_kw = {}
+        if "sample_weight" in df.columns and algo in ("linear", "logistic"):
+            weight_kw = {"weightCol": "sample_weight"}
+        if model_type == "classifier":
+            indexer = StringIndexer(
+                inputCol=target, outputCol="__label", handleInvalid="skip"
+            )
+            stages.append(indexer)
+            est = CLASSIFIERS[algo](featuresCol="__features", labelCol="__label", **hp, **weight_kw)
+        else:
+            est = REGRESSORS[algo](featuresCol="__features", labelCol=target, **hp, **weight_kw)
+        stages.append(est)
+
+        if "validation" in df.columns:
+            train_df = df.filter(~F.coalesce(F.col("validation"), F.lit(False)))
+            val_df = df.filter(F.coalesce(F.col("validation"), F.lit(False)))
+        else:
+            train_df, val_df = df, None
+
+        fitted: PipelineModel = Pipeline(stages=stages).fit(train_df)
+        model_path = self.registry.data_path(self.name)
+        fitted.write().overwrite().save(model_path)
+
+        meta = {
+            "artifact_type": "model",
+            "status": "trained",
+            "model_type": model_type,
+            "algo": algo,
+            "target": target,
+            "features": features,
+            "hyperparams": hp,
+            "tags": [self.name],
+        }
+        if model_type == "classifier":
+            labels = fitted.stages[1].labels
+            meta["class_labels"] = list(labels)
+        self.registry.write_meta(self.name, meta)
+
+        if val_df is not None and val_df.count() > 0:
+            ep = Endpoint(self.name, spark=self.spark, warehouse=self.registry.warehouse)
+            result = ep.inference(val_df, capture=False)
+            self.registry.upsert_meta(self.name, {"metrics": result.metrics})
+        return self
+
+    # ------------------------------------------------------------ access
+    def pipeline(self) -> PipelineModel:
+        return PipelineModel.load(self.registry.data_path(self.name))
+
+    def meta(self) -> dict:
+        return self.registry.read_meta(self.name)
+
+    @property
+    def target(self) -> str:
+        return self.meta()["target"]
+
+    @property
+    def features(self) -> list[str]:
+        return self.meta()["features"]
+
+    def class_labels(self) -> list[str] | None:
+        return self.meta().get("class_labels")
+
+    def metrics(self) -> dict | None:
+        return self.meta().get("metrics")
+
+    def to_endpoint(self, name: str | None = None) -> "Endpoint":
+        ep_name = validate_name(name) if name else f"{self.name}_end"
+        self.registry.upsert_meta(
+            ep_name,
+            {"artifact_type": "endpoint", "status": "deployed", "model": self.name},
+        )
+        return Endpoint(
+            self.name, endpoint_name=ep_name, spark=self.spark,
+            warehouse=self.registry.warehouse,
+        )
+
+    def delete(self) -> None:
+        self.registry.delete(self.name)
+
+
+class InferenceResult:
+    def __init__(self, df: DataFrame, metrics: dict):
+        self.df = df
+        self.metrics = metrics
+
+
+class Endpoint:
+    """Local endpoint = model.transform (no chunked CSV/HTTP hop)."""
+
+    def __init__(
+        self,
+        model_name: str,
+        endpoint_name: str | None = None,
+        spark: SparkSession | None = None,
+        warehouse: str | None = None,
+    ):
+        from workbench_spark.session import get_spark
+
+        self.spark = spark or get_spark()
+        self.model = Model(model_name, spark=self.spark, warehouse=warehouse)
+        self.name = endpoint_name or f"{model_name}_end"
+
+    def _predict(self, df: DataFrame) -> DataFrame:
+        meta = self.model.meta()
+        out = self.model.pipeline().transform(df)
+        if meta["model_type"] == "classifier":
+            labels = meta["class_labels"]
+            mapping = F.array(*[F.lit(x) for x in labels])
+            out = out.withColumn(
+                "prediction_label", mapping[F.col("prediction").cast("int")]
+            )
+        return out
+
+    def inference(self, eval_df: DataFrame, capture: bool = True) -> InferenceResult:
+        """endpoint_core.py:452-595 — predictions + residuals + metrics;
+        optional capture to the InferenceStore (S11)."""
+        from workbench_spark.operators import metrics as M
+
+        meta = self.model.meta()
+        target = meta["target"]
+        preds = self._predict(eval_df)
+        if meta["model_type"] == "classifier":
+            preds = preds.withColumnRenamed("prediction", "prediction_idx").withColumnRenamed(
+                "prediction_label", "prediction"
+            )
+            cm = M.confusion_matrix(preds, target, "prediction")
+            per_class = M.classification_metrics(preds, target, "prediction")
+            stats = {
+                "confusion_matrix": [r.asDict() for r in cm.collect()],
+                "class_metrics": [r.asDict() for r in per_class.collect()],
+            }
+        else:
+            preds = preds.withColumn("residual", F.col(target) - F.col("prediction"))
+            row = M.regression_metrics(preds, target, "prediction").first()
+            stats = {k: row[k] for k in ("rmse", "mae", "medae", "r2", "spearman", "support")}
+        clean = preds.drop("__features", "rawPrediction", "probability", "__label")
+        return InferenceResult(clean, stats)
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self._predict(df)

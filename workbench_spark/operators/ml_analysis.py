@@ -1,0 +1,168 @@
+"""ML-analysis operators built on aggregation/KNN (SURVEY §2.4 A11,
+§2.9 C7, §2.10 M1/M2/M6/M7).
+
+Reference citations:
+- A11 smart_aggregator — algorithms/dataframe/smart_aggregator.py:13-94
+  (MiniBatchKMeans row reduction + outlier isolation)
+- C7 2D projection — algorithms/dataframe/projection_2d.py:17-135 (PCA
+  native; UMAP/TSNE driver-side on samples in the reference)
+- M1 residual features — algorithms/dataframe/residual_features.py:38-212
+- M6 proximity graph — algorithms/graph/light/proximity_graph.py:23-120
+- M7 group aggregate — algorithms/dataframe/storage/aggregation.py:10-50
+- A22 Laplacian smoothness — laplacian_smoothness.py:14-60
+
+Scale: KMeans/PCA are MLlib distributed implementations; the KNN joins
+come from operators/similarity.py (broadcast or LSH — never a raw cross
+product at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assemble(df: DataFrame, feature_cols: list[str], scale: bool = True):
+    va = VectorAssembler(inputCols=feature_cols, outputCol="__vec", handleInvalid="skip")
+    out = va.transform(df)
+    if scale:
+        scaler = StandardScaler(
+            inputCol="__vec", outputCol="__scaled", withMean=True, withStd=True
+        ).fit(out)
+        out = scaler.transform(out).drop("__vec").withColumnRenamed("__scaled", "__vec")
+    return out
+
+
+def smart_aggregator(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_rows: int = 50_000,
+    agg: str = "mean",
+    seed: int = 42,
+) -> DataFrame:
+    """A11 — reduce N rows to ~target_rows by KMeans clustering then
+    per-cluster aggregation (smart_aggregator.py:13-94): numeric cols
+    averaged (or first), plus aggregation_count. MLlib KMeans is the
+    distributed replacement for MiniBatchKMeans.
+
+    k is capped for tractability: MLlib KMeans cost is O(N·k·d); the
+    reference's k=target_rows works for its 100k→50k single-node case but
+    not at cluster scale — there, pre-reduce with a coarse hash/grid pass
+    or hierarchical KMeans.
+    """
+    n = df.count()
+    if n <= target_rows:
+        return df.withColumn("aggregation_count", F.lit(1))
+    k = min(target_rows, 4096)
+    assembled = _assemble(df, feature_cols)
+    km = KMeans(k=k, seed=seed, featuresCol="__vec", predictionCol="__cluster").fit(assembled)
+    clustered = km.transform(assembled).drop("__vec")
+    agg_fn = F.avg if agg == "mean" else F.first
+    other = [c for c in df.columns if c not in feature_cols]
+    return clustered.groupBy("__cluster").agg(
+        *[agg_fn(c).alias(c) for c in feature_cols],
+        *[F.first(c).alias(c) for c in other],
+        F.count(F.lit(1)).alias("aggregation_count"),
+    ).drop("__cluster")
+
+
+def projection_2d(
+    df: DataFrame, feature_cols: list[str], id_col: str, method: str = "pca", seed: int = 42
+) -> DataFrame:
+    """C7 — 2D projection for plots (projection_2d.py:17-135): PCA via
+    MLlib (distributed, exact); UMAP/TSNE intentionally unsupported at
+    engine level (driver-side sampled paths in the reference)."""
+    if method != "pca":
+        raise NotImplementedError(
+            "only 'pca' is distributed; UMAP/TSNE are driver-side sampled ops in the reference"
+        )
+    from pyspark.ml.functions import vector_to_array
+
+    assembled = _assemble(df, feature_cols)
+    pca = PCA(k=2, inputCol="__vec", outputCol="__proj").fit(assembled)
+    out = pca.transform(assembled).withColumn("__arr", vector_to_array("__proj"))
+    return out.select(
+        id_col,
+        F.element_at("__arr", 1).alias("x"),
+        F.element_at("__arr", 2).alias("y"),
+    )
+
+
+def proximity_graph(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    k: int = 5,
+    min_weight: float = 0.0,
+) -> DataFrame:
+    """M6 — KNN edge list (proximity_graph.py:23-70): edges (src, dst,
+    weight) with weight = 1/(1+distance), thresholded."""
+    from workbench_spark.operators.similarity import euclidean_knn_standardized
+
+    knn = euclidean_knn_standardized(df, feature_cols, id_col, k=k)
+    edges = knn.select(
+        F.col("id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        (1.0 / (1.0 + F.col("distance"))).alias("weight"),
+    )
+    return edges.filter(F.col("weight") >= min_weight)
+
+
+def laplacian_smoothness(
+    edges: DataFrame, values: DataFrame, id_col: str, value_col: str
+) -> DataFrame:
+    """A22 — per-node Σ_j w_ij (y_i − y_j)² over a proximity graph +
+    global xᵀLx/Σw (laplacian_smoothness.py:14-60). Two broadcast-able
+    joins of the edge list against the node-value table."""
+    vi = values.select(F.col(id_col).alias("src"), F.col(value_col).alias("__yi"))
+    vj = values.select(F.col(id_col).alias("dst"), F.col(value_col).alias("__yj"))
+    scored = (
+        edges.join(vi, "src")
+        .join(vj, "dst")
+        .withColumn("__term", F.col("weight") * F.pow(F.col("__yi") - F.col("__yj"), 2))
+    )
+    return scored.groupBy(F.col("src").alias(id_col)).agg(
+        F.sum("__term").alias("smoothness"),
+        F.sum("weight").alias("total_weight"),
+    )
+
+
+def residual_features(
+    preds: DataFrame,
+    id_col: str,
+    target: str,
+    prediction: str,
+    feature_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """M1 — neighbor-aggregated residual stats per row
+    (residual_features.py:38-212): join each row's KNN neighborhood,
+    aggregate |residual| of neighbors (mean/max), plus own residual."""
+    from workbench_spark.operators.similarity import euclidean_knn_standardized
+
+    with_resid = preds.withColumn("__resid", F.col(target) - F.col(prediction))
+    knn = euclidean_knn_standardized(with_resid, feature_cols, id_col, k=k)
+    neighbor_resid = knn.join(
+        with_resid.select(F.col(id_col).alias("neighbor_id"), F.col("__resid").alias("__nr")),
+        "neighbor_id",
+    )
+    agg = neighbor_resid.groupBy("id").agg(
+        F.avg(F.abs(F.col("__nr"))).alias("neighbor_mean_abs_residual"),
+        F.max(F.abs(F.col("__nr"))).alias("neighbor_max_abs_residual"),
+        F.stddev(F.col("__nr")).alias("neighbor_residual_stddev"),
+    )
+    return (
+        with_resid.select(
+            F.col(id_col), F.col("__resid").alias("residual")
+        )
+        .join(agg.withColumnRenamed("id", id_col), id_col, "left")
+    )
+
+
+def group_aggregate(df: DataFrame, group_col: str, feature_cols: list[str]) -> DataFrame:
+    """M7 — mean features per group (aggregation.py:10-50)."""
+    return df.groupBy(group_col).agg(
+        *[F.avg(c).alias(c) for c in feature_cols], F.count(F.lit(1)).alias("n")
+    )

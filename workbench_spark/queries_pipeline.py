@@ -320,3 +320,150 @@ def knn_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = euclidean_knn_standardized(c, ["c_acctbal"], "c_custkey", k=3)
     out = out.filter(F.col("id") <= 20)
     return out.select("id", "neighbor_id", F.round("distance", 6).alias("distance"))
+
+
+# =====================================================================
+# ML-analysis operators (A11, C7, M6/M7, A22) + scalar families (F4, F7)
+# =====================================================================
+
+
+@query(
+    "m7_group_aggregate",
+    """
+    SELECT l_returnflag,
+           ROUND(AVG(l_quantity), 6) AS l_quantity,
+           ROUND(AVG(l_extendedprice), 6) AS l_extendedprice,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def m7_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — mean features per group (storage/aggregation.py:10-50)."""
+    from workbench_spark.operators.ml_analysis import group_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = group_aggregate(li, "l_returnflag", ["l_quantity", "l_extendedprice"])
+    return out.select(
+        "l_returnflag",
+        F.round("l_quantity", 6).alias("l_quantity"),
+        F.round("l_extendedprice", 6).alias("l_extendedprice"),
+        "n",
+    )
+
+
+@query("a11_smart_aggregator")  # KMeans assignment not engine-portable → rows-only
+def a11_smart_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — KMeans row reduction (smart_aggregator.py:13-94). Invariants
+    (row budget, conservation of aggregation_count) in tests/test_ml.py."""
+    from workbench_spark.operators.ml_analysis import smart_aggregator
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return smart_aggregator(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], target_rows=200
+    )
+
+
+@query("c7_projection_pca")  # PCA sign/rotation ambiguity → rows-only
+def c7_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — distributed PCA 2D projection (projection_2d.py:17-135)."""
+    from workbench_spark.operators.ml_analysis import projection_2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    return projection_2d(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], "l_orderkey"
+    )
+
+
+@query(
+    "f4_unit_math",
+    """
+    SELECT event_id,
+           ROUND(-LOG10(GREATEST(value, 1e-10) * 1e-6), 6) AS log_value
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def f4_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — micromolar→log unit conversion (chem_utils/misc.py:49-80)."""
+    from workbench_spark.functions.scalar import micromolar_to_log
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.select(
+        "event_id", F.round(micromolar_to_log(F.col("value")), 6).alias("log_value")
+    )
+
+
+@query(
+    "f7_one_hot_counts",
+    """
+    SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS event_type_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS event_type_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS event_type_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS event_type_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS event_type_view
+    FROM events WHERE event_type IS NOT NULL
+    """,
+)
+def f7_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — one-hot encoding with the nunique gate
+    (pandas_to_features.py:186-231), summarized as per-dummy counts."""
+    from workbench_spark.functions.encoding import one_hot_encode
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    enc = one_hot_encode(ev.select("event_type"), ["event_type"])
+    return enc.agg(
+        *[F.sum(c).alias(c) for c in sorted(enc.columns)]
+    )
+
+
+@query(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS byte_size,
+           md5(text) AS content_hash,
+           64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 192 AS width,
+           64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 192 AS height
+    FROM documents
+    """,
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing with a value-checked oracle: documents.text
+    encoded as a binary payload column, metadata extracted via the
+    mapInPandas stub decoder (md5-derived pseudo-dimensions — exactly
+    reproducible in SQL). Exercises the real Arrow-batch path end-to-end."""
+    from workbench_spark.operators.multimodal import attach_media, extract_media_metadata
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    m = attach_media(d, "payload")
+    meta = extract_media_metadata(m, "payload")
+    return meta.select(
+        "doc_id",
+        "byte_size",
+        "content_hash",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    )
+
+
+@query(
+    "streaming_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-equivalent of the streaming windowed rollup
+    (streaming/monitor.py stream_windowed_counts): event-time hourly
+    window + per-key aggregation. The streaming variant over the same
+    operator is exercised in tests/test_sources_streaming_multimodal.py."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))

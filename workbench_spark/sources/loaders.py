@@ -1,0 +1,108 @@
+"""Source loaders (SURVEY §2.1 S1-S6).
+
+Reference citations:
+- S1 CSV → DataSource   — csv_to_data_source.py:38-60
+- S2 JSONL → DataSource — json_to_data_source.py:37-58
+- S3/S4 light/heavy S3 loaders — s3_to_data_source_light.py:46-75,
+  s3_heavy_to_data_source.py:91-221. The light/heavy size-tier split
+  disappears in Spark (one distributed reader handles both); what
+  survives from the heavy loader is its *semantic* pipeline:
+  resolve ambiguous types → flatten nested structs with '.'→'_' renames →
+  cast designated timestamp columns → write columnar.
+- S6 query/limit pull — data_to_pandas.py:35-60
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    """S1 — header + schema inference, matching the reference's
+    pandas.read_csv-then-convert behavior."""
+    opts = {"header": True, "inferSchema": True, **options}
+    return spark.read.options(**opts).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """S2 — JSON-lines (the reference discourages but supports it)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
+    """S4 — recursive struct flatten with '.'→'_' column renames
+    (Glue Relationalize semantics, s3_heavy_to_data_source.py:130-145).
+    Arrays are left intact (the reference relationalizes them into side
+    tables; we keep them as native array columns — strictly more capable)."""
+    while True:
+        struct_fields = [
+            f for f in df.schema.fields if isinstance(f.dataType, T.StructType)
+        ]
+        if not struct_fields:
+            return df
+        cols = []
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.StructType):
+                for sub in f.dataType.fields:
+                    cols.append(
+                        F.col(f"`{f.name}`.`{sub.name}`").alias(f"{f.name}{sep}{sub.name}")
+                    )
+            else:
+                cols.append(F.col(f"`{f.name}`"))
+        df = df.select(*cols)
+
+
+def resolve_choice_to_long(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """S4 — Glue resolveChoice('cast:long') parity
+    (s3_heavy_to_data_source.py:38-51): ambiguous numeric-ish string
+    columns cast to long (nulls on failure, Glue 'choice' resolution)."""
+    targets = columns or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+    ]
+    out = df
+    for c in targets:
+        out = out.withColumn(c, F.col(c).cast("long"))
+    return out
+
+
+def cast_timestamps(df: DataFrame, timestamp_columns: list[str], fmt: str | None = None) -> DataFrame:
+    """S4 — designated timestamp-column casts
+    (s3_heavy_to_data_source.py:53-68); unparseable → NULL."""
+    out = df
+    for c in timestamp_columns:
+        out = out.withColumn(c, F.to_timestamp(F.col(c), fmt) if fmt else F.to_timestamp(F.col(c)))
+    return out
+
+
+def heavy_json_to_table(
+    spark: SparkSession,
+    path: str,
+    timestamp_columns: list[str] | None = None,
+    out_path: str | None = None,
+) -> DataFrame:
+    """S4 — the full heavy-loader pipeline: read JSONL(.gz), flatten
+    nested structs, cast timestamps, optionally write parquet. One Spark
+    job; the reference needed a Glue DynamicFrame job for this tier."""
+    df = spark.read.json(path)
+    df = flatten_structs(df)
+    if timestamp_columns:
+        df = cast_timestamps(df, [c for c in timestamp_columns if c in df.columns])
+    if out_path:
+        df.write.mode("overwrite").parquet(out_path)
+        df = spark.read.parquet(out_path)
+    return df
+
+
+def pull_dataframe(
+    df: DataFrame, query: str | None = None, max_rows: int = 100_000, view_name: str = "__pull"
+) -> DataFrame:
+    """S6 — query-override-else-limited-pull (data_to_pandas.py:35-60)."""
+    if query:
+        df.createOrReplaceTempView(view_name)
+        return df.sparkSession.sql(query)
+    return df.limit(max_rows)

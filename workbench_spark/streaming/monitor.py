@@ -1,0 +1,97 @@
+"""Streaming / monitoring (SURVEY §2.11, §2.16 S16).
+
+The reference has NO streaming engine — its monitoring loop is batch-over-
+captured-files: endpoint data capture writes JSONL to S3
+(data_capture_core.py:1-410) and a scheduled job compares distributions
+against a baseline (monitor_core.py:195-260) with the §2.4 A17/A18 stats.
+
+Parity = the batch path (capture_inference → check_drift). The
+Structured Streaming variant is the Spark-native enhancement: the same
+aggregations over a file-source stream with watermarked event-time
+windows — demonstrating the operators survive the streaming execution
+model (incremental state, no global sorts)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- batch path
+def capture_inference(df: DataFrame, capture_dir: str, fmt: str = "json") -> str:
+    """S16 — append predictions to the capture directory (the reference's
+    endpoint data-capture JSONL contract)."""
+    writer = df.write.mode("append")
+    (writer.json(capture_dir) if fmt == "json" else writer.parquet(capture_dir))
+    return capture_dir
+
+
+def check_drift(
+    spark: SparkSession,
+    capture_dir: str,
+    baseline: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    fmt: str = "json",
+) -> dict:
+    """monitor_core.py:195-260 — compare captured distribution vs baseline:
+    PSI + KS over the capture files."""
+    from workbench_spark.operators.drift import ks_statistic, psi
+
+    cur = spark.read.json(capture_dir) if fmt == "json" else spark.read.parquet(capture_dir)
+    return {
+        "psi": psi(baseline, cur, column, lo, hi, bins).first()["psi"],
+        "ks": ks_statistic(baseline, cur, column).first()["ks"],
+        "captured_rows": cur.count(),
+    }
+
+
+# ------------------------------------------------------------- streaming path
+def stream_windowed_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    value_col: str = "value",
+):
+    """Watermarked event-time windowed aggregation over a parquet file
+    stream — the canonical late-data-tolerant streaming rollup. Returns
+    the streaming DataFrame (caller starts the query; tests drive it with
+    format('memory') + processAllAvailable)."""
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df, query_name: str = "stream_out") -> DataFrame:
+    """Drive a streaming frame to completion over the currently-available
+    files (test/bootstrap harness): memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
