@@ -29,8 +29,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_revenue_by_nation",
+    "q6_forecast_revenue",
     "correlations_lineitem",
     "value_counts_orderpriority",
+    "w1_latest_event_per_user",
+    "table_hash_lineitem",
+    "dedup_minhash_pairs",
+    "knn_cosine_bruteforce",
+    "text_quality_features",
+    "a13_ensemble_mean",
 ]
 
 

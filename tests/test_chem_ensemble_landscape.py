@@ -1,0 +1,223 @@
+"""Tests: chem operators (stub path), ensembles, landscape/M-operators,
+InferenceCache, Transform ABC + DAG, cache decorator."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from workbench_spark.session import get_spark
+
+    return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.fixture(scope="session")
+def mols(spark):
+    rows = [
+        ("m1", "CCO", 1.0),
+        ("m2", "cco", 1.1),          # same canonical form as m1 under the stub
+        ("m3", "C1=CC=CC=C1", 2.0),
+        ("m4", "CC(=O)O.[Na+]", 3.0),  # salt
+        ("m5", None, 4.0),            # invalid
+        ("m6", "CCN", 5.0),
+    ]
+    return spark.createDataFrame(rows, "id string, smiles string, y double")
+
+
+def test_canonical_dedup(spark, mols):
+    from workbench_spark.operators.chem import dedup_by_canonical_smiles
+
+    out = dedup_by_canonical_smiles(mols)
+    ids = {r["id"] for r in out.collect()}
+    assert "m5" not in ids            # invalid dropped
+    assert ("m1" in ids) != ("m2" in ids)  # exactly one of the dup pair kept
+    assert "m1" in ids                # keep-min-id
+
+
+def test_fingerprints_and_tanimoto(spark, mols):
+    from workbench_spark.operators.chem import morgan_fingerprints, tanimoto_pairs
+
+    fp = morgan_fingerprints(mols.filter(F.col("smiles").isNotNull()), n_bits=256)
+    row = fp.first()
+    assert len(row["fingerprint"]) == 256 and set(row["fingerprint"]) <= {"0", "1"}
+    pairs = tanimoto_pairs(fp, threshold=0.99)
+    # m1/m2 canonicalize identically under the stub → identical fp → tanimoto 1.0
+    found = {(r["id_a"], r["id_b"]): r["tanimoto"] for r in pairs.collect()}
+    assert found.get(("m1", "m2")) == 1.0
+
+
+def test_mol_tagging_and_filter(spark, mols):
+    from workbench_spark.operators.chem import filter_by_tags, tag_molecules
+
+    tagged = tag_molecules(mols)
+    by_id = {r["id"]: r["tags"] for r in tagged.collect()}
+    assert "salt" in by_id["m4"] and "charged" in by_id["m4"]
+    assert "invalid" in by_id["m5"]
+    kept = filter_by_tags(tagged, exclude=["invalid", "salt"])
+    ids = {r["id"] for r in kept.collect()}
+    assert ids == {"m1", "m2", "m3", "m6"}
+
+
+def test_sdf_roundtrip(spark, tmp_path):
+    from workbench_spark.operators.chem import df_to_sdf_file, sdf_file_to_df
+
+    sdf = tmp_path / "test.sdf"
+    sdf.write_text(
+        "mol1\n\n\n  0  0\nM  END\n>  <logS>\n-1.5\n\n>  <name>\nethanol\n\n$$$$\n"
+        "mol2\n\n\n  0  0\nM  END\n>  <logS>\n-2.5\n\n$$$$\n"
+    )
+    df = sdf_file_to_df(spark, str(sdf))
+    rows = sorted(df.collect(), key=lambda r: r["props"]["logS"])
+    assert len(rows) == 2
+    assert rows[0]["props"] == {"logS": "-1.5", "name": "ethanol"}
+    assert rows[1]["props"] == {"logS": "-2.5"}
+    out = df_to_sdf_file(df, str(tmp_path / "out.sdf"))
+    assert sdf_file_to_df(spark, out).count() == 2
+
+
+def test_ensemble_aggregators(spark):
+    from workbench_spark.operators.ensembles import (
+        ensemble_mean,
+        ensemble_vote,
+        ensemble_weighted_mean,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, None), (3.0, None, None)], "p1 double, p2 double, p3 double"
+    )
+    m = ensemble_mean(df, ["p1", "p2", "p3"]).collect()
+    assert m[0]["prediction"] == 1.5 and m[1]["prediction"] == 3.0
+    wm = ensemble_weighted_mean(df, ["p1", "p2", "p3"], [1.0, 3.0, 1.0]).collect()
+    assert wm[0]["prediction"] == (1.0 + 6.0) / 4.0
+    v = spark.createDataFrame(
+        [("a", "b", "a"), ("x", "y", None)], "c1 string, c2 string, c3 string"
+    )
+    votes = ensemble_vote(v, ["c1", "c2", "c3"]).collect()
+    assert votes[0]["prediction"] == "a"
+    assert votes[1]["prediction"] == "x"  # tie → smallest label
+
+
+def test_target_health_and_feature_quality(spark):
+    from workbench_spark.operators.ensembles import feature_quality, target_health
+
+    df = spark.createDataFrame(
+        [(1.0,), (1.0,), (1.0,), (2.0,), (None,)], "y double"
+    )
+    th = target_health(df, "y").first()
+    assert th["support"] == 5 and th["nulls"] == 1
+    assert th["pileup_value"] == "1.0" or th["pileup_value"] == 1.0
+    assert abs(th["pileup_fraction"] - 0.6) < 1e-9
+
+    fq = feature_quality(
+        spark.createDataFrame(
+            [(1.0, 2.0), (None, 4.0), (float("nan"), 6.0)], "a double, b double"
+        ),
+        ["a", "b"],
+    )
+    rows = fq.orderBy("b").collect()
+    assert rows[1]["a"] == 1.0  # imputed with mean of valid values
+    assert rows[1]["quality_tags"] == ["imputed_a"]
+    assert rows[0]["quality_tags"] == []
+
+
+def test_activity_cliffs_and_row_tags(spark):
+    from workbench_spark.operators.landscape import activity_cliffs, row_tags, target_gradients
+
+    # two tight clusters; one point with a wildly different target
+    rows = [(1, 0.0, 1.0), (2, 0.01, 1.1), (3, 0.02, 9.0), (4, 5.0, 1.0), (5, 5.01, 1.05)]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    cliffs = activity_cliffs(df, ["x"], "id", "y", k=2, max_distance=0.5, min_delta=3.0)
+    pairs = {(r["id"], r["neighbor_id"]) for r in cliffs.collect()}
+    assert (3, 2) in pairs or (3, 1) in pairs
+    tags = {r["id"]: r["row_tags"] for r in row_tags(
+        df, ["x"], "id", "y", k=2, cliff_distance=0.5, cliff_delta=3.0
+    ).collect()}
+    assert "activity_cliff" in tags[3]
+    assert "activity_cliff" not in tags[4]
+    grads = {r["id"]: r["max_gradient"] for r in target_gradients(df, ["x"], "id", "y", k=2).collect()}
+    assert grads[3] > grads[4]
+
+
+def test_multi_task_alignment(spark):
+    from workbench_spark.operators.landscape import multi_task_alignment
+
+    t1 = spark.createDataFrame([(i, float(i)) for i in range(20)], "id int, y double")
+    t2 = spark.createDataFrame([(i, float(2 * i)) for i in range(15)], "id int, y double")
+    t3 = spark.createDataFrame([(i, float(-i)) for i in range(10)], "id int, y double")
+    out = multi_task_alignment({"a": t1, "b": t2, "c": t3}, "id", "y")
+    rows = {(r["task_a"], r["task_b"]): r for r in out.collect()}
+    assert abs(rows[("a", "b")]["correlation"] - 1.0) < 1e-9
+    assert abs(rows[("a", "c")]["correlation"] + 1.0) < 1e-9
+    assert rows[("a", "b")]["shared_rows"] == 15
+
+
+def test_inference_cache_split(spark):
+    from workbench_spark.api.inference_cache import InferenceCache
+
+    with tempfile.TemporaryDirectory() as d:
+        cache = InferenceCache("m1", spark, root=d, key_cols=["id", "x"])
+        df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id int, x double")
+        need, hit = cache.split(df)
+        assert need.count() == 10 and hit is None
+        preds = df.filter(F.col("id") < 6).withColumn("prediction", F.col("x") * 2)
+        cache.add(preds, result_cols=["prediction"])
+        need2, hit2 = cache.split(df)
+        assert need2.count() == 4
+        assert hit2.count() == 6
+        assert {r["prediction"] for r in hit2.collect()} == {0.0, 2.0, 4.0, 6.0, 8.0, 10.0}
+
+
+def test_transform_abc_and_dag(spark):
+    from workbench_spark.plans.transform import CleanData, DagNode, MetaEndpointDag
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (1, 2.0), (2, None)], "id int, v double"
+    )
+    cleaned = CleanData(subset=["v"]).transform(df)
+    assert cleaned.count() == 1
+
+    base = spark.createDataFrame([(i, float(i)) for i in range(5)], "id int, x double")
+    dag = MetaEndpointDag(
+        [
+            DagNode("double", lambda d: d.withColumn("x2", F.col("x") * 2), ["x"], ["x2"]),
+            DagNode("square", lambda d: d.withColumn("xx", F.col("x") * F.col("x")), ["x"], ["xx"]),
+        ]
+    )
+    out = dag.run(base)
+    r = {row["id"]: row for row in out.collect()}
+    assert r[3]["x2"] == 6.0 and r[3]["xx"] == 9.0
+
+    bad = MetaEndpointDag([DagNode("b", lambda d: d, ["nope"], ["o"])])
+    assert bad.validate(base)
+    with pytest.raises(ValueError):
+        bad.run(base)
+
+
+def test_cache_dataframe_decorator(spark):
+    from workbench_spark.api.stores import cache_dataframe
+
+    with tempfile.TemporaryDirectory() as d:
+        calls = {"n": 0}
+
+        class Thing:
+            name = "thing1"
+
+            def __init__(self, spark):
+                self.spark = spark
+
+            @cache_dataframe("expensive", root=d)
+            def compute(self):
+                calls["n"] += 1
+                return spark.range(5)
+
+        t = Thing(spark)
+        assert t.compute().count() == 5
+        assert t.compute().count() == 5
+        assert calls["n"] == 1  # second call served from the parquet cache

@@ -5,17 +5,29 @@ in workbench_spark.api.model (MLlib-backed)."""
 
 from workbench_spark.api.data_source import DataSource
 from workbench_spark.api.feature_set import FeatureSet
+from workbench_spark.api.inference_cache import InferenceCache
 from workbench_spark.api.meta import Meta
+from workbench_spark.api.model import Endpoint, Model
 from workbench_spark.api.registry import Registry
-from workbench_spark.api.stores import DFStore, GraphStore, InferenceStore, ParameterStore
+from workbench_spark.api.stores import (
+    DFStore,
+    GraphStore,
+    InferenceStore,
+    ParameterStore,
+    cache_dataframe,
+)
 
 __all__ = [
     "DataSource",
     "FeatureSet",
+    "Model",
+    "Endpoint",
     "Meta",
     "Registry",
     "DFStore",
     "GraphStore",
     "InferenceStore",
+    "InferenceCache",
     "ParameterStore",
+    "cache_dataframe",
 ]

@@ -250,3 +250,32 @@ class GraphStore:
             if rel.startswith(prefix):
                 out.append(rel)
         return sorted(out)
+
+
+def cache_dataframe(location: str, root: str | None = None):
+    """S15 — transparent DataFrame-result cache decorator
+    (cloud_platform/aws/cache_dataframe.py:22-57): caches the wrapped
+    method's DataFrame to the DFStore keyed by {artifact_name}/{location}
+    [+ args]; subsequent calls read the parquet instead of recomputing.
+    Invalidate by deleting the location (data_source_abstract.py:310-317)."""
+
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            key_extra = "_".join(str(a) for a in args) if args else ""
+            key = f"{getattr(self, 'name', type(self).__name__)}/{location}"
+            if key_extra:
+                key = f"{key}_{key_extra}"
+            store = DFStore(getattr(self, "spark", None), root=root)
+            hit = store.get(key)
+            if hit is not None:
+                return hit
+            out = fn(self, *args, **kwargs)
+            store.upsert(key, out)
+            return store.get(key)
+
+        return wrapper
+
+    return deco

@@ -71,16 +71,51 @@ def duplicate_clusters(
 # ----------------------------------------------------------------- shingles
 
 
+def _shingle_sql(attr: str, n: int) -> str:
+    """Shingle-extraction SQL over a plain column ATTRIBUTE. Performance
+    contract: the lambda body must reference an attribute, not an embedded
+    expression — embedding the normalize_text() expression inside the
+    per-element lambda makes Catalyst re-evaluate the regex per element
+    (measured 8-30x slowdown at ~300 shingles/doc)."""
+    return (
+        f"array_distinct(filter(transform("
+        f"sequence(1, greatest(length({attr}) - {n - 1}, 1)),"
+        f" i -> substring({attr}, i, {n})), s -> length(s) = {n}))"
+    )
+
+
+def shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, out_col: str = "__sh"
+) -> DataFrame:
+    """(id, shingles array) — normalization projected to a column first,
+    shingles computed from the attribute (see _shingle_sql note).
+
+    Small inputs are fanned out to the cluster's parallelism before the
+    hash-heavy downstream work: a compact parquet corpus arrives as 1-2
+    partitions and would otherwise single-thread every signature op (the
+    shuffle moves only (id, text) — cheap relative to the compute)."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(F.col(id_col), F.col(text_col))
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
+    normed = src.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
+    )
+    return normed.select(
+        F.col(id_col), F.expr(_shingle_sql("__norm", n)).alias(out_col)
+    )
+
+
 def char_shingles(col, n: int = 5):
-    """Distinct character n-grams (shingles) of normalized text — the unit
-    set for Jaccard/MinHash. Pure JVM expression: sequence + transform +
-    substring, then array_distinct."""
+    """Distinct character n-grams of normalized text as a Column expression.
+    Compatibility surface for callers with a materialized text column —
+    prefer shingle_frame() in operators (attribute-reference fast path)."""
     norm = normalize_text(col)
     return F.array_distinct(
         F.filter(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
-                lambda i: F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(n)),
+                lambda i: norm.substr(i, F.lit(n)),
             ),
             lambda s: F.length(s) == n,
         )
@@ -104,9 +139,8 @@ def ngram_jaccard_pairs(
     the same way search engines drop stopwords (df_cap param would go
     here; AQE skew-join covers moderate cases).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), n).alias("sh"),
+    sh = shingle_frame(df, text_col, id_col, n, "sh").withColumnRenamed(
+        id_col, "id"
     ).withColumn("sz", F.size("sh"))
     sizes = sh.select("id", "sz")
     exploded = sh.select("id", F.explode("sh").alias("g"))
@@ -144,16 +178,28 @@ def minhash_signature(
     """MinHash signature: sig[i] = min over shingles of h_i(shingle), with
     h_i(x) = xxhash64(x, seed=i). All map-side (higher-order functions over
     the shingle array), O(n_hashes) per doc, no shuffle."""
-    sh = df.select(F.col(id_col), char_shingles(F.col(text_col), shingle_n).alias("__sh"))
-
-    def _min_hash(seed: int):
-        # closure (not a default arg!) — pyspark inspects lambda arity, and a
-        # `lambda s, i=i:` 2-param signature silently becomes the (element,
-        # array-index) form, making every signature slot identical
-        return F.array_min(F.transform("__sh", lambda s: F.xxhash64(s, F.lit(seed))))
-
-    sig = F.array(*[_min_hash(i) for i in range(n_hashes)])
+    sh = shingle_frame(df, text_col, id_col, shingle_n, "__sh")
+    # n_hashes SINGLE-LEVEL lambdas over the materialized __sh attribute.
+    # Two performance contracts, both measured:
+    # - the seed must be a literal baked per-transform (a nested
+    #   `transform(sequence(...), i -> transform(__sh, s -> xxhash64(s, i)))`
+    #   captures the outer lambda var and falls off codegen: ~100x slower);
+    # - __sh must be a multi-referenced attribute from its own projection
+    #   (CollapseProject keeps it un-inlined because it's non-cheap and
+    #   referenced n_hashes times — one shingle extraction per row).
+    sig = F.array(
+        *[
+            F.array_min(F.transform("__sh", _seeded_hash(i)))
+            for i in range(n_hashes)
+        ]
+    )
     return sh.select(F.col(id_col), sig.alias("minhash"))
+
+
+def _seeded_hash(seed: int):
+    """Closure factory (NOT a default arg — pyspark inspects lambda arity,
+    and a `lambda s, i=i:` signature becomes the (element, index) form)."""
+    return lambda s: F.xxhash64(s, F.lit(seed))
 
 
 def minhash_lsh_pairs(
@@ -178,25 +224,21 @@ def minhash_lsh_pairs(
     """
     r = n_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, n_hashes, shingle_n)
+    # band key b = hash of signature slots [b*r, (b+1)*r) — minhash is a
+    # multi-referenced non-cheap projection, so it stays materialized
+    # per-row (not re-inlined per band)
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.col("minhash"),
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.element_at("minhash", b * r + j + 1) for j in range(r)]
-                            )
-                        ).alias("bh"),
-                    )
+                    F.xxhash64(*[F.element_at("minhash", b * r + j + 1) for j in range(r)])
                     for b in range(bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("id", "minhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        ).alias("band", "bh"),
+    )
     left = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("minhash").alias("__ma"))
     right = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("minhash").alias("__mb"))
     cands = (
@@ -244,28 +286,30 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0),
         lambda t: F.xxhash64(t),
     )
-    with_t = df.select(F.col(id_col), toks.alias("__toks"))
-    counts = F.expr(
-        f"""
-        aggregate(__toks, array_repeat(0, {bits}),
-          (acc, h) -> zip_with(acc,
-            transform(sequence(0, {bits - 1}),
-                      j -> CASE WHEN (shiftright(h, j) % 2) != 0 THEN 1 ELSE -1 END),
-            (x, y) -> x + y))
-        """
-    )
-    sim = F.expr(
-        f"""
-        aggregate(sequence(0, {bits - 1}), 0L,
-          (s, j) -> s + CASE WHEN element_at(__cnt, j + 1) > 0
-                         THEN shiftleft(1L, j) ELSE 0L END)
-        """
-    )
-    return (
-        with_t.withColumn("__cnt", counts)
-        .withColumn("simhash", sim)
-        .select(F.col(id_col), "simhash")
-    )
+    src = df.select(F.col(id_col), F.col(text_col))
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)  # see shingle_frame parallelism note
+    with_t = src.select(F.col(id_col), toks.alias("__toks"))
+
+    def _bit_vote(b: int):
+        # single-level lambda with the bit index baked as a literal — an
+        # array-accumulator aggregate with nested captured lambdas falls
+        # off codegen (measured >10x slower)
+        return F.aggregate(
+            F.col("__toks"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sim = None
+    for b in range(bits):
+        term = F.when(_bit_vote(b) > 0, F.lit(2**b if b < 63 else -(2**63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return with_t.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_pairs(

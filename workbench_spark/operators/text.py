@@ -145,13 +145,12 @@ def rolling_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """Winnowing-style rolling fingerprints: xxhash64 of each ``window``-char
     shingle of normalized text (distinct). Output exploded: (id, shingle_hash).
     Feed into an inverted-index join for plagiarism/containment detection."""
-    from workbench_spark.operators.dedup import char_shingles
+    from workbench_spark.operators.dedup import shingle_frame
 
-    return df.select(
+    sh = shingle_frame(df, text_col, id_col, window, "__sh")
+    return sh.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(
-                F.transform(char_shingles(F.col(text_col), window), lambda s: F.xxhash64(s))
-            )
+            F.transform("__sh", lambda s: F.xxhash64(s))
         ).alias("shingle_hash"),
     )

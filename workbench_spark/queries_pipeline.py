@@ -467,3 +467,237 @@ def stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+# =====================================================================
+# Ensembles (A13), data quality (A19/A20), landscape (M2/M3), tag filter
+# =====================================================================
+
+
+@query(
+    "a13_ensemble_mean",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_quantity + l_discount * 100 +
+                  COALESCE(CASE WHEN l_tax > 0 THEN l_extendedprice / 1000 END, 0))
+                 / CASE WHEN l_tax > 0 THEN 3 ELSE 2 END, 6) AS prediction
+    FROM lineitem
+    """,
+)
+def a13_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 Mean — row-wise branch average with NULL-branch exclusion
+    (aggregation_nodes.py:187-219); branches synthesized deterministically
+    so the oracle can rebuild them."""
+    from workbench_spark.operators.ensembles import ensemble_mean
+
+    li = _t(spark, sf_dir, "lineitem")
+    branches = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("p1"),
+        (F.col("l_discount") * 100).alias("p2"),
+        F.when(F.col("l_tax") > 0, F.col("l_extendedprice") / 1000).alias("p3"),
+    )
+    out = ensemble_mean(branches, ["p1", "p2", "p3"])
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("prediction", 6).alias("prediction")
+    )
+
+
+@query(
+    "a13_ensemble_vote",
+    """
+    WITH branches AS (
+      SELECT event_id,
+             event_type AS c1,
+             CASE WHEN value >= 50 THEN 'purchase' ELSE 'click' END AS c2,
+             CASE WHEN value >= 80 THEN 'purchase'
+                  WHEN value >= 20 THEN 'click' ELSE 'view' END AS c3
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    scored AS (
+      SELECT event_id, c1, c2, c3,
+             (CASE WHEN c1 = c1 THEN 1 ELSE 0 END +
+              CASE WHEN c2 = c1 THEN 1 ELSE 0 END +
+              CASE WHEN c3 = c1 THEN 1 ELSE 0 END) AS n1,
+             (CASE WHEN c1 = c2 THEN 1 ELSE 0 END +
+              CASE WHEN c2 = c2 THEN 1 ELSE 0 END +
+              CASE WHEN c3 = c2 THEN 1 ELSE 0 END) AS n2,
+             (CASE WHEN c1 = c3 THEN 1 ELSE 0 END +
+              CASE WHEN c2 = c3 THEN 1 ELSE 0 END +
+              CASE WHEN c3 = c3 THEN 1 ELSE 0 END) AS n3
+      FROM branches
+    )
+    SELECT event_id,
+           CASE GREATEST(n1, n2, n3)
+             WHEN n1 THEN LEAST(c1,
+                    CASE WHEN n2 = GREATEST(n1,n2,n3) THEN c2 ELSE c1 END,
+                    CASE WHEN n3 = GREATEST(n1,n2,n3) THEN c3 ELSE c1 END)
+             WHEN n2 THEN LEAST(c2,
+                    CASE WHEN n3 = GREATEST(n1,n2,n3) THEN c3 ELSE c2 END)
+             ELSE c3
+           END AS prediction
+    FROM scored
+    """,
+)
+def a13_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 majority Vote with smallest-label tiebreak
+    (aggregation_nodes.py:273-330)."""
+    from workbench_spark.operators.ensembles import ensemble_vote
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    branches = ev.select(
+        "event_id",
+        F.col("event_type").alias("c1"),
+        F.when(F.col("value") >= 50, "purchase").otherwise("click").alias("c2"),
+        F.when(F.col("value") >= 80, "purchase")
+        .when(F.col("value") >= 20, "click")
+        .otherwise("view")
+        .alias("c3"),
+    )
+    return ensemble_vote(branches, ["c1", "c2", "c3"]).select("event_id", "prediction")
+
+
+@query(
+    "a19_target_health",
+    """
+    WITH counted AS (
+      SELECT o_totalprice AS v, COUNT(*) AS n FROM orders GROUP BY 1
+    ),
+    top AS (SELECT * FROM counted ORDER BY n DESC, v ASC LIMIT 1)
+    SELECT (SELECT COUNT(*) FROM orders) AS support,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL) AS nulls,
+           (SELECT COUNT(DISTINCT o_totalprice) FROM orders) AS distinct_values,
+           ROUND((SELECT MIN(o_totalprice) FROM orders), 4) AS min_value,
+           ROUND((SELECT MAX(o_totalprice) FROM orders), 4) AS max_value,
+           ROUND(top.v, 4) AS pileup_value,
+           ROUND(CAST(top.n AS DOUBLE) / (SELECT COUNT(*) FROM orders), 6) AS pileup_fraction
+    FROM top
+    """,
+)
+def a19_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 — target health diagnostics (pandas_utils.py:789-884)."""
+    from workbench_spark.operators.ensembles import target_health
+
+    o = _t(spark, sf_dir, "orders")
+    th = target_health(o, "o_totalprice")
+    return th.select(
+        "support",
+        "nulls",
+        "distinct_values",
+        F.round(F.col("min_value").cast("double"), 4).alias("min_value"),
+        F.round(F.col("max_value").cast("double"), 4).alias("max_value"),
+        F.round(F.col("pileup_value").cast("double"), 4).alias("pileup_value"),
+        F.round("pileup_fraction", 6).alias("pileup_fraction"),
+    )
+
+
+@query(
+    "m3_multi_task_alignment",
+    """
+    WITH per_user AS (
+      SELECT user_id, event_type, AVG(value) AS y
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+      GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT a.et AS task_a, b.et AS task_b,
+             corr(a.y, b.y) AS c, COUNT(*) AS shared_rows
+      FROM (SELECT user_id, event_type AS et, y FROM per_user) a
+      JOIN (SELECT user_id, event_type AS et, y FROM per_user) b
+        ON a.user_id = b.user_id AND a.et < b.et
+      GROUP BY 1, 2
+    )
+    SELECT task_a, task_b, ROUND(c, 6) AS correlation, shared_rows FROM t
+    """,
+)
+def m3_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — cross-task correlation on shared ids
+    (multi_task_alignment.py:31-443); tasks = per-user mean value of each
+    event type."""
+    from workbench_spark.operators.landscape import multi_task_alignment
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.avg("value").alias("y"))
+    )
+    frames = {
+        t: per_user.filter(F.col("event_type") == t).select("user_id", "y")
+        for t in ["click", "view", "purchase"]
+    }
+    out = multi_task_alignment(frames, "user_id", "y")
+    return out.select(
+        "task_a", "task_b", F.round("correlation", 6).alias("correlation"), "shared_rows"
+    )
+
+
+@query(
+    "p10_tag_filter",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             [x FOR x IN [
+                CASE WHEN n_chars < 200 THEN 'short' END,
+                CASE WHEN n_chars >= 400 THEN 'long' END,
+                CASE WHEN lang = 'en' THEN 'english' END
+             ] IF x IS NOT NULL] AS tags
+      FROM documents
+    )
+    WHERE len(list_intersect(tags, ['long', 'english'])) > 0
+      AND NOT list_contains(tags, 'short')
+    """,
+)
+def p10_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — include/exclude rows by tag-array membership
+    (mol_tagging.py:386-434): arrays_overlap include + array_contains
+    exclude over a derived tag column."""
+    from workbench_spark.operators.chem import filter_by_tags
+
+    d = _t(spark, sf_dir, "documents")
+    tagged = d.withColumn(
+        "tags",
+        F.array_compact(
+            F.array(
+                F.when(F.col("n_chars") < 200, F.lit("short")),
+                F.when(F.col("n_chars") >= 400, F.lit("long")),
+                F.when(F.col("lang") == "en", F.lit("english")),
+            )
+        ),
+    )
+    out = filter_by_tags(tagged, include=["long", "english"], exclude=["short"])
+    return out.select("doc_id", "source")
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure pushdown-filter + scalar agg — the query whose
+    plan should be scan(PushedFilters)->partial agg->final agg, zero wide
+    shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
