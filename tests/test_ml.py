@@ -123,3 +123,17 @@ def test_residual_features(spark):
     out = residual_features(c, "c_custkey", "c_acctbal", "pred", ["c_acctbal"], k=3)
     assert out.count() == 150
     assert "neighbor_mean_abs_residual" in out.columns
+
+
+def test_uq_from_neighbors(spark):
+    from workbench_spark.operators.ml_analysis import uq_from_neighbors
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_acctbal", (F.col("c_acctbal") * 0.9).alias("pred")
+    )
+    out = uq_from_neighbors(c, "c_custkey", "pred", ["c_acctbal"], k=5)
+    rows = out.collect()
+    assert len(rows) == 150
+    for r in rows[:20]:
+        assert r["uq_sigma"] is not None and r["uq_sigma"] >= 0
+        assert r["lower_bound"] <= r["pred"] <= r["upper_bound"]

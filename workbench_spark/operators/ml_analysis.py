@@ -166,3 +166,44 @@ def group_aggregate(df: DataFrame, group_col: str, feature_cols: list[str]) -> D
     return df.groupBy(group_col).agg(
         *[F.avg(c).alias(c) for c in feature_cols], F.count(F.lit(1)).alias("n")
     )
+
+
+def uq_from_neighbors(
+    preds: DataFrame,
+    id_col: str,
+    prediction: str,
+    feature_cols: list[str],
+    k: int = 5,
+    z: float = 1.645,
+) -> DataFrame:
+    """M4 — uncertainty quantification from neighbor spread
+    (algorithms/dataframe/uq_model_v{0,1,2}.py, simplified v0 semantics):
+    per-row sigma = stddev of the KNN neighborhood's predictions; interval
+    = prediction ± z*sigma. Rows with degenerate neighborhoods fall back
+    to the global prediction stddev."""
+    from workbench_spark.operators.similarity import euclidean_knn_standardized
+
+    knn = euclidean_knn_standardized(preds, feature_cols, id_col, k=k)
+    neighbor_preds = knn.join(
+        preds.select(
+            F.col(id_col).alias("neighbor_id"), F.col(prediction).alias("__np")
+        ),
+        "neighbor_id",
+    )
+    spread = neighbor_preds.groupBy("id").agg(
+        F.stddev("__np").alias("__sigma"), F.avg("__np").alias("neighbor_mean_pred")
+    )
+    global_sigma = preds.agg(F.stddev(prediction).alias("__gs"))
+    return (
+        preds.select(F.col(id_col), F.col(prediction))
+        .join(spread.withColumnRenamed("id", id_col), id_col, "left")
+        .crossJoin(F.broadcast(global_sigma))
+        .select(
+            id_col,
+            prediction,
+            F.coalesce(F.col("__sigma"), F.col("__gs")).alias("uq_sigma"),
+            (F.col(prediction) - z * F.coalesce(F.col("__sigma"), F.col("__gs"))).alias("lower_bound"),
+            (F.col(prediction) + z * F.coalesce(F.col("__sigma"), F.col("__gs"))).alias("upper_bound"),
+            "neighbor_mean_pred",
+        )
+    )

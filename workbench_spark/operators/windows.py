@@ -109,3 +109,32 @@ def temporal_split(
     train = df.filter(ts.isNull() | (ts <= cut))
     holdout = df.filter(ts > cut)
     return train, holdout
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Sessionization: lag(ts) per user + cumulative-sum over gap>threshold
+    — the canonical event-stream session assignment (no reference
+    equivalent; standard OLAP pattern). Adds ``session_id`` =
+    '{user}_{n}'. One shuffle on user_col; both windows share it."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("__new", new_session)
+        .withColumn(
+            "session_num",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "session_id",
+            F.concat_ws("_", F.col(user_col).cast("string"), F.col("session_num")),
+        )
+        .drop("__new")
+    )

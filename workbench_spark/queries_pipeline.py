@@ -701,3 +701,52 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "w_sessionize_events",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_id, ts,
+             epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM lagged
+    ),
+    sessions AS (
+      SELECT user_id, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_num
+      FROM marked
+    )
+    SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+           COUNT(*) AS events_in_session
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag + gap cumsum) summarized per session. The
+    ts-ordering within (user, ts) is unique in this data, so the oracle
+    window is deterministic."""
+    from workbench_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return s.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("events_in_session")
+    )
+
+
+@query("m4_uq_neighbors")  # KNN float-sum order nondeterminism → rows-only
+def m4_uq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — neighbor-spread UQ (uq_model_v0 semantics); invariants in
+    tests/test_ml.py."""
+    from workbench_spark.operators.ml_analysis import uq_from_neighbors
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", (F.col("c_acctbal") * 0.9).alias("pred")
+    )
+    return uq_from_neighbors(c, "c_custkey", "pred", ["c_acctbal"], k=5)
