@@ -70,3 +70,70 @@ def column_union_join(frames: list[DataFrame], row_id: str = "__dag_row_id") -> 
         overlap = (set(out.columns) & set(f.columns)) - {row_id}
         out = out.join(f.drop(*overlap), on=row_id, how="inner")
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of (backward) join — for each left row, the latest right row with
+    right_time <= left_time per key. Spark has no native as-of join
+    (SURVEY §2.3 notes the reference lacks one too); this is the scalable
+    union + carry-forward-window formulation:
+
+      union(left tagged 1, right tagged 0)
+        -> window per key ordered by (time, tag): last(right payload,
+           ignoreNulls) over rowsBetween(unboundedPreceding, current)
+        -> keep left rows
+
+    ONE shuffle+sort on the key (same cost as a regular sort-merge join);
+    no per-group pandas (merge_asof via applyInPandas is the fallback for
+    semantics this can't express, e.g. nearest/tolerance).
+    Ties (equal timestamps) match the right row, like duckdb ASOF and
+    pd.merge_asof(direction='backward').
+    """
+    from pyspark.sql import Window
+
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_time)]
+    lt = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rcols],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__rt"),
+    )
+    rt = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        F.col(right_time).alias("__rt"),
+    )
+    merged = lt.unionByName(rt)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "__is_left",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__cf_{c}")
+            for c in rcols
+        ],
+        F.last("__rt", ignorenulls=True).over(w).alias("__cf_rt"),
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        F.col("__l.*"),
+        *[F.col(f"__cf_{c}").alias(f"{c}{suffix}") for c in rcols],
+        F.col("__cf_rt").alias(f"{right_time}{suffix}"),
+    )
+    return out

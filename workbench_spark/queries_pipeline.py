@@ -750,3 +750,89 @@ def m4_uq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_acctbal", (F.col("c_acctbal") * 0.9).alias("pred")
     )
     return uq_from_neighbors(c, "c_custkey", "pred", ["c_acctbal"], k=5)
+
+
+# =====================================================================
+# As-of join + relational completions (cube/rollup, intersect/except)
+# =====================================================================
+
+
+@query(
+    "asof_join_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.value AS value_right, c.ts AS ts_right
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it (union + carry-forward window — one shuffle, no pandas).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from workbench_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(p, c, on="user_id", left_time="ts", right_time="ts",
+                    right_cols=["value"])
+    return out.select("event_id", "user_id", "ts", "value_right", "ts_right")
+
+
+@query(
+    "cube_returnflag_linestatus",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS l_returnflag,
+           COALESCE(l_linestatus, '<all>') AS l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (noted 'free in Spark SQL if exposed' in SURVEY
+    §2.4 — exposed here). NULL markers coalesced to '<all>' so subtotal
+    rows are distinguishable from genuine NULL groups on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "setop_intersect_except",
+    """
+    SELECT 'both' AS segment, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    )
+    UNION ALL
+    SELECT 'urgent_only' AS segment, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    )
+    """,
+)
+def setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface (SURVEY §2.7 notes the reference has no
+    such surface; free via Catalyst — exposed here as left-semi/anti on
+    distinct keysets)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    both = urgent.intersect(big).select(F.lit("both").alias("segment"), "o_custkey")
+    only = urgent.subtract(big).select(  # subtract == EXCEPT DISTINCT
+        F.lit("urgent_only").alias("segment"), "o_custkey"
+    )
+    return both.unionAll(only)
