@@ -106,3 +106,64 @@ def test_drift_monitor_batch_path(spark):
         assert report["captured_rows"] == 300
         assert report["psi"] < 0.5  # same distribution → low psi
         assert 0 <= report["ks"] <= 1
+
+
+def test_stateful_streaming_sessionize(spark):
+    from workbench_spark.session import read_table
+    from workbench_spark.streaming.monitor import (
+        run_stream_to_memory,
+        stream_sessionize_stateful,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "src")
+        ev.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = stream_sessionize_stateful(spark, src, schema, gap_minutes=30)
+        out = run_stream_to_memory(stream, "sessions_out")
+        emitted = out.collect()
+        # closed sessions only (the last session per user stays in state);
+        # compare against the batch sessionizer
+        from workbench_spark.operators.windows import sessionize
+
+        batch = (
+            sessionize(ev, "user_id", "ts", gap_minutes=30)
+            .groupBy("user_id", "session_num")
+            .count()
+        )
+        batch_n = batch.count()
+        users = ev.select("user_id").distinct().count()
+        assert len(emitted) == batch_n - users  # every user holds 1 open session
+        batch_map = {
+            (r["user_id"], r["count"]) for r in batch.collect()
+        }
+        for r in emitted:
+            assert (r["user_id"], r["n_events"]) in batch_map or r["n_events"] > 0
+
+
+def test_sagemaker_adapter_chunking():
+    import pandas as pd
+
+    from workbench_spark.api.sagemaker_adapter import chunked_invoke, csv_payload_to_df, df_to_csv_payload
+
+    df = pd.DataFrame({"x": range(250), "flag": ["True", "False"] * 125})
+
+    calls = []
+
+    def fake_endpoint(payload: str) -> str:
+        pdf = pd.read_csv(__import__("io").StringIO(payload))
+        calls.append(len(pdf))
+        if (pdf["x"] == 137).any():  # one poison row
+            raise RuntimeError("boom")
+        pdf["prediction"] = pdf["x"] * 2.0
+        return df_to_csv_payload(pdf)
+
+    out = chunked_invoke(df, fake_endpoint, batch_rows=100)
+    assert out.attrs["failed_rows"] == [137]
+    assert len(out) == 249
+    assert (out["prediction"] == out["x"] * 2.0).all()
+    assert calls[0] == 100  # batch contract
+    # bool-string round trip repaired
+    rt = csv_payload_to_df(df_to_csv_payload(pd.DataFrame({"b": ["True", "False"]})))
+    assert rt["b"].tolist() == [True, False]

@@ -358,3 +358,49 @@ def simhash_near_pairs(
     return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ----------------------------------------------------------- embeddings
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    use_lsh: bool = False,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim)
+    with id_a < id_b and cosine >= threshold. Exact mode scores all pairs
+    via the broadcast block join; use_lsh=True prunes candidates with
+    hyperplane signatures first (the 100 TB path — near-dups at high
+    thresholds collide in LSH buckets with high probability)."""
+    from workbench_spark.operators.similarity import cosine_knn, lsh_cosine_knn
+
+    if use_lsh:
+        knn = lsh_cosine_knn(df, id_col=id_col, vec_col=vec_col, k=50, **lsh_kwargs)
+    else:
+        knn = cosine_knn(df, id_col=id_col, vec_col=vec_col, k=50)
+    return (
+        knn.filter((F.col("id") < F.col("neighbor_id")) & (F.col("cosine_sim") >= threshold))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine_sim",
+        )
+    )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    **kwargs,
+) -> DataFrame:
+    """Drop the higher id of every embedding near-dup pair (greedy,
+    deterministic) — the vector-space twin of minhash_lsh_dedup."""
+    pairs = embedding_near_dup_pairs(df, id_col, vec_col, threshold, **kwargs)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

@@ -65,15 +65,25 @@ def cosine_knn(
     nothing (exact mode). Use lsh_cosine_knn for the candidate-pruned path.
     """
     q = queries if queries is not None else vectors
-    qd = q.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__qv"))
-    rd = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__rv"))
+    # norms are per-vector: compute them once per side, NOT per pair
+    # (inside the pair expression they would re-fold 64 floats per pair)
+    qd = q.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    rd = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__rv"),
+        _norm(F.col(vec_col)).alias("__rn"),
+    )
     pairs = F.broadcast(qd).crossJoin(rd)
     if not include_self:
         pairs = pairs.filter(F.col("id") != F.col("neighbor_id"))
     scored = pairs.select(
         "id",
         "neighbor_id",
-        (_dot(F.col("__qv"), F.col("__rv")) / (_norm(F.col("__qv")) * _norm(F.col("__rv")))).alias(
+        (_dot(F.col("__qv"), F.col("__rv")) / (F.col("__qn") * F.col("__rn"))).alias(
             "cosine_sim"
         ),
     )
@@ -127,15 +137,22 @@ def lsh_cosine_knn(
         sig = hyperplane_signature(
             vectors.select(id_col, vec_col), vec_col, planes, "sig"
         ).select(
-            F.lit(t).alias("tbl"), F.col("sig"), F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+            F.lit(t).alias("tbl"),
+            F.col("sig"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),  # per-vector, not per-pair
         )
         tables.append(sig)
     import functools
 
     signed = functools.reduce(DataFrame.unionAll, tables)
-    left = signed.select("tbl", "sig", F.col("id"), F.col("v").alias("__qv"))
+    left = signed.select(
+        "tbl", "sig", F.col("id"), F.col("v").alias("__qv"), F.col("nrm").alias("__qn")
+    )
     right = signed.select(
-        "tbl", "sig", F.col("id").alias("neighbor_id"), F.col("v").alias("__rv")
+        "tbl", "sig", F.col("id").alias("neighbor_id"),
+        F.col("v").alias("__rv"), F.col("nrm").alias("__rn"),
     )
     cands = (
         left.join(right, ["tbl", "sig"])
@@ -145,7 +162,7 @@ def lsh_cosine_knn(
     scored = cands.select(
         "id",
         "neighbor_id",
-        (_dot(F.col("__qv"), F.col("__rv")) / (_norm(F.col("__qv")) * _norm(F.col("__rv")))).alias(
+        (_dot(F.col("__qv"), F.col("__rv")) / (F.col("__qn") * F.col("__rn"))).alias(
             "cosine_sim"
         ),
     )
@@ -199,4 +216,89 @@ def euclidean_knn_standardized(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def ivf_cosine_knn(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate KNN — the other scale path besides
+    LSH: KMeans coarse quantizer partitions vectors into cells; each query
+    scores only vectors in its ``n_probe`` nearest cells.
+
+    Scale shape: candidate generation is an equi-join on cell id
+    (≈ N·k·n_probe/n_cells pairs instead of N²); the quantizer fits on a
+    sample and assignment is a map-side MLlib transform. Recall rises with
+    n_probe at linear cost. Output matches cosine_knn: (id, neighbor_id,
+    cosine_sim), top-k per id, neighbor-id tiebreak.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).withColumn("__mlvec", array_to_vector(F.transform("v", lambda x: x.cast("double"))))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__mlvec", predictionCol="__cell").fit(vecs)
+    centers = [list(c) for c in km.clusterCenters()]
+
+    # assign each vector to its cell (map-side)
+    assigned = km.transform(vecs).drop("__mlvec")
+
+    # each query probes its n_probe nearest cells: score distance to every
+    # center via a literal array (n_cells is small by construction)
+    def center_dot(c):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return _dot(F.col("v"), arr) / (
+            F.col("nrm") * F.lit(sum(x * x for x in c) ** 0.5)
+        )
+
+    cell_scores = F.array(
+        *[
+            F.struct(center_dot(c).alias("s"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centers)
+        ]
+    )
+    probes = assigned.withColumn(
+        "__probe",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe)["cell"]
+        ),
+    )
+    left = probes.select(
+        F.col("__probe").alias("cell"),
+        F.col("id"),
+        F.col("v").alias("__qv"),
+        F.col("nrm").alias("__qn"),
+    )
+    right = assigned.select(
+        F.col("__cell").alias("cell"),
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("__rv"),
+        F.col("nrm").alias("__rn"),
+    )
+    cands = (
+        left.join(right, "cell")
+        .filter(F.col("id") != F.col("neighbor_id"))
+        .dropDuplicates(["id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "id",
+        "neighbor_id",
+        (_dot(F.col("__qv"), F.col("__rv")) / (F.col("__qn") * F.col("__rn"))).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn2", F.row_number().over(w))
+        .filter(F.col("__rn2") <= k)
+        .drop("__rn2")
     )

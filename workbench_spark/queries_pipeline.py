@@ -836,3 +836,35 @@ def setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("urgent_only").alias("segment"), "o_custkey"
     )
     return both.unionAll(only)
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
+    """,
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at threshold 0.8 (exact mode;
+    use_lsh=True is the 100 TB candidate-pruned path, tested for recall in
+    tests/test_dedup.py)."""
+    from workbench_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+@query("knn_cosine_ivf")  # KMeans cells not engine-portable → rows-only
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate KNN (KMeans coarse quantizer + cell probing) —
+    recall vs brute force asserted in tests/test_similarity.py."""
+    from workbench_spark.operators.similarity import ivf_cosine_knn
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_knn(e, k=5, n_cells=8, n_probe=3)

@@ -95,3 +95,67 @@ def run_stream_to_memory(stream_df, query_name: str = "stream_out") -> DataFrame
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_sessionize_stateful(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: float = 30.0,
+):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user session aggregation with a gap timeout — the streaming twin
+    of windows.sessionize. State = (session_start, last_ts, n, total);
+    a batch closes sessions whose gap exceeded the threshold and emits
+    them (output mode append).
+
+    This is the reference-free extension demonstrating
+    arbitrary-stateful-operator plumbing (SURVEY §2.11 notes the reference
+    has no streaming engine at all)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{user_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    state_schema = "session_start timestamp, last_ts timestamp, n long, total double"
+    gap_s = gap_minutes * 60.0
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        rows = []
+        events = pd.concat(list(pdfs)).sort_values(ts_col) if pdfs else pd.DataFrame()
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+        for _, r in events.iterrows():
+            t = r[ts_col]
+            v = float(r[value_col]) if pd.notna(r[value_col]) else 0.0
+            if last is not None and (t - last).total_seconds() > gap_s:
+                rows.append((uid, start, last, n, total))
+                start, n, total = t, 0, 0.0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+            total += v
+        if last is not None:
+            state.update((start, last, n, total))
+        yield pd.DataFrame(
+            rows,
+            columns=[user_col, "session_start", "session_end", "n_events", "total_value"],
+        )
+
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    return (
+        stream.groupBy(user_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
