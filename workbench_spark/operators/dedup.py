@@ -210,6 +210,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 5,
     verify_threshold: float | None = 0.5,
+    persist_signatures: bool = False,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs: split the signature into
     ``bands`` bands of r = n_hashes/bands rows; docs matching on any whole
@@ -239,11 +240,29 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bh"),
     )
-    left = banded.select("band", "bh", F.col("id").alias("id_a"), F.col("minhash").alias("__ma"))
-    right = banded.select("band", "bh", F.col("id").alias("id_b"), F.col("minhash").alias("__mb"))
+    # Self-join: Spark's alias dedup re-keys one side's attributes, so the
+    # two shuffle inputs never canonicalize identically and the signature
+    # pipeline is computed once per side (verified: no ReusedExchange).
+    # That is a constant 2x on a map-side-cheap stage; for deliberate reuse
+    # at scale, persist_signatures=True pins the banded frame (caller
+    # should unpersist via banded.unpersist() semantics — Spark evicts LRU
+    # otherwise).
+    if persist_signatures:
+        banded = banded.persist()
+    a, b = banded.alias("a"), banded.alias("b")
     cands = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.minhash").alias("__ma"),
+            F.col("b.minhash").alias("__mb"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     est = F.aggregate(

@@ -951,3 +951,109 @@ def a18_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # register the training-data-pipeline extension queries (text/dedup/knn)
 from workbench_spark import queries_pipeline as _qp  # noqa: E402,F401
+
+
+# =====================================================================
+# Relational breadth: semi/anti joins, HAVING, conditional aggregation
+# =====================================================================
+
+
+@query(
+    "q4_orders_with_lineitems",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS → left-semi join (engine-internal in the
+    reference's Athena; first-class here)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q_anti_customers_without_orders",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style conditional aggregation over a dim join (part is
+    broadcast-size at every SF under TPC-H scaling)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey, ROUND(s.total_qty, 4) AS total_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) s ON o.o_orderkey = s.l_orderkey
+    """,
+)
+def q18_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style HAVING: aggregate-then-filter subquery joined back.
+    The groupBy + filter runs BEFORE the join — only qualifying keys
+    shuffle into it."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", F.round("total_qty", 4).alias("total_qty"))
+    )
