@@ -210,3 +210,28 @@ def test_one_hot_gate_skips_high_cardinality(spark):
     df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "id int, c string")
     out = one_hot_encode(df, ["c"])
     assert out.columns == df.columns  # gate: nunique >= 10 → skipped
+
+
+def test_athena_dialect_shim(spark, ds):
+    # reference-shaped Presto SQL: double-quoted identifiers, BERNOULLI
+    # sample, VARCHAR cast, random()
+    out = ds.query(
+        'SELECT "o_orderpriority", COUNT(DISTINCT CAST("o_custkey" AS VARCHAR)) AS n '
+        "FROM orders_ds GROUP BY \"o_orderpriority\""
+    )
+    assert out.count() == 5
+    sampled = ds.query("SELECT * FROM orders_ds TABLESAMPLE BERNOULLI(10)")
+    assert 0 < sampled.count() < 1500
+    lit = ds.query("SELECT 'TABLESAMPLE BERNOULLI(10) \"quoted\"' AS s").first()["s"]
+    assert lit == 'TABLESAMPLE BERNOULLI(10) "quoted"'  # literals untouched
+
+
+def test_athena_translate_unit():
+    from workbench_spark.functions.athena_sql import translate_athena_sql as t
+
+    assert t('SELECT "a b" FROM x') == "SELECT `a b` FROM x"
+    assert t("SELECT arbitrary(x), array_agg(y), strpos(s, 'p') FROM t") == (
+        "SELECT any_value(x), collect_list(y), instr(s, 'p') FROM t"
+    )
+    assert "approx_count_distinct(x" in t("SELECT approx_distinct(x) FROM t")
+    assert t("SELECT 'it''s \"fine\"' AS s") == "SELECT 'it''s \"fine\"' AS s"

@@ -109,9 +109,18 @@ class DataSource:
     def df(self) -> DataFrame:
         return self.spark.read.parquet(self.registry.data_path(self.name))
 
-    def query(self, sql: str) -> DataFrame:
+    def query(self, sql: str, dialect: str = "athena") -> DataFrame:
         """§3.1 — SQL straight to the engine (athena_source.py:206-244 →
-        spark.sql). Views referenced as {name} or {name}___{view}."""
+        spark.sql). Views referenced as {name} or {name}___{view}.
+
+        dialect='athena' (default, drop-in parity) runs reference-shaped
+        Presto SQL through the dialect shim (double-quoted identifiers,
+        TABLESAMPLE BERNOULLI, VARCHAR casts...); dialect='spark' passes
+        the string through untouched."""
+        if dialect == "athena":
+            from workbench_spark.functions.athena_sql import translate_athena_sql
+
+            sql = translate_athena_sql(sql)
         self._register_view()
         for v in self.views():
             self._materialize_view(v)
