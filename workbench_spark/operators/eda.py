@@ -205,27 +205,49 @@ def value_counts(
 def column_stats(df: DataFrame, exact: bool = True) -> dict:
     """Composite per-column stats dict (column_stats.py:52-121): dtype,
     unique, nulls, zeros (numeric), descriptive_stats (numeric).
-    Fused into 2 jobs (one wide agg + descriptive pass) vs the
-    reference's ~5 Athena queries.
+
+    ONE aggregation job over one scan (the reference issues ~5 separate
+    Athena queries; SURVEY §4 flags the fused pass): distinct/null/zero
+    counts and the full descriptive block ride the same agg.
     """
     num_cols = numeric_columns(df)
     dtypes = dict(df.dtypes)
-    uniq_row = distinct_counts(df, exact=exact).first().asDict()
-    null_row = null_counts(df).first().asDict()
-    zero_row = zero_counts(df, num_cols).first().asDict() if num_cols else {}
-    desc_rows = (
-        {r["column_name"]: r.asDict() for r in descriptive_stats(df, num_cols, exact=exact).collect()}
-        if num_cols
-        else {}
+    distinct_fn = F.countDistinct if exact else F.approx_count_distinct
+    pct_of = (
+        (lambda c: f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75))")
+        if exact
+        else (lambda c: f"percentile_approx(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75), 1000)")
     )
+    aggs = []
+    for c in df.columns:
+        aggs.append(distinct_fn(c).alias(f"{c}__uniq"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"{c}__nulls"))
+    for c in num_cols:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.count(F.when(F.col(c) == 0, F.lit(1))).alias(f"{c}__zeros"),
+            F.min(d).alias(f"{c}__min"),
+            F.expr(pct_of(c)).alias(f"{c}__q"),
+            F.max(d).alias(f"{c}__max"),
+            F.avg(d).alias(f"{c}__mean"),
+            F.stddev(d).alias(f"{c}__stddev"),
+        ]
+    row = df.agg(*aggs).first()
     out: dict = {}
     for c in df.columns:
-        out[c] = {"dtype": dtypes[c], "unique": uniq_row[c], "nulls": null_row[c]}
-        if c in zero_row:
-            out[c]["num_zeros"] = zero_row[c]
-        if c in desc_rows:
-            d = desc_rows[c]
-            out[c]["descriptive_stats"] = {k: d[k] for k in DESCRIPTIVE_STATS}
+        out[c] = {"dtype": dtypes[c], "unique": row[f"{c}__uniq"], "nulls": row[f"{c}__nulls"]}
+        if c in num_cols:
+            out[c]["num_zeros"] = row[f"{c}__zeros"]
+            q = row[f"{c}__q"] or [None, None, None]
+            out[c]["descriptive_stats"] = {
+                "min": row[f"{c}__min"],
+                "q1": q[0],
+                "median": q[1],
+                "q3": q[2],
+                "max": row[f"{c}__max"],
+                "mean": row[f"{c}__mean"],
+                "stddev": row[f"{c}__stddev"],
+            }
     return out
 
 
