@@ -221,3 +221,29 @@ def test_cache_dataframe_decorator(spark):
         assert t.compute().count() == 5
         assert t.compute().count() == 5
         assert calls["n"] == 1  # second call served from the parquet cache
+
+
+def test_molecular_descriptors_stub(spark, mols):
+    from workbench_spark.operators.chem import MOL_DESCRIPTOR_NAMES, molecular_descriptors
+
+    out = molecular_descriptors(mols.filter(F.col("smiles").isNotNull()))
+    assert set(MOL_DESCRIPTOR_NAMES) <= set(out.columns)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["m1"]["molwt"] is not None
+    # deterministic per canonical form: m1 (CCO) and m2 (cco) agree
+    assert rows["m1"]["molwt"] == rows["m2"]["molwt"]
+
+
+def test_stratified_split(spark):
+    from workbench_spark.operators.windows import stratified_split
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        F.col("event_type").isNotNull()
+    )
+    train, hold = stratified_split(ev, "event_type", 0.7, seed=1)
+    n, tn, hn = ev.count(), train.count(), hold.count()
+    assert tn + hn == n  # exact partition of the input
+    assert 0.5 * n < tn < 0.9 * n
+    # every stratum represented on both sides
+    strata = {r[0] for r in ev.select("event_type").distinct().collect()}
+    assert {r[0] for r in train.select("event_type").distinct().collect()} == strata

@@ -230,3 +230,56 @@ def df_to_sdf_file(df: DataFrame, path: str, mol_col: str = "mol_block") -> str:
         for r in rows:
             f.write((r[mol_col] or "") + "\n$$$$\n")
     return path
+
+
+# ------------------------------------------------------------ descriptors
+MOL_DESCRIPTOR_NAMES = [
+    "molwt", "mollogp", "molmr", "heavyatomcount", "numhacceptors",
+    "numhdonors", "numheteroatoms", "numrotatablebonds", "tpsa", "ringcount",
+]
+
+
+def molecular_descriptors(
+    df: DataFrame, smiles_col: str = "smiles"
+) -> DataFrame:
+    """C2 — 2D molecular descriptors as an Arrow-batched UDF stage
+    (mol_descriptors.py:107-487; the aqsol feature list, FIXTURES.md §4).
+    With RDKit present each descriptor is computed for real; without it a
+    DETERMINISTIC FAKE (md5-derived pseudo-values, stable per canonical
+    SMILES) keeps schema/partitioning/batch plumbing testable. The 3D tier
+    (mol_descriptors_3d.py, ~1-2 mol/s) runs the same pattern — its
+    partition parallelism is the entire Spark win for that workload."""
+    fields = ", ".join(f"{n} double" for n in MOL_DESCRIPTOR_NAMES)
+
+    @pandas_udf(fields)
+    def compute(smiles: pd.Series) -> pd.DataFrame:
+        rows = []
+        for s in smiles:
+            if s is None or not str(s).strip():
+                rows.append([None] * len(MOL_DESCRIPTOR_NAMES))
+                continue
+            if HAVE_RDKIT:  # pragma: no cover
+                from rdkit.Chem import Descriptors
+
+                mol = Chem.MolFromSmiles(s)
+                if mol is None:
+                    rows.append([None] * len(MOL_DESCRIPTOR_NAMES))
+                    continue
+                rows.append([
+                    Descriptors.MolWt(mol), Descriptors.MolLogP(mol),
+                    Descriptors.MolMR(mol), mol.GetNumHeavyAtoms(),
+                    Descriptors.NumHAcceptors(mol), Descriptors.NumHDonors(mol),
+                    Descriptors.NumHeteroatoms(mol),
+                    Descriptors.NumRotatableBonds(mol), Descriptors.TPSA(mol),
+                    Descriptors.RingCount(mol),
+                ])
+            else:
+                seed = hashlib.md5(str(s).strip().upper().encode()).digest()
+                rows.append([
+                    round(50 + seed[i] * 2.5, 4) for i in range(len(MOL_DESCRIPTOR_NAMES))
+                ])
+        return pd.DataFrame(rows, columns=MOL_DESCRIPTOR_NAMES)
+
+    return df.withColumn("__desc", compute(F.col(smiles_col))).select(
+        "*", "__desc.*"
+    ).drop("__desc")

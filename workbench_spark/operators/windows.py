@@ -138,3 +138,23 @@ def sessionize(
         )
         .drop("__new")
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict | float,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """O4 — stratified (train, holdout) split by column
+    (pandas_utils.py:1077+): per-stratum Bernoulli via sampleBy.
+    ``fractions`` is a per-value dict or one fraction applied to every
+    stratum. The holdout is the exact complement (anti-join on a row id),
+    so the two sides partition the input."""
+    if not isinstance(fractions, dict):
+        values = [r[0] for r in df.select(strata_col).distinct().collect()]
+        fractions = {v: float(fractions) for v in values}
+    keyed = df.withColumn("__sid", F.monotonically_increasing_id())
+    train = keyed.sampleBy(strata_col, fractions, seed=seed)
+    holdout = keyed.join(train.select("__sid"), "__sid", "left_anti")
+    return train.drop("__sid"), holdout.drop("__sid")
