@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) for operator invariants the
+example-based suites can't sweep: hash order-insensitivity, as-of join
+equivalence with pandas merge_asof, encode/decode round-trips.
+
+The reference has no property-based testing at all (SURVEY §5); these
+target the custom primitives where a subtle contract break would poison
+the correctness gate silently."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=12,  # each example spins Spark jobs — keep the sweep tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from workbench_spark.session import get_spark
+
+    return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "4"})
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.text(alphabet="abcdef |", min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=rows_strategy, nparts=st.integers(min_value=1, max_value=5))
+@settings(**SETTINGS)
+def test_table_hash_order_and_partition_invariant(spark, rows, nparts):
+    """A21 contract: the content hash must not depend on row order or
+    partitioning — only on the multiset of rows."""
+    from workbench_spark.operators.hashing import table_hash
+
+    df = spark.createDataFrame(rows, "k int, s string")
+    h1 = table_hash(df).first()["table_hash"]
+    h2 = table_hash(df.repartition(nparts)).first()["table_hash"]
+    h3 = table_hash(df.orderBy("s", "k")).first()["table_hash"]
+    assert h1 == h2 == h3
+
+
+@given(
+    left_times=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=10),
+    right_times=st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=10),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_times, right_times):
+    """asof_join == pd.merge_asof(direction='backward') on a single key."""
+    from workbench_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, t, i) for i, t in enumerate(left_times)], "k int, t long, lid int"
+    )
+    right = spark.createDataFrame(
+        [(1, t, float(i)) for i, t in enumerate(sorted(set(right_times)))],
+        "k int, t long, val double",
+    )
+    got = {
+        r["lid"]: r["val_right"]
+        for r in asof_join(left, right, on="k", left_time="t", right_time="t").collect()
+    }
+    lp = pd.DataFrame({"k": 1, "t": left_times, "lid": range(len(left_times))}).sort_values("t")
+    rp = pd.DataFrame(
+        {"k": 1, "t": sorted(set(right_times)), "val": [float(i) for i in range(len(set(right_times)))]}
+    )
+    if len(rp):
+        expected_df = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+        expected = dict(zip(expected_df["lid"], expected_df["val"]))
+    else:
+        expected = {lid: None for lid in lp["lid"]}
+    for lid, val in got.items():
+        exp = expected[lid]
+        if exp is None or pd.isna(exp):
+            assert val is None
+        else:
+            assert val == exp
+
+
+@given(
+    values=st.lists(
+        st.sampled_from(["a", "b", "c", None]), min_size=2, max_size=20
+    )
+)
+@settings(**SETTINGS)
+def test_one_hot_row_sums(spark, values):
+    """F7 contract: each encoded row has exactly one hot dummy (or all
+    zeros for NULL), and column sums reproduce the value counts."""
+    from workbench_spark.functions.encoding import one_hot_encode
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "id int, c string")
+    enc = one_hot_encode(df, ["c"])
+    if "c" in enc.columns:  # gate skipped (unique count out of range)
+        return
+    dummy_cols = [c for c in enc.columns if c.startswith("c_")]
+    rows = enc.collect()
+    for r in rows:
+        hot = sum(r[c] for c in dummy_cols)
+        assert hot in (0, 1)
+    for c in dummy_cols:
+        label = c[2:]
+        assert sum(r[c] for r in rows) == sum(1 for v in values if v == label)
+
+
+@given(
+    text=st.text(alphabet=" abcdeABCDE123.,!", min_size=0, max_size=60),
+)
+@settings(**SETTINGS)
+def test_token_count_matches_python(spark, text):
+    """Text stats must agree with the obvious Python implementation."""
+    from workbench_spark.operators.text import token_count
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(token_count(F.col("t")).alias("n")).first()["n"]
+    assert got == len(text.split())
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=2, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_descriptive_stats_match_pandas(spark, vals):
+    """A5 exact mode must agree with pandas quantile (linear interpolation)."""
+    from workbench_spark.operators.eda import descriptive_stats
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = descriptive_stats(df, ["x"], exact=True).first()
+    s = pd.Series(vals)
+    assert row["min"] == s.min()
+    assert row["max"] == s.max()
+    assert abs(row["median"] - s.quantile(0.5)) < 1e-6 * max(1, abs(s.quantile(0.5)))
+    assert abs(row["q1"] - s.quantile(0.25)) < 1e-6 * max(1, abs(s.quantile(0.25)))

@@ -45,7 +45,11 @@ def one_hot_encode(
     for c, vals in eligible.items():
         for v in vals:
             dummy = shorten_column_name(f"{c}_{v}")
-            out = out.withColumn(dummy, (F.col(c) == F.lit(v)).cast("int"))
+            # NULL input -> all-zero dummies (pandas get_dummies semantics;
+            # a bare equality cast would yield NULL dummies for NULL rows)
+            out = out.withColumn(
+                dummy, F.coalesce((F.col(c) == F.lit(v)).cast("int"), F.lit(0))
+            )
         out = out.drop(c)
     return out
 
