@@ -30,14 +30,19 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "q5_revenue_by_nation",
     "q6_forecast_revenue",
+    "q18_large_orders",
     "correlations_lineitem",
     "value_counts_orderpriority",
     "w1_latest_event_per_user",
+    "w_sessionize_events",
+    "asof_join_purchase_click",
     "table_hash_lineitem",
     "dedup_minhash_pairs",
+    "dedup_embedding_cosine",
     "knn_cosine_bruteforce",
     "text_quality_features",
     "a13_ensemble_mean",
+    "cube_returnflag_linestatus",
 ]
 
 
@@ -58,9 +63,16 @@ def _bench_extras(spark):
         )
         return eda.outliers(li, ["l_extendedprice"], exact=False)
 
+    def embedding_dedup_blas(spark, sf_dir):
+        from workbench_spark.operators.dedup import embedding_near_dup_pairs
+
+        e = read_table(spark, sf_dir, "embeddings")
+        return embedding_near_dup_pairs(e, threshold=0.8, method="blas")
+
     return {
         "descriptive_stats_lineitem": descriptive_stats_approx,
         "outliers_lineitem_price": outliers_approx,
+        "dedup_embedding_cosine": embedding_dedup_blas,
     }
 
 

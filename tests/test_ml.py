@@ -137,3 +137,23 @@ def test_uq_from_neighbors(spark):
     for r in rows[:20]:
         assert r["uq_sigma"] is not None and r["uq_sigma"] >= 0
         assert r["lower_bound"] <= r["pred"] <= r["upper_bound"]
+
+
+def test_cross_fold_metrics(spark, warehouse):
+    from workbench_spark.api.model import cross_fold_metrics
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_rev"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    metrics, preds = cross_fold_metrics(
+        df, "cv_model", target="net_rev",
+        features=["total_qty", "avg_price", "n_lines"],
+        k=3, id_col="l_orderkey", spark=spark, warehouse=warehouse,
+    )
+    assert len(metrics) == 3
+    assert all(m["r2"] > 0.5 for m in metrics), metrics
+    assert preds.count() == df.count()  # every row predicted exactly once

@@ -96,3 +96,19 @@ def test_embedding_dedup_drops_planted(spark, emb):
     survivors = embedding_dedup(with_dups, threshold=0.999)
     assert survivors.filter(F2.col("vec_id") >= 1_000_000).count() == 0
     assert survivors.filter(F2.col("vec_id") < 1_000_000).count() == emb.count()
+
+
+def test_blas_knn_matches_expression_knn(spark, emb):
+    from workbench_spark.operators.similarity import cosine_knn, cosine_knn_blas
+
+    a = {
+        (r["id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_knn(emb, k=5).collect()
+    }
+    b = {
+        (r["id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_knn_blas(emb, k=5).collect()
+    }
+    assert set(a) == set(b)
+    for pair in a:
+        assert abs(a[pair] - b[pair]) < 1e-9

@@ -223,3 +223,57 @@ class Endpoint:
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self._predict(df)
+
+
+def cross_fold_metrics(
+    df,
+    name: str,
+    target: str,
+    features: list[str],
+    model_type: str = "regressor",
+    algo: str = "xgb",
+    k: int = 5,
+    id_col: str | None = None,
+    spark=None,
+    warehouse: str | None = None,
+):
+    """Cross-fold inference (endpoint_core.py cross_fold path): k
+    deterministic folds (crc32(id) % k — engine-portable and stable across
+    runs, unlike random splits), train on k-1, evaluate on the held-out
+    fold, one metrics row per fold.
+
+    Returns (metrics_rows, predictions_df) where metrics_rows is a list of
+    per-fold metric dicts with a 'fold' key.
+    """
+    from workbench_spark.operators import metrics as M
+
+    key = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    folded = df.withColumn("__fold", F.crc32(key.cast("string")) % k)
+    all_metrics = []
+    all_preds = []
+    for fold in range(k):
+        train_df = folded.filter(F.col("__fold") != fold)
+        test_df = folded.filter(F.col("__fold") == fold)
+        if test_df.isEmpty():
+            continue
+        m = Model.train(
+            train_df.drop("__fold"),
+            f"{name}_fold{fold}",
+            target=target,
+            features=features,
+            model_type=model_type,
+            algo=algo,
+            spark=spark,
+            warehouse=warehouse,
+        )
+        ep = Endpoint(m.name, spark=m.spark, warehouse=m.registry.warehouse)
+        res = ep.inference(test_df.drop("__fold"), capture=False)
+        all_metrics.append({"fold": fold, **res.metrics})
+        all_preds.append(res.df.withColumn("fold", F.lit(fold)))
+        m.delete()
+    import functools
+
+    from pyspark.sql import DataFrame as _DF
+
+    preds = functools.reduce(_DF.unionByName, all_preds) if all_preds else None
+    return all_metrics, preds

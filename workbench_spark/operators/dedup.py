@@ -440,17 +440,28 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     use_lsh: bool = False,
+    method: str = "expr",
     **lsh_kwargs,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim)
     with id_a < id_b and cosine >= threshold. Exact mode scores all pairs
     via the broadcast block join; use_lsh=True prunes candidates with
     hyperplane signatures first (the 100 TB path — near-dups at high
-    thresholds collide in LSH buckets with high probability)."""
-    from workbench_spark.operators.similarity import cosine_knn, lsh_cosine_knn
+    thresholds collide in LSH buckets with high probability).
+
+    method='blas' uses the numpy-matmul top-k (cosine_knn_blas, ~4x
+    faster); 'expr' keeps the sequential-fold expression path whose float
+    summation order matches DuckDB bit-for-bit (oracle hash-matching)."""
+    from workbench_spark.operators.similarity import (
+        cosine_knn,
+        cosine_knn_blas,
+        lsh_cosine_knn,
+    )
 
     if use_lsh:
         knn = lsh_cosine_knn(df, id_col=id_col, vec_col=vec_col, k=50, **lsh_kwargs)
+    elif method == "blas":
+        knn = cosine_knn_blas(df, id_col=id_col, vec_col=vec_col, k=50)
     else:
         knn = cosine_knn(df, id_col=id_col, vec_col=vec_col, k=50)
     return (

@@ -302,3 +302,78 @@ def ivf_cosine_knn(
         .filter(F.col("__rn2") <= k)
         .drop("__rn2")
     )
+
+
+def cosine_knn_blas(
+    vectors: DataFrame,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact brute-force cosine top-k via BLAS: the query matrix (small
+    side) ships to every partition; each partition computes a dense
+    numpy matmul block (Q_norm @ R_norm^T) and emits its block-local
+    top-k; a final window reduces to the global top-k.
+
+    This is the production brute-force: per-pair higher-order-function
+    dots evaluate one multiply at a time in the SQL interpreter, ~50x
+    slower than a vectorized matmul at 5k x 5k. Results are identical up
+    to float-summation order (use cosine_knn for bit-exact sequential
+    folds when hash-matching an oracle).
+
+    Scale: driver holds only the query matrix (Q x dim); the reference
+    side streams through mapInPandas in Arrow batches. For huge Q,
+    partition the queries and union.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q = queries if queries is not None else vectors
+    q_pdf = q.select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy()
+    Q = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def block_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rids = pdf[id_col].to_numpy()
+            R = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Rn = R / np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-300)
+            sims = Qn @ Rn.T  # (nq, nr)
+            if not include_self:
+                same = q_ids[:, None] == rids[None, :]
+                sims = np.where(same, -np.inf, sims)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = []
+            for qi in range(sims.shape[0]):
+                for rj in idx[qi]:
+                    s = sims[qi, rj]
+                    if s != -np.inf:
+                        rows.append((int(q_ids[qi]), int(rids[rj]), float(s)))
+            yield pd.DataFrame(rows, columns=["id", "neighbor_id", "cosine_sim"])
+
+    fanned = vectors.select(id_col, vec_col)
+    cores = vectors.sparkSession.sparkContext.defaultParallelism
+    if fanned.rdd.getNumPartitions() < cores:
+        fanned = fanned.repartition(cores)
+    block = fanned.mapInPandas(block_topk, schema=out_schema)
+    w = Window.partitionBy("id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        block.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
