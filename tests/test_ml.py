@@ -157,3 +157,13 @@ def test_cross_fold_metrics(spark, warehouse):
     assert len(metrics) == 3
     assert all(m["r2"] > 0.5 for m in metrics), metrics
     assert preds.count() == df.count()  # every row predicted exactly once
+
+
+def test_feature_importances(spark, warehouse):
+    from workbench_spark.api.model import Model, feature_importances
+
+    m = Model("price_model", spark=spark, warehouse=warehouse)
+    imp = feature_importances(m)
+    assert set(imp) == {"total_qty", "avg_price", "n_lines"}
+    assert all(v >= 0 for v in imp.values())
+    assert sum(imp.values()) > 0

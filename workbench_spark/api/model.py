@@ -277,3 +277,20 @@ def cross_fold_metrics(
 
     preds = functools.reduce(_DF.unionByName, all_preds) if all_preds else None
     return all_metrics, preds
+
+
+def feature_importances(model: "Model") -> dict[str, float]:
+    """Per-feature importance from the fitted estimator (tree models:
+    MLlib featureImportances; linear: |coefficients|) — the engine-side
+    stand-in for the reference's SHAP artifacts (model_core.py:118-171;
+    exact SHAP needs the shap package, not in this container)."""
+    fitted = model.pipeline()
+    est = fitted.stages[-1]
+    feats = model.features
+    if hasattr(est, "featureImportances"):
+        vals = est.featureImportances.toArray().tolist()
+    elif hasattr(est, "coefficients"):
+        vals = [abs(c) for c in est.coefficients.toArray().tolist()]
+    else:
+        raise ValueError(f"no importance surface on {type(est).__name__}")
+    return dict(zip(feats, vals))

@@ -49,7 +49,13 @@ def regression_metrics(df: DataFrame, target: str, prediction: str) -> DataFrame
 
 
 def _avg_rank(col: str):
-    """Average rank with ties (scipy 'average' method): rank() + (cnt-1)/2."""
+    """Average rank with ties (scipy 'average' method): rank() + (cnt-1)/2.
+
+    SCALE NOTE: the unpartitioned ORDER BY window is a single task —
+    exact at test SF, a bottleneck at billions of rows. There, compute
+    approximate ranks from approx-quantile cut points (the
+    ntile_buckets_scalable pattern) — Spearman is rank-correlation, so
+    bucketed ranks converge quickly."""
     w = Window.orderBy(F.col(col))
     wg = Window.partitionBy(F.col(col))
     return F.rank().over(w) + (F.count(F.lit(1)).over(wg) - 1) / 2.0
