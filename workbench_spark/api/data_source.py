@@ -22,7 +22,6 @@ import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from workbench_spark.api.registry import Registry, validate_name
 from workbench_spark.operators import eda

@@ -20,7 +20,7 @@ Four tiers, in increasing fuzziness:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # ----------------------------------------------------------------- exact

@@ -11,8 +11,6 @@ groupBy (O(bins) state); KS is a full-outer join of the two binned CDFs
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 

@@ -239,7 +239,7 @@ def ivf_cosine_knn(
     cosine_sim), top-k per id, neighbor-id tiebreak.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     vecs = vectors.select(
         F.col(id_col).alias("id"),

@@ -13,8 +13,6 @@ model (incremental state, no global sorts)."""
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
