@@ -476,6 +476,7 @@ def w4_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     return (
         ntile_buckets(c, "c_acctbal", 4, tiebreakers=["c_custkey"])
+        .withColumn("bucket", F.col("bucket").cast("long"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

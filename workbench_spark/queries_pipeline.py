@@ -42,8 +42,8 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return d.select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
-        word_count(t).alias("n_words"),
+        token_count(t).cast("long").alias("n_tokens"),
+        word_count(t).cast("long").alias("n_words"),
         char_count(t).cast("long").alias("n_chars_computed"),
     )
 
