@@ -167,3 +167,27 @@ def test_feature_importances(spark, warehouse):
     assert set(imp) == {"total_qty", "avg_price", "n_lines"}
     assert all(v >= 0 for v in imp.values())
     assert sum(imp.values()) > 0
+
+
+def test_inference_capture_path(spark, warehouse):
+    import os
+
+    from workbench_spark.api.model import Endpoint, Model
+    from workbench_spark.api.registry import Registry
+
+    m = Model("price_model", spark=spark, warehouse=warehouse)
+    ep = m.to_endpoint()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_rev"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).limit(50)
+    res = ep.inference(df, capture=True)
+    reg = Registry(warehouse)
+    cap_dir = os.path.join(reg.artifact_dir(ep.name), "capture")
+    captured = spark.read.json(cap_dir)
+    assert captured.count() == 50
+    assert "prediction" in captured.columns
+    assert reg.read_meta(ep.name)["last_inference_metrics"]["support"] is not None

@@ -219,6 +219,27 @@ class Endpoint:
             row = M.regression_metrics(preds, target, "prediction").first()
             stats = {k: row[k] for k in ("rmse", "mae", "medae", "r2", "spearman", "support")}
         clean = preds.drop("__features", "rawPrediction", "probability", "__label")
+        if capture:
+            # S16 — append predictions + metrics snapshot to the endpoint's
+            # capture dir (endpoint_core.py:1033-1148 _capture_inference_results;
+            # the drift monitor reads this directory)
+            import json
+            import os
+
+            cap_dir = os.path.join(
+                self.model.registry.artifact_dir(self.name), "capture"
+            )
+            from workbench_spark.streaming.monitor import capture_inference
+
+            capture_inference(clean, cap_dir)
+            self.model.registry.upsert_meta(
+                self.name,
+                {
+                    "artifact_type": "endpoint",
+                    "model": self.model.name,
+                    "last_inference_metrics": json.loads(json.dumps(stats, default=str)),
+                },
+            )
         return InferenceResult(clean, stats)
 
     def transform(self, df: DataFrame) -> DataFrame:
