@@ -147,3 +147,31 @@ def test_descriptive_stats_match_pandas(spark, vals):
     assert row["max"] == s.max()
     assert abs(row["median"] - s.quantile(0.5)) < 1e-6 * max(1, abs(s.quantile(0.5)))
     assert abs(row["q1"] - s.quantile(0.25)) < 1e-6 * max(1, abs(s.quantile(0.25)))
+
+
+def test_spearman_approx_converges(spark):
+    """Bucketed-rank Spearman must track the exact rank-window version."""
+    from pyspark.sql import functions as F
+
+    from workbench_spark.operators.metrics import regression_metrics, spearman_approx
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_totalprice") * 0.5 + F.col("o_orderkey") * 7.0).alias("p"),
+    )
+    exact = regression_metrics(o, "y", "p").first()["spearman"]
+    approx = spearman_approx(o, "y", "p", buckets=500).first()["spearman"]
+    assert abs(exact - approx) < 0.01, (exact, approx)
+
+
+def test_ks_binned_converges(spark):
+    from pyspark.sql import functions as F
+
+    from workbench_spark.operators.drift import ks_statistic, ks_statistic_binned
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ref = ev.filter(F.col("user_id") % 2 == 0)
+    cur = ev.filter(F.col("user_id") % 2 == 1)
+    exact = ks_statistic(ref, cur, "value").first()["ks"]
+    binned = ks_statistic_binned(ref, cur, "value", 0.0, 100.0, bins=1000).first()["ks"]
+    assert abs(exact - binned) < 0.01, (exact, binned)

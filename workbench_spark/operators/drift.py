@@ -138,3 +138,27 @@ def detect_drift(
     return long.filter(
         F.abs(F.col("ref_value") - F.col("cur_value")) > rel_tol * F.col("__rng")
     ).drop("__rng")
+
+
+def ks_statistic_binned(
+    ref: DataFrame, cur: DataFrame, column: str, lo: float, hi: float, bins: int = 1000
+) -> DataFrame:
+    """Scalable KS: max CDF gap over fixed bins instead of distinct values
+    — two binned-histogram aggregations (O(bins) state, map-side
+    combinable) + an O(bins) cumulative comparison. Underestimates the
+    exact statistic by at most the per-bin mass; bins=1000 keeps the gap
+    under ~1e-3 on continuous data. This is the 100 TB path where the
+    exact version's distinct-value window would be a single giant task."""
+    p = binned_distribution(ref, column, lo, hi, bins).select("bucket", F.col("count").alias("pc"))
+    q = binned_distribution(cur, column, lo, hi, bins).select("bucket", F.col("count").alias("qc"))
+    j = p.join(q, "bucket", "full").select(
+        "bucket",
+        F.coalesce("pc", F.lit(0)).alias("pc"),
+        F.coalesce("qc", F.lit(0)).alias("qc"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    totals = j.agg(F.sum("pc").alias("tp"), F.sum("qc").alias("tq"))
+    cdf = j.withColumn("cp", F.sum("pc").over(w)).withColumn("cq", F.sum("qc").over(w))
+    return cdf.crossJoin(F.broadcast(totals)).agg(
+        F.max(F.abs(F.col("cp") / F.col("tp") - F.col("cq") / F.col("tq"))).alias("ks")
+    )
