@@ -868,3 +868,102 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return ivf_cosine_knn(e, k=5, n_cells=8, n_probe=3)
+
+
+# =====================================================================
+# Additional surfaces: grouped percentiles, window frames, pivot
+# =====================================================================
+
+
+@query(
+    "grouped_descriptive_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q3,
+           ROUND(AVG(l_extendedprice), 6) AS mean,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 grouped variant — per-group exact percentiles: at scale this is
+    the partitioned (shuffle-by-group) form whose state distributes,
+    unlike the single global percentile."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("q3"),
+        F.round(F.avg("l_extendedprice"), 6).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "rolling_avg_user_events",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_avg,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_n
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frame spec (rowsBetween) — SURVEY §2.5 notes the
+    reference never uses frame specs; exposed here as the canonical
+    trailing-window rollup."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+        F.count(F.lit(1)).over(w).cast("long").alias("window_n"),
+    )
+
+
+@query(
+    "pivot_confusion_wide",
+    """
+    SELECT event_type,
+           CAST(COALESCE(SUM(CASE WHEN pred = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN pred = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase
+    FROM (
+      SELECT event_type,
+             CASE WHEN value >= 50 THEN 'purchase' ELSE 'click' END AS pred
+      FROM events WHERE event_type IS NOT NULL
+    ) GROUP BY event_type
+    """,
+)
+def pivot_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-form confusion matrix via pivot (the reference pivots
+    client-side, endpoint_core.py:1210-1250; Spark pivot is the
+    distributed equivalent, with pinned pivot values so the plan is
+    single-pass)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    pred = ev.select(
+        "event_type",
+        F.when(F.col("value") >= 50, "purchase").otherwise("click").alias("pred"),
+    )
+    return (
+        pred.groupBy("event_type")
+        .pivot("pred", ["click", "purchase"])
+        .count()
+        .select(
+            "event_type",
+            F.coalesce("click", F.lit(0)).cast("long").alias("click"),
+            F.coalesce("purchase", F.lit(0)).cast("long").alias("purchase"),
+        )
+    )
