@@ -167,3 +167,32 @@ def test_sagemaker_adapter_chunking():
     # bool-string round trip repaired
     rt = csv_payload_to_df(df_to_csv_payload(pd.DataFrame({"b": ["True", "False"]})))
     assert rt["b"].tolist() == [True, False]
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    from workbench_spark.session import read_table
+    from workbench_spark.sources.loaders import write_bucketed
+
+    li = read_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bucketed", "l_orderkey", 4)
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_bucketed", "l_orderkey", 4
+    )
+    # disable broadcast so the planner actually uses the buckets (at these
+    # test sizes it would broadcast and skip bucketing entirely)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("li_bucketed")
+        b = spark.table("o_bucketed")
+        joined = a.join(b, "l_orderkey")
+        # co-located buckets: the sort-merge join needs no Exchange at all
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE li_bucketed")
+        spark.sql("DROP TABLE o_bucketed")

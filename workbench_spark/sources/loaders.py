@@ -106,3 +106,39 @@ def pull_dataframe(
         df.createOrReplaceTempView(view_name)
         return df.sparkSession.sql(query)
     return df.limit(max_rows)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> str:
+    """Write a bucketed (and optionally sorted) catalog table so later
+    joins/aggregations on ``bucket_col`` co-locate WITHOUT a shuffle —
+    the pre-partitioning design choice SURVEY §4 calls out (the reference
+    explicitly punts partitioning, pandas_to_data.py:144-145).
+
+    At 100 TB this is the difference between re-shuffling the fact table
+    on every join and shuffling it once at write time: two tables
+    bucketed on the same key by the same bucket count sort-merge-join
+    with zero Exchange (verify: plan has no Exchange above either scan).
+    Requires a catalog table (bucket metadata lives there) — works with
+    Spark's default in-memory/derby catalog."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        # a dropped-from-catalog table can leave its managed location behind
+        # (e.g. across sessions with the in-memory catalog); clear it
+        import shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        leftover = f"{wh}/{table_name.lower()}"
+        shutil.rmtree(leftover, ignore_errors=True)
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table_name)
+    return table_name
