@@ -60,10 +60,17 @@ def get_spark(
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing nanosecond timestamps
-    (read as long via nanosAsLong) back to TimestampType."""
+    (read as long via nanosAsLong) back to TimestampType.
+
+    The nanosAsLong conf is set HERE (runtime session conf), not only in
+    get_spark: callers — including the driver's own bare SparkSession —
+    would otherwise hit PARQUET_TYPE_ILLEGAL on events.parquet's
+    TIMESTAMP(NANOS) column."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer div — float division loses microseconds above 2^53 nanos
