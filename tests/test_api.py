@@ -235,3 +235,23 @@ def test_athena_translate_unit():
     )
     assert "approx_count_distinct(x" in t("SELECT approx_distinct(x) FROM t")
     assert t("SELECT 'it''s \"fine\"' AS s") == "SELECT 'it''s \"fine\"' AS s"
+
+
+def test_fluent_chain_ds_to_features_to_model(spark, warehouse):
+    """The reference's flagship flow: DataSource → FeatureSet → Model →
+    Endpoint as method chaining (SURVEY §3.2-3.3)."""
+    from workbench_spark.api import DataSource
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_rev"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    ds2 = DataSource(per_order, "order_feats_src", spark=spark, warehouse=warehouse)
+    fs = ds2.to_features(id_column="l_orderkey")
+    assert fs.num_rows() == per_order.count()
+    m = fs.to_model(target="net_rev")
+    ep = m.to_endpoint()
+    out = ep.transform(fs.snapshot().limit(5))
+    assert "prediction" in out.columns and out.count() == 5

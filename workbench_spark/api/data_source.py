@@ -258,3 +258,22 @@ class DataSource:
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"DataSource({self.name!r})"
+
+
+# convenience chaining (reference: api/data_source.py to_features →
+# DataToFeaturesLight; the fluent DataSource→FeatureSet→Model flow)
+def _to_features(self, name=None, id_column=None, event_time_column=None, one_hot_columns=None):
+    from workbench_spark.api.feature_set import FeatureSet
+
+    return FeatureSet(
+        self.df(),
+        name or f"{self.name}_features",
+        id_column=id_column,
+        event_time_column=event_time_column,
+        one_hot_columns=one_hot_columns,
+        spark=self.spark,
+        warehouse=self.registry.warehouse,
+    )
+
+
+DataSource.to_features = _to_features

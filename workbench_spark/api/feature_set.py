@@ -212,3 +212,25 @@ class FeatureSet:
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"FeatureSet({self.name!r}, id={self.id_column!r})"
+
+
+# convenience chaining (reference: api/feature_set.py to_model →
+# FeaturesToModel; trains on the role-aware training view)
+def _to_model(self, name=None, target=None, features=None, model_type="regressor", algo="xgb", **kwargs):
+    from workbench_spark.api.model import Model
+
+    tv = self.training_view()
+    feats = features or [
+        c for c, t in tv.dtypes
+        if c not in (target, self.id_column, self.event_time_column,
+                     "sample_weight", "validation")
+        and t in ("int", "bigint", "float", "double", "smallint", "tinyint")
+    ]
+    return Model.train(
+        tv, name or f"{self.name}_model", target=target, features=feats,
+        model_type=model_type, algo=algo, spark=self.spark,
+        warehouse=self.registry.warehouse, **kwargs,
+    )
+
+
+FeatureSet.to_model = _to_model
