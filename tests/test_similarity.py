@@ -98,6 +98,49 @@ def test_embedding_dedup_drops_planted(spark, emb):
     assert survivors.filter(F2.col("vec_id") < 1_000_000).count() == emb.count()
 
 
+def test_dense_cluster_all_pairs_no_cap(spark, emb):
+    """60 clones of one vector must yield ALL C(60,2)=1770 pairs — the
+    round-1 k=50 KNN cap silently dropped pairs past 50 neighbors. Every
+    enumeration mode (expr / blas / lsh) must be threshold-driven."""
+    from workbench_spark.operators.dedup import embedding_near_dup_pairs
+
+    base = emb.filter(F.col("vec_id") == 0).select("embedding")
+    clones = (
+        spark.range(1_000_000, 1_000_060)
+        .withColumnRenamed("id", "vec_id")
+        .crossJoin(base)
+    )
+    corpus = emb.filter(F.col("vec_id") >= 100).select("vec_id", "embedding").unionByName(clones)
+    expected = 60 * 59 // 2
+
+    for kwargs in ({"method": "expr"}, {"method": "blas"}, {"use_lsh": True, "n_tables": 6}):
+        pairs = embedding_near_dup_pairs(corpus, threshold=0.999, **kwargs)
+        planted = pairs.filter(
+            (F.col("id_a") >= 1_000_000) & (F.col("id_b") >= 1_000_000)
+        )
+        assert planted.count() == expected, f"{kwargs}: missing planted pairs"
+
+
+def test_blas_threshold_pairs_match_expr(spark, emb):
+    """blas mode float sums differ in order only — same pair set, ~1e-9 sims."""
+    from workbench_spark.operators.dedup import embedding_near_dup_pairs
+
+    a = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.2, method="expr").collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.2, method="blas").collect()
+    }
+    # pairs sitting exactly at the threshold may flip under float reorder;
+    # everything clearly above it must agree
+    core = {p for p, s in a.items() if s > 0.2 + 1e-6}
+    assert core <= set(b)
+    for pair in core:
+        assert abs(a[pair] - b[pair]) < 1e-9
+
+
 def test_blas_knn_matches_expression_knn(spark, emb):
     from workbench_spark.operators.similarity import cosine_knn, cosine_knn_blas
 

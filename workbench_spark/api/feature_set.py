@@ -128,8 +128,12 @@ class FeatureSet:
         snapshot resolves to the latest per id."""
         self._ingest(df, [])
 
-    def _register_view(self) -> None:
-        self.snapshot().createOrReplaceTempView(self.name)
+    def _register_view(self) -> str:
+        """Register the snapshot under a distinct view name (so the rewrite
+        in query() is a real rewrite, not a same-name no-op)."""
+        view = f"{self.name}___snapshot"
+        self.snapshot().createOrReplaceTempView(view)
+        return view
 
     # ------------------------------------------------------------ reads
     def offline_store(self) -> DataFrame:
@@ -156,8 +160,8 @@ class FeatureSet:
     def query(self, sql: str) -> DataFrame:
         """P7 — whole-word rewrite of the FeatureSet name to its snapshot
         view (feature_set_core.py:270-284)."""
-        self._register_view()
-        rewritten = re.sub(rf"\b{re.escape(self.name)}\b", self.name, sql)
+        view = self._register_view()
+        rewritten = re.sub(rf"\b{re.escape(self.name)}\b", view, sql)
         return self.spark.sql(rewritten)
 
     def num_rows(self) -> int:

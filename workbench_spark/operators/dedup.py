@@ -443,35 +443,166 @@ def embedding_near_dup_pairs(
     method: str = "expr",
     **lsh_kwargs,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim)
-    with id_a < id_b and cosine >= threshold. Exact mode scores all pairs
-    via the broadcast block join; use_lsh=True prunes candidates with
-    hyperplane signatures first (the 100 TB path — near-dups at high
-    thresholds collide in LSH buckets with high probability).
+    """Embedding-cosine near-duplicate pairs: ALL pairs (id_a, id_b,
+    cosine_sim) with id_a < id_b and cosine >= threshold.
 
-    method='blas' uses the numpy-matmul top-k (cosine_knn_blas, ~4x
-    faster); 'expr' keeps the sequential-fold expression path whose float
-    summation order matches DuckDB bit-for-bit (oracle hash-matching)."""
-    from workbench_spark.operators.similarity import (
-        cosine_knn,
-        cosine_knn_blas,
-        lsh_cosine_knn,
-    )
+    Enumeration is threshold-driven — there is NO top-k cap, so a
+    duplicate-heavy cluster (e.g. 60 clones of one document) yields every
+    one of its C(60,2) pairs. (Round-1 version routed through k=50 KNN
+    and silently dropped pairs past the cap — exactly wrong on the
+    dedup-target workload.)
+
+    Modes:
+    - method='expr' (default): exact all-pairs broadcast join scored with
+      the sequential-fold expression whose float summation order matches
+      DuckDB bit-for-bit (oracle hash-matching). O(N²) by design — the
+      ground-truth/oracle path.
+    - method='blas': exact all-pairs via per-partition numpy matmul
+      blocks; each pair emitted from the partition holding its larger-id
+      member, threshold filter applied inside the block (~4x faster than
+      'expr', float sums differ in order only).
+    - use_lsh=True: the 100 TB path — candidates only form on shared
+      hyperplane signatures (equi-join on (table, signature)), then exact
+      cosine + threshold within buckets. Near-dups at high thresholds
+      collide with probability 1-(1-(1-θ/π)^b)^t; recall dial = n_tables.
+    """
+    from workbench_spark.operators.similarity import _dot, _norm
 
     if use_lsh:
-        knn = lsh_cosine_knn(df, id_col=id_col, vec_col=vec_col, k=50, **lsh_kwargs)
-    elif method == "blas":
-        knn = cosine_knn_blas(df, id_col=id_col, vec_col=vec_col, k=50)
-    else:
-        knn = cosine_knn(df, id_col=id_col, vec_col=vec_col, k=50)
-    return (
-        knn.filter((F.col("id") < F.col("neighbor_id")) & (F.col("cosine_sim") >= threshold))
-        .select(
-            F.col("id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            "cosine_sim",
+        cands = _lsh_embedding_candidates(df, id_col, vec_col, **lsh_kwargs)
+        scored = cands.select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+                "cosine_sim"
+            ),
         )
+        return scored.filter(F.col("cosine_sim") >= threshold)
+
+    if method == "blas":
+        return _blas_threshold_pairs(df, id_col, vec_col, threshold)
+
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
     )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
+    pairs = F.broadcast(a).crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+            "cosine_sim"
+        ),
+    )
+    return scored.filter(F.col("cosine_sim") >= threshold)
+
+
+def _lsh_embedding_candidates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hyperplane-LSH candidate pairs for embedding near-dup: vectors
+    sharing a full signature in ANY table become a candidate pair exactly
+    once (dropDuplicates on the unordered pair). Shuffle key is
+    (table, signature) — equi-join-shaped per the CLAUDE.md invariant."""
+    import functools
+    import random
+
+    from workbench_spark.operators.similarity import _norm, hyperplane_signature
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = random.Random(seed)
+    tables = []
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    for t in range(n_tables):
+        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        tables.append(
+            hyperplane_signature(base, "v", planes, "sig").select(
+                F.lit(t).alias("tbl"), "sig", "id", "v", "nrm"
+            )
+        )
+    signed = functools.reduce(DataFrame.unionAll, tables)
+    left = signed.select(
+        "tbl", "sig", F.col("id").alias("id_a"),
+        F.col("v").alias("__va"), F.col("nrm").alias("__na"),
+    )
+    right = signed.select(
+        "tbl", "sig", F.col("id").alias("id_b"),
+        F.col("v").alias("__vb"), F.col("nrm").alias("__nb"),
+    )
+    return (
+        left.join(right, ["tbl", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _blas_threshold_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Exact threshold pairs via per-partition matmul: the full normalized
+    matrix ships to every partition (bounded by N·dim doubles — fine while
+    the set fits a broadcast; beyond that use the LSH path); each partition
+    scores its block against the whole set and emits pairs where the
+    block-side id is the LARGER of the two, so every unordered pair is
+    emitted exactly once with no cap."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_pdf = df.select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy()
+    Q = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def block_pairs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rids = pdf[id_col].to_numpy()
+            R = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Rn = R / np.maximum(np.linalg.norm(R, axis=1, keepdims=True), 1e-300)
+            sims = Qn @ Rn.T  # (N, nr)
+            mask = (sims >= threshold) & (q_ids[:, None] < rids[None, :])
+            qi, rj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[qi],
+                    "id_b": rids[rj],
+                    "cosine_sim": sims[qi, rj],
+                }
+            )
+
+    fanned = df.select(id_col, vec_col)
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if fanned.rdd.getNumPartitions() < cores:
+        fanned = fanned.repartition(cores)
+    return fanned.mapInPandas(block_pairs, schema=out_schema)
 
 
 def embedding_dedup(

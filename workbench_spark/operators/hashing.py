@@ -48,8 +48,13 @@ def table_hash(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     state, identical result under any row order or partitioning.
     """
     with_hash = row_hash_int(df, columns, "__rh")
+    # Sum in decimal(38,0) (overflow-free to ~1e29 rows at <1e9 per row),
+    # then reduce mod p so the result is a stable bigint at ANY row count —
+    # matching the oracle, which sums in HUGEINT before the final mod/cast.
     return with_hash.agg(
-        F.sum("__rh").alias("table_hash"),
+        F.pmod(F.sum(F.col("__rh").cast("decimal(38,0)")), F.lit(_MOD))
+        .cast("long")
+        .alias("table_hash"),
         F.count(F.lit(1)).alias("row_count"),
     )
 
@@ -58,7 +63,7 @@ def table_hash_oracle_sql(table: str, columns: list[str]) -> str:
     """DuckDB-ANSI equivalent of table_hash() for the correctness gate."""
     parts = ", ".join(f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'NULL')" for c in columns)
     return f"""
-    SELECT CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|', {parts})), 1, 15)) AS BIGINT) % {_MOD}) AS BIGINT) AS table_hash,
+    SELECT CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|', {parts})), 1, 15)) AS BIGINT) % {_MOD}) % {_MOD} AS BIGINT) AS table_hash,
            CAST(COUNT(*) AS BIGINT) AS row_count
     FROM {table}
     """

@@ -337,10 +337,12 @@ def cosine_knn_blas(
     Q = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
 
+    # preserve the caller's id type (string ids must survive — ADVICE r1)
+    id_type = q.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("id", id_type),
+            T.StructField("neighbor_id", vectors.schema[id_col].dataType),
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
@@ -363,7 +365,7 @@ def cosine_knn_blas(
                 for rj in idx[qi]:
                     s = sims[qi, rj]
                     if s != -np.inf:
-                        rows.append((int(q_ids[qi]), int(rids[rj]), float(s)))
+                        rows.append((q_ids[qi], rids[rj], float(s)))
             yield pd.DataFrame(rows, columns=["id", "neighbor_id", "cosine_sim"])
 
     fanned = vectors.select(id_col, vec_col)

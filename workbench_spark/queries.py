@@ -143,9 +143,11 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style multi-join: all dims broadcast (region/nation/
-    supplier/customer are small at any SF under TPC-H scaling rules except
-    customer — Catalyst/AQE decides customer; we hint the truly tiny ones)."""
+    """TPC-H Q5-style multi-join: only truly-constant-size dims get a
+    broadcast hint (nation=25, region=5 rows at ANY SF). supplier and
+    customer grow linearly with SF (10k/150k rows per SF unit) so they are
+    left to Catalyst/AQE, which broadcasts them while they fit and shuffles
+    when they don't — hinting them would OOM the driver at large SF."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -156,7 +158,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
