@@ -202,7 +202,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct([substr(t, i, 5) for i in
                   generate_series(1, GREATEST(length(t) - 4, 1))]) AS g
       FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-            FROM documents WHERE doc_id < 100)
+            FROM documents WHERE doc_id < 250)
     ),
     ex AS (SELECT id, UNNEST(g) AS g, len(g) AS sz FROM sh),
     pairs AS (
@@ -214,16 +214,19 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b,
            ROUND(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
     FROM pairs
-    WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.4
+    WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.25
     """,
 )
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-gram Jaccard near-dup pairs over doc_id<100 via inverted-
-    index join (no cross product — pairs only form on shared shingles)."""
+    """Exact 5-gram Jaccard near-dup pairs over doc_id<250 via inverted-
+    index join (no cross product — pairs only form on shared shingles).
+    Range/threshold picked so the oracle compares ~530 NON-EMPTY rows at
+    sf0.01 including the planted >0.95 near-dups (round-1 version matched
+    on 0 rows = 0 rows, a vacuous check)."""
     from workbench_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.4)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.25)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -373,6 +376,110 @@ def c7_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return projection_2d(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], "l_orderkey"
+    )
+
+
+@query(
+    "a11_invariants",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_aggregation_count,
+           CAST(1 AS BOOLEAN) AS within_budget,
+           CAST(1 AS BOOLEAN) AS reduced
+    FROM lineitem
+    """,
+)
+def a11_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 oracle-izable invariants (VERDICT r1 ask): KMeans assignments
+    aren't engine-portable, but conservation IS — every input row lands in
+    exactly one cluster, so SUM(aggregation_count) must equal the input
+    row count, the output must fit the row budget, and must actually
+    reduce. A wrong shuffle/groupBy shape breaks conservation."""
+    from workbench_spark.operators.ml_analysis import smart_aggregator
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    out = smart_aggregator(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], target_rows=200
+    )
+    return out.agg(
+        F.sum("aggregation_count").cast("long").alias("total_aggregation_count"),
+        (F.count(F.lit(1)) <= 200).alias("within_budget"),
+        (F.count(F.lit(1)) > 1).alias("reduced"),
+    )
+
+
+@query(
+    "c7_pca_invariants",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS BOOLEAN) AS pc1_ge_pc2,
+           CAST(1 AS BOOLEAN) AS pcs_uncorrelated,
+           CAST(1 AS BOOLEAN) AS var_conserved
+    FROM lineitem
+    """,
+)
+def c7_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 PCA invariants (sign/rotation-free, so oracle-checkable): the two
+    projected coordinates are uncorrelated with var(x)=λ1 ≥ var(y)=λ2, and
+    λ1+λ2 ≤ trace of the standardized covariance (= n_features). Catches a
+    wrong projection matrix or un-standardized input while staying
+    agnostic to the eigenvector sign ambiguity."""
+    from workbench_spark.operators.ml_analysis import projection_2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    feats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    proj = projection_2d(li, feats, "l_orderkey")
+    return proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.var_pop("x") >= F.var_pop("y") * (1 - 1e-9)).alias("pc1_ge_pc2"),
+        (F.abs(F.corr("x", "y")) < 1e-6).alias("pcs_uncorrelated"),
+        ((F.var_samp("x") + F.var_samp("y")) <= len(feats) * (1 + 1e-9)).alias(
+            "var_conserved"
+        ),
+    )
+
+
+@query(
+    "minhash_vs_exact_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))]) AS g
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents)
+    ),
+    ex AS (SELECT id, UNNEST(g) AS g, len(g) AS sz FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(1 AS BOOLEAN) AS all_within_eps
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.9
+    """,
+)
+def minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator gate (VERDICT r1 ask): every pair whose EXACT
+    5-gram Jaccard ≥ 0.9 (DuckDB-computable) must be FOUND by the
+    MinHash+LSH pipeline with an estimate within 0.25 of exact (≈5σ at 32
+    hashes — a failure means a broken signature/banding, not noise). The
+    inner join makes a missed pair shrink n_pairs → red row."""
+    from workbench_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, n=5, threshold=0.9)
+    mh = minhash_lsh_pairs(d, verify_threshold=0.5)
+    joined = exact.join(mh, ["id_a", "id_b"])
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(
+            F.abs(F.col("est_jaccard") - F.col("jaccard")) <= 0.25
+        ).alias("all_within_eps"),
     )
 
 
