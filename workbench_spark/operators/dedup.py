@@ -180,26 +180,38 @@ def minhash_signature(
     the shingle array), O(n_hashes) per doc, no shuffle."""
     sh = shingle_frame(df, text_col, id_col, shingle_n, "__sh")
     # n_hashes SINGLE-LEVEL lambdas over the materialized __sh attribute.
-    # Two performance contracts, both measured:
+    # Three performance contracts, all measured:
     # - the seed must be a literal baked per-transform (a nested
-    #   `transform(sequence(...), i -> transform(__sh, s -> xxhash64(s, i)))`
+    #   `transform(sequence(0,31), i -> transform(__sh, s -> xxhash64(s, i)))`
     #   captures the outer lambda var and falls off codegen: ~100x slower);
     # - __sh must be a multi-referenced attribute from its own projection
     #   (CollapseProject keeps it un-inlined because it's non-cheap and
-    #   referenced n_hashes times — one shingle extraction per row).
-    sig = F.array(
-        *[
-            F.array_min(F.transform("__sh", _seeded_hash(i)))
+    #   referenced n_hashes times — one shingle extraction per row);
+    # - the whole array is built as ONE SQL string: constructing 32
+    #   transforms through the pyspark Column API costs ~1.5s of py4j
+    #   round-trips per query build; parsing one expr string is ~free.
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform(__sh, s -> xxhash64(s, {i})))"
             for i in range(n_hashes)
-        ]
+        )
+        + ")"
     )
     return sh.select(F.col(id_col), sig.alias("minhash"))
 
 
-def _seeded_hash(seed: int):
-    """Closure factory (NOT a default arg — pyspark inspects lambda arity,
-    and a `lambda s, i=i:` signature becomes the (element, index) form)."""
-    return lambda s: F.xxhash64(s, F.lit(seed))
+def _band_hash_sql(bands: int, r: int) -> str:
+    """array(xxhash64(minhash[0..r-1]), ...) as one SQL string — SQL array
+    indexing is 0-based (GetArrayItem), unlike element_at."""
+    return (
+        "array("
+        + ", ".join(
+            "xxhash64(" + ", ".join(f"minhash[{b * r + j}]" for j in range(r)) + ")"
+            for b in range(bands)
+        )
+        + ")"
+    )
 
 
 def minhash_lsh_pairs(
@@ -227,18 +239,11 @@ def minhash_lsh_pairs(
     sigs = minhash_signature(df, text_col, id_col, n_hashes, shingle_n)
     # band key b = hash of signature slots [b*r, (b+1)*r) — minhash is a
     # multi-referenced non-cheap projection, so it stays materialized
-    # per-row (not re-inlined per band)
+    # per-row (not re-inlined per band); single expr string (py4j cost)
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.col("minhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.element_at("minhash", b * r + j + 1) for j in range(r)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bh"),
+        F.posexplode(F.expr(_band_hash_sql(bands, r))).alias("band", "bh"),
     )
     # Self-join: Spark's alias dedup re-keys one side's attributes, so the
     # two shuffle inputs never canonicalize identically and the signature
@@ -250,7 +255,17 @@ def minhash_lsh_pairs(
     if persist_signatures:
         banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
+    est = F.aggregate(
+        F.zip_with("a.minhash", "b.minhash", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(n_hashes)
+    # est is computed BEFORE the pair dedupe: a near-exact dup matches on
+    # ~all bands, so the pre-dedupe stream is up to `bands`x the pair count
+    # — but est is a 32-slot scalar fold, while deduping first would carry
+    # both 32-long signature arrays through the dropDuplicates shuffle.
+    # Scalar-carrying shuffle beats array-carrying shuffle.
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -260,17 +275,10 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.minhash").alias("__ma"),
-            F.col("b.minhash").alias("__mb"),
+            est.alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.aggregate(
-        F.zip_with("__ma", "__mb", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(n_hashes)
-    out = cands.select("id_a", "id_b", est.alias("est_jaccard"))
     if verify_threshold is not None:
         out = out.filter(F.col("est_jaccard") >= verify_threshold)
     return out
@@ -312,14 +320,7 @@ def minhash_lsh_dedup(
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.col("minhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.element_at("minhash", b * r + j + 1) for j in range(r)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bh"),
+        F.posexplode(F.expr(_band_hash_sql(bands, r))).alias("band", "bh"),
     )
     reps = banded.groupBy("band", "bh").agg(F.min("id").alias("rep_id"))
     rep_sigs = banded.select(
