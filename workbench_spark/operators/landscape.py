@@ -21,11 +21,12 @@ from pyspark.sql import functions as F
 
 
 def _knn_with_target(
-    df: DataFrame, feature_cols: list[str], id_col: str, target: str, k: int
+    df: DataFrame, feature_cols: list[str], id_col: str, target: str, k: int,
+    knn_method: str = "exact",
 ) -> DataFrame:
-    from workbench_spark.operators.similarity import euclidean_knn_standardized
+    from workbench_spark.operators.similarity import euclidean_knn
 
-    knn = euclidean_knn_standardized(df, feature_cols, id_col, k=k)
+    knn = euclidean_knn(df, feature_cols, id_col, k=k, method=knn_method)
     y = df.select(F.col(id_col), F.col(target).cast("double").alias("__y"))
     return (
         knn.join(y.withColumnRenamed(id_col, "id").withColumnRenamed("__y", "y_self"), "id")
@@ -44,12 +45,13 @@ def activity_cliffs(
     k: int = 5,
     max_distance: float = 0.5,
     min_delta: float = 1.0,
+    knn_method: str = "exact",
 ) -> DataFrame:
     """M2/M5 — pairs that are close in feature space but far in target
     (dist ≤ ε ∧ |Δy| ≥ δ): the cliff predicate over the KNN join
     (target_landscape.py activity-cliff path, feature_spider.py:11-243).
     Output: (id, neighbor_id, distance, y_self, y_neighbor, delta)."""
-    pairs = _knn_with_target(df, feature_cols, id_col, target, k)
+    pairs = _knn_with_target(df, feature_cols, id_col, target, k, knn_method)
     return (
         pairs.withColumn("delta", F.abs(F.col("y_self") - F.col("y_neighbor")))
         .filter((F.col("distance") <= max_distance) & (F.col("delta") >= min_delta))
@@ -64,10 +66,11 @@ def coincident_duplicates(
     target: str,
     k: int = 5,
     eps: float = 1e-9,
+    knn_method: str = "exact",
 ) -> DataFrame:
     """M2 — coincident points: identical features (dist ≈ 0), any target
     (duplicate measurements; conflicting if targets differ)."""
-    pairs = _knn_with_target(df, feature_cols, id_col, target, k)
+    pairs = _knn_with_target(df, feature_cols, id_col, target, k, knn_method)
     return pairs.filter(F.col("distance") <= eps).select(
         "id", "neighbor_id", "y_self", "y_neighbor",
         F.abs(F.col("y_self") - F.col("y_neighbor")).alias("target_gap"),
@@ -75,22 +78,24 @@ def coincident_duplicates(
 
 
 def isolated_points(
-    df: DataFrame, feature_cols: list[str], id_col: str, min_distance: float, k: int = 1
+    df: DataFrame, feature_cols: list[str], id_col: str, min_distance: float, k: int = 1,
+    knn_method: str = "exact",
 ) -> DataFrame:
     """M2 — rows whose nearest neighbor is farther than min_distance."""
-    from workbench_spark.operators.similarity import euclidean_knn_standardized
+    from workbench_spark.operators.similarity import euclidean_knn
 
-    nn = euclidean_knn_standardized(df, feature_cols, id_col, k=k)
+    nn = euclidean_knn(df, feature_cols, id_col, k=k, method=knn_method)
     nearest = nn.groupBy("id").agg(F.min("distance").alias("nn_distance"))
     return nearest.filter(F.col("nn_distance") > min_distance)
 
 
 def target_gradients(
-    df: DataFrame, feature_cols: list[str], id_col: str, target: str, k: int = 5
+    df: DataFrame, feature_cols: list[str], id_col: str, target: str, k: int = 5,
+    knn_method: str = "exact",
 ) -> DataFrame:
     """M5 TargetGradients — per-row max |Δy|/distance over the KNN
     neighborhood (storage/target_gradients.py:12-120)."""
-    pairs = _knn_with_target(df, feature_cols, id_col, target, k)
+    pairs = _knn_with_target(df, feature_cols, id_col, target, k, knn_method)
     grad = F.abs(F.col("y_self") - F.col("y_neighbor")) / F.greatest(
         F.col("distance"), F.lit(1e-12)
     )

@@ -96,12 +96,14 @@ def proximity_graph(
     id_col: str,
     k: int = 5,
     min_weight: float = 0.0,
+    knn_method: str = "exact",
 ) -> DataFrame:
     """M6 — KNN edge list (proximity_graph.py:23-70): edges (src, dst,
-    weight) with weight = 1/(1+distance), thresholded."""
-    from workbench_spark.operators.similarity import euclidean_knn_standardized
+    weight) with weight = 1/(1+distance), thresholded.
+    knn_method='bucketed' swaps in the BRP-LSH equi-join path at scale."""
+    from workbench_spark.operators.similarity import euclidean_knn
 
-    knn = euclidean_knn_standardized(df, feature_cols, id_col, k=k)
+    knn = euclidean_knn(df, feature_cols, id_col, k=k, method=knn_method)
     edges = knn.select(
         F.col("id").alias("src"),
         F.col("neighbor_id").alias("dst"),
@@ -136,14 +138,16 @@ def residual_features(
     prediction: str,
     feature_cols: list[str],
     k: int = 5,
+    knn_method: str = "exact",
 ) -> DataFrame:
     """M1 — neighbor-aggregated residual stats per row
     (residual_features.py:38-212): join each row's KNN neighborhood,
-    aggregate |residual| of neighbors (mean/max), plus own residual."""
-    from workbench_spark.operators.similarity import euclidean_knn_standardized
+    aggregate |residual| of neighbors (mean/max), plus own residual.
+    knn_method='bucketed' swaps in the BRP-LSH equi-join path at scale."""
+    from workbench_spark.operators.similarity import euclidean_knn
 
     with_resid = preds.withColumn("__resid", F.col(target) - F.col(prediction))
-    knn = euclidean_knn_standardized(with_resid, feature_cols, id_col, k=k)
+    knn = euclidean_knn(with_resid, feature_cols, id_col, k=k, method=knn_method)
     neighbor_resid = knn.join(
         with_resid.select(F.col(id_col).alias("neighbor_id"), F.col("__resid").alias("__nr")),
         "neighbor_id",
@@ -175,15 +179,17 @@ def uq_from_neighbors(
     feature_cols: list[str],
     k: int = 5,
     z: float = 1.645,
+    knn_method: str = "exact",
 ) -> DataFrame:
     """M4 — uncertainty quantification from neighbor spread
     (algorithms/dataframe/uq_model_v{0,1,2}.py, simplified v0 semantics):
     per-row sigma = stddev of the KNN neighborhood's predictions; interval
     = prediction ± z*sigma. Rows with degenerate neighborhoods fall back
-    to the global prediction stddev."""
-    from workbench_spark.operators.similarity import euclidean_knn_standardized
+    to the global prediction stddev.
+    knn_method='bucketed' swaps in the BRP-LSH equi-join path at scale."""
+    from workbench_spark.operators.similarity import euclidean_knn
 
-    knn = euclidean_knn_standardized(preds, feature_cols, id_col, k=k)
+    knn = euclidean_knn(preds, feature_cols, id_col, k=k, method=knn_method)
     neighbor_preds = knn.join(
         preds.select(
             F.col(id_col).alias("neighbor_id"), F.col(prediction).alias("__np")

@@ -183,23 +183,12 @@ def euclidean_knn_standardized(
     """J5 — the reference's standardized-Euclidean KNN (proximity.py:100-271):
     z-score each feature (global mean/std, one agg pass broadcast back),
     then exact top-k by euclidean distance. Output matches the reference's
-    canonical frame: (id, neighbor_id, distance)."""
-    stats = df.agg(
-        *[F.avg(F.col(c).cast("double")).alias(f"{c}__mu") for c in feature_cols],
-        *[F.stddev(F.col(c).cast("double")).alias(f"{c}__sd") for c in feature_cols],
-    )
-    z = df.crossJoin(F.broadcast(stats)).select(
-        F.col(id_col),
-        F.array(
-            *[
-                (
-                    (F.col(c).cast("double") - F.col(f"{c}__mu"))
-                    / F.when(F.col(f"{c}__sd") > 0, F.col(f"{c}__sd")).otherwise(F.lit(1.0))
-                )
-                for c in feature_cols
-            ]
-        ).alias("__z"),
-    )
+    canonical frame: (id, neighbor_id, distance).
+
+    Scale note: self-mode is an all-pairs broadcast — ground truth and
+    oracle parity ONLY. Production at scale routes through
+    euclidean_knn_bucketed (equi-join candidate generation)."""
+    z = _zscore_frame(df, feature_cols, id_col)
     a = z.select(F.col(id_col).alias("id"), F.col("__z").alias("__za"))
     b = z.select(F.col(id_col).alias("neighbor_id"), F.col("__z").alias("__zb"))
     pairs = F.broadcast(a).crossJoin(b).filter(F.col("id") != F.col("neighbor_id"))
@@ -211,6 +200,105 @@ def euclidean_knn_standardized(
         )
     )
     scored = pairs.select("id", "neighbor_id", dist.alias("distance"))
+    w = Window.partitionBy("id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _zscore_frame(df: DataFrame, feature_cols: list[str], id_col: str) -> DataFrame:
+    """(id, __z array) with globally standardized features — one agg pass
+    broadcast back (stats frame is 1 row regardless of data size)."""
+    stats = df.agg(
+        *[F.avg(F.col(c).cast("double")).alias(f"{c}__mu") for c in feature_cols],
+        *[F.stddev(F.col(c).cast("double")).alias(f"{c}__sd") for c in feature_cols],
+    )
+    return df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.array(
+            *[
+                (
+                    (F.col(c).cast("double") - F.col(f"{c}__mu"))
+                    / F.when(F.col(f"{c}__sd") > 0, F.col(f"{c}__sd")).otherwise(F.lit(1.0))
+                )
+                for c in feature_cols
+            ]
+        ).alias("__z"),
+    )
+
+
+def euclidean_knn(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    k: int = 5,
+    method: str = "exact",
+    **bucketed_kwargs,
+) -> DataFrame:
+    """Dispatcher for standardized-Euclidean KNN — the single entry point
+    the M1/M4/M6 operators route through. method='exact' (all-pairs
+    broadcast, oracle/ground-truth), 'bucketed' (BRP-LSH equi-join, the
+    scale path)."""
+    if method == "exact":
+        return euclidean_knn_standardized(df, feature_cols, id_col, k=k)
+    if method == "bucketed":
+        return euclidean_knn_bucketed(df, feature_cols, id_col, k=k, **bucketed_kwargs)
+    raise ValueError(f"unknown euclidean KNN method {method!r}")
+
+
+def euclidean_knn_bucketed(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    k: int = 5,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 4,
+    distance_threshold: float = float("inf"),
+    seed: int = 42,
+) -> DataFrame:
+    """J5 scale path (VERDICT r1 ask): standardized-Euclidean KNN whose
+    candidate generation is an EQUI-JOIN on LSH bucket ids — no full-set
+    broadcast, no cross product, survives N far beyond broadcast limits.
+
+    Same output frame as euclidean_knn_standardized: (id, neighbor_id,
+    distance), top-k per id, neighbor-id tiebreak — but approximate:
+    a true neighbor is missed only if it lands in a different bucket in
+    ALL ``num_hash_tables`` tables (P ≈ (1-p)^t, p rising as
+    bucket_length grows). Recall dial = num_hash_tables / bucket_length.
+
+    Plan shape: MLlib BucketedRandomProjectionLSH assigns each row
+    ``num_hash_tables`` bucket ids map-side; candidates explode to
+    (table, bucket) keys and join co-located (shuffle on the bucket key,
+    skew handled by AQE); exact distances are computed only within
+    buckets. This is the plan you want at 100 TB — the exact operator
+    (euclidean_knn_standardized) broadcasts the whole set and is kept for
+    oracle parity and ground truth only.
+
+    Reference parity: proximity.py:100-271 (sklearn NearestNeighbors is
+    exact; at reference scale ≤100k rows exact is fine — this operator is
+    what replaces it when the row count has more digits).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    z = _zscore_frame(df, feature_cols, id_col).withColumn(
+        "__vec", array_to_vector("__z")
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="__vec",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(z)
+    joined = brp.approxSimilarityJoin(z, z, distance_threshold, distCol="distance")
+    scored = joined.select(
+        F.col(f"datasetA.{id_col}").alias("id"),
+        F.col(f"datasetB.{id_col}").alias("neighbor_id"),
+        F.col("distance"),
+    ).filter(F.col("id") != F.col("neighbor_id"))
     w = Window.partitionBy("id").orderBy(F.col("distance").asc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
