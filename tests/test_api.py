@@ -237,6 +237,54 @@ def test_athena_translate_unit():
     assert t("SELECT 'it''s \"fine\"' AS s") == "SELECT 'it''s \"fine\"' AS s"
 
 
+def test_athena_date_functions_translate():
+    from workbench_spark.functions.athena_sql import translate_athena_sql as t
+
+    # date_parse: MySQL pattern -> java.time, literal 'T' protected
+    assert t("SELECT date_parse(s, '%Y-%m-%d %H:%i:%s') FROM t") == (
+        "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm:ss') FROM t"
+    )
+    assert t("SELECT date_parse(s, '%Y-%m-%dT%H:%i:%s') FROM t") == (
+        "SELECT to_timestamp(s, 'yyyy-MM-dd''T''HH:mm:ss') FROM t"
+    )
+    # Presto date_format takes MySQL patterns too
+    assert t("SELECT date_format(ts, '%Y-%m') FROM t") == (
+        "SELECT date_format(ts, 'yyyy-MM') FROM t"
+    )
+    # format_datetime (Joda ~= java.time): rename only, pattern untouched
+    assert t("SELECT format_datetime(ts, 'yyyy-MM-dd') FROM t") == (
+        "SELECT date_format(ts, 'yyyy-MM-dd') FROM t"
+    )
+    # 3-arg unit forms
+    assert t("SELECT date_add('day', 3, ts) FROM t") == (
+        "SELECT timestampadd(day, 3, ts) FROM t"
+    )
+    assert t("SELECT date_diff('hour', a, b) FROM t") == (
+        "SELECT timestampdiff(hour, a, b) FROM t"
+    )
+    # 2-arg Spark-native date_add must NOT be rewritten
+    assert t("SELECT date_add(d, 3) FROM t") == "SELECT date_add(d, 3) FROM t"
+    assert t("SELECT from_iso8601_timestamp(s), to_unixtime(ts) FROM t") == (
+        "SELECT to_timestamp(s), unix_timestamp(ts) FROM t"
+    )
+    # a % pattern in a non-date literal stays untouched
+    assert t("SELECT 'keep %Y raw' AS s") == "SELECT 'keep %Y raw' AS s"
+
+
+def test_athena_date_sql_runs(spark, ds):
+    """Reference-shaped date-filtered SQL must run unchanged end to end."""
+    out = ds.query(
+        "SELECT COUNT(*) AS n FROM orders_ds "
+        "WHERE o_orderdate >= date_parse('1995-01-01', '%Y-%m-%d')"
+    ).first()
+    assert out["n"] > 0
+    fmt = ds.query(
+        "SELECT format_datetime(o_orderdate, 'yyyy-MM') AS ym, "
+        "date_format(o_orderdate, '%Y-%m') AS ym2 FROM orders_ds LIMIT 5"
+    ).collect()
+    assert all(r["ym"] == r["ym2"] and len(r["ym"]) == 7 for r in fmt)
+
+
 def test_fluent_chain_ds_to_features_to_model(spark, warehouse):
     """The reference's flagship flow: DataSource → FeatureSet → Model →
     Endpoint as method chaining (SURVEY §3.2-3.3)."""

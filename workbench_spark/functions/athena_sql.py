@@ -16,10 +16,27 @@ reference-shaped SQL runs unchanged:
 - strpos(s, sub) -> instr(s, sub)  (same argument order)
 - approx_distinct(x) -> approx_count_distinct(x)
 
-String literals ('...', with '' escapes) are protected from all rewrites.
+String literals ('...', with '' escapes) are protected from all rewrites
+except MySQL-style datetime patterns inside date_parse/date_format (those
+are translated to java.time patterns — see _mysql_to_java).
+
+Date/time translation (Presto semantics → Spark equivalents):
+- date_parse(s, '%Y-%m-%d...')  -> to_timestamp(s, 'yyyy-MM-dd...')
+- date_format(ts, '%Y-%m')      -> date_format(ts, 'yyyy-MM')  (Presto's
+  date_format takes MySQL patterns; Spark's takes java.time — the literal
+  is converted, the name kept)
+- format_datetime(ts, 'yyyy-MM')-> date_format(ts, 'yyyy-MM')  (Joda
+  patterns are java.time-compatible for the common subset)
+- date_add('day', n, x)         -> timestampadd(day, n, x)
+- date_diff('day', a, b)        -> timestampdiff(day, a, b)
+- from_iso8601_timestamp(s)     -> to_timestamp(s)
+- from_iso8601_date(s)          -> to_date(s)
+- to_unixtime(ts)               -> unix_timestamp(ts)  (Presto returns
+  double, Spark bigint — integral seconds either way)
+
 Not translated (raise-worthy differences are documented, not silently
-wrong): date_parse/format_datetime MySQL-style patterns, Presto lambda
-syntax differences (x -> f(x) is compatible), UNNEST WITH ORDINALITY.
+wrong): Presto lambda syntax differences (x -> f(x) is compatible),
+UNNEST WITH ORDINALITY.
 """
 
 from __future__ import annotations
@@ -34,9 +51,61 @@ _REPLACEMENTS = [
     (re.compile(r"\bARRAY_AGG\s*\(", re.I), "collect_list("),
     (re.compile(r"\bSTRPOS\s*\(", re.I), "instr("),
     (re.compile(r"\bAPPROX_DISTINCT\s*\(", re.I), "approx_count_distinct("),
+    (re.compile(r"\bDATE_PARSE\s*\(", re.I), "to_timestamp("),
+    (re.compile(r"\bFORMAT_DATETIME\s*\(", re.I), "date_format("),
+    # Presto 3-arg unit forms -> Spark timestampadd/timestampdiff. The
+    # unit arrives as a masked literal placeholder; unquoting happens in
+    # the restore pass (Spark wants a bare keyword, not a string).
+    (re.compile(r"\bDATE_ADD\s*\(\s*(\x00LIT\d+\x00)\s*,", re.I), r"timestampadd(\1,"),
+    (re.compile(r"\bDATE_DIFF\s*\(\s*(\x00LIT\d+\x00)\s*,", re.I), r"timestampdiff(\1,"),
+    (re.compile(r"\bFROM_ISO8601_TIMESTAMP\s*\(", re.I), "to_timestamp("),
+    (re.compile(r"\bFROM_ISO8601_DATE\s*\(", re.I), "to_date("),
+    (re.compile(r"\bTO_UNIXTIME\s*\(", re.I), "unix_timestamp("),
 ]
 
 _STRING_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+# MySQL datetime format code -> java.time pattern (the date_parse subset
+# Athena users actually hit; %x codes with no java equivalent raise).
+_MYSQL_CODES = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "i": "mm", "s": "ss",
+    "S": "ss", "f": "SSSSSS", "j": "DDD", "a": "EEE", "W": "EEEE",
+    "b": "MMM", "M": "MMMM", "p": "a", "T": "HH:mm:ss", "%": "%",
+}
+
+_MYSQL_CODE_RE = re.compile(r"%[a-zA-Z%]")
+
+
+def _mysql_to_java(fmt: str) -> str:
+    """'%Y-%m-%dT%H:%i:%s' -> "yyyy-MM-dd'T'HH:mm:ss" — literal alphabetic
+    runs are single-quoted so java.time doesn't read them as pattern
+    letters."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            code = fmt[i + 1]
+            if code not in _MYSQL_CODES:
+                raise ValueError(f"unsupported MySQL datetime code %{code} in {fmt!r}")
+            out.append(_MYSQL_CODES[code])
+            i += 2
+        elif ch.isalpha():
+            j = i
+            while j < len(fmt) and fmt[j].isalpha() and not (fmt[j] == "%"):
+                j += 1
+            # stop a literal run at the next % code
+            run = fmt[i:j]
+            nxt = run.find("%")
+            if nxt != -1:
+                run = run[:nxt]
+            out.append("'" + run + "'")
+            i += len(run)
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def translate_athena_sql(sql: str) -> str:
@@ -53,5 +122,34 @@ def translate_athena_sql(sql: str) -> str:
     masked = re.sub(r'"([^"]+)"', r"`\1`", masked)
     for pat, repl in _REPLACEMENTS:
         masked = pat.sub(repl, masked)
+
+    # MySQL datetime patterns live in the literal right after a translated
+    # to_timestamp( / date_format( head; convert those literals in place
+    def convert_fmt_args(m: re.Match) -> str:
+        head, lit_id = m.group(1), int(m.group(2))
+        raw = literals[lit_id][1:-1].replace("''", "'")
+        if _MYSQL_CODE_RE.search(raw):
+            converted = _mysql_to_java(raw)
+            literals[lit_id] = "'" + converted.replace("'", "''") + "'"
+        return head + f"\x00LIT{lit_id}\x00"
+
+    masked = re.sub(
+        r"((?:to_timestamp|date_format)\s*\((?:[^()\x00]|\x00LIT\d+\x00|\([^()]*\))*?,\s*)\x00LIT(\d+)\x00(?=\s*\))",
+        convert_fmt_args,
+        masked,
+    )
+
+    # timestampadd/timestampdiff want a bare unit keyword, not a literal
+    def unquote_unit(m: re.Match) -> str:
+        fn, lit_id = m.group(1), int(m.group(2))
+        unit = literals[lit_id][1:-1].strip()
+        return f"{fn}({unit},"
+
+    masked = re.sub(
+        r"\b(timestampadd|timestampdiff)\s*\(\s*\x00LIT(\d+)\x00\s*,",
+        unquote_unit,
+        masked,
+    )
+
     # restore literals
     return re.sub(r"\x00LIT(\d+)\x00", lambda m: literals[int(m.group(1))], masked)
