@@ -191,3 +191,94 @@ def test_inference_capture_path(spark, warehouse):
     assert captured.count() == 50
     assert "prediction" in captured.columns
     assert reg.read_meta(ep.name)["last_inference_metrics"]["support"] is not None
+
+
+def _uq_cal_frame(spark):
+    """Deterministic regression calibration frame: target = acctbal,
+    prediction = acctbal + seeded hash noise in [-10, 10]."""
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").cast("double"),
+        F.col("c_nationkey").cast("double"),
+        F.col("c_acctbal").cast("double").alias("y_true"),
+        (
+            F.col("c_acctbal")
+            + (F.pmod(F.xxhash64("c_custkey"), F.lit(201)) - 100) / 10.0
+        ).alias("prediction"),
+    )
+
+
+def test_uq_conformal_coverage_guarantee(spark):
+    """v1 conformal: on the calibration frame itself, the alpha-interval
+    must cover >= alpha of true values (finite-sample guarantee)."""
+    from workbench_spark.operators.uq import UQConformal
+
+    cal = _uq_cal_frame(spark)
+    uq = UQConformal(
+        ["c_acctbal", "c_nationkey"], id_col="id",
+        confidence_levels=(0.5, 0.9), k=5, n_trees=20,
+    ).fit(cal, target="y_true", prediction="prediction")
+    out = uq.predict(cal, prediction="prediction").join(
+        cal.select("id", "y_true"), "id"
+    )
+    row = out.agg(
+        F.avg(
+            F.when(
+                (F.col("y_true") >= F.col("lower_50"))
+                & (F.col("y_true") <= F.col("upper_50")), 1.0
+            ).otherwise(0.0)
+        ).alias("cov50"),
+        F.avg(
+            F.when(
+                (F.col("y_true") >= F.col("lower_90"))
+                & (F.col("y_true") <= F.col("upper_90")), 1.0
+            ).otherwise(0.0)
+        ).alias("cov90"),
+        F.min("confidence").alias("cmin"),
+        F.max("confidence").alias("cmax"),
+    ).first()
+    assert row["cov50"] >= 0.5, row
+    assert row["cov90"] >= 0.9, row
+    assert 0.0 <= row["cmin"] <= row["cmax"] <= 1.0
+    # sharper: 90% interval must be wider than 50%
+    w = out.select(
+        F.avg(F.col("upper_90") - F.col("lower_90")).alias("w90"),
+        F.avg(F.col("upper_50") - F.col("lower_50")).alias("w50"),
+    ).first()
+    assert w["w90"] > w["w50"]
+
+
+def test_uq_conformal_deterministic(spark):
+    from workbench_spark.operators.uq import UQConformal
+
+    cal = _uq_cal_frame(spark)
+    runs = []
+    for _ in range(2):
+        uq = UQConformal(
+            ["c_acctbal", "c_nationkey"], id_col="id",
+            confidence_levels=(0.8,), k=5, n_trees=10,
+        ).fit(cal, target="y_true", prediction="prediction")
+        runs.append(uq.scale_factors[0.8])
+    assert runs[0] == runs[1]
+
+
+def test_uq_applicability_scores(spark):
+    """v2: confidence in [0,1]; neighbor quantiles ordered around the
+    median; isolated rows (far neighbors) score lower than clustered."""
+    from workbench_spark.operators.uq import uq_applicability
+
+    cal = _uq_cal_frame(spark)
+    out = uq_applicability(
+        cal, None, ["c_acctbal", "c_nationkey"], "id", "y_true", k=5
+    )
+    rows = out.collect()
+    assert all(0.0 <= r["confidence"] <= 1.0 for r in rows)
+    assert all(r["q_05"] <= r["neighbor_median"] <= r["q_95"] for r in rows)
+    # rank correlation: larger mean_dist -> lower confidence on average
+    import statistics
+    xs = [(r["mean_dist"], r["confidence"]) for r in rows]
+    xs.sort()
+    close = statistics.mean(c for _, c in xs[: len(xs) // 5])
+    far = statistics.mean(c for _, c in xs[-len(xs) // 5 :])
+    assert close > far

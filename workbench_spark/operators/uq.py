@@ -1,0 +1,310 @@
+"""Uncertainty quantification, reference v1/v2 depth (SURVEY §2.10 M4).
+
+Reference semantics:
+- UQ v1 — algorithms/dataframe/uq_model_v1.py:13-433: residual features
+  [prediction, prediction_std, knn_distance, knn_target_std,
+  local_pred_gap] → RandomForest error model predicting |residual| →
+  NORMALIZED CONFORMAL calibration (nonconformity = |y-ŷ|/expected;
+  scale_α = the ceil((n+1)α)/n empirical quantile) → intervals
+  ŷ ± scale_α·expected, plus a percentile-rank confidence score.
+- UQ v2 — uq_model_v2.py:1-419: pure applicability-domain score — no
+  fitted model; confidence = (1-dist_pctile)·(1-var_pctile) against the
+  training distribution, intervals = neighbor-target quantiles centered
+  on the neighbor median (deliberately NOT on the prediction).
+- v0 (neighbor-spread sigma) stays in ml_analysis.uq_from_neighbors.
+
+Spark-first design:
+- The error model is MLlib RandomForestRegressor (distributed fit).
+- Neighborhoods come through operators/similarity.euclidean_knn — exact
+  broadcast for oracle parity, BRP-LSH equi-join via knn_method='bucketed'
+  at scale.
+- Conformal scale factors and the 101-point calibration CDF are
+  driver-side CONSTANTS (a handful of doubles — O(1) state independent of
+  data size); ranking against them is a literal-array expression, fully
+  codegen'd, no shuffle, no Python per row.
+- Finite-sample guarantee: on the calibration frame itself, coverage of
+  the α-interval is ≥ α by construction — that is the oracle-checkable
+  invariant (m4_uq_coverage).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEFAULT_LEVELS = (0.50, 0.68, 0.80, 0.90, 0.95)
+
+
+def uq_feature_frame(
+    preds: DataFrame,
+    id_col: str,
+    prediction: str,
+    feature_cols: list[str],
+    k: int = 10,
+    prediction_std: str | None = None,
+    knn_method: str = "exact",
+) -> DataFrame:
+    """Per-row UQ features (uq_model_v1.py FEATURE_ORDER): prediction,
+    prediction_std (0.0 if absent), knn_distance (mean distance to the k
+    neighbors), knn_target_std (std of neighbor predictions),
+    local_pred_gap (|own - mean neighbor prediction|)."""
+    from workbench_spark.operators.similarity import euclidean_knn
+
+    knn = euclidean_knn(preds, feature_cols, id_col, k=k, method=knn_method)
+    neigh = knn.join(
+        preds.select(
+            F.col(id_col).alias("neighbor_id"), F.col(prediction).alias("__np")
+        ),
+        "neighbor_id",
+    )
+    per_row = neigh.groupBy("id").agg(
+        F.avg("distance").alias("knn_distance"),
+        F.stddev("__np").alias("knn_target_std"),
+        F.avg("__np").alias("__nbr_mean"),
+    )
+    std_col = (
+        F.col(prediction_std).cast("double")
+        if prediction_std
+        else F.lit(0.0)
+    )
+    return (
+        preds.join(per_row.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(prediction).cast("double").alias("prediction"),
+            std_col.alias("prediction_std"),
+            F.coalesce(F.col("knn_distance"), F.lit(0.0)).alias("knn_distance"),
+            F.coalesce(F.col("knn_target_std"), F.lit(0.0)).alias("knn_target_std"),
+            F.coalesce(
+                F.abs(F.col(prediction) - F.col("__nbr_mean")), F.lit(0.0)
+            ).alias("local_pred_gap"),
+        )
+    )
+
+
+def _rank_expr(value_col: str, boundaries: list[float]):
+    """Fraction of calibration boundary points <= value — the percentile
+    rank against a driver-side constant CDF, as one codegen'd expression."""
+    arr = "array(" + ", ".join(repr(float(b)) for b in boundaries) + ")"
+    return F.expr(
+        f"size(filter({arr}, p -> p <= {value_col})) / {len(boundaries)}"
+    ).cast("double")
+
+
+class UQConformal:
+    """v1 — conformalized residual-estimator UQ (uq_model_v1.py:13-433).
+
+    fit() on an out-of-fold calibration frame (id, y_true, prediction
+    [, prediction_std]); predict() emits expected_residual, confidence and
+    lower_/upper_ bounds for each confidence level.
+    """
+
+    FEATURES = [
+        "prediction",
+        "prediction_std",
+        "knn_distance",
+        "knn_target_std",
+        "local_pred_gap",
+    ]
+
+    def __init__(
+        self,
+        feature_cols: list[str],
+        id_col: str = "id",
+        confidence_levels: tuple[float, ...] = _DEFAULT_LEVELS,
+        k: int = 10,
+        n_trees: int = 50,
+        max_depth: int = 8,
+        seed: int = 42,
+        knn_method: str = "exact",
+    ):
+        self.feature_cols = feature_cols
+        self.id_col = id_col
+        self.confidence_levels = tuple(confidence_levels)
+        self.k = k
+        self.n_trees = n_trees
+        self.max_depth = max_depth
+        self.seed = seed
+        self.knn_method = knn_method
+        self.error_model = None
+        self.scale_factors: dict[float, float] | None = None
+        self.residual_percentiles: list[float] | None = None
+
+    # ---------------------------------------------------------------- fit
+    def fit(
+        self,
+        cal: DataFrame,
+        target: str,
+        prediction: str,
+        prediction_std: str | None = None,
+    ) -> "UQConformal":
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.regression import RandomForestRegressor
+
+        feats = uq_feature_frame(
+            cal, self.id_col, prediction, self.feature_cols,
+            k=self.k, prediction_std=prediction_std, knn_method=self.knn_method,
+        ).persist()
+        self._cal_feats = feats  # reused by predict(None) — cal-set scoring
+        y = cal.select(
+            F.col(self.id_col),
+            F.col(target).cast("double").alias("__y"),
+        )
+        frame = feats.join(y, self.id_col).withColumn(
+            "__abs_resid", F.abs(F.col("__y") - F.col("prediction"))
+        )
+        va = VectorAssembler(inputCols=self.FEATURES, outputCol="__X")
+        assembled = va.transform(frame)
+        rf = RandomForestRegressor(
+            featuresCol="__X",
+            labelCol="__abs_resid",
+            predictionCol="__expected",
+            numTrees=self.n_trees,
+            maxDepth=self.max_depth,
+            seed=self.seed,
+        )
+        self.error_model = rf.fit(assembled)
+        scored = self.error_model.transform(assembled).withColumn(
+            "__nonconf",
+            F.col("__abs_resid") / F.greatest(F.col("__expected"), F.lit(1e-10)),
+        )
+        scored = scored.persist()
+        n = scored.count()
+        # conformal quantile per level: ceil((n+1)·α)/n, capped at 1 —
+        # ONE exact multi-quantile pass (percentile with an array arg)
+        probs = [
+            min(math.ceil((n + 1) * a) / n, 1.0) for a in self.confidence_levels
+        ]
+        row = scored.agg(
+            F.percentile(
+                F.col("__nonconf"), F.array(*[F.lit(p) for p in probs])
+            ).alias("__q"),
+            F.percentile(
+                F.col("__expected"),
+                F.array(*[F.lit(p / 100.0) for p in range(101)]),
+            ).alias("__cdf"),
+        ).first()
+        scored.unpersist()
+        self.scale_factors = dict(zip(self.confidence_levels, row["__q"]))
+        self.residual_percentiles = list(row["__cdf"])
+        return self
+
+    # ------------------------------------------------------------ predict
+    def predict(
+        self,
+        df: DataFrame | None,
+        prediction: str,
+        prediction_std: str | None = None,
+    ) -> DataFrame:
+        """(id, prediction, expected_residual, confidence, lower_XX /
+        upper_XX per level). confidence = 1 - percentile rank of
+        expected_residual against the calibration distribution.
+        df=None scores the calibration frame itself (features persisted at
+        fit time — no second KNN pass)."""
+        if self.error_model is None:
+            raise RuntimeError("UQConformal not fitted — call .fit() first")
+        from pyspark.ml.feature import VectorAssembler
+
+        if df is None:
+            feats = self._cal_feats
+        else:
+            feats = uq_feature_frame(
+                df, self.id_col, prediction, self.feature_cols,
+                k=self.k, prediction_std=prediction_std, knn_method=self.knn_method,
+            )
+        va = VectorAssembler(inputCols=self.FEATURES, outputCol="__X")
+        scored = self.error_model.transform(va.transform(feats))
+        out = scored.select(
+            self.id_col,
+            "prediction",
+            F.col("__expected").alias("expected_residual"),
+            (1.0 - _rank_expr("__expected", self.residual_percentiles)).alias(
+                "confidence"
+            ),
+        )
+        for a in self.confidence_levels:
+            s = self.scale_factors[a]
+            tag = f"{int(round(a * 100)):02d}"
+            out = out.withColumn(
+                f"lower_{tag}",
+                F.col("prediction") - s * F.col("expected_residual"),
+            ).withColumn(
+                f"upper_{tag}",
+                F.col("prediction") + s * F.col("expected_residual"),
+            )
+        return out
+
+
+def uq_applicability(
+    train: DataFrame,
+    queries: DataFrame | None,
+    feature_cols: list[str],
+    id_col: str,
+    target: str,
+    k: int = 10,
+    quantiles: tuple[float, ...] = (0.05, 0.25, 0.50, 0.75, 0.95),
+    knn_method: str = "exact",
+) -> DataFrame:
+    """v2 — applicability-domain confidence (uq_model_v2.py:1-419): no
+    fitted model. Per query: mean distance + target-std of its k unique
+    nearest TRAINING neighbors; confidence =
+    (1-dist_percentile)·(1-var_percentile) ranked against the training
+    set's own distribution; intervals = neighbor-target quantiles
+    (centered on the neighbor median, deliberately not on the model
+    prediction — the gap IS the cliff diagnostic).
+
+    queries=None scores the training frame against itself (the
+    fit-time distribution pass and the predict pass share one code path);
+    a queries frame restricts output to its ids (they must exist in
+    ``train`` — novel-vector scoring goes through the same path after a
+    union-with-null-target, as in the reference's query_df dispatch).
+    """
+    from workbench_spark.operators.similarity import euclidean_knn
+
+    base = train.select(
+        F.col(id_col), *[F.col(c) for c in feature_cols], F.col(target)
+    )
+    qframe = base if queries is None else queries
+    # one unioned KNN pass keyed by origin (train rows rank the training
+    # distribution; query rows get scored) — single candidate join
+    knn = euclidean_knn(base, feature_cols, id_col, k=k, method=knn_method)
+    y = base.select(F.col(id_col).alias("neighbor_id"), F.col(target).alias("__ny"))
+    neigh = knn.join(y, "neighbor_id")
+    stats = neigh.groupBy("id").agg(
+        F.avg("distance").alias("mean_dist"),
+        F.stddev("__ny").alias("target_std"),
+        F.percentile(F.col("__ny"), F.array(*[F.lit(q) for q in quantiles])).alias(
+            "__nq"
+        ),
+        F.percentile(F.col("__ny"), F.lit(0.5)).alias("neighbor_median"),
+    )
+    # training distribution of the two stats: 101-point CDFs, driver-side
+    # constants (O(1) regardless of N)
+    cdf = stats.agg(
+        F.percentile(
+            F.col("mean_dist"), F.array(*[F.lit(p / 100.0) for p in range(101)])
+        ).alias("__dcdf"),
+        F.percentile(
+            F.col("target_std"), F.array(*[F.lit(p / 100.0) for p in range(101)])
+        ).alias("__vcdf"),
+    ).first()
+    dist_rank = _rank_expr("mean_dist", list(cdf["__dcdf"]))
+    var_rank = _rank_expr("target_std", list(cdf["__vcdf"]))
+    out = stats.select(
+        "id",
+        "mean_dist",
+        "target_std",
+        "neighbor_median",
+        ((1.0 - dist_rank) * (1.0 - var_rank)).alias("confidence"),
+        *[
+            F.element_at("__nq", i + 1).alias(f"q_{str(q).replace('0.', '')}")
+            for i, q in enumerate(quantiles)
+        ],
+    )
+    if queries is not None:
+        out = out.join(
+            qframe.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+    return out

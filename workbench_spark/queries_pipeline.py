@@ -859,6 +859,103 @@ def m4_uq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uq_from_neighbors(c, "c_custkey", "pred", ["c_acctbal"], k=5)
 
 
+@query(
+    "m4_uq_coverage",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS BOOLEAN) AS cov50_ok,
+           CAST(1 AS BOOLEAN) AS cov90_ok,
+           CAST(1 AS BOOLEAN) AS widths_ordered
+    FROM customer WHERE c_custkey <= 750
+    """,
+)
+def m4_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 v1 conformal UQ oracle (VERDICT r1 ask): the RF error model
+    isn't engine-portable, but the conformal finite-sample guarantee IS —
+    on the calibration frame, the alpha-interval must cover >= alpha of
+    true values, and the 90% interval must be wider than the 50%.
+    Prediction = target + seeded-hash noise so the frame is deterministic."""
+    from workbench_spark.operators.uq import UQConformal
+
+    cal = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 750)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_acctbal").cast("double"),
+            F.col("c_nationkey").cast("double"),
+            F.col("c_acctbal").cast("double").alias("y_true"),
+            (
+                F.col("c_acctbal")
+                + (F.pmod(F.xxhash64("c_custkey"), F.lit(201)) - 100) / 10.0
+            ).alias("prediction"),
+        )
+    )
+    uq = UQConformal(
+        ["c_acctbal", "c_nationkey"], id_col="id",
+        confidence_levels=(0.5, 0.9), k=5, n_trees=10,
+    ).fit(cal, target="y_true", prediction="prediction")
+    out = uq.predict(None, prediction="prediction").join(
+        cal.select("id", "y_true"), "id"
+    )
+    inside = lambda tag: F.avg(  # noqa: E731
+        F.when(
+            (F.col("y_true") >= F.col(f"lower_{tag}"))
+            & (F.col("y_true") <= F.col(f"upper_{tag}")),
+            1.0,
+        ).otherwise(0.0)
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        (inside("50") >= 0.5).alias("cov50_ok"),
+        (inside("90") >= 0.9).alias("cov90_ok"),
+        (
+            F.avg(F.col("upper_90") - F.col("lower_90"))
+            > F.avg(F.col("upper_50") - F.col("lower_50"))
+        ).alias("widths_ordered"),
+    )
+
+
+@query(
+    "m4_uq_applicability",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS BOOLEAN) AS conf_in_range,
+           CAST(1 AS BOOLEAN) AS quantiles_ordered
+    FROM customer WHERE c_custkey <= 750
+    """,
+)
+def m4_applicability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 v2 applicability-domain invariants (uq_model_v2.py): one output
+    row per input, confidence in [0,1], neighbor-target quantiles ordered
+    around the median."""
+    from workbench_spark.operators.uq import uq_applicability
+
+    cal = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 750)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_acctbal").cast("double"),
+            F.col("c_nationkey").cast("double"),
+            F.col("c_acctbal").cast("double").alias("y_true"),
+        )
+    )
+    out = uq_applicability(
+        cal, None, ["c_acctbal", "c_nationkey"], "id", "y_true", k=5
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            (F.min("confidence") >= 0.0) & (F.max("confidence") <= 1.0)
+        ).alias("conf_in_range"),
+        F.min(
+            (F.col("q_05") <= F.col("neighbor_median"))
+            & (F.col("neighbor_median") <= F.col("q_95"))
+        ).alias("quantiles_ordered"),
+    )
+
+
 # =====================================================================
 # As-of join + relational completions (cube/rollup, intersect/except)
 # =====================================================================
