@@ -247,3 +247,62 @@ def test_stratified_split(spark):
     # every stratum represented on both sides
     strata = {r[0] for r in ev.select("event_type").distinct().collect()}
     assert {r[0] for r in train.select("event_type").distinct().collect()} == strata
+
+
+def test_ruzicka_pairs_exact_values(spark):
+    """ruzicka_pairs on hand-computed count vectors: sim = sum(min)/sum(max)."""
+    from workbench_spark.operators.chem import ruzicka_knn, ruzicka_pairs
+
+    # a={x:3,y:1}, b={x:1,y:1,z:2}, c={q:5}
+    rows = [
+        (1, "x", 3), (1, "y", 1),
+        (2, "x", 1), (2, "y", 1), (2, "z", 2),
+        (3, "q", 5),
+    ]
+    long_df = spark.createDataFrame(rows, ["id", "dim", "cnt"])
+    got = {(r["id_a"], r["id_b"]): r["ruzicka"] for r in ruzicka_pairs(long_df, threshold=0.0).collect()}
+    # min(a,b)=1+1=2, max=3+1+2=6 -> 1/3 ; a∩c = b∩c = 0 -> no pair rows
+    assert got == {(1, 2): pytest.approx(2 / 6)}
+
+    knn = ruzicka_knn(long_df, k=2).collect()
+    by_id = {}
+    for r in knn:
+        by_id.setdefault(r["id"], []).append(r)
+    assert [n["neighbor_id"] for n in by_id[1]] == [2]
+    assert by_id[1][0]["distance"] == pytest.approx(1 - 2 / 6)
+    assert by_id[1][0]["similarity"] == pytest.approx(2 / 6)
+    assert 3 not in by_id  # zero-overlap rows omitted, documented semantics
+
+
+def test_ruzicka_morgan_count_pipeline(spark, mols):
+    """End-to-end: SMILES -> count fp map -> long form -> pairs; identical
+    molecules (same canonical form under the stub) hit ruzicka == 1.0."""
+    from workbench_spark.operators.chem import (
+        count_fp_long,
+        morgan_count_fingerprints,
+        ruzicka_pairs,
+    )
+
+    fp = morgan_count_fingerprints(
+        mols.filter(F.col("smiles").isNotNull()), n_bits=512
+    )
+    row = fp.filter(F.col("count_fp").isNotNull()).first()
+    assert all(v > 0 for v in row["count_fp"].values())
+    long_df = count_fp_long(fp.filter(F.col("count_fp").isNotNull()))
+    found = {(r["id_a"], r["id_b"]): r["ruzicka"] for r in ruzicka_pairs(long_df, threshold=0.99).collect()}
+    assert ("m1", "m2") in found and found[("m1", "m2")] == pytest.approx(1.0)
+
+
+def test_ruzicka_df_cap_recall(spark):
+    """df_cap drops hot dims: pairs supported only by a capped dim vanish
+    (documented recall trade), pairs on cold dims survive."""
+    from workbench_spark.operators.chem import ruzicka_pairs
+
+    # dim "hot" shared by ids 1..20; dim "cold" shared by ids 1,2 only
+    rows = [(i, "hot", 1) for i in range(1, 21)] + [(1, "cold", 9), (2, "cold", 9)]
+    long_df = spark.createDataFrame(rows, ["id", "dim", "cnt"])
+    full = ruzicka_pairs(long_df, threshold=0.01)
+    capped = ruzicka_pairs(long_df, threshold=0.01, df_cap=5)
+    assert full.count() == 20 * 19 // 2
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(1, 2)}  # only the cold-dim pair survives

@@ -150,6 +150,148 @@ def tanimoto_pairs(
     )
 
 
+# ------------------------------------------------- count fingerprints (J6)
+def morgan_count_fingerprints(
+    df: DataFrame, smiles_col: str = "smiles", n_bits: int = 1024, out_col: str = "count_fp"
+) -> DataFrame:
+    """C1 count variant — Morgan COUNT fingerprints
+    (fingerprints.py:28-114: comma-separated uint8 counts, the reference's
+    ADMET-modeling standard). Emitted as map<int,int> of NONZERO dims only
+    — the sparse form the Ruzicka join consumes directly; at 4096 bits the
+    dense string is ~99% zeros, so the map is also the cheaper wire format.
+    RDKit path hashes real circular substructures; fallback derives a
+    DETERMINISTIC FAKE sparse histogram from md5 of the canonical form."""
+
+    @pandas_udf(T.MapType(T.IntegerType(), T.IntegerType()))
+    def fp(smiles: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None or not str(s).strip():
+                return None
+            if HAVE_RDKIT:  # pragma: no cover
+                from rdkit.Chem import AllChem
+
+                mol = Chem.MolFromSmiles(s)
+                if mol is None:
+                    return None
+                fpo = AllChem.GetHashedMorganFingerprint(mol, 2, nBits=n_bits)
+                return {int(i): min(int(c), 255) for i, c in fpo.GetNonzeroElements().items()}
+            seed = hashlib.md5(str(s).strip().upper().encode()).digest()
+            out: dict[int, int] = {}
+            for i in range(0, 16, 2):
+                out[(seed[i] * 256 + seed[i + 1]) % n_bits] = seed[i] % 8 + 1
+            return out
+
+        return smiles.map(one)
+
+    return df.withColumn(out_col, fp(F.col(smiles_col)))
+
+
+def count_fp_long(df: DataFrame, id_col: str = "id", fp_col: str = "count_fp") -> DataFrame:
+    """map<dim,cnt> → long form (id, dim, cnt) — the inverted-index input
+    shape shared by ruzicka_pairs/ruzicka_knn. JVM-side explode."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.col(fp_col)).alias("dim", "cnt")
+    ).filter(F.col("cnt") > 0)
+
+
+def ruzicka_pairs(
+    long_df: DataFrame, threshold: float = 0.7, df_cap: int | None = None
+) -> DataFrame:
+    """J6 count-fingerprint similarity join — Ruzicka (weighted Tanimoto)
+    pairs over sparse count vectors given long-form (id, dim, cnt).
+
+    Replaces the reference's chunked dense Q×N block scan
+    (fingerprint_proximity.py:19-270 `_SparseRuzickaNN`: ruzicka_dist =
+    2·L1/(S_q+S_r+L1)) with an EXACT inverted-index equi-join. Identity:
+    Σmin(a,b) only gets contributions from SHARED nonzero dims, and
+    Σmax = S_a + S_b − Σmin, so
+
+        ruzicka = Σmin / Σmax = minsum / (S_a + S_b − minsum)
+
+    is computable from an equi-join on dim + groupBy(id_a,id_b) — pairs
+    only materialize on shared dims, never a cross product (CLAUDE.md
+    invariant). 100 TB shape: one shuffle on dim (map-side combinable
+    sum(least)), one on (id_a,id_b); row sums are a separate tiny agg
+    broadcast back in. `df_cap` drops dims hotter than the cap before the
+    pair join (documented recall trade for power-law dims — a dim shared
+    by f rows yields f² pair fragments; cap≈√(target) bounds the blowup).
+    """
+    tok = long_df.select("id", "dim", F.col("cnt").cast("long").alias("cnt"))
+    if df_cap is not None:
+        hot = tok.groupBy("dim").agg(F.count(F.lit(1)).alias("__f")).filter(
+            F.col("__f") > df_cap
+        )
+        tok = tok.join(F.broadcast(hot), "dim", "left_anti")
+    sums = long_df.groupBy("id").agg(F.sum("cnt").alias("s"))
+    pairs = (
+        tok.alias("a")
+        .join(tok.alias("b"), "dim")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.least(F.col("a.cnt"), F.col("b.cnt"))).alias("minsum"))
+    )
+    out = (
+        pairs.join(F.broadcast(sums.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))), "id_a")
+        .join(F.broadcast(sums.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))), "id_b")
+        .withColumn(
+            "ruzicka",
+            F.col("minsum") / (F.col("s_a") + F.col("s_b") - F.col("minsum")),
+        )
+    )
+    return out.select("id_a", "id_b", "ruzicka").filter(F.col("ruzicka") >= threshold)
+
+
+def ruzicka_knn(long_df: DataFrame, k: int = 5, query_ids: DataFrame | None = None) -> DataFrame:
+    """J6 neighbor lookup — top-k Ruzicka neighbors per id (the Proximity
+    `neighbors()` contract, fingerprint_proximity.py kneighbors). Same
+    inverted-index join, both orientations unioned, then a per-id window
+    top-k with (distance, neighbor_id) tiebreak. Neighbors with ZERO
+    shared dims (distance exactly 1.0) never enter the index join and are
+    omitted — the reference would pad with arbitrary distance-1 rows;
+    omission is the honest distributed semantics and is documented here.
+    `query_ids` (one `id` column) restricts output rows, but candidates
+    still come from the full reference set."""
+    tok = long_df.select("id", "dim", F.col("cnt").cast("long").alias("cnt"))
+    sums = long_df.groupBy("id").agg(F.sum("cnt").alias("s"))
+    half = (
+        tok.alias("a")
+        .join(tok.alias("b"), "dim")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.least(F.col("a.cnt"), F.col("b.cnt"))).alias("minsum"))
+    )
+    both = half.unionByName(
+        half.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "minsum"
+        )
+    )
+    scored = (
+        both.join(F.broadcast(sums.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))), "id_a")
+        .join(F.broadcast(sums.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))), "id_b")
+        .withColumn(
+            "distance",
+            1.0 - F.col("minsum") / (F.col("s_a") + F.col("s_b") - F.col("minsum")),
+        )
+    )
+    if query_ids is not None:
+        scored = scored.join(
+            F.broadcast(query_ids.select(F.col(query_ids.columns[0]).alias("id_a"))),
+            "id_a",
+            "left_semi",
+        )
+    w = Window.partitionBy("id_a").orderBy(F.col("distance").asc(), F.col("id_b").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("id_a").alias("id"),
+            F.col("id_b").alias("neighbor_id"),
+            "distance",
+            (1.0 - F.col("distance")).alias("similarity"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ tagging
 def tag_molecules(df: DataFrame, smiles_col: str = "smiles", out_col: str = "tags") -> DataFrame:
     """C5 — per-molecule tag array. RDKit path would compute structural

@@ -230,6 +230,52 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "ruzicka_count_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id AS id, t AS dim, COUNT(*) AS cnt
+      FROM (SELECT doc_id,
+                   UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+            FROM documents WHERE doc_id < 250)
+      GROUP BY doc_id, t
+    ),
+    sums AS (SELECT id, SUM(cnt) AS s FROM tok GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, SUM(LEAST(a.cnt, b.cnt)) AS minsum
+      FROM tok a JOIN tok b ON a.dim = b.dim AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(minsum AS DOUBLE) / (sa.s + sb.s - minsum), 6) AS ruzicka
+    FROM pairs
+    JOIN sums sa ON pairs.id_a = sa.id
+    JOIN sums sb ON pairs.id_b = sb.id
+    WHERE CAST(minsum AS DOUBLE) / (sa.s + sb.s - minsum) >= 0.4
+    """,
+)
+def ruzicka_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 count-fingerprint Ruzicka (weighted Tanimoto) pairs — exact
+    inverted-index equi-join (chem.ruzicka_pairs), oracled on token-count
+    vectors (bag-of-words = the engine-portable count fingerprint; the
+    Morgan count path differs only in how (id, dim, cnt) is produced)."""
+    from workbench_spark.operators.chem import ruzicka_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    long_df = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+            ).alias("dim"),
+        )
+        .groupBy("id", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = ruzicka_pairs(long_df, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("ruzicka", 6).alias("ruzicka"))
+
+
 @query("dedup_minhash_pairs")  # xxhash64 signatures — rows-only check
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) near-dup candidate pairs with estimated
