@@ -271,6 +271,33 @@ def test_athena_date_functions_translate():
     assert t("SELECT 'keep %Y raw' AS s") == "SELECT 'keep %Y raw' AS s"
 
 
+def test_athena_date_format_case_and_nesting():
+    from workbench_spark.functions.athena_sql import translate_athena_sql as t
+
+    # user-written uppercase/mixed-case heads must still convert (r2 ADVICE:
+    # the old pass was case-sensitive and let MySQL codes reach Spark)
+    assert t("SELECT DATE_FORMAT(ts, '%Y-%m') FROM t") == (
+        "SELECT DATE_FORMAT(ts, 'yyyy-MM') FROM t"
+    )
+    assert t("SELECT Date_Format(ts, '%Y-%m-%d') FROM t") == (
+        "SELECT Date_Format(ts, 'yyyy-MM-dd') FROM t"
+    )
+    # arbitrarily nested first argument (r2 ADVICE: single-level regex
+    # skipped conversion silently)
+    assert t(
+        "SELECT date_format(coalesce(a, cast(b as timestamp)), '%Y-%m') FROM t"
+    ) == "SELECT date_format(coalesce(a, cast(b as timestamp)), 'yyyy-MM') FROM t"
+    # nested date_parse inside date_format: both literals convert
+    assert t(
+        "SELECT date_format(date_parse(s, '%Y-%m-%d'), '%H:%i') FROM t"
+    ) == "SELECT date_format(to_timestamp(s, 'yyyy-MM-dd'), 'HH:mm') FROM t"
+    # a format argument we cannot safely rewrite fails loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot safely rewrite"):
+        t("SELECT date_format(ts, concat('%Y', '-%m')) FROM t")
+
+
 def test_athena_date_sql_runs(spark, ds):
     """Reference-shaped date-filtered SQL must run unchanged end to end."""
     out = ds.query(

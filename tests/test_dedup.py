@@ -123,3 +123,79 @@ def test_minhash_dedup_removes_planted(spark, docs_with_planted_dups):
     # survivors < 500; anything far below that would mean over-deletion
     n_base = survivors.filter(F.col("doc_id") < 1_000_000).count()
     assert 460 <= n_base < 500, n_base
+
+
+def test_ngram_df_cap_bounds_hot_shingle_candidates(spark):
+    """Skew guard: one shingle present in 50% of docs must not create a
+    quadratic candidate bucket when df_cap is set."""
+    from workbench_spark.operators.dedup import ngram_jaccard_pairs
+
+    n_docs = 200
+    rows = []
+    for i in range(n_docs):
+        # every even doc shares the hot phrase; unique tail keeps docs distinct
+        hot = "the quick brown fox jumps " if i % 2 == 0 else ""
+        rows.append((i, hot + f"unique payload {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(20)
+        )))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.0, df_cap=10
+    )
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    # the hot shingle alone makes C(100,2)=4950 candidate pairs; the cap
+    # must eliminate that bucket (only genuinely-similar pairs remain)
+    assert n_uncapped >= 4950
+    assert n_capped < 100
+    # exact semantics preserved when df_cap=None: jaccard values of capped
+    # pairs are a subset computed over full shingle sets (denominator
+    # unchanged), so every capped pair also appears uncapped
+    cap_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    unc_pairs = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert cap_pairs <= unc_pairs
+
+
+def test_lsh_embedding_candidates_empty_frame(spark):
+    """Empty input must yield an empty pairs frame, not TypeError on
+    first() (r2 ADVICE)."""
+    from pyspark.sql import types as T
+
+    from workbench_spark.operators.dedup import embedding_near_dup_pairs
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    out = embedding_near_dup_pairs(empty, threshold=0.9, use_lsh=True)
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "cosine_sim"}
+
+
+def test_blas_embedding_pairs_auto_route_to_lsh(spark):
+    """Past the driver-matrix bound, method='blas' must route to the LSH
+    path (warning emitted) instead of collecting to the driver."""
+    import warnings
+
+    from workbench_spark.operators.dedup import embedding_near_dup_pairs
+    from workbench_spark.operators.similarity import DRIVER_MATRIX_CONF
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    spark.conf.set(DRIVER_MATRIX_CONF, "1024")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = embedding_near_dup_pairs(
+                emb, threshold=0.95, method="blas", dim=len(
+                    emb.select("embedding").first()[0]
+                ),
+            )
+            rows = out.count()
+        assert any("routing to the hyperplane-LSH" in str(x.message) for x in w)
+        assert rows >= 0  # LSH path executed without driver materialization
+    finally:
+        spark.conf.unset(DRIVER_MATRIX_CONF)

@@ -214,3 +214,24 @@ def test_blas_knn_matches_expression_knn(spark, emb):
     assert set(a) == set(b)
     for pair in a:
         assert abs(a[pair] - b[pair]) < 1e-9
+
+
+def test_driver_matrix_gate_raises_and_is_configurable(spark, emb):
+    """The blas exact path must refuse (with a routing hint) to collect a
+    query matrix past the configured bound — gate in code, not docs."""
+    from workbench_spark.operators.similarity import (
+        DRIVER_MATRIX_CONF,
+        cosine_knn_blas,
+        driver_matrix_check,
+    )
+
+    spark.conf.set(DRIVER_MATRIX_CONF, "1024")  # 1 KiB: everything too big
+    try:
+        fits, est, limit = driver_matrix_check(emb, "embedding")
+        assert not fits and est > limit == 1024
+        with pytest.raises(ValueError, match="lsh_cosine_knn"):
+            cosine_knn_blas(emb, k=5)
+    finally:
+        spark.conf.unset(DRIVER_MATRIX_CONF)
+    fits, _, _ = driver_matrix_check(emb, "embedding")
+    assert fits  # default 256 MiB bound admits the test-scale frame

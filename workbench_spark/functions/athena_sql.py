@@ -108,6 +108,64 @@ def _mysql_to_java(fmt: str) -> str:
     return "".join(out)
 
 
+_FMT_HEAD_RE = re.compile(r"\b(?:to_timestamp|date_format)\s*\(", re.I)
+_BARE_LIT_RE = re.compile(r"^\x00LIT(\d+)\x00$")
+_ANY_LIT_RE = re.compile(r"\x00LIT(\d+)\x00")
+
+
+def _convert_format_literals(masked: str, literals: list[str]) -> None:
+    """Convert MySQL format literals in to_timestamp/date_format calls.
+
+    Mutates ``literals`` in place (the masked text keeps its placeholders).
+    For each call head (case-insensitive), walks to the matching close
+    paren, splits top-level arguments, and converts the last argument when
+    it is a bare string literal containing MySQL % codes. If a literal with
+    MySQL codes sits anywhere else in the call's final argument (wrapped in
+    an expression we can't safely rewrite), raise — the module's policy is
+    to fail loudly rather than let Spark misread 'm' as minute-of-hour.
+    """
+    for head in _FMT_HEAD_RE.finditer(masked):
+        open_paren = head.end() - 1
+        depth = 0
+        args: list[str] = []
+        arg_start = open_paren + 1
+        close = None
+        for i in range(open_paren, len(masked)):
+            ch = masked[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+            elif ch == "," and depth == 1:
+                args.append(masked[arg_start:i])
+                arg_start = i + 1
+        if close is None:
+            continue  # unbalanced — leave for Spark's parser to report
+        args.append(masked[arg_start:close])
+        if len(args) < 2:
+            continue  # single-arg to_timestamp(s): no format literal
+        last = args[-1].strip()
+        bare = _BARE_LIT_RE.match(last)
+        if bare:
+            lit_id = int(bare.group(1))
+            raw = literals[lit_id][1:-1].replace("''", "'")
+            if _MYSQL_CODE_RE.search(raw):
+                converted = _mysql_to_java(raw)
+                literals[lit_id] = "'" + converted.replace("'", "''") + "'"
+        else:
+            for m in _ANY_LIT_RE.finditer(last):
+                raw = literals[int(m.group(1))][1:-1].replace("''", "'")
+                if _MYSQL_CODE_RE.search(raw):
+                    raise ValueError(
+                        "MySQL datetime pattern %r in a format argument this shim "
+                        "cannot safely rewrite (wrapped in an expression); pass the "
+                        "format as a plain string literal" % raw
+                    )
+
+
 def translate_athena_sql(sql: str) -> str:
     """Rewrite Athena/Presto SQL to Spark SQL (string literals protected)."""
     # protect string literals
@@ -123,21 +181,13 @@ def translate_athena_sql(sql: str) -> str:
     for pat, repl in _REPLACEMENTS:
         masked = pat.sub(repl, masked)
 
-    # MySQL datetime patterns live in the literal right after a translated
-    # to_timestamp( / date_format( head; convert those literals in place
-    def convert_fmt_args(m: re.Match) -> str:
-        head, lit_id = m.group(1), int(m.group(2))
-        raw = literals[lit_id][1:-1].replace("''", "'")
-        if _MYSQL_CODE_RE.search(raw):
-            converted = _mysql_to_java(raw)
-            literals[lit_id] = "'" + converted.replace("'", "''") + "'"
-        return head + f"\x00LIT{lit_id}\x00"
-
-    masked = re.sub(
-        r"((?:to_timestamp|date_format)\s*\((?:[^()\x00]|\x00LIT\d+\x00|\([^()]*\))*?,\s*)\x00LIT(\d+)\x00(?=\s*\))",
-        convert_fmt_args,
-        masked,
-    )
+    # MySQL datetime patterns live in the final literal argument of a
+    # to_timestamp( / date_format( call (whether produced by _REPLACEMENTS
+    # or written by the user in any case). A balanced-paren walk handles
+    # arbitrary nesting in the first argument — coalesce(a, cast(b as
+    # timestamp)) etc. — and any format literal that still carries MySQL
+    # codes but can't be converted raises instead of reaching Spark wrong.
+    _convert_format_literals(masked, literals)
 
     # timestampadd/timestampdiff want a bare unit keyword, not a literal
     def unquote_unit(m: re.Match) -> str:

@@ -128,6 +128,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     inverted-index self-join (shingle → doc), count shared shingles per
@@ -135,15 +136,29 @@ def ngram_jaccard_pairs(
 
     Scale: the explode shuffles (shingle, id) — linear in corpus size; the
     pair-count groupBy only sees co-occurring pairs. Hot shingles (stop-
-    shingles) create skew → drop shingles above a document-frequency cap
-    the same way search engines drop stopwords (df_cap param would go
-    here; AQE skew-join covers moderate cases).
+    shingles) create quadratic skew buckets: ``df_cap`` drops shingles whose
+    document frequency exceeds the cap BEFORE the self-join, the same way
+    search engines drop stopwords. A dropped shingle still counts in the
+    |A| / |B| denominators but cannot contribute to the intersection, so
+    jaccard is a (slight) underestimate for pairs sharing hot shingles —
+    df_cap=None (default) keeps the exact semantics for oracle comparison.
     """
     sh = shingle_frame(df, text_col, id_col, n, "sh").withColumnRenamed(
         id_col, "id"
     ).withColumn("sz", F.size("sh"))
     sizes = sh.select("id", "sz")
     exploded = sh.select("id", F.explode("sh").alias("g"))
+    if df_cap is not None:
+        # hot-shingle set is tiny (only shingles above the cap) → the
+        # left_anti join broadcasts; the candidate stream per shingle is
+        # then bounded by df_cap docs → ≤ df_cap² pairs per shingle.
+        hot = (
+            exploded.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > df_cap)
+            .select("g")
+        )
+        exploded = exploded.join(F.broadcast(hot), "g", "left_anti")
     pairs = (
         exploded.alias("a")
         .join(exploded.alias("b"), "g")
@@ -253,7 +268,15 @@ def minhash_lsh_pairs(
     # should unpersist via banded.unpersist() semantics — Spark evicts LRU
     # otherwise).
     if persist_signatures:
-        banded = banded.persist()
+        # Eager localCheckpoint materializes the banded signatures ONCE and
+        # truncates lineage, so the self-join provably scans the stored
+        # blocks instead of recomputing the 32-hash signature pipeline per
+        # side (persist() alone left both sides computing: the alias dedup
+        # re-keys attributes, no ReusedExchange, and the driver bench showed
+        # the 2x never went away). Unlike persist(), the blocks are released
+        # by the ContextCleaner when the frame is GC'd — no session-lifetime
+        # cache leak from repeated calls.
+        banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     est = F.aggregate(
         F.zip_with("a.minhash", "b.minhash", lambda x, y: F.when(x == y, 1).otherwise(0)),
@@ -481,6 +504,24 @@ def embedding_near_dup_pairs(
         return scored.filter(F.col("cosine_sim") >= threshold)
 
     if method == "blas":
+        # Gate the driver-collect IN CODE, not just docs: above the
+        # configurable bound, auto-route to the LSH scale path instead of
+        # materializing the full matrix on the driver.
+        from workbench_spark.operators.similarity import driver_matrix_check
+
+        fits, est, limit = driver_matrix_check(df, vec_col)
+        if not fits:
+            import warnings
+
+            warnings.warn(
+                f"embedding_near_dup_pairs(method='blas') would collect "
+                f"~{est >> 20} MiB onto the driver (limit {limit >> 20} MiB); "
+                f"routing to the hyperplane-LSH path (use_lsh=True).",
+                stacklevel=2,
+            )
+            return embedding_near_dup_pairs(
+                df, id_col, vec_col, threshold, use_lsh=True, **lsh_kwargs
+            )
         return _blas_threshold_pairs(df, id_col, vec_col, threshold)
 
     a = df.select(
@@ -523,7 +564,11 @@ def _lsh_embedding_candidates(
     from workbench_spark.operators.similarity import _norm, hyperplane_signature
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # first() is a full Spark job at plan-build time — hot paths should
+        # pass dim explicitly. Guard the empty-frame case (first() -> None):
+        # any dim keeps the plan valid and it yields zero candidate rows.
+        row = df.select(vec_col).first()
+        dim = 1 if row is None or row[0] is None else len(row[0])
     rng = random.Random(seed)
     tables = []
     base = df.select(

@@ -34,6 +34,39 @@ def _dot(a, b):
     )
 
 
+# The exact blas paths materialize a matrix on the driver (toPandas) and
+# ship it to every partition. That is right-sized while the matrix fits a
+# broadcast-style bound; past it, the code must route to an LSH path, not
+# quietly OOM the driver at 100x the test scale. The bound is configurable
+# per session (bytes); the check costs one count() + one first() — noise
+# next to the toPandas it guards.
+DRIVER_MATRIX_CONF = "spark.workbench.driverMatrix.maxBytes"
+_DEFAULT_DRIVER_MATRIX_BYTES = 256 << 20  # 256 MiB of float64s
+
+
+def driver_matrix_check(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    dim: int | None = None,
+    max_bytes: int | None = None,
+) -> tuple[bool, int, int]:
+    """Estimate the driver-side footprint of collecting ``df[vec_col]`` as
+    a dense float64 matrix. Returns (fits, estimated_bytes, limit_bytes).
+    max_bytes <= 0 disables the gate (always fits)."""
+    if max_bytes is None:
+        raw = df.sparkSession.conf.get(DRIVER_MATRIX_CONF, None)
+        max_bytes = int(raw) if raw is not None else _DEFAULT_DRIVER_MATRIX_BYTES
+    if max_bytes <= 0:
+        return True, 0, max_bytes
+    n = df.count()
+    if dim is None:
+        row = df.select(vec_col).first()
+        dim = 0 if row is None or row[0] is None else len(row[0])
+    est = n * dim * 8
+    return est <= max_bytes, est, max_bytes
+
+
 def _norm(a):
     return F.sqrt(
         F.aggregate(
@@ -420,6 +453,14 @@ def cosine_knn_blas(
     from pyspark.sql import types as T
 
     q = queries if queries is not None else vectors
+    fits, est, limit = driver_matrix_check(q, vec_col)
+    if not fits:
+        raise ValueError(
+            f"cosine_knn_blas would collect ~{est >> 20} MiB of query vectors "
+            f"onto the driver (limit {limit >> 20} MiB). Use lsh_cosine_knn / "
+            f"ivf_cosine_knn for query sets this large, partition the queries "
+            f"and union, or raise {DRIVER_MATRIX_CONF}."
+        )
     q_pdf = q.select(id_col, vec_col).toPandas()
     q_ids = q_pdf[id_col].to_numpy()
     Q = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)

@@ -131,6 +131,15 @@ class UQConformal:
         self.error_model = None
         self.scale_factors: dict[float, float] | None = None
         self.residual_percentiles: list[float] | None = None
+        self._cal_feats: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist the cached calibration feature frame (fit() caches it
+        for predict(None); repeated fits in one session would otherwise
+        leak cached blocks until LRU eviction)."""
+        if self._cal_feats is not None:
+            self._cal_feats.unpersist()
+            self._cal_feats = None
 
     # ---------------------------------------------------------------- fit
     def fit(
@@ -143,6 +152,7 @@ class UQConformal:
         from pyspark.ml.feature import VectorAssembler
         from pyspark.ml.regression import RandomForestRegressor
 
+        self.release()  # re-fit: drop the previous calibration cache
         feats = uq_feature_frame(
             cal, self.id_col, prediction, self.feature_cols,
             k=self.k, prediction_std=prediction_std, knn_method=self.knn_method,
@@ -224,15 +234,18 @@ class UQConformal:
                 "confidence"
             ),
         )
+        # bounds use the SAME 1e-10 floor as the nonconformity denominator
+        # at fit time — otherwise a row where the RF predicts ~0 expected
+        # residual counts as covered in the quantile accounting yet gets a
+        # zero-width interval, a marginal hole in the coverage guarantee
+        floored = F.greatest(F.col("expected_residual"), F.lit(1e-10))
         for a in self.confidence_levels:
             s = self.scale_factors[a]
             tag = f"{int(round(a * 100)):02d}"
             out = out.withColumn(
-                f"lower_{tag}",
-                F.col("prediction") - s * F.col("expected_residual"),
+                f"lower_{tag}", F.col("prediction") - s * floored
             ).withColumn(
-                f"upper_{tag}",
-                F.col("prediction") + s * F.col("expected_residual"),
+                f"upper_{tag}", F.col("prediction") + s * floored
             )
         return out
 

@@ -122,7 +122,9 @@ def sessionize(
     equivalent; standard OLAP pattern). Adds ``session_id`` =
     '{user}_{n}'. One shuffle on user_col; both windows share it."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    # via-timestamp cast: TIMESTAMP_NTZ can't cast to double directly
+    secs = F.col(ts_col).cast("timestamp").cast("double")
+    gap = secs - F.lag(secs).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))

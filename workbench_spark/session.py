@@ -77,6 +77,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # preserve original column order
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    elif name == "events" and isinstance(
+        df.schema["ts"].dataType, T.TimestampNTZType
+    ):
+        # micros with isAdjustedToUTC=false → Spark infers TIMESTAMP_NTZ,
+        # which can't be cast to double and diverges from DuckDB's
+        # naive-as-UTC reading. Pin the session tz so NTZ→LTZ maps
+        # wall-clock = UTC instant (bare driver sessions may not be UTC).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
 
 
