@@ -1,0 +1,179 @@
+"""Golden-value tests for the pure-Python chemistry engine
+(workbench_spark.chem): SMILES parsing, descriptors vs published
+RDKit/PubChem numbers, ECFP fingerprints, Morgan canonicalization.
+
+No Spark needed — the engine is plain Python executed inside pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from workbench_spark.chem.canon import canonical_smiles
+from workbench_spark.chem.descriptors import compute_descriptors
+from workbench_spark.chem.fingerprints import morgan_bits, morgan_counts
+from workbench_spark.chem.smiles import SmilesError, mol_formula_weight, parse_smiles
+
+# (name, smiles, expected MW) — MW from standard atomic weights
+MW_CASES = [
+    ("ethanol", "CCO", 46.07),
+    ("benzene-aromatic", "c1ccccc1", 78.11),
+    ("benzene-kekule", "C1=CC=CC=C1", 78.11),
+    ("aspirin", "CC(=O)Oc1ccccc1C(=O)O", 180.16),
+    ("caffeine", "Cn1cnc2c1c(=O)n(C)c(=O)n2C", 194.19),
+    ("pyridine", "c1ccncc1", 79.10),
+    ("pyrrole", "c1cc[nH]c1", 67.09),
+    ("imidazole", "c1c[nH]cn1", 68.08),
+    ("furan", "c1ccoc1", 68.07),
+    ("thiophene", "c1ccsc1", 84.14),
+    ("ibuprofen", "CC(C)Cc1ccc(cc1)C(C)C(=O)O", 206.28),
+    ("paracetamol", "CC(=O)Nc1ccc(O)cc1", 151.16),
+    ("nicotine", "CN1CCC[C@H]1c1cccnc1", 162.23),
+    ("glucose", "C(C1C(C(C(C(O1)O)O)O)O)O", 180.16),
+    ("sulfanilamide", "c1cc(ccc1N)S(=O)(=O)N", 172.20),
+    ("nitrobenzene", "c1ccc(cc1)[N+](=O)[O-]", 123.11),
+    ("TNT", "Cc1c(cc(cc1[N+](=O)[O-])[N+](=O)[O-])[N+](=O)[O-]", 227.13),
+    ("naphthalene", "c1ccc2ccccc2c1", 128.17),
+    ("ammonium", "[NH4+]", 18.04),
+]
+
+
+@pytest.mark.parametrize("name,smi,mw", MW_CASES, ids=[c[0] for c in MW_CASES])
+def test_molecular_weight(name, smi, mw):
+    assert mol_formula_weight(parse_smiles(smi)) == pytest.approx(mw, abs=0.05)
+
+
+# TPSA golden values are the RDKit/PubChem published numbers (Ertl 2000,
+# N/O contributions); HBD/HBA are the Lipinski definitions.
+DESC_CASES = [
+    ("aspirin", "CC(=O)Oc1ccccc1C(=O)O",
+     dict(tpsa=63.60, numhdonors=1, numhacceptors=4, numrotatablebonds=3,
+          ringcount=1, numaromaticrings=1)),
+    ("caffeine", "Cn1cnc2c1c(=O)n(C)c(=O)n2C",
+     dict(tpsa=58.44, numhdonors=0, numhacceptors=6, ringcount=2,
+          numaromaticrings=1)),  # pyrimidinedione ring demoted, imidazole kept
+    ("paracetamol", "CC(=O)Nc1ccc(O)cc1",
+     dict(tpsa=49.33, numhdonors=2, numhacceptors=3)),
+    ("ibuprofen", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+     dict(tpsa=37.30, numhdonors=1, numhacceptors=2, numrotatablebonds=4)),
+    ("nicotine", "CN1CCC[C@H]1c1cccnc1",
+     dict(tpsa=16.13, numhdonors=0, numhacceptors=2, numstereocenters=1)),
+    ("glucose", "C(C1C(C(C(C(O1)O)O)O)O)O",
+     dict(tpsa=110.38, numhdonors=5, numhacceptors=6)),
+    ("nitrobenzene", "c1ccc(cc1)[N+](=O)[O-]", dict(tpsa=45.82)),
+    ("benzamide", "c1ccc(cc1)C(=O)N", dict(tpsa=43.09, numhdonors=1)),
+    ("uracil", "O=c1cc[nH]c(=O)[nH]1", dict(numaromaticrings=0)),
+    ("TNT", "Cc1c(cc(cc1[N+](=O)[O-])[N+](=O)[O-])[N+](=O)[O-]",
+     dict(tpsa=137.46)),
+    ("morphine", "CN1CC[C@]23c4c5ccc(O)c4O[C@H]2[C@@H](O)C=C[C@H]3[C@H]1C5",
+     dict(numhdonors=2, numhacceptors=4)),
+    ("sertraline", "CN[C@H]1CC[C@@H](c2ccc(Cl)c(Cl)c2)c2ccccc21",
+     dict(tpsa=12.03, numhdonors=1)),
+]
+
+
+@pytest.mark.parametrize("name,smi,exp", DESC_CASES, ids=[c[0] for c in DESC_CASES])
+def test_descriptor_golden_values(name, smi, exp):
+    d = compute_descriptors(smi)
+    assert d is not None
+    for k, v in exp.items():
+        assert d[k] == v, f"{name}.{k}: got {d[k]}, expected {v}"
+
+
+def test_descriptors_invalid_smiles():
+    assert compute_descriptors("not a molecule ((") is None
+    assert compute_descriptors("") is None
+    with pytest.raises(SmilesError):
+        parse_smiles("C1CC")  # unclosed ring
+
+
+def test_descriptors_written_form_invariance():
+    """Kekulé vs aromatic notation must give identical descriptors."""
+    pairs = [
+        ("Cn1cnc2c1c(=O)n(C)c(=O)n2C", "CN1C=NC2=C1C(=O)N(C)C(=O)N2C"),
+        ("c1cc[nH]c1", "C1=CC=CN1"),
+        ("c1ccccc1", "C1=CC=CC=C1"),
+    ]
+    for a, b in pairs:
+        assert compute_descriptors(a) == compute_descriptors(b)
+
+
+# -------------------------------------------------------- canonicalization
+CANON_GROUPS = [
+    ["c1ccccc1", "C1=CC=CC=C1"],
+    ["CCO", "OCC"],
+    ["CC(=O)Oc1ccccc1C(=O)O", "OC(=O)c1ccccc1OC(C)=O", "O=C(O)c1ccccc1OC(=O)C"],
+    ["Cn1cnc2c1c(=O)n(C)c(=O)n2C", "CN1C=NC2=C1C(=O)N(C)C(=O)N2C"],
+    ["c1ccncc1", "n1ccccc1", "C1=CC=NC=C1"],
+    ["c1cc[nH]c1", "C1=CC=CN1"],
+    ["[Na+].[Cl-]", "[Cl-].[Na+]"],
+    ["c1ccc2ccccc2c1", "C1=CC=C2C=CC=CC2=C1"],
+    ["CCN(CC)CC", "N(CC)(CC)CC"],
+]
+
+
+@pytest.mark.parametrize("group", CANON_GROUPS, ids=[g[0] for g in CANON_GROUPS])
+def test_canonical_invariance(group):
+    forms = {canonical_smiles(s) for s in group}
+    assert len(forms) == 1, forms
+
+
+@pytest.mark.parametrize(
+    "smi",
+    [
+        "CC(=O)Oc1ccccc1C(=O)O",
+        "Cn1cnc2c1c(=O)n(C)c(=O)n2C",
+        "O=c1cc[nH]c(=O)[nH]1",
+        "CN1CCC[C@H]1c1cccnc1",
+        "c1ccc2ccccc2c1",
+        "c1cc(ccc1N)S(=O)(=O)N",
+    ],
+)
+def test_canonical_roundtrip_fixpoint(smi):
+    """canonical(x) re-parses to the same formula and is a fixpoint."""
+    c = canonical_smiles(smi)
+    assert c is not None
+    assert mol_formula_weight(parse_smiles(c)) == pytest.approx(
+        mol_formula_weight(parse_smiles(smi)), abs=1e-6
+    )
+    assert canonical_smiles(c) == c
+
+
+def test_canonical_invalid():
+    assert canonical_smiles("((((") is None
+
+
+# ------------------------------------------------------------ fingerprints
+def _tanimoto(a: str, b: str) -> float:
+    sa = {i for i, c in enumerate(a) if c == "1"}
+    sb = {i for i, c in enumerate(b) if c == "1"}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ecfp_written_form_invariance():
+    assert morgan_bits("CCO") == morgan_bits("OCC")
+    assert morgan_bits("c1ccccc1") == morgan_bits("C1=CC=CC=C1")
+
+
+def test_ecfp_tanimoto_ordering():
+    """Structurally similar pairs score far above dissimilar ones."""
+    aspirin = morgan_bits("CC(=O)Oc1ccccc1C(=O)O")
+    methyl_aspirin = morgan_bits("CC(=O)Oc1ccccc1C(=O)OC")
+    caffeine = morgan_bits("Cn1cnc2c1c(=O)n(C)c(=O)n2C")
+    close = _tanimoto(aspirin, methyl_aspirin)
+    far = _tanimoto(aspirin, caffeine)
+    assert close > 0.5 > far
+
+
+def test_ecfp_counts_consistency():
+    counts = morgan_counts("Cn1cnc2c1c(=O)n(C)c(=O)n2C", n_bits=2048)
+    bits = morgan_bits("Cn1cnc2c1c(=O)n(C)c(=O)n2C", n_bits=2048)
+    assert counts is not None
+    on = {i for i, c in enumerate(bits) if c == "1"}
+    assert set(counts) == on
+    assert all(v >= 1 for v in counts.values())
+
+
+def test_ecfp_invalid():
+    assert morgan_bits("((((") is None
+    assert morgan_counts("") is None

@@ -22,9 +22,9 @@ def spark():
 def mols(spark):
     rows = [
         ("m1", "CCO", 1.0),
-        ("m2", "cco", 1.1),          # same canonical form as m1 under the stub
+        ("m2", "OCC", 1.1),          # ethanol again: same canonical form
         ("m3", "C1=CC=CC=C1", 2.0),
-        ("m4", "CC(=O)O.[Na+]", 3.0),  # salt
+        ("m4", "CC(=O)[O-].[Na+]", 3.0),  # salt
         ("m5", None, 4.0),            # invalid
         ("m6", "CCN", 5.0),
     ]
@@ -48,7 +48,7 @@ def test_fingerprints_and_tanimoto(spark, mols):
     row = fp.first()
     assert len(row["fingerprint"]) == 256 and set(row["fingerprint"]) <= {"0", "1"}
     pairs = tanimoto_pairs(fp, threshold=0.99)
-    # m1/m2 canonicalize identically under the stub → identical fp → tanimoto 1.0
+    # m1/m2 are the same molecule (ethanol) → identical ECFP → tanimoto 1.0
     found = {(r["id_a"], r["id_b"]): r["tanimoto"] for r in pairs.collect()}
     assert found.get(("m1", "m2")) == 1.0
 
@@ -58,8 +58,10 @@ def test_mol_tagging_and_filter(spark, mols):
 
     tagged = tag_molecules(mols)
     by_id = {r["id"]: r["tags"] for r in tagged.collect()}
-    assert "salt" in by_id["m4"] and "charged" in by_id["m4"]
+    assert "salt" in by_id["m4"]  # two components; net charge is 0
     assert "invalid" in by_id["m5"]
+    assert "structure:aromatic" in by_id["m3"]  # Kekulé benzene perceived
+    assert "structure:acyclic" in by_id["m1"]
     kept = filter_by_tags(tagged, exclude=["invalid", "salt"])
     ids = {r["id"] for r in kept.collect()}
     assert ids == {"m1", "m2", "m3", "m6"}
@@ -223,15 +225,41 @@ def test_cache_dataframe_decorator(spark):
         assert calls["n"] == 1  # second call served from the parquet cache
 
 
-def test_molecular_descriptors_stub(spark, mols):
+def test_molecular_descriptors_real_values(spark, mols):
     from workbench_spark.operators.chem import MOL_DESCRIPTOR_NAMES, molecular_descriptors
 
     out = molecular_descriptors(mols.filter(F.col("smiles").isNotNull()))
     assert set(MOL_DESCRIPTOR_NAMES) <= set(out.columns)
     rows = {r["id"]: r for r in out.collect()}
-    assert rows["m1"]["molwt"] is not None
-    # deterministic per canonical form: m1 (CCO) and m2 (cco) agree
+    # ethanol: real published values, not pseudo-values
+    assert rows["m1"]["molwt"] == pytest.approx(46.069, abs=0.01)
+    assert rows["m1"]["tpsa"] == pytest.approx(20.23, abs=0.01)
+    assert rows["m1"]["numhdonors"] == 1 and rows["m1"]["numhacceptors"] == 1
+    # written-form invariance: m2 (OCC) is the same molecule
     assert rows["m1"]["molwt"] == rows["m2"]["molwt"]
+    # Kekulé benzene: ring perceived, aromatic ring counted
+    assert rows["m3"]["ringcount"] == 1 and rows["m3"]["numaromaticrings"] == 1
+    assert rows["m3"]["molwt"] == pytest.approx(78.11, abs=0.01)
+
+
+def test_strip_salts(spark):
+    """C6 — largest organic fragment kept (salts.py:57-150 policy)."""
+    from workbench_spark.operators.chem import strip_salts
+
+    rows = [
+        ("s1", "CC(=O)[O-].[Na+]"),     # acetate sodium salt -> acetate ion
+        ("s2", "c1ccccc1"),             # no salt: unchanged (canonical form)
+        ("s3", "[Na+].[Cl-]"),          # no organic: keep heavier fragment
+        ("s4", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, smiles string")
+    out = {r["id"]: r["parent_smiles"] for r in strip_salts(df).collect()}
+    from workbench_spark.chem.canon import canonical_smiles
+
+    assert out["s1"] == canonical_smiles("CC(=O)[O-]")
+    assert out["s2"] == canonical_smiles("c1ccccc1")
+    assert out["s3"] == canonical_smiles("[Cl-]")  # Cl (35.45) > Na (22.99)
+    assert out["s4"] is None
 
 
 def test_stratified_split(spark):

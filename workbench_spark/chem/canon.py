@@ -1,0 +1,229 @@
+"""Canonical SMILES via Morgan-style canonical ranking + DFS emission.
+
+The reference canonicalizes through RDKit
+(``utils/chem_utils/mol_standardize.py:209-540``). This module implements
+the classical algorithm directly (Morgan 1965; Weininger, Weininger &
+Weininger 1989 — the CANGEN paper):
+
+1. initial atom invariants (degree, element, charge, H count,
+   aromaticity, ring membership);
+2. iterative refinement: replace each invariant with a hash of (own
+   rank, sorted neighbor ranks) until the partition stops splitting;
+3. tie-break: pick one atom of the smallest tied class, assign it a
+   fresh rank, re-refine (repeated until all ranks unique);
+4. emit by DFS from the lowest-ranked atom, visiting neighbors in
+   canonical-rank order, ring closures numbered in encounter order.
+
+Same molecule, any input atom order → same output string. Limitations
+(documented, not silently wrong): stereo marks (@/@@, / \\) are dropped —
+constitution-level canonicalization; enantiomers map to one key (CIP
+machinery would be needed to do better without RDKit). Aromatic rings
+are emitted in aromatic (lowercase) form, including carbonyl-demoted
+rings, so the output re-parses to the identical graph.
+"""
+
+from __future__ import annotations
+
+from workbench_spark.chem.smiles import (
+    DEFAULT_VALENCES,
+    Mol,
+    SmilesError,
+    parse_smiles,
+)
+from workbench_spark.chem.fingerprints import _h64
+
+
+def _refine(mol: Mol, ranks: list[int]) -> list[int]:
+    """One refinement pass → dense ranks."""
+    adj = mol.adjacency
+    keys = []
+    for i in range(len(mol.atoms)):
+        nbr = sorted(
+            (2 if b.aromatic else b.order, ranks[nb]) for nb, b in adj[i]
+        )
+        flat = [ranks[i]]
+        for o, r in nbr:
+            flat.extend((o, r))
+        keys.append(_h64(*flat))
+    order = sorted(set(keys))
+    dense = {k: i for i, k in enumerate(order)}
+    return [dense[k] for k in keys]
+
+
+def canonical_ranks(mol: Mol) -> list[int]:
+    n = len(mol.atoms)
+    ranks = []
+    for a in mol.atoms:
+        ranks.append(
+            _h64(
+                len(mol.adjacency[a.idx]),
+                int.from_bytes(a.symbol.encode().ljust(4, b"\0"), "little"),
+                a.charge,
+                a.h_count,
+                int(a.aromatic or a.demoted_aromatic),
+                int(a.in_ring),
+                a.isotope or 0,
+            )
+        )
+    dense = {k: i for i, k in enumerate(sorted(set(ranks)))}
+    ranks = [dense[k] for k in ranks]
+    while True:
+        prev_classes = len(set(ranks))
+        nxt = _refine(mol, ranks)
+        # include previous rank so refinement never merges classes
+        nxt = [
+            r * n + old for r, old in zip(nxt, ranks)
+        ]
+        dense = {k: i for i, k in enumerate(sorted(set(nxt)))}
+        nxt = [dense[k] for k in nxt]
+        if len(set(nxt)) == prev_classes:
+            ranks = nxt
+            break
+        ranks = nxt
+    # tie-breaking (CANGEN): promote one atom of the smallest tied class
+    while len(set(ranks)) < n:
+        counts: dict[int, int] = {}
+        for r in ranks:
+            counts[r] = counts.get(r, 0) + 1
+        tied = sorted(r for r, c in counts.items() if c > 1)
+        target = tied[0]
+        chosen = min(i for i, r in enumerate(ranks) if r == target)
+        ranks = [r * 2 + (0 if i == chosen else 1) for i, r in enumerate(ranks)]
+        dense = {k: i for i, k in enumerate(sorted(set(ranks)))}
+        ranks = [dense[k] for k in ranks]
+        while True:
+            prev_classes = len(set(ranks))
+            nxt = _refine(mol, ranks)
+            nxt = [r * n + old for r, old in zip(nxt, ranks)]
+            dense = {k: i for i, k in enumerate(sorted(set(nxt)))}
+            nxt = [dense[k] for k in nxt]
+            if len(set(nxt)) == prev_classes:
+                ranks = nxt
+                break
+            ranks = nxt
+    return ranks
+
+
+def _atom_token(mol: Mol, i: int) -> str:
+    """Emit one atom, bracketed when required for faithful re-parse."""
+    a = mol.atoms[i]
+    aromatic = a.aromatic or a.demoted_aromatic
+    sym = a.symbol.lower() if aromatic else a.symbol
+    needs_bracket = (
+        a.charge != 0
+        or a.isotope is not None
+        or a.symbol not in ("B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I")
+        or (aromatic and a.symbol in ("N", "P") and a.h_count > 0)
+    )
+    if not needs_bracket:
+        # organic subset only when the implicit-H rule reproduces h_count
+        deg = len(mol.adjacency[i])
+        used = 0.0
+        for _, b in mol.adjacency[i]:
+            used += 1 if (b.aromatic or b.demoted_aromatic) else b.order
+        if aromatic and (
+            a.symbol == "C" or (a.symbol in ("N", "P") and deg == 2)
+        ):
+            used += 1
+        vals = DEFAULT_VALENCES.get(a.symbol, ())
+        v = next((x for x in vals if x >= used), None)
+        implied = max(0, int(round(v - used))) if v is not None else 0
+        if implied == a.h_count:
+            return sym
+        needs_bracket = True
+    iso = str(a.isotope) if a.isotope is not None else ""
+    h = "" if a.h_count == 0 else ("H" if a.h_count == 1 else f"H{a.h_count}")
+    if a.charge == 0:
+        ch = ""
+    elif a.charge in (1, -1):
+        ch = "+" if a.charge == 1 else "-"
+    else:
+        ch = f"{a.charge:+d}"
+    return f"[{iso}{sym}{h}{ch}]"
+
+
+def canonical_smiles(smiles: str) -> str | None:
+    """Canonical form; None when unparseable. Disconnected components are
+    canonicalized independently and joined sorted (salts: 'A.B' stable)."""
+    try:
+        mol = parse_smiles(smiles)
+    except SmilesError:
+        return None
+    ranks = canonical_ranks(mol)
+    adj = mol.adjacency
+    n = len(mol.atoms)
+    visited = [False] * n
+    pieces: list[str] = []
+    # ring-closure bookkeeping
+    for comp_root in sorted(range(n), key=lambda i: (ranks[i],)):
+        if visited[comp_root]:
+            continue
+        ring_bonds: dict[frozenset[int], int] = {}
+        counter = [0]
+        # find back edges via DFS (canonical order)
+        tree_parent: dict[int, int] = {}
+        order: list[int] = []
+        stack = [comp_root]
+        seen = {comp_root}
+        back_edges: set[frozenset[int]] = set()
+        tree_edges: set[frozenset[int]] = set()
+        while stack:
+            x = stack.pop()
+            order.append(x)
+            for nb, b in sorted(adj[x], key=lambda t: ranks[t[0]], reverse=True):
+                key = frozenset((x, nb))
+                if nb in seen:
+                    if key not in tree_edges and key not in back_edges:
+                        back_edges.add(key)
+                    continue
+                seen.add(nb)
+                tree_edges.add(key)
+                tree_parent[nb] = x
+                stack.append(nb)
+        # deterministic ring numbering: sets iterate in arbitrary order, so
+        # sort back edges by their (canonical-rank) endpoint pair
+        for key in sorted(
+            back_edges, key=lambda k: tuple(sorted(ranks[i] for i in k))
+        ):
+            counter[0] += 1
+            ring_bonds[key] = counter[0]
+
+        def bond_sym(b) -> str:
+            if b.aromatic or b.demoted_aromatic:
+                return ""  # aromatic implied by lowercase atoms
+            return {1: "", 2: "=", 3: "#", 4: "$"}[b.order]
+
+        def emit(x: int, parent: int | None) -> str:
+            visited[x] = True
+            out = _atom_token(mol, x)
+            # ring-closure digits at this atom
+            for nb, b in sorted(adj[x], key=lambda t: ranks[t[0]]):
+                key = frozenset((x, nb))
+                if key in ring_bonds:
+                    num = ring_bonds[key]
+                    digit = str(num) if num < 10 else f"%{num:02d}"
+                    out += bond_sym(b) + digit
+            children = [
+                (nb, b)
+                for nb, b in sorted(adj[x], key=lambda t: ranks[t[0]])
+                if nb != parent
+                and frozenset((x, nb)) in tree_edges
+                and not visited[nb]
+            ]
+            for k, (nb, b) in enumerate(children):
+                body = bond_sym(b) + emit(nb, x)
+                if k < len(children) - 1:
+                    out += f"({body})"
+                else:
+                    out += body
+            return out
+
+        import sys
+
+        old_limit = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old_limit, 10 * n + 1000))
+        try:
+            pieces.append(emit(comp_root, None))
+        finally:
+            sys.setrecursionlimit(old_limit)
+    return ".".join(sorted(pieces))

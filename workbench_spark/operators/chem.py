@@ -6,20 +6,22 @@ Reference citations:
 - C1 Morgan fingerprints — utils/chem_utils/fingerprints.py:27-197
 - C4 canonicalize SMILES — utils/chem_utils/mol_standardize.py:209-540
 - C5 molecule tagging + tag filter — utils/chem_utils/mol_tagging.py:116-540
+- C6 salt handling — utils/chem_utils/salts.py:57-150
 - P10 tag filters — mol_tagging.py:386-434
 - S14 SDF file ↔ DataFrame — utils/chem_utils/sdf.py:13-327
 
-RDKit is NOT installed in this container: every operator dispatches
-through an import-try. With RDKit present the real implementations run
-inside the same pandas UDFs (partition-parallel — the natural Spark win
-for the reference's ~1-2 mol/s 3D-descriptor throughput); without it, a
-clearly-marked deterministic fallback keeps the plumbing (schemas, batch
-shapes, dedup/filter composition) fully testable.
+Backends: when RDKit is importable it is used verbatim. Without it (this
+container), the pure-Python engine in ``workbench_spark.chem`` computes
+REAL values — SMILES graph parsing, Morgan-ranking canonicalization,
+published ECFP fingerprints, exact MW / Ertl TPSA / Lipinski HBD-HBA /
+ring-perception descriptors (golden-value tested against published
+RDKit/PubChem numbers in tests/test_chem_engine.py). The only columns
+that stay NULL without RDKit are mollogp/molmr (Wildman-Crippen needs
+the full published atom-type table) — never faked. ``CHEM_BACKEND``
+names the active backend for provenance.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -35,18 +37,24 @@ except ImportError:
     Chem = None
     HAVE_RDKIT = False
 
+CHEM_BACKEND = "rdkit" if HAVE_RDKIT else "smiles-lite"
+
 
 def _canonicalize_one(smiles: str) -> str | None:
-    """Canonical SMILES via RDKit when available; fallback = whitespace-
-    stripped uppercase (DETERMINISTIC FAKE — stable dedup key, not
-    chemically canonical)."""
+    """Canonical SMILES — RDKit when available, else the Morgan-ranking
+    canonicalizer (workbench_spark.chem.canon): same molecule in any
+    written form (Kekulé or aromatic, any atom order) → same string.
+    Known smiles-lite limitation (documented in canon.py): stereo marks
+    are dropped, so enantiomers share a canonical key."""
     if smiles is None:
         return None
     if HAVE_RDKIT:
         mol = Chem.MolFromSmiles(smiles)
         return Chem.MolToSmiles(mol) if mol is not None else None
+    from workbench_spark.chem.canon import canonical_smiles
+
     s = smiles.strip()
-    return s.upper() if s else None
+    return canonical_smiles(s) if s else None
 
 
 @pandas_udf(T.StringType())
@@ -74,8 +82,11 @@ def dedup_by_canonical_smiles(df: DataFrame, smiles_col: str = "smiles", id_col:
 
 
 def _fingerprint_one(smiles: str, n_bits: int) -> str | None:
-    """C1 — Morgan fingerprint bitstring (radius 2). Fallback: md5-seeded
-    pseudo-fingerprint (DETERMINISTIC FAKE; correct length/format)."""
+    """C1 — Morgan fingerprint bitstring (radius 2). RDKit when present;
+    else the real ECFP implementation (workbench_spark.chem.fingerprints:
+    Rogers-Hahn circular algorithm — invariants, neighborhood hashing,
+    bond-set dedup, fold). Bit positions differ from RDKit's hash but the
+    structural semantics (collisions, Tanimoto ordering) are ECFP's."""
     if smiles is None:
         return None
     if HAVE_RDKIT:  # pragma: no cover
@@ -86,11 +97,9 @@ def _fingerprint_one(smiles: str, n_bits: int) -> str | None:
             return None
         fp = AllChem.GetMorganFingerprintAsBitVect(mol, 2, nBits=n_bits)
         return fp.ToBitString()
-    seed = hashlib.md5(smiles.strip().upper().encode()).digest()
-    bits = []
-    for i in range(n_bits):
-        bits.append("1" if seed[(i // 8) % 16] >> (i % 8) & 1 else "0")
-    return "".join(bits)
+    from workbench_spark.chem.fingerprints import morgan_bits
+
+    return morgan_bits(smiles, n_bits=n_bits, radius=2)
 
 
 def morgan_fingerprints(
@@ -159,8 +168,8 @@ def morgan_count_fingerprints(
     ADMET-modeling standard). Emitted as map<int,int> of NONZERO dims only
     — the sparse form the Ruzicka join consumes directly; at 4096 bits the
     dense string is ~99% zeros, so the map is also the cheaper wire format.
-    RDKit path hashes real circular substructures; fallback derives a
-    DETERMINISTIC FAKE sparse histogram from md5 of the canonical form."""
+    Both backends hash REAL circular substructures (RDKit, or the ECFP
+    implementation in workbench_spark.chem.fingerprints)."""
 
     @pandas_udf(T.MapType(T.IntegerType(), T.IntegerType()))
     def fp(smiles: pd.Series) -> pd.Series:
@@ -175,11 +184,9 @@ def morgan_count_fingerprints(
                     return None
                 fpo = AllChem.GetHashedMorganFingerprint(mol, 2, nBits=n_bits)
                 return {int(i): min(int(c), 255) for i, c in fpo.GetNonzeroElements().items()}
-            seed = hashlib.md5(str(s).strip().upper().encode()).digest()
-            out: dict[int, int] = {}
-            for i in range(0, 16, 2):
-                out[(seed[i] * 256 + seed[i + 1]) % n_bits] = seed[i] % 8 + 1
-            return out
+            from workbench_spark.chem.fingerprints import morgan_counts
+
+            return morgan_counts(str(s), n_bits=n_bits, radius=2)
 
         return smiles.map(one)
 
@@ -293,19 +300,140 @@ def ruzicka_knn(long_df: DataFrame, k: int = 5, query_ids: DataFrame | None = No
 
 
 # ------------------------------------------------------------------ tagging
+#: namespaced tag vocabulary mirroring mol_tagging.py:129-190
+TAG_VOCABULARY = [
+    "invalid",
+    "composition:halogenated",
+    "composition:highly_halogenated",
+    "composition:isotope_labeled",
+    "composition:inorganic",
+    "structure:acyclic",
+    "structure:aromatic",
+    "structure:macrocycle",
+    "structure:chiral",
+    "structure:high_fsp3",
+    "salt",
+    "charged",
+    "large",
+]
+
+_HALOGENS = ("F", "Cl", "Br", "I")
+
+
 def tag_molecules(df: DataFrame, smiles_col: str = "smiles", out_col: str = "tags") -> DataFrame:
-    """C5 — per-molecule tag array. RDKit path would compute structural
-    alerts; fallback tags on cheap string features (marked fake)."""
-    s = F.col(smiles_col)
-    tags = F.array_compact(
-        F.array(
-            F.when(s.isNull() | (F.length(F.trim(s)) == 0), F.lit("invalid")),
-            F.when(F.length(s) > 60, F.lit("large")),
-            F.when(s.contains("."), F.lit("salt")),
-            F.when(s.rlike("\\+|-"), F.lit("charged")),
+    """C5 — per-molecule tag array with the reference's namespaced
+    vocabulary (mol_tagging.py:129-190: composition:* / structure:*
+    categories), computed for REAL from the parsed molecular graph:
+    halogenation counts, isotope labels, ring topology, aromaticity,
+    macrocycles (ring > 12), written chirality, FractionCSP3 > 0.6,
+    multi-fragment salts, net formal charge, MW > 600. Unparseable
+    SMILES tag as 'invalid' (curation filters drop them downstream)."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def tags_udf(smiles: pd.Series) -> pd.Series:
+        from workbench_spark.chem.descriptors import fraction_csp3
+        from workbench_spark.chem.smiles import (
+            SmilesError,
+            mol_formula_weight,
+            parse_smiles,
         )
-    )
-    return df.withColumn(out_col, tags)
+
+        def one(s):
+            if s is None or not str(s).strip():
+                return ["invalid"]
+            try:
+                mol = parse_smiles(str(s))
+            except SmilesError:
+                return ["invalid"]
+            tags = []
+            n_hal = sum(1 for a in mol.atoms if a.symbol in _HALOGENS)
+            n_c = sum(1 for a in mol.atoms if a.symbol == "C")
+            if n_hal:
+                tags.append("composition:halogenated")
+            if n_hal >= 4:
+                tags.append("composition:highly_halogenated")
+            if any(a.isotope is not None for a in mol.atoms):
+                tags.append("composition:isotope_labeled")
+            if n_c == 0:
+                tags.append("composition:inorganic")
+            if not mol.rings:
+                tags.append("structure:acyclic")
+            if any(a.aromatic for a in mol.atoms):
+                tags.append("structure:aromatic")
+            if any(len(r) > 12 for r in mol.rings):
+                tags.append("structure:macrocycle")
+            if any(a.chiral for a in mol.atoms):
+                tags.append("structure:chiral")
+            fsp3 = fraction_csp3(mol)
+            if fsp3 is not None and fsp3 > 0.6:
+                tags.append("structure:high_fsp3")
+            if mol.n_components > 1:
+                tags.append("salt")
+            if sum(a.charge for a in mol.atoms) != 0:
+                tags.append("charged")
+            if mol_formula_weight(mol) > 600:
+                tags.append("large")
+            return tags
+
+        return smiles.map(one)
+
+    return df.withColumn(out_col, tags_udf(F.col(smiles_col)))
+
+
+def strip_salts(
+    df: DataFrame, smiles_col: str = "smiles", out_col: str = "parent_smiles"
+) -> DataFrame:
+    """C6 — desalting: keep the largest ORGANIC fragment (the API), per
+    the reference's fragment policy (salts.py:57-150: largest organic
+    fragment = API, others are counter-ions; fall back to the largest
+    fragment when nothing is organic). Output is the canonical form of
+    the kept fragment; unparseable input → NULL."""
+
+    @pandas_udf(T.StringType())
+    def strip(smiles: pd.Series) -> pd.Series:
+        from workbench_spark.chem.canon import canonical_smiles
+        from workbench_spark.chem.smiles import (
+            SmilesError,
+            mol_formula_weight,
+            parse_smiles,
+        )
+
+        def one(s):
+            if s is None or not str(s).strip():
+                return None
+            if HAVE_RDKIT:  # pragma: no cover
+                from rdkit.Chem import Descriptors
+
+                mol = Chem.MolFromSmiles(s)
+                if mol is None:
+                    return None
+                frags = Chem.GetMolFrags(mol, asMols=True)
+                organics = [
+                    f
+                    for f in frags
+                    if any(a.GetSymbol() == "C" for a in f.GetAtoms())
+                ] or list(frags)
+                best = max(organics, key=Descriptors.MolWt)
+                return Chem.MolToSmiles(best)
+            parts = [p for p in str(s).split(".") if p.strip()]
+            scored = []
+            for p in parts:
+                try:
+                    m = parse_smiles(p)
+                except SmilesError:
+                    return None
+                organic = any(a.symbol == "C" for a in m.atoms)
+                scored.append((organic, mol_formula_weight(m), p))
+            if not scored:
+                return None
+            has_organic = any(o for o, _, _ in scored)
+            pool = [t for t in scored if t[0]] if has_organic else scored
+            best = max(pool, key=lambda t: t[1])
+            return canonical_smiles(best[2])
+
+        return smiles.map(one)
+
+    return df.withColumn(out_col, strip(F.col(smiles_col)))
 
 
 def filter_by_tags(
@@ -378,6 +506,7 @@ def df_to_sdf_file(df: DataFrame, path: str, mol_col: str = "mol_block") -> str:
 MOL_DESCRIPTOR_NAMES = [
     "molwt", "mollogp", "molmr", "heavyatomcount", "numhacceptors",
     "numhdonors", "numheteroatoms", "numrotatablebonds", "tpsa", "ringcount",
+    "numaromaticrings", "fractioncsp3", "formalcharge", "numstereocenters",
 ]
 
 
@@ -386,11 +515,16 @@ def molecular_descriptors(
 ) -> DataFrame:
     """C2 — 2D molecular descriptors as an Arrow-batched UDF stage
     (mol_descriptors.py:107-487; the aqsol feature list, FIXTURES.md §4).
-    With RDKit present each descriptor is computed for real; without it a
-    DETERMINISTIC FAKE (md5-derived pseudo-values, stable per canonical
-    SMILES) keeps schema/partitioning/batch plumbing testable. The 3D tier
-    (mol_descriptors_3d.py, ~1-2 mol/s) runs the same pattern — its
-    partition parallelism is the entire Spark win for that workload."""
+
+    With RDKit present the RDKit descriptors run verbatim. Without it the
+    pure-Python engine (workbench_spark.chem.descriptors) computes REAL
+    values from published definitions — exact molecular weight, Ertl TPSA,
+    Lipinski HBD/HBA, ring perception, rotatable bonds, FractionCSP3 —
+    golden-value tested against RDKit/PubChem numbers. mollogp/molmr
+    (Wildman-Crippen atom typing) are NULL in that backend, never faked.
+    Unparseable SMILES → all-NULL row (reference drop-on-parse-failure).
+    The 3D tier (mol_descriptors_3d.py, ~1-2 mol/s) runs the same
+    partition-parallel pattern — see chem_3d.py."""
     fields = ", ".join(f"{n} double" for n in MOL_DESCRIPTOR_NAMES)
 
     @pandas_udf(fields)
@@ -401,7 +535,7 @@ def molecular_descriptors(
                 rows.append([None] * len(MOL_DESCRIPTOR_NAMES))
                 continue
             if HAVE_RDKIT:  # pragma: no cover
-                from rdkit.Chem import Descriptors
+                from rdkit.Chem import Descriptors, rdMolDescriptors
 
                 mol = Chem.MolFromSmiles(s)
                 if mol is None:
@@ -414,12 +548,19 @@ def molecular_descriptors(
                     Descriptors.NumHeteroatoms(mol),
                     Descriptors.NumRotatableBonds(mol), Descriptors.TPSA(mol),
                     Descriptors.RingCount(mol),
+                    rdMolDescriptors.CalcNumAromaticRings(mol),
+                    Descriptors.FractionCSP3(mol),
+                    Chem.GetFormalCharge(mol),
+                    len(Chem.FindMolChiralCenters(mol, includeUnassigned=False)),
                 ])
             else:
-                seed = hashlib.md5(str(s).strip().upper().encode()).digest()
-                rows.append([
-                    round(50 + seed[i] * 2.5, 4) for i in range(len(MOL_DESCRIPTOR_NAMES))
-                ])
+                from workbench_spark.chem.descriptors import compute_descriptors
+
+                d = compute_descriptors(str(s))
+                if d is None:
+                    rows.append([None] * len(MOL_DESCRIPTOR_NAMES))
+                else:
+                    rows.append([d[n] for n in MOL_DESCRIPTOR_NAMES])
         return pd.DataFrame(rows, columns=MOL_DESCRIPTOR_NAMES)
 
     return df.withColumn("__desc", compute(F.col(smiles_col))).select(

@@ -1217,3 +1217,85 @@ def pivot_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("purchase", F.lit(0)).cast("long").alias("purchase"),
         )
     )
+
+
+# =====================================================================
+# Chemistry tier (C1/C2/C4) — engine golden gate
+# =====================================================================
+
+#: fixed ADMET-style molecule panel: (mol_id, smiles). Descriptor values in
+#: the oracle are the PUBLISHED RDKit/PubChem numbers (Ertl 2000 TPSA,
+#: Lipinski HBD/HBA, standard atomic weights) — the driver hash-compare is
+#: a golden-value gate on the pure-Python chem engine.
+CHEM_PANEL = [
+    (1, "CC(=O)Oc1ccccc1C(=O)O"),                 # aspirin
+    (2, "Cn1cnc2c1c(=O)n(C)c(=O)n2C"),            # caffeine
+    (3, "CC(=O)Nc1ccc(O)cc1"),                    # paracetamol
+    (4, "CC(C)Cc1ccc(cc1)C(C)C(=O)O"),            # ibuprofen
+    (5, "CN1CCC[C@H]1c1cccnc1"),                  # nicotine
+    (6, "C(C1C(C(C(C(O1)O)O)O)O)O"),              # glucose
+    (7, "c1ccc(cc1)[N+](=O)[O-]"),                # nitrobenzene
+    (8, "c1cc(ccc1N)S(=O)(=O)N"),                 # sulfanilamide
+]
+
+_CHEM_GOLDEN = """
+    SELECT * FROM (VALUES
+      (1, 180.159, 63.60, 1, 4, 1),
+      (2, 194.194, 58.44, 0, 6, 2),
+      (3, 151.165, 49.33, 2, 3, 1),
+      (4, 206.285, 37.30, 1, 2, 1),
+      (5, 162.236, 16.13, 0, 2, 2),
+      (6, 180.156, 110.38, 5, 6, 1),
+      (7, 123.111, 45.82, 0, 3, 1),
+      (8, 172.202, 86.18, 2, 4, 1)
+    ) AS t(mol_id, molwt, tpsa, numhdonors, numhacceptors, ringcount)
+"""
+
+
+@query("chem_descriptors_golden", _CHEM_GOLDEN)
+def chem_descriptors_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — real 2D descriptors (mol_descriptors.py:107-487) for a fixed
+    molecule panel, hash-compared against published golden values: exact
+    MW, Ertl TPSA, Lipinski donors/acceptors, SSSR ring count. The panel
+    is literal (testdata has no SMILES column); the oracle VALUES are the
+    independent published numbers, so a hash match certifies the engine,
+    not a copy of itself."""
+    from workbench_spark.operators.chem import molecular_descriptors
+
+    mols = spark.createDataFrame(CHEM_PANEL, "mol_id int, smiles string")
+    d = molecular_descriptors(mols)
+    return d.select(
+        "mol_id",
+        F.round("molwt", 3).alias("molwt"),
+        F.round("tpsa", 2).alias("tpsa"),
+        F.col("numhdonors").cast("int").alias("numhdonors"),
+        F.col("numhacceptors").cast("int").alias("numhacceptors"),
+        F.col("ringcount").cast("int").alias("ringcount"),
+    )
+
+
+@query(
+    "chem_canonical_dedup",
+    """
+    SELECT * FROM (VALUES (1, 3)) AS t(n_unique_molecules, n_written_forms)
+    """,
+)
+def chem_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — canonicalization invariance gate: three written forms of
+    aspirin (atom-order permuted, Kekulé vs aromatic) must collapse to ONE
+    canonical key. Oracle is the a-priori expected count."""
+    from workbench_spark.operators.chem import canonicalize
+
+    forms = spark.createDataFrame(
+        [
+            (1, "CC(=O)Oc1ccccc1C(=O)O"),
+            (2, "OC(=O)c1ccccc1OC(C)=O"),
+            (3, "O=C(O)C1=CC=CC=C1OC(C)=O"),
+        ],
+        "form_id int, smiles string",
+    )
+    canon = canonicalize(forms)
+    return canon.agg(
+        F.countDistinct("canonical_smiles").cast("int").alias("n_unique_molecules"),
+        F.count(F.lit(1)).cast("int").alias("n_written_forms"),
+    )
