@@ -282,3 +282,41 @@ def test_uq_applicability_scores(spark):
     close = statistics.mean(c for _, c in xs[: len(xs) // 5])
     far = statistics.mean(c for _, c in xs[-len(xs) // 5 :])
     assert close > far
+
+
+def test_label_quality_confident_learning(spark):
+    """M8 — Confident Learning math on a hand-computed 4-row example:
+    t_a = mean(prob_a | given a) = (.9+.6+.15)/3 = .55, t_b = .8;
+    row 4 (given a, prob_b .85 >= t_b) is confidently reassigned to b."""
+    from workbench_spark.operators.label_quality import (
+        confident_joint,
+        label_quality_scores,
+        noise_rate,
+    )
+
+    probs = spark.createDataFrame(
+        [
+            (1, "a", 0.9), (1, "b", 0.1),
+            (2, "a", 0.6), (2, "b", 0.4),
+            (3, "a", 0.2), (3, "b", 0.8),
+            (4, "a", 0.15), (4, "b", 0.85),
+        ],
+        "id int, class string, prob double",
+    )
+    labels = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "a")], "id int, given_label string"
+    )
+    lq = {r["id"]: r for r in label_quality_scores(probs, labels).collect()}
+    assert lq[1]["predicted_label"] == "a" and not lq[1]["is_label_issue"]
+    assert lq[2]["predicted_label"] == "a" and not lq[2]["is_label_issue"]
+    assert lq[3]["predicted_label"] == "b" and not lq[3]["is_label_issue"]
+    assert lq[4]["predicted_label"] == "b" and lq[4]["is_label_issue"]
+    assert lq[4]["self_confidence"] == pytest.approx(0.15)
+
+    cj = {(r["given_label"], r["predicted_label"]): r["n"]
+          for r in confident_joint(probs, labels).collect()}
+    assert cj == {("a", "a"): 2, ("b", "b"): 1, ("a", "b"): 1}
+
+    nr = noise_rate(probs, labels).collect()[0]
+    assert nr["n_confident"] == 4 and nr["n_issues"] == 1
+    assert nr["noise_rate"] == pytest.approx(0.25)

@@ -1299,3 +1299,142 @@ def chem_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("canonical_smiles").cast("int").alias("n_unique_molecules"),
         F.count(F.lit(1)).cast("int").alias("n_written_forms"),
     )
+
+
+# =====================================================================
+# M8 — label quality (Confident Learning), driver-gated
+# =====================================================================
+
+# Deterministic pred_probs for the oracle gate: three classes with value
+# anchors; prob_c = (1/(1+|value-anchor_c|)) normalized. No model training
+# — the algorithm under test is the Confident Learning math, and any real
+# scorer just swaps in its own probability column.
+_M8_CLASSES = [("click", 20.0), ("view", 50.0), ("purchase", 80.0)]
+
+_M8_PROBS_SQL = """
+      SELECT event_id AS id, event_type AS given_label, c.class, c.anchor,
+             (1.0/(1.0+ABS(value - c.anchor)))
+               / SUM(1.0/(1.0+ABS(value - c.anchor))) OVER (PARTITION BY event_id)
+               AS prob
+      FROM events,
+           (VALUES ('click', 20.0), ('view', 50.0), ('purchase', 80.0))
+             AS c(class, anchor)
+      WHERE event_type IN ('click','view','purchase') AND value IS NOT NULL
+"""
+
+
+def _m8_frames(spark: SparkSession, sf_dir: str):
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin([c for c, _ in _M8_CLASSES])
+        & F.col("value").isNotNull()
+    )
+    anchors = F.array(
+        *[
+            F.struct(F.lit(c).alias("class"), F.lit(a).alias("anchor"))
+            for c, a in _M8_CLASSES
+        ]
+    )
+    long = (
+        ev.select(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("given_label"),
+            "value",
+            F.explode(anchors).alias("ca"),
+        )
+        .select(
+            "id",
+            "given_label",
+            F.col("ca.class").alias("class"),
+            (1.0 / (1.0 + F.abs(F.col("value") - F.col("ca.anchor")))).alias("w"),
+        )
+        .withColumn(
+            "prob", F.col("w") / F.sum("w").over(Window.partitionBy("id"))
+        )
+        .drop("w")
+    )
+    labels = long.select("id", "given_label").distinct()
+    return long.select("id", "class", "prob"), labels
+
+
+from pyspark.sql import Window  # noqa: E402  (used by _m8_frames)
+
+
+@query(
+    "m8_confident_joint",
+    f"""
+    WITH probs AS ({_M8_PROBS_SQL}),
+    thresholds AS (
+      SELECT class, AVG(prob) AS threshold FROM probs
+      WHERE class = given_label GROUP BY class
+    ),
+    confident AS (
+      SELECT p.id, p.given_label, p.class, p.prob,
+             ROW_NUMBER() OVER (PARTITION BY p.id
+                                ORDER BY p.prob DESC, p.class ASC) AS rn
+      FROM probs p JOIN thresholds t ON p.class = t.class
+      WHERE p.prob >= t.threshold
+    )
+    SELECT given_label, class AS predicted_label, COUNT(*) AS n
+    FROM confident WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def m8_confident_joint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — confident-joint counts (Confident Learning, the estimator
+    cleanlab builds on; cleanlab_model.py:196-216 surfaces its row-level
+    form). Off-diagonal cells = estimated label noise."""
+    from workbench_spark.operators.label_quality import confident_joint
+
+    probs, labels = _m8_frames(spark, sf_dir)
+    return confident_joint(probs, labels).select(
+        "given_label", "predicted_label", F.col("n").cast("long").alias("n")
+    )
+
+
+@query(
+    "m8_label_quality",
+    f"""
+    WITH probs AS ({_M8_PROBS_SQL}),
+    thresholds AS (
+      SELECT class, AVG(prob) AS threshold FROM probs
+      WHERE class = given_label GROUP BY class
+    ),
+    assigned AS (
+      SELECT id, class AS predicted_label,
+             ROW_NUMBER() OVER (PARTITION BY id
+                                ORDER BY prob DESC, class ASC) AS rn
+      FROM probs p
+      WHERE prob >= (SELECT threshold FROM thresholds t WHERE t.class = p.class)
+    ),
+    self_conf AS (
+      SELECT id, given_label, prob AS self_confidence FROM probs
+      WHERE class = given_label
+    )
+    SELECT s.id, s.given_label, ROUND(s.self_confidence, 6) AS self_confidence,
+           a.predicted_label,
+           COALESCE(a.predicted_label IS NOT NULL
+                    AND a.predicted_label <> s.given_label, FALSE) AS is_label_issue
+    FROM self_conf s LEFT JOIN (SELECT id, predicted_label FROM assigned WHERE rn = 1) a
+      ON s.id = a.id
+    ORDER BY self_confidence ASC, s.id ASC
+    LIMIT 500
+    """,
+)
+def m8_label_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — per-row label quality, worst-first (label_issues() contract:
+    sorted ascending by label_quality = self-confidence)."""
+    from workbench_spark.operators.label_quality import label_quality_scores
+
+    probs, labels = _m8_frames(spark, sf_dir)
+    lq = label_quality_scores(probs, labels)
+    return (
+        lq.select(
+            "id",
+            "given_label",
+            F.round("self_confidence", 6).alias("self_confidence"),
+            "predicted_label",
+            "is_label_issue",
+        )
+        .orderBy(F.col("self_confidence").asc(), F.col("id").asc())
+        .limit(500)
+    )
