@@ -320,3 +320,53 @@ def test_label_quality_confident_learning(spark):
     nr = noise_rate(probs, labels).collect()[0]
     assert nr["n_confident"] == 4 and nr["n_issues"] == 1
     assert nr["noise_rate"] == pytest.approx(0.25)
+
+
+def test_tsne_embed_separates_clusters():
+    """Pure-numpy t-SNE: two well-separated Gaussian blobs must stay
+    separated in the embedding, deterministically per seed."""
+    import numpy as np
+
+    from workbench_spark.operators.tsne import tsne_embed, tsne_kl_divergence
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 0.3, size=(60, 5))
+    b = rng.normal(5, 0.3, size=(60, 5))
+    X = np.vstack([a, b])
+    Y = tsne_embed(X, perplexity=15, n_iter=300, seed=3)
+    assert Y.shape == (120, 2)
+    # determinism
+    Y2 = tsne_embed(X, perplexity=15, n_iter=300, seed=3)
+    assert np.allclose(Y, Y2)
+    # cluster separation: max intra-cluster spread << inter-cluster gap
+    ca, cb = Y[:60].mean(axis=0), Y[60:].mean(axis=0)
+    gap = np.linalg.norm(ca - cb)
+    spread = max(
+        np.linalg.norm(Y[:60] - ca, axis=1).max(),
+        np.linalg.norm(Y[60:] - cb, axis=1).max(),
+    )
+    assert gap > 2 * spread
+    # embedding beats a random layout on the t-SNE objective
+    rand = np.random.default_rng(0).normal(size=(120, 2))
+    assert tsne_kl_divergence(X, Y, 15) < tsne_kl_divergence(X, rand, 15)
+
+
+def test_projection_2d_tsne_and_umap_refusal(spark):
+    from workbench_spark.operators.ml_analysis import projection_2d
+
+    c = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .select("c_custkey", "c_acctbal", "c_nationkey")
+        .limit(400)
+    )
+    out = projection_2d(
+        c, ["c_acctbal", "c_nationkey"], "c_custkey",
+        method="tsne", sample_cap=100, perplexity=10,
+    )
+    pdf = out.toPandas()
+    assert list(pdf.columns) == ["c_custkey", "x", "y"]
+    assert len(pdf) == 100  # sample cap honored (sf0.001 customer: 150 rows)
+    assert pdf[["x", "y"]].notna().all().all()
+
+    with pytest.raises(NotImplementedError, match="umap-learn"):
+        projection_2d(c, ["c_acctbal"], "c_custkey", method="umap")

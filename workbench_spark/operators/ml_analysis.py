@@ -69,15 +69,54 @@ def smart_aggregator(
 
 
 def projection_2d(
-    df: DataFrame, feature_cols: list[str], id_col: str, method: str = "pca", seed: int = 42
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    method: str = "pca",
+    seed: int = 42,
+    sample_cap: int = 2000,
+    perplexity: float = 30.0,
 ) -> DataFrame:
-    """C7 — 2D projection for plots (projection_2d.py:17-135): PCA via
-    MLlib (distributed, exact); UMAP/TSNE intentionally unsupported at
-    engine level (driver-side sampled paths in the reference)."""
-    if method != "pca":
+    """C7 — 2D projection for plots (projection_2d.py:17-135,
+    projections.py:18-219).
+
+    - ``pca``: MLlib PCA — distributed, exact, any scale (the default).
+    - ``tsne``: the reference's own design is driver-side on a pandas
+      pull (its plots project a sample); here: deterministic sample of
+      ``sample_cap`` rows (lowest ids), pure-numpy exact t-SNE
+      (operators/tsne.py — no sklearn in this container), output covers
+      the sampled rows only. O(sample_cap²) — the cap is the contract.
+    - ``umap``: refused — umap-learn is unavailable and the algorithm
+      (fuzzy simplicial sets + SGD) is out of reimplementation scope;
+      tsne is the supported sampled parity path.
+    """
+    if method == "umap":
         raise NotImplementedError(
-            "only 'pca' is distributed; UMAP/TSNE are driver-side sampled ops in the reference"
+            "umap requires umap-learn (not installed); use method='tsne' "
+            "(sampled, driver-side — the reference's own execution shape) "
+            "or the distributed 'pca'"
         )
+    if method == "tsne":
+        from workbench_spark.operators.tsne import tsne_embed
+
+        sample = (
+            df.select(id_col, *feature_cols)
+            .dropna()
+            .orderBy(F.col(id_col).asc())
+            .limit(sample_cap)
+            .toPandas()
+        )
+        Y = tsne_embed(
+            sample[feature_cols].to_numpy(dtype=float),
+            perplexity=perplexity,
+            seed=seed,
+        )
+        sample = sample[[id_col]].copy()
+        sample["x"] = Y[:, 0]
+        sample["y"] = Y[:, 1]
+        return df.sparkSession.createDataFrame(sample)
+    if method != "pca":
+        raise NotImplementedError(f"unknown projection method {method!r}")
     from pyspark.ml.functions import vector_to_array
 
     assembled = _assemble(df, feature_cols)
