@@ -1438,3 +1438,170 @@ def m8_label_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("self_confidence").asc(), F.col("id").asc())
         .limit(500)
     )
+
+
+# =====================================================================
+# Round-3 oracle coverage: A10 / O4 / F8 / F13 / A22
+# =====================================================================
+
+
+@query(
+    "a10_smart_sample_invariants",
+    """
+    SELECT TRUE AS no_duplicate_rows, TRUE AS contains_all_outliers,
+           TRUE AS size_bounded
+    """,
+)
+def a10_smart_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — smart_sample (outliers ∪ Bernoulli sample, dedup;
+    athena_source.py:364-394). The Bernoulli draw is seeded but not
+    cross-engine portable, so the driver gate asserts the defining
+    invariants (the a11_invariants pattern): output is row-unique, every
+    outlier row survives the union, and the size is bounded by
+    |outliers| + requested rows."""
+    from workbench_spark.operators.eda import outliers, smart_sample
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    out = smart_sample(li, columns=["l_extendedprice"], rows=100)
+    out_n = out.count()
+    distinct_n = out.distinct().count()
+    outs = outliers(li, ["l_extendedprice"]).drop("outlier_group").distinct()
+    missing = outs.join(out, outs.columns, "left_anti").count()
+    n_out = outs.count()
+    return spark.createDataFrame(
+        [(distinct_n == out_n, missing == 0, n_out <= out_n <= n_out + 100)],
+        "no_duplicate_rows boolean, contains_all_outliers boolean, size_bounded boolean",
+    )
+
+
+@query(
+    "o4_stratified_split_invariants",
+    """
+    SELECT COUNT(*) AS n_total, TRUE AS partitions_input,
+           TRUE AS disjoint, TRUE AS all_strata_in_train
+    FROM events WHERE event_type IS NOT NULL
+    """,
+)
+def o4_stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — stratified split (pandas_utils.py:1077+): per-stratum seeded
+    Bernoulli (not engine-portable) with exact-complement holdout. Gate:
+    train+holdout partitions the input exactly, sides are disjoint, and
+    every stratum is represented in train. n_total is the concrete
+    oracle-checked value."""
+    from workbench_spark.operators.windows import stratified_split
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    train, hold = stratified_split(ev, "event_type", 0.7, seed=7)
+    n, tn, hn = ev.count(), train.count(), hold.count()
+    overlap = train.join(hold, ["event_id"], "inner").count()
+    strata = ev.select("event_type").distinct().count()
+    train_strata = train.select("event_type").distinct().count()
+    return spark.createDataFrame(
+        [(n, tn + hn == n, overlap == 0, train_strata == strata)],
+        "n_total long, partitions_input boolean, disjoint boolean, all_strata_in_train boolean",
+    )
+
+
+@query(
+    "f8_undummify_counts",
+    """
+    SELECT o_orderstatus AS status, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def f8_undummify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — undummify (pandas_utils.py:923-952): one-hot orders status,
+    collapse back, per-category counts must reproduce the original
+    distribution exactly."""
+    from workbench_spark.functions.encoding import undummify
+
+    o = _t(spark, sf_dir, "orders")
+    dummies = o.select(
+        "o_orderkey",
+        *[
+            F.when(F.col("o_orderstatus") == v, 1).otherwise(0)
+            .cast("int")
+            .alias(f"status_{v}")
+            for v in ("F", "O", "P")
+        ],
+    )
+    back = undummify(dummies, prefix_sep="_")
+    return back.groupBy(F.col("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "f13_tags_roundtrip",
+    """
+    SELECT tag, COUNT(*) AS n FROM (
+      SELECT UNNEST(string_split(
+        regexp_replace('[' || o_orderpriority || ', ' || o_orderstatus || ']',
+                       '^\\[|\\]$', '', 'g'),
+        ', ')) AS tag
+      FROM orders
+    ) GROUP BY 1
+    """,
+)
+def f13_tags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — tags ↔ list round-trip (inference_store.py:127-129): build
+    '[a, b]' tag strings, parse with tags_to_list, explode, count per
+    tag. list_to_tags(tags_to_list(s)) == s is asserted in test_api."""
+    from workbench_spark.functions.scalar import tags_to_list
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("["), F.col("o_orderpriority"), F.lit(", "),
+            F.col("o_orderstatus"), F.lit("]"),
+        ).alias("tag_str")
+    )
+    return (
+        o.select(F.explode(tags_to_list(F.col("tag_str"))).alias("tag"))
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "a22_laplacian_smoothness",
+    """
+    WITH edges AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst, 1.0 AS weight
+      FROM nation a JOIN nation b
+        ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+    )
+    SELECT src AS n_nationkey,
+           ROUND(SUM(weight * (CAST(src AS DOUBLE) - CAST(dst AS DOUBLE)) ** 2), 4)
+             AS smoothness,
+           ROUND(SUM(weight), 4) AS total_weight
+    FROM edges GROUP BY 1
+    """,
+)
+def a22_laplacian_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 — Laplacian smoothness Σ_j w_ij (y_i − y_j)² per node
+    (laplacian_smoothness.py:14-60) over a same-region nation graph with
+    y = nationkey — a fixed, fully SQL-expressible edge list."""
+    from workbench_spark.operators.ml_analysis import laplacian_smoothness
+
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    edges = (
+        a.join(b, (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+               & (F.col("a.n_nationkey") != F.col("b.n_nationkey")))
+        .select(
+            F.col("a.n_nationkey").alias("src"),
+            F.col("b.n_nationkey").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    values = n.select(
+        "n_nationkey", F.col("n_nationkey").cast("double").alias("y")
+    )
+    out = laplacian_smoothness(edges, values, "n_nationkey", "y")
+    return out.select(
+        "n_nationkey",
+        F.round("smoothness", 4).alias("smoothness"),
+        F.round("total_weight", 4).alias("total_weight"),
+    )
