@@ -492,9 +492,26 @@ def sdf_file_to_df(spark, path: str) -> DataFrame:
     return raw.mapInPandas(parse, schema=schema)
 
 
-def df_to_sdf_file(df: DataFrame, path: str, mol_col: str = "mol_block") -> str:
-    """S14 write side — join records with $$$$ separators (driver-side
-    for small frames, matching the reference's usage)."""
+def df_to_sdf_file(
+    df: DataFrame, path: str, mol_col: str = "mol_block", distributed: bool = False
+) -> str:
+    """S14 write side — join records with $$$$ separators.
+
+    ``distributed=False`` (default): driver-side single file, matching the
+    reference's small-frame usage (sdf.py write path). ``distributed=True``:
+    Spark text writer emits part files under ``path`` (a directory), each a
+    valid SDF — records never cross part boundaries, so the export scales
+    to frames that would OOM a collect; downstream consumers read the
+    directory (sdf_file_to_df accepts globs) or ``cat`` part files."""
+    if distributed:
+        (
+            df.select(
+                F.concat(
+                    F.coalesce(F.col(mol_col), F.lit("")), F.lit("\n$$$$")
+                ).alias("value")
+            ).write.mode("overwrite").text(path)
+        )
+        return path
     rows = df.select(mol_col).collect()
     with open(path, "w") as f:
         for r in rows:
