@@ -177,3 +177,45 @@ def test_ecfp_counts_consistency():
 def test_ecfp_invalid():
     assert morgan_bits("((((") is None
     assert morgan_counts("") is None
+
+
+# ------------------------------------------------------ topology block
+def test_chi_indices_hand_computed():
+    """Randić/Kier-Hall connectivity on ethanol — closed-form values."""
+    import math
+
+    from workbench_spark.chem.topology import chi_indices
+
+    d = chi_indices(parse_smiles("CCO"))
+    assert d["chi0"] == pytest.approx(1 + 1 / math.sqrt(2) + 1, abs=1e-6)
+    assert d["chi1"] == pytest.approx(2 / math.sqrt(2), abs=1e-6)
+    assert d["chi0v"] == pytest.approx(1 + 1 / math.sqrt(2) + 1 / math.sqrt(5), abs=1e-6)
+    assert d["chi1v"] == pytest.approx(1 / math.sqrt(2) + 1 / math.sqrt(10), abs=1e-6)
+    # benzene: six degree-2 atoms
+    d = chi_indices(parse_smiles("c1ccccc1"))
+    assert d["chi0"] == pytest.approx(6 / math.sqrt(2), abs=1e-6)
+
+
+def test_kappa_indices_hand_computed():
+    from workbench_spark.chem.topology import kappa_indices
+
+    # propane: A=3, P1=2 → κ1=3·4/4=3; P2=1 → κ2=2·1/1=2
+    k = kappa_indices(parse_smiles("CCC"))
+    assert k["kappa1"] == pytest.approx(3.0) and k["kappa2"] == pytest.approx(2.0)
+    # cyclohexane: A=6, P1=6 → κ1 = 6·25/36
+    k = kappa_indices(parse_smiles("C1CCCCC1"))
+    assert k["kappa1"] == pytest.approx(6 * 25 / 36, abs=1e-5)
+
+
+def test_carbon_types_and_acid_base():
+    from workbench_spark.chem.topology import topology_descriptors
+
+    d = topology_descriptors(parse_smiles("CC(C)C"))  # isobutane
+    assert d["c1sp3"] == 3 and d["c3sp3"] == 1
+    d = topology_descriptors(parse_smiles("NCC(=O)O"))  # glycine
+    assert d["n_carboxylic_acid"] == 1 and d["n_amine_primary"] == 1
+    d = topology_descriptors(parse_smiles("CC(=O)N"))  # acetamide
+    assert d["n_amine_primary"] == 0  # amide N excluded
+    d = topology_descriptors(parse_smiles("CC(=O)Nc1ccc(O)cc1"))  # paracetamol
+    assert d["n_phenol"] == 1 and d["n_amine_secondary"] == 0
+    assert d["n_aromatic_bonds"] == 6 and d["n_ring_atoms"] == 6

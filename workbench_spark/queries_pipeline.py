@@ -1605,3 +1605,46 @@ def a22_laplacian_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("smoothness", 4).alias("smoothness"),
         F.round("total_weight", 4).alias("total_weight"),
     )
+
+
+@query(
+    "chem_topology_golden",
+    """
+    -- hand-computed from the published formulas:
+    -- ethanol:   chi0 = 1+1/sqrt(2)+1,  chi0v swaps O: 1/sqrt(5)
+    -- benzene:   chi0 = 6/sqrt(2), chi0v = 6/sqrt(3) (arom C dv=3),
+    --            chi1 = 6*(1/2); kappa1 = 6*25/36, kappa2 (P2=6) = 5*16/36
+    -- isobutane: chi0 = 3+1/sqrt(3) = chi0v; kappa2 (P2=3) = 3*4/9
+    -- glycine:   chi0v = 1/sqrt(3)+1/sqrt(2)+1/2+1/sqrt(6)+1/sqrt(5)
+    SELECT * FROM (VALUES
+      (1, 2.707107, 2.154320, 1.414214, 3.0, 2.0, 0, 0),
+      (2, 4.242641, 3.464102, 3.0, 4.166667, 2.222222, 0, 0),
+      (3, 3.577350, 3.577350, 1.732051, 4.0, 1.333333, 0, 0),
+      (4, 4.284457, 2.639919, 2.270056, 5.0, 2.25, 1, 1)
+    ) AS t(mol_id, chi0, chi0v, chi1, kappa1, kappa2,
+           n_carboxylic_acid, n_amine_primary)
+    """,
+)
+def chem_topology_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 topology block — Kier-Hall/Randić connectivity, Kappa shape and
+    acid/base group counts for a hand-computed panel (closed-form values
+    in the oracle: ethanol, benzene, isobutane, glycine). Certifies
+    chem/topology.py against the published formulas, independent of the
+    engine."""
+    from workbench_spark.operators.chem import topological_descriptors
+
+    mols = spark.createDataFrame(
+        [(1, "CCO"), (2, "c1ccccc1"), (3, "CC(C)C"), (4, "NCC(=O)O")],
+        "mol_id int, smiles string",
+    )
+    d = topological_descriptors(mols)
+    return d.select(
+        "mol_id",
+        F.round("chi0", 6).alias("chi0"),
+        F.round("chi0v", 6).alias("chi0v"),
+        F.round("chi1", 6).alias("chi1"),
+        F.round("kappa1", 6).alias("kappa1"),
+        F.round("kappa2", 6).alias("kappa2"),
+        F.col("n_carboxylic_acid").cast("int").alias("n_carboxylic_acid"),
+        F.col("n_amine_primary").cast("int").alias("n_amine_primary"),
+    )
