@@ -219,3 +219,53 @@ def test_carbon_types_and_acid_base():
     d = topology_descriptors(parse_smiles("CC(=O)Nc1ccc(O)cc1"))  # paracetamol
     assert d["n_phenol"] == 1 and d["n_amine_secondary"] == 0
     assert d["n_aromatic_bonds"] == 6 and d["n_ring_atoms"] == 6
+
+
+# ------------------------------------------------------------- toxicity
+def test_toxicity_flags():
+    from workbench_spark.chem.toxicity import (
+        contains_heavy_metals,
+        halogen_toxicity_score,
+        toxic_elements,
+        toxic_groups,
+        toxicity_flags,
+    )
+
+    # clean drug: no flags
+    d = toxicity_flags(parse_smiles("CC(=O)Oc1ccccc1C(=O)O"))
+    assert not d["is_toxic"] and d["toxic_elements"] is None
+
+    # chloroform: trichloromethyl alert + halogens over threshold
+    m = parse_smiles("C(Cl)(Cl)Cl")
+    assert "trichloromethyl" in toxic_groups(m)
+    c, t = halogen_toxicity_score(m)
+    assert c == 3 and t == 2 and "Cl" in toxic_elements(m)
+
+    # mercury salt: heavy metal + always-toxic element
+    m = parse_smiles("C[Hg]C")
+    assert contains_heavy_metals(m) and toxic_elements(m) == ["Hg"]
+
+    # choline (benign quaternary N+): exempt from N+ flag but the
+    # quaternary_ammonium group alert still fires (reference behavior)
+    m = parse_smiles("C[N+](C)(C)CCO")
+    assert toxic_elements(m) is None
+    assert "quaternary_ammonium" in toxic_groups(m)
+
+    # pyridinium N+ (not a benign quat): flagged
+    m = parse_smiles("CC(=O)[n+]1ccccc1")
+    assert "N+" in (toxic_elements(m) or [])
+
+    # dithiocarbamate + thiourea
+    assert "dithiocarbamate" in toxic_groups(parse_smiles("CNC(=S)NC"))
+    assert "thiourea" in toxic_groups(parse_smiles("NC(=S)N"))
+
+    # phosphate ester
+    assert "phosphate_ester" in toxic_groups(parse_smiles("COP(=O)(OC)OC"))
+
+    # trichlorinated aromatic ring
+    assert "trichloro_aromatic" in toxic_groups(
+        parse_smiles("c1c(Cl)c(Cl)c(Cl)cc1")
+    )
+
+    # halogenated carbonyl (chloroacetone)
+    assert "halogenated_carbonyl" in toxic_groups(parse_smiles("CC(=O)CCl"))

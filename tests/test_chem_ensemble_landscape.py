@@ -334,3 +334,20 @@ def test_ruzicka_df_cap_recall(spark):
     assert full.count() == 20 * 19 // 2
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(1, 2)}  # only the cold-dim pair survives
+
+
+def test_toxicity_tags_operator(spark):
+    from workbench_spark.operators.chem import toxicity_tags
+
+    rows = [
+        ("t1", "CC(=O)Oc1ccccc1C(=O)O"),   # clean
+        ("t2", "C(Cl)(Cl)Cl"),             # chloroform
+        ("t3", "C[Hg]C"),                  # organomercury
+        ("t4", None),                      # unknown
+    ]
+    df = spark.createDataFrame(rows, "id string, smiles string")
+    out = {r["id"]: r for r in toxicity_tags(df).collect()}
+    assert out["t1"]["is_toxic"] is False
+    assert out["t2"]["is_toxic"] and "trichloromethyl" in out["t2"]["toxic_groups"]
+    assert out["t3"]["heavy_metals"] and out["t3"]["toxic_elements"] == ["Hg"]
+    assert out["t4"]["is_toxic"] is None  # unknown != safe

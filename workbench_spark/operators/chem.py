@@ -380,6 +380,54 @@ def tag_molecules(df: DataFrame, smiles_col: str = "smiles", out_col: str = "tag
     return df.withColumn(out_col, tags_udf(F.col(smiles_col)))
 
 
+def toxicity_tags(
+    df: DataFrame, smiles_col: str = "smiles"
+) -> DataFrame:
+    """C6 — toxicity flags (toxicity.py:36-150): heavy metals, toxic
+    elements (with the benign-quaternary exemption), halogen
+    over-substitution, functional-group alerts — all computed for real
+    from the molecular graph (workbench_spark.chem.toxicity). Adds
+    columns: heavy_metals, toxic_elements, toxic_groups, halogen_count,
+    halogen_threshold, is_toxic. Unparseable SMILES → NULL row flags
+    with is_toxic NULL (unknown ≠ safe)."""
+    schema = (
+        "heavy_metals boolean, toxic_elements array<string>, "
+        "toxic_groups array<string>, halogen_count int, "
+        "halogen_threshold int, is_toxic boolean"
+    )
+
+    @pandas_udf(schema)
+    def flags(smiles: pd.Series) -> pd.DataFrame:
+        from workbench_spark.chem.smiles import SmilesError, parse_smiles
+        from workbench_spark.chem.toxicity import toxicity_flags
+
+        rows = []
+        for s in smiles:
+            if s is None or not str(s).strip():
+                rows.append([None] * 6)
+                continue
+            try:
+                d = toxicity_flags(parse_smiles(str(s)))
+            except SmilesError:
+                rows.append([None] * 6)
+                continue
+            rows.append([
+                d["heavy_metals"], d["toxic_elements"], d["toxic_groups"],
+                d["halogen_count"], d["halogen_threshold"], d["is_toxic"],
+            ])
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "heavy_metals", "toxic_elements", "toxic_groups",
+                "halogen_count", "halogen_threshold", "is_toxic",
+            ],
+        )
+
+    return df.withColumn("__tox", flags(F.col(smiles_col))).select(
+        "*", "__tox.*"
+    ).drop("__tox")
+
+
 def strip_salts(
     df: DataFrame, smiles_col: str = "smiles", out_col: str = "parent_smiles"
 ) -> DataFrame:

@@ -298,23 +298,22 @@ def minhash_lsh_pairs(
     # — but est is a 32-slot scalar fold, while deduping first would carry
     # both 32-long signature arrays through the dropDuplicates shuffle.
     # Scalar-carrying shuffle beats array-carrying shuffle.
-    out = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            est.alias("est_jaccard"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    out = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        est.alias("est_jaccard"),
     )
+    # filter BEFORE the pair dedupe: est is deterministic per pair, and a
+    # near-dup matches on ~all bands, so filtering first shrinks the
+    # dropDuplicates shuffle by up to `bands`x
     if verify_threshold is not None:
         out = out.filter(F.col("est_jaccard") >= verify_threshold)
-    return out
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 def minhash_lsh_dedup(
