@@ -196,3 +196,31 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE li_bucketed")
         spark.sql("DROP TABLE o_bucketed")
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming dropDuplicates within the watermark == batch dedup over
+    the same files (every duplicate here arrives inside the horizon)."""
+    from workbench_spark.streaming.monitor import (
+        run_stream_to_memory,
+        stream_exact_dedup,
+    )
+
+    from workbench_spark.session import read_table
+
+    src = read_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # plant duplicates: union a 20% sample of itself
+    dup = src.sample(0.2, seed=1)
+    both = src.unionByName(dup)
+    d = str(tmp_path / "dedup_src")
+    both.write.mode("overwrite").parquet(d)
+
+    stream = stream_exact_dedup(
+        spark, d, both.schema, key_cols=["event_id"], watermark="1 day"
+    )
+    out = run_stream_to_memory(stream, "dedup_out")
+    batch = spark.read.parquet(d).dropDuplicates(["event_id"])
+    assert out.count() == batch.count()
+    assert out.select("event_id").distinct().count() == out.count()

@@ -508,3 +508,41 @@ def cosine_knn_blas(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def embedding_group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Per-group centroid of an embedding column: (group, centroid,
+    n_vectors). The class-prototype primitive (nearest-centroid
+    classification, cluster summaries, IVF coarse quantizer seeding).
+
+    Plan shape: posexplode → per-(group, dim) avg (ONE shuffle, map-side
+    combinable partials — never collect vectors) → re-assemble the array
+    with sort_array(collect_list(struct(dim, avg))) per group. The second
+    groupBy reuses the same group key; dims-per-group rows are tiny
+    (n_groups × dim). ``normalize=True`` L2-normalizes the centroid
+    (cosine-prototype form)."""
+    exploded = df.select(
+        F.col(group_col).alias("g"), F.posexplode(F.col(vec_col)).alias("d", "v")
+    )
+    per_dim = exploded.groupBy("g", "d").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    out = per_dim.groupBy("g").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        ).alias("centroid"),
+        F.first("n").alias("n_vectors"),
+    )
+    if normalize:
+        out = out.withColumn("__n", _norm(F.col("centroid"))).withColumn(
+            "centroid",
+            F.transform("centroid", lambda x: x / F.col("__n")),
+        ).drop("__n")
+    return out.select(
+        F.col("g").alias(group_col), "centroid", "n_vectors"
+    )

@@ -154,3 +154,115 @@ def rolling_hashes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             F.transform("__sh", lambda s: F.xxhash64(s))
         ).alias("shingle_hash"),
     )
+
+
+# ----------------------------------------------------- repetition (Gopher)
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", ngram: int = 2
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText quality
+    rules — Rae et al. 2021 §A1.1; no reference counterpart, mandated
+    LLM-pipeline op):
+
+    - ``dup_ngram_frac``: 1 − distinct/total word n-grams — high values
+      mean boilerplate/looping text;
+    - ``top_word_frac``: frequency of the most common word / total words.
+
+    All JVM-side: split + transform for n-grams, aggregate over a
+    grouped word histogram for the mode. Zero shuffle (per-row exprs).
+    """
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    n_words = F.size(words)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(__w) - {ngram - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(__w, i, {ngram})))"
+    )
+    # mode frequency via sorted word array: longest run of equal words
+    # (aggregate keeps (prev, run, best) as a struct — single pass, no
+    # per-element subexpressions that would re-evaluate)
+    mode_freq = F.expr(
+        "aggregate(array_sort(__w), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        "(acc, w) -> named_struct("
+        "  'prev', w, "
+        "  'run', CASE WHEN acc.prev IS NOT NULL AND w = acc.prev "
+        "          THEN acc.run + 1 ELSE 1 END, "
+        "  'best', greatest(acc.best, CASE WHEN acc.prev IS NOT NULL AND w = acc.prev "
+        "          THEN acc.run + 1 ELSE 1 END)), "
+        "acc -> acc.best)"
+    )
+    out = df.withColumn("__w", words)
+    out = out.withColumn("__g", grams)
+    return (
+        out.withColumn(
+            "dup_ngram_frac",
+            F.when(
+                F.size("__g") > 0,
+                F.round(
+                    1.0 - F.size(F.array_distinct("__g")) / F.size("__g"), 6
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_word_frac",
+            F.when(
+                F.size("__w") > 0, F.round(mode_freq / F.size("__w"), 6)
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__w", "__g")
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Cross-document chunk-level duplication (the Lee et al. 2022
+    "Deduplicating Training Data" NearDup/ExactSubstr shape at chunk
+    granularity): split each doc into non-overlapping ``chunk_words``-word
+    chunks, count chunks that appear in >1 document, report per-doc
+    (n_chunks, n_dup_chunks, dup_chunk_frac).
+
+    Scale: one explode (linear), one groupBy on the chunk hash (the dup
+    census — map-side combinable), one broadcast-ableless semi aggregation
+    back per doc. Equi-join-shaped throughout; no pairwise blowup at any
+    duplication level (counts, not pairs).
+    """
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, greatest((size(__w) - 1) div {chunk_words}, 0) "
+        f"- CASE WHEN size(__w) = 0 THEN 1 ELSE 0 END), "
+        f"i -> concat_ws(' ', slice(__w, i * {chunk_words} + 1, {chunk_words})))"
+    )
+    exploded = (
+        df.withColumn("__w", words)
+        .withColumn("__c", chunks)
+        .select(F.col(id_col), F.explode("__c").alias("chunk"))
+        .withColumn("__h", F.md5(F.col("chunk")))
+    )
+    census = exploded.groupBy("__h").agg(
+        F.countDistinct(id_col).alias("__docs")
+    )
+    return (
+        exploded.join(census, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+            F.round(
+                F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_chunk_frac"),
+        )
+    )

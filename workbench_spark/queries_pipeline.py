@@ -1648,3 +1648,125 @@ def chem_topology_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_carboxylic_acid").cast("int").alias("n_carboxylic_acid"),
         F.col("n_amine_primary").cast("int").alias("n_amine_primary"),
     )
+
+
+# =====================================================================
+# Round-3 LLM-pipeline additions: repetition, chunk dedup, centroids
+# =====================================================================
+
+
+@query(
+    "text_repetition_features",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ws,
+             [ws[i] || ' ' || ws[i+1]
+              FOR i IN generate_series(1, GREATEST(len(ws) - 1, 0))] AS grams
+      FROM w
+    ),
+    wl AS (SELECT doc_id, UNNEST(ws) AS word FROM w),
+    freq AS (SELECT doc_id, word, COUNT(*) AS c FROM wl GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM freq GROUP BY 1)
+    SELECT g.doc_id,
+           CASE WHEN len(grams) > 0
+                THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                ELSE 0.0 END AS dup_ngram_frac,
+           ROUND(CAST(top.mx AS DOUBLE) / top.tot, 6) AS top_word_frac
+    FROM g JOIN top ON g.doc_id = top.doc_id
+    """,
+)
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition rules (Rae 2021 §A1.1): duplicate
+    word-bigram fraction + most-common-word fraction, per document. All
+    JVM-side array expressions, zero shuffle."""
+    from workbench_spark.operators.text import repetition_features
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_features(d, ngram=2).select(
+        "doc_id", "dup_ngram_frac", "top_word_frac"
+    )
+
+
+@query(
+    "text_chunk_dedup_stats",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             [array_to_string(ws[(i*8+1):(i*8+8)], ' ')
+              FOR i IN generate_series(0, GREATEST((len(ws) - 1) // 8, 0))] AS chunks
+      FROM w
+    ),
+    ex AS (SELECT doc_id, UNNEST(chunks) AS chunk FROM c),
+    census AS (SELECT chunk, COUNT(DISTINCT doc_id) AS docs FROM ex GROUP BY 1)
+    SELECT ex.doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN census.docs > 1 THEN 1 ELSE 0 END) AS n_dup_chunks,
+           ROUND(CAST(SUM(CASE WHEN census.docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_chunk_frac
+    FROM ex JOIN census ON ex.chunk = census.chunk
+    GROUP BY ex.doc_id
+    """,
+)
+def text_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk duplication census (Lee 2022 ExactSubstr at
+    chunk granularity): per-doc duplicate-chunk fraction via one explode
+    + one groupBy on the chunk key — counts, never pairs, so duplication
+    level can't create a quadratic bucket."""
+    from workbench_spark.operators.text import chunk_dedup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_dedup_stats(d, chunk_words=8)
+    return out.select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+        "dup_chunk_frac",
+    )
+
+
+@query(
+    "embedding_group_centroids",
+    """
+    WITH ex AS (
+      -- parallel UNNESTs of equal length zip in DuckDB: dim 1..len pairs
+      -- with the matching element
+      SELECT label,
+             UNNEST(generate_series(1, len(embedding))) AS dim,
+             UNNEST(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           ROUND(AVG(CAST(v AS DOUBLE)), 4) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes), exploded to
+    (label, dim, value) rows for scalar hash-compare. One shuffle on
+    (label, dim) with map-side-combinable avg partials — vectors are
+    never collected."""
+    from workbench_spark.operators.similarity import embedding_group_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = embedding_group_centroids(e, "label", "embedding")
+    return cent.select(
+        "label",
+        F.posexplode("centroid").alias("dim0", "v"),
+        "n_vectors",
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),  # ordinality is 1-based
+        F.round("v", 4).alias("centroid_val"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+    )

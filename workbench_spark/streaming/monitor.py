@@ -157,3 +157,24 @@ def stream_sessionize_stateful(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+):
+    """Streaming exact deduplication: dropDuplicates on the dedup key
+    within the watermark horizon — the ingestion-time guard an LLM data
+    pipeline puts in front of the corpus (at-least-once sources replay
+    records; this makes the downstream corpus exactly-once per key).
+
+    State = one entry per key seen within the watermark; Spark evicts
+    state older than the horizon, so memory is bounded by key arrival
+    rate x watermark, independent of stream length. Batch twin:
+    ``dropDuplicates(key_cols)`` — equivalence asserted in tests."""
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
