@@ -1746,7 +1746,7 @@ def text_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, CAST(dim AS INT) AS dim,
-           ROUND(AVG(CAST(v AS DOUBLE)), 4) AS centroid_val,
+           ROUND(AVG(CAST(v AS DOUBLE)), 4) + 0 AS centroid_val,  -- +0: fold -0.0
            COUNT(*) AS n_vectors
     FROM ex GROUP BY 1, 2
     """,
@@ -1767,6 +1767,6 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("dim0") + 1).cast("int").alias("dim"),  # ordinality is 1-based
-        F.round("v", 4).alias("centroid_val"),
+        (F.round("v", 4) + F.lit(0.0)).alias("centroid_val"),  # +0: fold -0.0
         F.col("n_vectors").cast("long").alias("n_vectors"),
     )
