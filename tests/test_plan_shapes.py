@@ -1,0 +1,66 @@
+"""Plan-shape regression sweep: every registry query's physical plan is
+checked for scale-killers. CartesianProduct is banned outright; a
+BroadcastNestedLoopJoin is allowed ONLY on the explicit allowlist below,
+where it is the intended plan:
+
+- scalar-broadcast pattern: a 1-row aggregate (drift bounds, split
+  cutoff, dataset totals) crossed into the scan — linear, not quadratic;
+- exact-path pattern: a small broadcast query set x reference scan
+  (cosine/euclidean brute force, UQ neighbor scoring) — the documented
+  ground-truth path whose scale variants (LSH/IVF/BRP) are equi-joins.
+
+A new query that introduces a BNLJ must either justify itself here or
+be reshaped into an equi-join — this test is the tripwire.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# name -> why a BroadcastNestedLoopJoin is the right plan
+BNLJ_ALLOWED = {
+    "a17_ks_events_value": "1-row CDF-normalization aggregate crossed into scan",
+    "a17_psi_events_value": "1-row bin-edge aggregate crossed into scan",
+    "a18_detect_drift": "1-row baseline-stats aggregate crossed into scan",
+    "a19_target_health": "1-row dataset-total aggregate crossed into scan",
+    "o5_temporal_split_counts": "1-row cutoff aggregate crossed into scan",
+    "dedup_embedding_cosine": "exact blas path: driver-gated broadcast matrix",
+    "knn_cosine_bruteforce": "exact path: small broadcast query set x refs",
+    "knn_euclidean_standardized": "exact path: small broadcast query set",
+    "m4_uq_neighbors": "exact-KNN UQ scoring over broadcast queries",
+    "m4_uq_coverage": "exact-KNN UQ scoring over broadcast queries",
+    "m4_uq_applicability": "exact-KNN UQ scoring over broadcast queries",
+}
+
+
+def _all_queries():
+    from workbench_spark.queries import queries
+
+    return sorted(queries().items())
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from workbench_spark.session import get_spark
+
+    return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.mark.parametrize("name,fn", _all_queries(), ids=[n for n, _ in _all_queries()])
+def test_no_scale_killers_in_plan(spark, name, fn):
+    df = fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_ALLOWED, (
+            f"{name}: unexpected BroadcastNestedLoopJoin — reshape into an "
+            f"equi-join or add an explicit justification to BNLJ_ALLOWED"
+        )
