@@ -269,3 +269,123 @@ def test_toxicity_flags():
 
     # halogenated carbonyl (chloroacetone)
     assert "halogenated_carbonyl" in toxic_groups(parse_smiles("CC(=O)CCl"))
+
+
+# --------------------------------------------- property: canonicalization
+def _random_molecule_smiles(rng, permute: bool):
+    """Emit a SMILES for a random connected graph via a naive DFS writer
+    (independent of canon.py's emitter). ``permute`` relabels the atoms,
+    producing a differently-written string for the same molecule."""
+    n = rng.randint(3, 10)
+    elements = [rng.choice("CCCCNOS") for _ in range(n)]
+    # random spanning tree + up to 2 extra ring edges
+    edges = {}
+    for i in range(1, n):
+        j = rng.randrange(i)
+        edges[(j, i)] = rng.choice([1, 1, 1, 2])
+    extra = 0
+    for _ in range(10):
+        if extra >= 2:
+            break
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if key in edges:
+            continue
+        edges[key] = 1
+        extra += 1
+
+    order = list(range(n))
+    if permute:
+        rng.shuffle(order)
+    pos = {atom: k for k, atom in enumerate(order)}
+    # rebuild adjacency under the permuted labels
+    adj = {k: [] for k in range(n)}
+    for (a, b), o in edges.items():
+        adj[pos[a]].append((pos[b], o))
+        adj[pos[b]].append((pos[a], o))
+    syms = [None] * n
+    for atom, k in pos.items():
+        syms[k] = elements[atom]
+
+    visited = set()
+    ring_digits = {}
+    next_digit = [1]
+    tree = set()
+    # pre-walk to find tree/back edges from node 0
+    stack = [(0, None)]
+    seen = {0}
+    while stack:
+        x, parent = stack.pop()
+        for nb, o in sorted(adj[x]):
+            key = frozenset((x, nb))
+            if nb in seen:
+                if key not in tree and key not in ring_digits:
+                    ring_digits[key] = next_digit[0]
+                    next_digit[0] += 1
+            else:
+                seen.add(nb)
+                tree.add(key)
+                stack.append((nb, x))
+
+    def emit(x, parent):
+        visited.add(x)
+        out = syms[x]
+        for nb, o in sorted(adj[x]):
+            key = frozenset((x, nb))
+            if key in ring_digits:
+                out += ("=" if o == 2 else "") + str(ring_digits[key])
+        children = [
+            (nb, o)
+            for nb, o in sorted(adj[x])
+            if frozenset((x, nb)) in tree and nb != parent and nb not in visited
+        ]
+        for k, (nb, o) in enumerate(children):
+            body = ("=" if o == 2 else "") + emit(nb, x)
+            out += f"({body})" if k < len(children) - 1 else body
+        return out
+
+    return emit(0, None)
+
+
+def test_canonical_invariance_random_graphs():
+    """Property: the canonical form is invariant under atom relabeling,
+    for 120 random connected multi-ring graphs."""
+    import random as _random
+
+    for seed in range(120):
+        rng = _random.Random(seed)
+        s1 = _random_molecule_smiles(rng, permute=False)
+        rng2 = _random.Random(seed)
+        # consume the identical graph draws, then permute labels
+        _ = _random_molecule_smiles(rng2, permute=False)
+        s2 = _random_molecule_smiles(_PermutedReplay(seed), permute=True)
+        c1, c2 = canonical_smiles(s1), canonical_smiles(s2)
+        assert c1 is not None
+        assert c1 == c2, f"seed {seed}: {s1!r} vs {s2!r} -> {c1!r} != {c2!r}"
+        assert canonical_smiles(c1) == c1  # fixpoint
+
+
+class _PermutedReplay:
+    """random.Random clone that replays the same graph draws as the given
+    seed, but answers the shuffle() call differently (so only the atom
+    labeling changes, not the graph)."""
+
+    def __init__(self, seed):
+        import random as _random
+
+        self._base = _random.Random(seed)
+        self._alt = _random.Random(seed + 10_000)
+
+    def randint(self, a, b):
+        return self._base.randint(a, b)
+
+    def choice(self, seq):
+        return self._base.choice(seq)
+
+    def randrange(self, n):
+        return self._base.randrange(n)
+
+    def shuffle(self, x):
+        self._alt.shuffle(x)
