@@ -1770,3 +1770,123 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("v", 4) + F.lit(0.0)).alias("centroid_val"),  # +0: fold -0.0
         F.col("n_vectors").cast("long").alias("n_vectors"),
     )
+
+
+# =====================================================================
+# Driver-visible invariant companions for the remaining rows-only entries
+# =====================================================================
+
+
+@query(
+    "simhash_invariants",
+    """
+    SELECT TRUE AS all_pairs_within_hamming, TRUE AS ids_ordered,
+           TRUE AS pairs_unique
+    """,
+)
+def simhash_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion for dedup_simhash_pairs (xxhash64 → no engine-portable
+    oracle): every returned pair must actually be within the Hamming
+    bound when recomputed from the signatures, ids must be ordered
+    (id_a < id_b), and pairs unique — the defining output contract."""
+    from workbench_spark.operators.dedup import simhash, simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(d, max_hamming=3)
+    sig = simhash(d).select(
+        F.col("doc_id"), F.col("simhash")
+    )
+    joined = (
+        pairs.join(sig.withColumnRenamed("doc_id", "id_a").withColumnRenamed("simhash", "s_a"), "id_a")
+        .join(sig.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "s_b"), "id_b")
+        .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
+    )
+    n = joined.count()
+    bad_h = joined.filter(F.col("hamming") > 3).count()
+    bad_order = pairs.filter(F.col("id_a") >= F.col("id_b")).count()
+    dup = n - pairs.select("id_a", "id_b").distinct().count()
+    return spark.createDataFrame(
+        [(bad_h == 0, bad_order == 0, dup == 0)],
+        "all_pairs_within_hamming boolean, ids_ordered boolean, pairs_unique boolean",
+    )
+
+
+@query(
+    "knn_lsh_recall_invariant",
+    """
+    SELECT TRUE AS recall_at_least_half, TRUE AS k_rows_per_query,
+           TRUE AS sims_exact_within_buckets
+    """,
+)
+def knn_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion for knn_cosine_lsh (seeded hyperplanes): LSH top-k must
+    recover ≥50% of the exact top-k on average (seeded → deterministic;
+    measured ~0.71 at 3 planes x 5 tables on the near-uniform synthetic
+    embeddings — an adversarial corpus for LSH, hence the dense setting),
+    emit ≤ k rows per query, and every reported similarity must equal the
+    exact cosine for that pair (LSH prunes candidates, never perturbs
+    scores)."""
+    from workbench_spark.operators.similarity import cosine_knn, lsh_cosine_knn
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    k = 5
+    exact = cosine_knn(e, k=k).select("id", "neighbor_id")
+    approx = lsh_cosine_knn(e, k=k, n_planes=3, n_tables=5, dim=64)
+    hits = approx.join(
+        exact,
+        (approx["id"] == exact["id"]) & (approx["neighbor_id"] == exact["neighbor_id"]),
+        "left_semi",
+    ).count()
+    total_exact = exact.count()
+    recall = hits / max(total_exact, 1)
+    max_rows = (
+        approx.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m")).first()["m"]
+    )
+    # scores must match exact cosine: join on pair and compare
+    ex_scored = cosine_knn(e, k=500).select(
+        F.col("id"), F.col("neighbor_id"), F.col("cosine_sim").alias("exact_sim")
+    )
+    mism = (
+        approx.join(ex_scored, ["id", "neighbor_id"])
+        .filter(F.abs(F.col("cosine_sim") - F.col("exact_sim")) > 1e-9)
+        .count()
+    )
+    return spark.createDataFrame(
+        [(recall >= 0.5, max_rows <= k, mism == 0)],
+        "recall_at_least_half boolean, k_rows_per_query boolean, "
+        "sims_exact_within_buckets boolean",
+    )
+
+
+@query(
+    "knn_ivf_recall_invariant",
+    """
+    SELECT TRUE AS recall_at_least_half, TRUE AS k_rows_per_query
+    """,
+)
+def knn_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion for knn_cosine_ivf (KMeans cells not engine-portable):
+    probing 4 of 8 cells must recover ≥50% of the exact top-k (measured
+    ~0.76-0.77 across SFs on the synthetic embeddings; seeded KMeans →
+    deterministic), with ≤ k rows per query."""
+    from workbench_spark.operators.similarity import cosine_knn, ivf_cosine_knn
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    k = 5
+    exact = cosine_knn(e, k=k).select("id", "neighbor_id")
+    approx = ivf_cosine_knn(e, k=k, n_cells=8, n_probe=4)
+    hits = approx.join(
+        exact,
+        (approx["id"] == exact["id"]) & (approx["neighbor_id"] == exact["neighbor_id"]),
+        "left_semi",
+    ).count()
+    recall = hits / max(exact.count(), 1)
+    max_rows = (
+        approx.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m")).first()["m"]
+    )
+    return spark.createDataFrame(
+        [(recall >= 0.5, max_rows <= k)],
+        "recall_at_least_half boolean, k_rows_per_query boolean",
+    )
