@@ -224,3 +224,48 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     batch = spark.read.parquet(d).dropDuplicates(["event_id"])
     assert out.count() == batch.count()
     assert out.select("event_id").distinct().count() == out.count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Same-spec bucketed tables join with ZERO Exchange in the physical
+    plan — the co-located-join contract for 100 TB fact-fact joins."""
+    import contextlib
+    import io
+
+    from workbench_spark.session import read_table
+    from workbench_spark.sources.bucketed import bucketed_join, save_bucketed_table
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        o = read_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        li = read_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        ).withColumnRenamed("l_orderkey", "o_orderkey")
+        save_bucketed_table(o, "bktest.orders_b", ["o_orderkey"], n_buckets=8)
+        save_bucketed_table(li, "bktest.lineitem_b", ["o_orderkey"], n_buckets=8)
+
+        # at test scale the planner would broadcast the small side; force
+        # the SortMergeJoin path that bucketing targets at fact-fact scale
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(
+                spark, "bktest.orders_b", "bktest.lineitem_b", ["o_orderkey"]
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # the whole point of bucketing
+        # and the result is still correct
+        expected = o.join(li, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
