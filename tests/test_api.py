@@ -330,3 +330,16 @@ def test_fluent_chain_ds_to_features_to_model(spark, warehouse):
     ep = m.to_endpoint()
     out = ep.transform(fs.snapshot().limit(5))
     assert "prediction" in out.columns and out.count() == 5
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted skew join == plain join on a corpus with one hot key."""
+    from workbench_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1 if i < 900 else i, i) for i in range(1000)], "k int, v int"
+    )
+    right = spark.createDataFrame([(1, "hot"), (950, "cold")], "k int, tag string")
+    plain = left.join(right, "k").groupBy("k", "tag").count()
+    salted = salted_join(left, right, "k", n_salts=8).groupBy("k", "tag").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}

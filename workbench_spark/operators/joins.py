@@ -137,3 +137,37 @@ def asof_join(
         F.col("__cf_rt").alias(f"{right_time}{suffix}"),
     )
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: split each hot key's left-side rows
+    across ``n_salts`` shuffle partitions by appending a random salt,
+    replicating the right side once per salt value.
+
+    When to use: a single key holding >>1/shuffle-partitions of the rows
+    (power-law join keys at 100 TB) makes one reducer the straggler; AQE
+    skew-join splitting handles sort-merge cases, but salting also covers
+    aggregations-after-join and works under any join strategy. Cost:
+    right side is duplicated n_salts× (keep it the SMALL side); left adds
+    one cheap column. Correctness: every (left row, right row) key match
+    meets on exactly one salt value — plain-join equivalence tested in
+    test_api.
+
+    `rand()` here is per-row and nondeterministic ACROSS retries — fine
+    for inner/left joins of deterministic inputs (the multiset of matches
+    is salt-invariant), but don't use the salt column downstream.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    salted_right = right.select("*", salts)
+    out = salted_left.join(salted_right, keys + ["__salt"], how)
+    return out.drop("__salt")
