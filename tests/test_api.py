@@ -343,3 +343,23 @@ def test_salted_join_matches_plain_join(spark):
     plain = left.join(right, "k").groupBy("k", "tag").count()
     salted = salted_join(left, right, "k", n_salts=8).groupBy("k", "tag").count()
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_athena_misc_builtins_translate(spark):
+    from workbench_spark.functions.athena_sql import translate_athena_sql as t
+
+    assert t("SELECT CARDINALITY(arr) FROM x") == "SELECT size(arr) FROM x"
+    assert (
+        t("SELECT json_extract_scalar(j, '$.a') FROM x")
+        == "SELECT get_json_object(j, '$.a') FROM x"
+    )
+    assert t("SELECT CODEPOINT(c) FROM x") == "SELECT ascii(c) FROM x"
+    assert t("SELECT FROM_UNIXTIME(ts) FROM x") == "SELECT timestamp_seconds(ts) FROM x"
+    # and they actually run through Spark
+    row = spark.sql(
+        t("SELECT CARDINALITY(array(1,2,3)) AS n, "
+          "json_extract_scalar('{\"a\": 5}', '$.a') AS a, "
+          "FROM_UNIXTIME(0) AS ts0")
+    ).first()
+    assert row["n"] == 3 and row["a"] == "5"
+    assert str(row["ts0"]).startswith("1970-01-01")

@@ -61,6 +61,12 @@ _REPLACEMENTS = [
     (re.compile(r"\bFROM_ISO8601_TIMESTAMP\s*\(", re.I), "to_timestamp("),
     (re.compile(r"\bFROM_ISO8601_DATE\s*\(", re.I), "to_date("),
     (re.compile(r"\bTO_UNIXTIME\s*\(", re.I), "unix_timestamp("),
+    (re.compile(r"\bCARDINALITY\s*\(", re.I), "size("),
+    (re.compile(r"\bJSON_EXTRACT_SCALAR\s*\(", re.I), "get_json_object("),
+    (re.compile(r"\bCODEPOINT\s*\(", re.I), "ascii("),
+    # Presto from_unixtime(double) -> TIMESTAMP; Spark's same-named builtin
+    # returns a STRING, so map to timestamp_seconds for type parity
+    (re.compile(r"\bFROM_UNIXTIME\s*\(", re.I), "timestamp_seconds("),
 ]
 
 _STRING_LITERAL = re.compile(r"'(?:[^']|'')*'")
