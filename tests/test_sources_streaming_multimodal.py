@@ -269,3 +269,25 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert joined.count() == expected
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_jsonl_tolerant_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from workbench_spark.sources.loaders import read_jsonl_tolerant
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": 3, "v": }\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, bad = read_jsonl_tolerant(spark, str(p), schema=schema)
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 2
+    raws = {r[0] for r in bad.collect()}
+    assert "this is not json" in raws

@@ -34,6 +34,37 @@ def read_jsonl(spark: SparkSession, path: str, schema=None, **options) -> DataFr
     return reader.json(path)
 
 
+def read_jsonl_tolerant(
+    spark: SparkSession, path: str, schema=None, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """S2 at corpus scale: PERMISSIVE parse that separates good rows from
+    corrupt ones instead of failing the job — at 100 TB there is ALWAYS a
+    malformed line, and FAILFAST turns one bad byte into a dead pipeline.
+
+    Returns (good, bad): ``good`` drops the corrupt column; ``bad`` holds
+    the raw offending lines for quarantine/repair. Spark requires caching
+    before referencing the corrupt column alone (the parser is lazy), so
+    ``bad`` is computed off a filtered projection of the cached parse."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        from pyspark.sql import types as _T
+
+        if isinstance(schema, _T.StructType) and corrupt_col not in schema.names:
+            schema = schema.add(corrupt_col, _T.StringType())
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if corrupt_col not in df.columns:  # fully clean file, inferred schema
+        return df, df.sparkSession.createDataFrame(
+            [], f"`{corrupt_col}` string"
+        )
+    df = df.cache()  # corrupt-column access requires a materialized parse
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad
+
+
 def flatten_structs(df: DataFrame, sep: str = "_") -> DataFrame:
     """S4 — recursive struct flatten with '.'→'_' column renames
     (Glue Relationalize semantics, s3_heavy_to_data_source.py:130-145).
