@@ -50,6 +50,22 @@ def _refine(mol: Mol, ranks: list[int]) -> list[int]:
     return [dense[k] for k in keys]
 
 
+def _refine_to_fixpoint(mol: Mol, ranks: list[int]) -> list[int]:
+    """Iterate _refine until the partition stops splitting. Each round
+    combines the new key with the previous rank so refinement never
+    merges classes."""
+    n = len(mol.atoms)
+    while True:
+        prev_classes = len(set(ranks))
+        nxt = _refine(mol, ranks)
+        nxt = [r * n + old for r, old in zip(nxt, ranks)]
+        dense = {k: i for i, k in enumerate(sorted(set(nxt)))}
+        nxt = [dense[k] for k in nxt]
+        if len(set(nxt)) == prev_classes:
+            return nxt
+        ranks = nxt
+
+
 def canonical_ranks(mol: Mol) -> list[int]:
     n = len(mol.atoms)
     ranks = []
@@ -66,20 +82,7 @@ def canonical_ranks(mol: Mol) -> list[int]:
             )
         )
     dense = {k: i for i, k in enumerate(sorted(set(ranks)))}
-    ranks = [dense[k] for k in ranks]
-    while True:
-        prev_classes = len(set(ranks))
-        nxt = _refine(mol, ranks)
-        # include previous rank so refinement never merges classes
-        nxt = [
-            r * n + old for r, old in zip(nxt, ranks)
-        ]
-        dense = {k: i for i, k in enumerate(sorted(set(nxt)))}
-        nxt = [dense[k] for k in nxt]
-        if len(set(nxt)) == prev_classes:
-            ranks = nxt
-            break
-        ranks = nxt
+    ranks = _refine_to_fixpoint(mol, [dense[k] for k in ranks])
     # tie-breaking (CANGEN): promote one atom of the smallest tied class
     while len(set(ranks)) < n:
         counts: dict[int, int] = {}
@@ -90,17 +93,7 @@ def canonical_ranks(mol: Mol) -> list[int]:
         chosen = min(i for i, r in enumerate(ranks) if r == target)
         ranks = [r * 2 + (0 if i == chosen else 1) for i, r in enumerate(ranks)]
         dense = {k: i for i, k in enumerate(sorted(set(ranks)))}
-        ranks = [dense[k] for k in ranks]
-        while True:
-            prev_classes = len(set(ranks))
-            nxt = _refine(mol, ranks)
-            nxt = [r * n + old for r, old in zip(nxt, ranks)]
-            dense = {k: i for i, k in enumerate(sorted(set(nxt)))}
-            nxt = [dense[k] for k in nxt]
-            if len(set(nxt)) == prev_classes:
-                ranks = nxt
-                break
-            ranks = nxt
+        ranks = _refine_to_fixpoint(mol, [dense[k] for k in ranks])
     return ranks
 
 

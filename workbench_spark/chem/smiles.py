@@ -100,25 +100,26 @@ class Mol:
     bonds: list[Bond] = field(default_factory=list)
     n_components: int = 1
     rings: list[list[int]] = field(default_factory=list)  # SSSR atom cycles
+    _adj: dict | None = field(default=None, repr=False)
 
     def neighbors(self, i: int) -> list[tuple[int, "Bond"]]:
-        out = []
-        for b in self.bonds:
-            if b.a == i:
-                out.append((b.b, b))
-            elif b.b == i:
-                out.append((b.a, b))
-        return out
+        return self.adjacency[i]
 
     @property
     def adjacency(self) -> dict[int, list[tuple[int, Bond]]]:
-        adj: dict[int, list[tuple[int, Bond]]] = {
-            i: [] for i in range(len(self.atoms))
-        }
-        for b in self.bonds:
-            adj[b.a].append((b.b, b))
-            adj[b.b].append((b.a, b))
-        return adj
+        """Adjacency list, built once per Mol (bond objects are shared, so
+        in-place perception flag changes stay visible). Per-atom loops in
+        the descriptor/toxicity stages would otherwise rebuild this
+        O(bonds) structure per atom — quadratic per molecule."""
+        if self._adj is None or len(self._adj) != len(self.atoms):
+            adj: dict[int, list[tuple[int, Bond]]] = {
+                i: [] for i in range(len(self.atoms))
+            }
+            for b in self.bonds:
+                adj[b.a].append((b.b, b))
+                adj[b.b].append((b.a, b))
+            self._adj = adj
+        return self._adj
 
 
 _BOND_ORDER = {"-": 1, "=": 2, "#": 3, "$": 4, ":": 1, "/": 1, "\\": 1}

@@ -277,7 +277,13 @@ def minhash_lsh_pairs(
     # at scale, persist_signatures=True pins the banded frame (caller
     # should unpersist via banded.unpersist() semantics — Spark evicts LRU
     # otherwise).
-    if persist_signatures:
+    if persist_signatures == "persist":
+        # fault-tolerant variant for long-lived cluster jobs: lost blocks
+        # recompute from lineage (localCheckpoint blocks do NOT — an
+        # executor loss after checkpoint fails the job). Costs the 2x
+        # signature compute on this self-join (no ReusedExchange).
+        banded = banded.persist()
+    elif persist_signatures:
         # Eager localCheckpoint materializes the banded signatures ONCE and
         # truncates lineage, so the self-join provably scans the stored
         # blocks instead of recomputing the 32-hash signature pipeline per
@@ -285,7 +291,9 @@ def minhash_lsh_pairs(
         # re-keys attributes, no ReusedExchange, and the driver bench showed
         # the 2x never went away). Unlike persist(), the blocks are released
         # by the ContextCleaner when the frame is GC'd — no session-lifetime
-        # cache leak from repeated calls.
+        # cache leak. Tradeoff: lineage truncation trades executor-loss
+        # fault tolerance for the guaranteed single compute — right for
+        # bench/batch runs; pass "persist" on lossy long-lived clusters.
         banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     est = F.aggregate(
@@ -574,10 +582,12 @@ def _lsh_embedding_candidates(
 
     if dim is None:
         # first() is a full Spark job at plan-build time — hot paths should
-        # pass dim explicitly. Guard the empty-frame case (first() -> None):
-        # any dim keeps the plan valid and it yields zero candidate rows.
-        row = df.select(vec_col).first()
-        dim = 1 if row is None or row[0] is None else len(row[0])
+        # pass dim explicitly. Probe a NON-NULL row: a NULL first row would
+        # silently set dim=1, every signature would collapse to one bucket,
+        # and the candidate join would degenerate into a cross product.
+        row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        # empty/all-null frame: any dim keeps the plan valid, zero rows out
+        dim = 1 if row is None else len(row[0])
     rng = random.Random(seed)
     tables = []
     base = df.select(

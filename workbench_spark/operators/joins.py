@@ -163,6 +163,12 @@ def salted_join(
     for inner/left joins of deterministic inputs (the multiset of matches
     is salt-invariant), but don't use the salt column downstream.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only (got {how!r}): the "
+            "replicated right side would surface unmatched right rows "
+            "n_salts times under right/full outer semantics"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * n_salts).cast("int")

@@ -536,7 +536,10 @@ def embedding_group_centroids(
         F.transform(
             F.sort_array(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
         ).alias("centroid"),
-        F.first("n").alias("n_vectors"),
+        # max, not first: deterministic, and for ragged/partially-null
+        # vectors it reports the true group membership count (the dim
+        # every member has), where an unordered first() is arbitrary
+        F.max("n").alias("n_vectors"),
     )
     if normalize:
         out = out.withColumn("__n", _norm(F.col("centroid"))).withColumn(

@@ -177,9 +177,14 @@ def repetition_features(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
     n_words = F.size(words)
+    # guard the short-doc case: sequence(1, 0) is DESCENDING [1, 0] in
+    # Spark (not empty like generate_series) and slice(start=0) throws —
+    # a document with < ngram words must yield an empty gram array
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(__w) - {ngram - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(__w, i, {ngram})))"
+        f"CASE WHEN size(__w) >= {ngram} THEN "
+        f"transform(sequence(1, size(__w) - {ngram - 1}), "
+        f"i -> concat_ws(' ', slice(__w, i, {ngram}))) "
+        f"ELSE array() END"
     )
     # mode frequency via sorted word array: longest run of equal words
     # (aggregate keeps (prev, run, best) as a struct — single pass, no
@@ -237,10 +242,13 @@ def chunk_dedup_stats(
     words = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
+    # same short-input guard as repetition_features: empty word arrays
+    # must produce an empty chunk list, not a degenerate sequence
     chunks = F.expr(
-        f"transform(sequence(0, greatest((size(__w) - 1) div {chunk_words}, 0) "
-        f"- CASE WHEN size(__w) = 0 THEN 1 ELSE 0 END), "
-        f"i -> concat_ws(' ', slice(__w, i * {chunk_words} + 1, {chunk_words})))"
+        f"CASE WHEN size(__w) > 0 THEN "
+        f"transform(sequence(0, (size(__w) - 1) div {chunk_words}), "
+        f"i -> concat_ws(' ', slice(__w, i * {chunk_words} + 1, {chunk_words}))) "
+        f"ELSE array() END"
     )
     exploded = (
         df.withColumn("__w", words)

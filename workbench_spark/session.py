@@ -69,6 +69,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # Pin UTC unconditionally (not only on the events/NTZ branch): in a
+    # bare non-get_spark driver session on a non-UTC machine, timestamp
+    # literals would otherwise parse in local time for queries that run
+    # before the first events read — order-dependent hashes.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -82,9 +87,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     ):
         # micros with isAdjustedToUTC=false → Spark infers TIMESTAMP_NTZ,
         # which can't be cast to double and diverges from DuckDB's
-        # naive-as-UTC reading. Pin the session tz so NTZ→LTZ maps
-        # wall-clock = UTC instant (bare driver sessions may not be UTC).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # naive-as-UTC reading. The UTC session pin above makes the
+        # NTZ→LTZ cast map wall-clock = UTC instant.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df

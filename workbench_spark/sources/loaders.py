@@ -35,16 +35,23 @@ def read_jsonl(spark: SparkSession, path: str, schema=None, **options) -> DataFr
 
 
 def read_jsonl_tolerant(
-    spark: SparkSession, path: str, schema=None, corrupt_col: str = "_corrupt_record"
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    corrupt_col: str = "_corrupt_record",
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """S2 at corpus scale: PERMISSIVE parse that separates good rows from
     corrupt ones instead of failing the job — at 100 TB there is ALWAYS a
     malformed line, and FAILFAST turns one bad byte into a dead pipeline.
 
     Returns (good, bad): ``good`` drops the corrupt column; ``bad`` holds
-    the raw offending lines for quarantine/repair. Spark requires caching
-    before referencing the corrupt column alone (the parser is lazy), so
-    ``bad`` is computed off a filtered projection of the cached parse."""
+    the raw offending lines for quarantine/repair. Spark requires a
+    materialized parse before referencing the corrupt column alone, so
+    the frame is cached by default — callers looping over many inputs
+    should pass ``cache=False`` (one extra parse per side, no cached
+    blocks pinned for the session) or unpersist via
+    ``spark.catalog.clearCache()`` between batches."""
     reader = spark.read.option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", corrupt_col
     )
@@ -59,7 +66,8 @@ def read_jsonl_tolerant(
         return df, df.sparkSession.createDataFrame(
             [], f"`{corrupt_col}` string"
         )
-    df = df.cache()  # corrupt-column access requires a materialized parse
+    if cache:
+        df = df.cache()  # corrupt-column access needs a materialized parse
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return good, bad
