@@ -389,3 +389,14 @@ class _PermutedReplay:
 
     def shuffle(self, x):
         self._alt.shuffle(x)
+
+
+def test_distance_indices_hand_computed():
+    """Wiener/Zagreb/Balaban on published closed-form examples."""
+    from workbench_spark.chem.topology import distance_indices
+
+    d = distance_indices(parse_smiles("CCCC"))  # butane
+    assert d["wiener"] == 10 and d["zagreb1"] == 10 and d["zagreb2"] == 8
+    assert d["balaban_j"] == pytest.approx(1.974745, abs=1e-4)  # published
+    assert distance_indices(parse_smiles("C1CCCCC1"))["wiener"] == 27
+    assert distance_indices(parse_smiles("CC(C)CC"))["wiener"] == 18

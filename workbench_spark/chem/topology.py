@@ -232,4 +232,66 @@ def topology_descriptors(mol: Mol) -> dict[str, float | int]:
     out.update(carbon_types(mol))
     out.update(constitutional(mol))
     out.update(acid_base_groups(mol))
+    out.update(distance_indices(mol))
     return out
+
+
+def _distance_matrix(mol: Mol) -> list[list[int]]:
+    """All-pairs heavy-atom graph distances via BFS per atom (molecules
+    are small; O(n·m) total)."""
+    from collections import deque
+
+    n = len(mol.atoms)
+    adj = [[] for _ in range(n)]
+    for b in mol.bonds:
+        adj[b.a].append(b.b)
+        adj[b.b].append(b.a)
+    dist = [[-1] * n for _ in range(n)]
+    for s in range(n):
+        dist[s][s] = 0
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for nb in adj[x]:
+                if dist[s][nb] < 0:
+                    dist[s][nb] = dist[s][x] + 1
+                    q.append(nb)
+    return dist
+
+
+def distance_indices(mol: Mol) -> dict[str, float]:
+    """Distance- and degree-based indices (published closed forms):
+
+    - ``wiener``: Σ over atom pairs of graph distance (Wiener 1947);
+    - ``zagreb1`` = Σ δᵢ², ``zagreb2`` = Σ_bonds δᵢδⱼ (Gutman 1972);
+    - ``balaban_j`` = m/(γ+1) Σ_bonds (sᵢsⱼ)^-½ with sᵢ the distance sum
+      of atom i and γ the cyclomatic number (Balaban 1982) — the classic
+      "branching" index.
+    Disconnected structures (salts) get wiener/balaban_j over each
+    component's finite distances only."""
+    deg = _heavy_degrees(mol)
+    dist = _distance_matrix(mol)
+    n = len(mol.atoms)
+    wiener = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if dist[i][j] > 0:
+                wiener += dist[i][j]
+    z1 = sum(d * d for d in deg)
+    z2 = sum(deg[b.a] * deg[b.b] for b in mol.bonds)
+    s = [sum(x for x in row if x > 0) for row in dist]
+    m = len(mol.bonds)
+    gamma = m - n + mol.n_components if n else 0
+    bj = 0.0
+    if m > 0:
+        acc = 0.0
+        for b in mol.bonds:
+            if s[b.a] > 0 and s[b.b] > 0:
+                acc += (s[b.a] * s[b.b]) ** -0.5
+        bj = m / (gamma + 1.0) * acc
+    return {
+        "wiener": wiener,
+        "zagreb1": z1,
+        "zagreb2": z2,
+        "balaban_j": round(bj, 6),
+    }

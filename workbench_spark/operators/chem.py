@@ -642,6 +642,7 @@ TOPOLOGY_DESCRIPTOR_NAMES = [
     "n_c", "n_n", "n_o", "n_s", "n_p", "n_halogen", "n_ring_atoms",
     "n_carboxylic_acid", "n_phenol", "n_amine_primary",
     "n_amine_secondary", "n_amine_tertiary",
+    "wiener", "zagreb1", "zagreb2", "balaban_j",
 ]
 
 
@@ -649,9 +650,9 @@ def topological_descriptors(df: DataFrame, smiles_col: str = "smiles") -> DataFr
     """C2 extension — the Mordred blocks the reference's stage imports
     (mol_descriptors.py:100: AcidBase / Constitutional / Chi /
     CarbonTypes), computed for real from the SMILES graph with the
-    published Kier-Hall / Randić formulas (chem/topology.py; κ indices
+    published Kier-Hall / Randić / Wiener / Balaban formulas (chem/topology.py; κ indices
     are the unmodified Kier 1985 forms — documented difference from
-    RDKit's α-modified Kappa1-3). Adds 33 columns; unparseable SMILES →
+    RDKit's α-modified Kappa1-3). Adds 37 columns; unparseable SMILES →
     all-NULL."""
     fields = ", ".join(f"{n} double" for n in TOPOLOGY_DESCRIPTOR_NAMES)
 
