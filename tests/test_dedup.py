@@ -199,3 +199,24 @@ def test_blas_embedding_pairs_auto_route_to_lsh(spark):
         assert rows >= 0  # LSH path executed without driver materialization
     finally:
         spark.conf.unset(DRIVER_MATRIX_CONF)
+
+
+def test_lsh_embedding_null_first_row_uses_real_dim(spark):
+    """A NULL first embedding must not collapse signatures to one bucket
+    (r3 review: dim=1 fallback made the candidate join a cross product)."""
+    from pyspark.sql import types as T
+
+    from workbench_spark.operators.dedup import embedding_near_dup_pairs
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [(0, None)] + [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    out = embedding_near_dup_pairs(df, threshold=0.999, use_lsh=True)
+    # must run (dim probed from a non-null row) and produce sane pairs
+    pairs = out.collect()
+    assert all(r["cosine_sim"] >= 0.999 for r in pairs)

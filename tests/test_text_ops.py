@@ -1,0 +1,45 @@
+"""Regression tests for text-operator edge cases (r3 review findings)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from workbench_spark.session import get_spark
+
+    return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+
+
+def test_repetition_features_short_docs(spark):
+    """Documents with fewer words than the n-gram size must yield empty
+    gram arrays, not a Spark slice() crash (sequence(1,0) is DESCENDING
+    in Spark, unlike DuckDB's empty generate_series)."""
+    from workbench_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "hello"), (3, "a b"), (4, "x x x x")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_features(docs, ngram=2).collect()}
+    assert out[1]["dup_ngram_frac"] == 0.0  # empty text: no grams
+    assert out[2]["dup_ngram_frac"] == 0.0  # single word: no grams
+    assert out[3]["dup_ngram_frac"] == 0.0  # two distinct words: one gram
+    assert out[4]["dup_ngram_frac"] == pytest.approx(2 / 3)  # 'x x' x3
+    assert out[4]["top_word_frac"] == 1.0
+
+
+def test_chunk_dedup_stats_short_docs(spark):
+    from workbench_spark.operators.text import chunk_dedup_stats
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "solo"), (3, "unique words here")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup_stats(docs, chunk_words=8).collect()}
+    # the two identical single-word docs share their (only) chunk
+    assert out[1]["n_dup_chunks"] == 1 and out[2]["n_dup_chunks"] == 1
+    assert out[3]["n_dup_chunks"] == 0
+    assert all(out[i]["n_chunks"] == 1 for i in (1, 2, 3))
