@@ -400,3 +400,20 @@ def test_distance_indices_hand_computed():
     assert d["balaban_j"] == pytest.approx(1.974745, abs=1e-4)  # published
     assert distance_indices(parse_smiles("C1CCCCC1"))["wiener"] == 27
     assert distance_indices(parse_smiles("CC(C)CC"))["wiener"] == 18
+
+
+def test_ring_family_and_nhoh_counts():
+    from workbench_spark.chem.descriptors import h_bond_atom_counts, ring_family
+
+    d = ring_family(parse_smiles("CN1CCC[C@H]1c1cccnc1"))  # nicotine
+    assert d == dict(numaromaticheterocycles=1, numsaturatedrings=1,
+                     numaliphaticrings=1, numheterocycles=2, largestringsize=6)
+    d = ring_family(parse_smiles("Cn1cnc2c1c(=O)n(C)c(=O)n2C"))  # caffeine
+    assert d["numaromaticheterocycles"] == 1  # imidazole; 6-ring demoted
+    assert d["numaliphaticrings"] == 1 and d["numsaturatedrings"] == 0
+    assert h_bond_atom_counts(parse_smiles("CC(=O)Oc1ccccc1C(=O)O")) == {
+        "nhohcount": 1, "nocount": 4,
+    }
+    assert h_bond_atom_counts(parse_smiles("CC(=O)Nc1ccc(O)cc1")) == {
+        "nhohcount": 2, "nocount": 3,
+    }

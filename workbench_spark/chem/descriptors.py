@@ -287,7 +287,7 @@ def compute_descriptors(smiles: str) -> dict[str, float | int | None] | None:
     except SmilesError:
         return None
     heavy = len(mol.atoms)
-    return {
+    out = {
         "molwt": round(mol_formula_weight(mol), 3),
         "mollogp": None,  # Wildman-Crippen: RDKit-only, never faked
         "molmr": None,
@@ -303,3 +303,59 @@ def compute_descriptors(smiles: str) -> dict[str, float | int | None] | None:
         "formalcharge": sum(a.charge for a in mol.atoms),
         "numstereocenters": num_stereocenters(mol),
     }
+    out.update(ring_family(mol))
+    out.update(h_bond_atom_counts(mol))
+    return out
+
+
+def ring_family(mol: Mol) -> dict[str, int]:
+    """RDKit ring-family descriptor parity, exact from the SSSR set:
+
+    - ``numaromaticheterocycles``: aromatic rings containing a non-C;
+    - ``numsaturatedrings``: rings whose atoms are all sp3 (every bond in
+      the ring single, no member aromatic/demoted, no member carrying any
+      double/triple bond);
+    - ``numaliphaticrings``: non-aromatic rings (saturated or not);
+    - ``numheterocycles``: rings containing a non-C;
+    - ``largestringsize``: max SSSR ring size (0 for acyclic).
+    """
+    bond_by_pair = {frozenset((b.a, b.b)): b for b in mol.bonds}
+    has_multiple = [False] * len(mol.atoms)
+    for b in mol.bonds:
+        if b.order >= 2 or b.aromatic:
+            has_multiple[b.a] = True
+            has_multiple[b.b] = True
+    out = dict.fromkeys(
+        (
+            "numaromaticheterocycles", "numsaturatedrings",
+            "numaliphaticrings", "numheterocycles", "largestringsize",
+        ),
+        0,
+    )
+    for ring in mol.rings:
+        k = len(ring)
+        out["largestringsize"] = max(out["largestringsize"], k)
+        bonds = [
+            bond_by_pair[frozenset((ring[i], ring[(i + 1) % k]))] for i in range(k)
+        ]
+        aromatic = all(b.aromatic for b in bonds)
+        hetero = any(mol.atoms[i].symbol != "C" for i in ring)
+        if hetero:
+            out["numheterocycles"] += 1
+        if aromatic and hetero:
+            out["numaromaticheterocycles"] += 1
+        if not aromatic:
+            out["numaliphaticrings"] += 1
+            if not any(has_multiple[i] for i in ring) and not any(
+                mol.atoms[i].demoted_aromatic for i in ring
+            ):
+                out["numsaturatedrings"] += 1
+    return out
+
+
+def h_bond_atom_counts(mol: Mol) -> dict[str, int]:
+    """RDKit NHOHCount / NOCount parity: total N-H + O-H hydrogens, and
+    the N+O atom count."""
+    nhoh = sum(a.h_count for a in mol.atoms if a.symbol in ("N", "O"))
+    no = sum(1 for a in mol.atoms if a.symbol in ("N", "O"))
+    return {"nhohcount": nhoh, "nocount": no}

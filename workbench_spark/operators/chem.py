@@ -572,6 +572,8 @@ MOL_DESCRIPTOR_NAMES = [
     "molwt", "mollogp", "molmr", "heavyatomcount", "numhacceptors",
     "numhdonors", "numheteroatoms", "numrotatablebonds", "tpsa", "ringcount",
     "numaromaticrings", "fractioncsp3", "formalcharge", "numstereocenters",
+    "numaromaticheterocycles", "numsaturatedrings", "numaliphaticrings",
+    "numheterocycles", "largestringsize", "nhohcount", "nocount",
 ]
 
 
@@ -617,6 +619,13 @@ def molecular_descriptors(
                     Descriptors.FractionCSP3(mol),
                     Chem.GetFormalCharge(mol),
                     len(Chem.FindMolChiralCenters(mol, includeUnassigned=False)),
+                    rdMolDescriptors.CalcNumAromaticHeterocycles(mol),
+                    rdMolDescriptors.CalcNumSaturatedRings(mol),
+                    rdMolDescriptors.CalcNumAliphaticRings(mol),
+                    rdMolDescriptors.CalcNumHeterocycles(mol),
+                    max((len(r) for r in mol.GetRingInfo().AtomRings()), default=0),
+                    Descriptors.NHOHCount(mol),
+                    Descriptors.NOCount(mol),
                 ])
             else:
                 from workbench_spark.chem.descriptors import compute_descriptors
