@@ -51,6 +51,69 @@ def spark():
     return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
 
 
+# Tables whose row count is CONSTANT at any TPC-H scale factor; only these
+# may ever receive a forced F.broadcast() hint in the registry. Everything
+# else (customer, part, supplier, orders, lineitem, events, documents,
+# embeddings) scales linearly with SF and must be left to Catalyst/AQE,
+# which broadcasts while the side fits and shuffles when it doesn't.
+CONSTANT_SIZE_TABLES = {"nation", "region"}
+
+
+def test_no_forced_broadcast_on_sf_scaling_tables():
+    """Source-level tripwire: every F.broadcast(x) in the query registry
+    must wrap a variable loaded from a constant-size table. A forced hint
+    on an SF-scaling table OOMs the driver at the 100 TB design point
+    (round-3 verdict item #1: q3 customer, q14 part)."""
+    import ast
+    import pathlib
+
+    import workbench_spark.queries as qmod
+    import workbench_spark.queries_pipeline as qpmod
+
+    violations = []
+    for mod in (qmod, qpmod):
+        src = pathlib.Path(mod.__file__).read_text()
+        tree = ast.parse(src)
+        for fndef in ast.walk(tree):
+            if not isinstance(fndef, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            # var -> table name for `var = _t(spark, sf_dir, "table")...`
+            var_table = {}
+            for node in ast.walk(fndef):
+                if isinstance(node, ast.Assign) and len(node.targets) == 1:
+                    tgt = node.targets[0]
+                    call = node.value
+                    # unwrap chained calls like _t(...).filter(...)
+                    while isinstance(call, ast.Call) and isinstance(
+                        call.func, ast.Attribute
+                    ):
+                        call = call.func.value
+                    if (
+                        isinstance(tgt, ast.Name)
+                        and isinstance(call, ast.Call)
+                        and isinstance(call.func, ast.Name)
+                        and call.func.id == "_t"
+                        and len(call.args) >= 3
+                        and isinstance(call.args[2], ast.Constant)
+                    ):
+                        var_table[tgt.id] = call.args[2].value
+            for node in ast.walk(fndef):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and node.args
+                    and isinstance(node.args[0], ast.Name)
+                ):
+                    table = var_table.get(node.args[0].id)
+                    if table is not None and table not in CONSTANT_SIZE_TABLES:
+                        violations.append(
+                            f"{mod.__name__}.{fndef.name}: F.broadcast on "
+                            f"SF-scaling table '{table}'"
+                        )
+    assert not violations, "\n".join(violations)
+
+
 @pytest.mark.parametrize("name,fn", _all_queries(), ids=[n for n, _ in _all_queries()])
 def test_no_scale_killers_in_plan(spark, name, fn):
     df = fn(spark, SF_DIR)

@@ -23,9 +23,10 @@ with exact, published definitions — no RDKit required:
 - ``formalcharge``    sum of atomic formal charges
 - ``numstereocenters``atoms written with @/@@ parity (defined centers)
 
-``mollogp`` / ``molmr`` (Wildman-Crippen) require the full published
-atom-type table; they are emitted as NULL by this backend (never faked)
-and computed only when RDKit is importable.
+``mollogp`` / ``molmr`` (Wildman-Crippen) come from the vendored
+published 1999 atom-contribution table (``chem/crippen.py``) — real
+values, golden-tested against the verified anchor molecules; see that
+module's docstring for the transcription-verification story.
 """
 
 from __future__ import annotations
@@ -286,11 +287,14 @@ def compute_descriptors(smiles: str) -> dict[str, float | int | None] | None:
         mol = parse_smiles(smiles)
     except SmilesError:
         return None
+    from workbench_spark.chem.crippen import crippen_logp_mr
+
     heavy = len(mol.atoms)
+    mollogp, molmr = crippen_logp_mr(mol)
     out = {
         "molwt": round(mol_formula_weight(mol), 3),
-        "mollogp": None,  # Wildman-Crippen: RDKit-only, never faked
-        "molmr": None,
+        "mollogp": mollogp,  # Wildman-Crippen 1999 (chem/crippen.py)
+        "molmr": molmr,
         "heavyatomcount": heavy,
         "numhacceptors": num_h_acceptors(mol),
         "numhdonors": num_h_donors(mol),

@@ -81,6 +81,12 @@ class Atom:
     h_count: int = 0
     in_ring: bool = False
     idx: int = -1
+    # written neighbor order (SMILES chirality frame): atom indices, the
+    # "H" marker for a bracket implicit hydrogen, and ("ring", n)
+    # placeholders resolved to atom indices at ring closure. Populated
+    # during parse; consumed by chem.canon to re-express @/@@ parity
+    # relative to the canonical output order.
+    written_nbrs: list = field(default_factory=list)
 
 
 @dataclass
@@ -239,6 +245,13 @@ def _add_atom(mol: Mol, atom: Atom, prev: int | None, bond_sym: str | None) -> i
     atom.idx = len(mol.atoms)
     mol.atoms.append(atom)
     if prev is not None:
+        atom.written_nbrs.append(prev)
+        mol.atoms[prev].written_nbrs.append(atom.idx)
+    if atom.explicit_h:
+        # bracket implicit H occupies the slot right after the preceding
+        # atom (or first, for a leading atom) in the chirality frame
+        atom.written_nbrs.append("H")
+    if prev is not None:
         aromatic = bond_sym == ":" or (
             bond_sym is None and atom.aromatic and mol.atoms[prev].aromatic
         )
@@ -274,8 +287,12 @@ def _close_ring(
         )
         order = _BOND_ORDER.get(sym, 1) if sym else 1
         mol.bonds.append(Bond(first, prev, order, aromatic=aromatic))
+        mol.atoms[prev].written_nbrs.append(first)
+        wn = mol.atoms[first].written_nbrs
+        wn[wn.index(("ring", num))] = prev
     else:
         ring_open[num] = (prev, bond_sym)
+        mol.atoms[prev].written_nbrs.append(("ring", num))
 
 
 # ------------------------------------------------------------- perception

@@ -15,10 +15,10 @@ container), the pure-Python engine in ``workbench_spark.chem`` computes
 REAL values — SMILES graph parsing, Morgan-ranking canonicalization,
 published ECFP fingerprints, exact MW / Ertl TPSA / Lipinski HBD-HBA /
 ring-perception descriptors (golden-value tested against published
-RDKit/PubChem numbers in tests/test_chem_engine.py). The only columns
-that stay NULL without RDKit are mollogp/molmr (Wildman-Crippen needs
-the full published atom-type table) — never faked. ``CHEM_BACKEND``
-names the active backend for provenance.
+RDKit/PubChem numbers in tests/test_chem_engine.py), and Wildman-
+Crippen mollogp/molmr from the vendored published 1999 atom-type table
+(``chem/crippen.py``, golden-anchored in tests/test_chem_crippen.py).
+``CHEM_BACKEND`` names the active backend for provenance.
 """
 
 from __future__ import annotations
@@ -586,9 +586,9 @@ def molecular_descriptors(
     With RDKit present the RDKit descriptors run verbatim. Without it the
     pure-Python engine (workbench_spark.chem.descriptors) computes REAL
     values from published definitions — exact molecular weight, Ertl TPSA,
-    Lipinski HBD/HBA, ring perception, rotatable bonds, FractionCSP3 —
-    golden-value tested against RDKit/PubChem numbers. mollogp/molmr
-    (Wildman-Crippen atom typing) are NULL in that backend, never faked.
+    Lipinski HBD/HBA, ring perception, rotatable bonds, FractionCSP3,
+    Wildman-Crippen mollogp/molmr (vendored 1999 table) — golden-value
+    tested against RDKit/PubChem numbers.
     Unparseable SMILES → all-NULL row (reference drop-on-parse-failure).
     The 3D tier (mol_descriptors_3d.py, ~1-2 mol/s) runs the same
     partition-parallel pattern — see chem_3d.py."""

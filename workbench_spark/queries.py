@@ -107,15 +107,18 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: filtered dim join + agg + top-k. customer is tiny
-    relative to lineitem at every SF → broadcast it; orders→lineitem is the
-    one real shuffle join and AQE handles skew."""
+    """TPC-H Q3-style: filtered dim join + agg + top-k. customer scales
+    linearly with SF (150k rows per SF unit) so it gets NO broadcast hint:
+    Catalyst/AQE broadcasts the filtered side while it fits under
+    autoBroadcastJoinThreshold and falls back to a shuffle join when it
+    doesn't — a forced hint would OOM the driver at the 100 TB design
+    point. orders→lineitem is the one unavoidable shuffle join."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -1016,13 +1019,15 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-style conditional aggregation over a dim join (part is
-    broadcast-size at every SF under TPC-H scaling)."""
+    """TPC-H Q14-style conditional aggregation over a dim join. part scales
+    linearly with SF (200k rows per SF unit), so no broadcast hint: AQE
+    broadcasts it while it fits and shuffles when it doesn't; forcing the
+    broadcast would break at large SF."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0

@@ -1301,6 +1301,91 @@ def chem_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Wildman-Crippen anchor panel — molecules whose hand atom-type
+#: decomposition under the vendored 1999 table reproduces the published
+#: RDKit MolLogP exactly (chem/crippen.py docstring has the derivation).
+CRIPPEN_PANEL = [
+    (1, "c1ccccc1", 1.6866),                      # benzene
+    (2, "Cc1ccccc1", 1.9950),                     # toluene
+    (3, "CCO", -0.0014),                          # ethanol
+    (4, "Oc1ccccc1", 1.3922),                     # phenol
+    (5, "CC(=O)O", 0.0909),                       # acetic acid
+    (6, "OC(=O)c1ccccc1", 1.3848),                # benzoic acid
+    (7, "Nc1ccccc1", 1.2688),                     # aniline
+    (8, "c1ccc2ccccc2c1", 2.8398),                # naphthalene
+    (9, "c1ccncc1", 1.0816),                      # pyridine
+    (10, "CC(C)Cc1ccc(cc1)C(C)C(=O)O", 3.0732),   # ibuprofen
+    (11, "Oc1ccccc1C(=O)O", 1.0904),              # salicylic acid
+]
+
+_CRIPPEN_GOLDEN = """
+    SELECT * FROM (VALUES
+      (1, 1.6866), (2, 1.9950), (3, -0.0014), (4, 1.3922), (5, 0.0909),
+      (6, 1.3848), (7, 1.2688), (8, 2.8398), (9, 1.0816), (10, 3.0732),
+      (11, 1.0904)
+    ) AS t(mol_id, mollogp)
+"""
+
+
+@query("chem_logp_golden", _CRIPPEN_GOLDEN)
+def chem_logp_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — Wildman-Crippen MolLogP (vendored published table,
+    chem/crippen.py) on the verified anchor panel, hash-compared against
+    the independently-known RDKit outputs. Certifies the atom-typing
+    engine, not a copy of itself."""
+    from workbench_spark.operators.chem import molecular_descriptors
+
+    mols = spark.createDataFrame(
+        [(i, s) for i, s, _ in CRIPPEN_PANEL], "mol_id int, smiles string"
+    )
+    d = molecular_descriptors(mols)
+    return d.select(
+        "mol_id", (F.round("mollogp", 4) + F.lit(0)).alias("mollogp")
+    )
+
+
+@query(
+    "chem_pipeline_golden",
+    """
+    SELECT * FROM (VALUES (8, 4, 4.7706, 77.76))
+      AS t(n_written_forms, n_unique_molecules, total_mollogp, total_tpsa)
+    """,
+)
+def chem_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2+C4 end-to-end gate: canonicalize 8 written forms (atom-order
+    permuted, Kekulé vs aromatic) of 4 anchor molecules, dedup on the
+    canonical key, run descriptors on the survivors, and roll up. Every
+    stage of the chem pipeline sits on the hash path; the oracle VALUES
+    are a-priori (4 molecules; logP/TPSA sums from the published
+    per-molecule values)."""
+    from workbench_spark.operators.chem import canonicalize, molecular_descriptors
+
+    forms = spark.createDataFrame(
+        [
+            (1, "Oc1ccccc1"), (2, "c1ccc(O)cc1"),            # phenol
+            (3, "CCO"), (4, "OCC"),                          # ethanol
+            (5, "OC(=O)c1ccccc1"), (6, "C1=CC=CC=C1C(O)=O"), # benzoic acid
+            (7, "Cc1ccccc1"), (8, "C1=CC=CC=C1C"),           # toluene
+        ],
+        "form_id int, smiles string",
+    )
+    canon = canonicalize(forms)
+    survivors = (
+        canon.groupBy("canonical_smiles")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_forms"),
+            F.min("smiles").alias("smiles"),
+        )
+    )
+    d = molecular_descriptors(survivors)
+    return d.agg(
+        F.sum("n_forms").cast("int").alias("n_written_forms"),
+        F.count(F.lit(1)).cast("int").alias("n_unique_molecules"),
+        (F.round(F.sum("mollogp"), 4) + F.lit(0)).alias("total_mollogp"),
+        (F.round(F.sum("tpsa"), 2) + F.lit(0)).alias("total_tpsa"),
+    )
+
+
 # =====================================================================
 # M8 — label quality (Confident Learning), driver-gated
 # =====================================================================
