@@ -271,6 +271,51 @@ def test_toxicity_flags():
     assert "halogenated_carbonyl" in toxic_groups(parse_smiles("CC(=O)CCl"))
 
 
+def test_toxicity_fg_hierarchy_alerts():
+    """The RDKit functional-group-hierarchy alerts the reference also
+    scans (toxicity.py:131-137) plus Cr(VI)/phosphonium/arsenic-oxide
+    customs and the catechol exemption (r3 ADVICE parity items)."""
+    from workbench_spark.chem.toxicity import toxic_groups
+
+    assert "nitro" in toxic_groups(parse_smiles("[O-][N+](=O)c1ccccc1"))
+    assert "nitro" in toxic_groups(parse_smiles("CC(N(=O)=O)C"))  # uncharged form
+    assert "azide" in toxic_groups(parse_smiles("CN=[N+]=[N-]"))
+    assert "alcohol" in toxic_groups(parse_smiles("CCO"))
+    # phenol is NOT an FG-hierarchy Alcohol (aromatic carbon)
+    assert toxic_groups(parse_smiles("Oc1ccccc1")) is None
+    # carboxylic acid OH is not an alcohol (carbonyl exclusion)
+    assert "alcohol" not in (toxic_groups(parse_smiles("CC(=O)O")) or [])
+    assert "aldehyde" in toxic_groups(parse_smiles("CC=O"))
+    # formaldehyde/ketone are not aldehydes under [CX3H1](=O)[#6]
+    assert "aldehyde" not in (toxic_groups(parse_smiles("CC(=O)C")) or [])
+    assert "terminal_alkyne" in toxic_groups(parse_smiles("C#CC"))
+    assert "terminal_alkyne" not in (toxic_groups(parse_smiles("CC#CC")) or [])
+    assert "halogen" in toxic_groups(parse_smiles("CCCl"))
+    assert "chromium_vi" in toxic_groups(parse_smiles("O=[Cr](=O)=O"))
+    assert "phosphonium" in toxic_groups(parse_smiles("CC[P+](CC)(CC)CC"))
+    assert "arsenic_oxide" in toxic_groups(parse_smiles("O[As](=O)=O"))
+    # catechol exemption voids ALL group alerts (reference returns None)
+    assert toxic_groups(parse_smiles("Oc1ccccc1O")) is None
+    assert toxic_groups(parse_smiles("Oc1ccc(CCl)cc1O")) is None
+    # but a lone phenol does not exempt
+    assert "halogen" in toxic_groups(parse_smiles("Oc1ccc(CCl)cc1"))
+
+
+def test_bridgehead_spiro_descriptors():
+    from workbench_spark.chem.descriptors import bridgehead_spiro
+
+    def bs(s):
+        d = bridgehead_spiro(parse_smiles(s))
+        return d["numbridgeheadatoms"], d["numspiroatoms"]
+
+    assert bs("C1CC2CCC1C2") == (2, 0)          # norbornane
+    assert bs("C1CC2CCC1CC2") == (2, 0)         # bicyclo[2.2.2]octane
+    assert bs("C1CCC2(CC1)CCCCC2") == (0, 1)    # spiro[5.5]undecane
+    assert bs("c1ccc2ccccc2c1") == (0, 0)       # fused: neither
+    assert bs("c1ccccc1") == (0, 0)
+    assert bs("CCO") == (0, 0)
+
+
 # --------------------------------------------- property: canonicalization
 def _random_molecule_smiles(rng, permute: bool):
     """Emit a SMILES for a random connected graph via a naive DFS writer

@@ -26,7 +26,7 @@ def test_descriptors_3d_contract_and_gating(spark):
         compute_descriptors_3d,
     )
 
-    big_chain = "C" * 120  # 120 heavy atoms > MAX_HEAVY_ATOMS
+    big_chain = "C" * 160  # 160 heavy atoms > MAX_HEAVY_ATOMS (150)
     rows = [
         (1, "CC(=O)Oc1ccccc1C(=O)O"),
         (2, big_chain),
@@ -55,15 +55,36 @@ def test_check_complexity_tiers():
     )
 
     assert check_complexity_smiles("CCO") is None
-    assert check_complexity_smiles("C" * 120) == "skip:heavy_atoms"
+    assert check_complexity_smiles("C" * 160) == "skip:heavy_atoms"
+    # 120 chain carbons pass the 150 heavy-atom gate but fail rot_bonds
+    assert check_complexity_smiles("C" * 120) == "skip:rot_bonds"
     # 60 single-bonded chain carbons -> rotatable bonds > 50
-    assert check_complexity_smiles("C" + "C" * 60) in (
-        "skip:rot_bonds",
-        "skip:heavy_atoms",
-    )
+    assert check_complexity_smiles("C" + "C" * 60) == "skip:rot_bonds"
     assert adaptive_n_conformers_smiles("CCO") == 50  # rigid tier
     flexible = "C" * 15  # 12 rotatable bonds >= 8
     assert adaptive_n_conformers_smiles(flexible) == 200
+
+
+def test_check_complexity_ring_and_cost_gates():
+    """The two gates added for reference parity (mol_descriptors_3d.py:
+    203-225): ring-complexity backstop and the conformer-atom cost cap."""
+    from workbench_spark.operators.chem_3d import check_complexity_smiles
+
+    # 11 isolated cyclohexanes -> 11 SSSR rings > MAX_RING_SYSTEMS
+    many_rings = ".".join(["C1CCCCC1"] * 11)
+    assert check_complexity_smiles(many_rings) == "skip:rings"
+    # 6 fused norbornane units: each adds 2 rings + 2 bridgeheads ->
+    # complexity 24 > 15 while rings (12) stays... (12 > 10 trips first);
+    # use spiro chains instead: 9 spiro-fused cyclohexanes = 9 rings
+    # (passes <=10) + 8 spiro atoms -> complexity 17 > 15
+    spiro9 = "C1CCC2(CC1)CCC1(CC2)CCC2(CC1)CCC1(CC2)CCC2(CC1)CCC1(CC2)CCC2(CC1)CCC1(CC2)CCCCC1"
+    got = check_complexity_smiles(spiro9)
+    assert got == "skip:ring_complexity", got
+    # cost gate (heavy_atoms × n_conformers > 14000), only active when
+    # the planned conformer count is passed; earlier gates still win
+    assert check_complexity_smiles("CCO", n_conformers=200) is None  # 600 < cap
+    assert check_complexity_smiles("c1ccccc1", n_conformers=3000) == "skip:cost"
+    assert check_complexity_smiles("C" * 100, n_conformers=200) == "skip:rot_bonds"
 
 
 def test_compound_shim():

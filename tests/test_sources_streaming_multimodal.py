@@ -291,3 +291,30 @@ def test_jsonl_tolerant_quarantines_corrupt_lines(spark, tmp_path):
     assert bad.count() == 2
     raws = {r[0] for r in bad.collect()}
     assert "this is not json" in raws
+
+
+def test_jsonl_tolerant_uncached_path(spark, tmp_path):
+    # cache=False must not hit Spark's corrupt-record-column-only
+    # restriction (r3 ADVICE: the old implementation raised
+    # AnalysisException on any action over `bad`)
+    from pyspark.sql import types as T
+
+    from workbench_spark.sources.loaders import read_jsonl_tolerant
+
+    p = tmp_path / "mixed2.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "not json either\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": 3, "v": }\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, bad = read_jsonl_tolerant(spark, str(p), schema=schema, cache=False)
+    assert {r["id"] for r in good.collect()} == {1, 2}
+    raws = {r[0] for r in bad.collect()}
+    assert raws == {"not json either", '{"id": 3, "v": }'}
+    # inferred-schema variant of the uncached path
+    good2, bad2 = read_jsonl_tolerant(spark, str(p), cache=False)
+    assert bad2.count() == 2

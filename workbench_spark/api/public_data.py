@@ -2,9 +2,10 @@
 (reference api/public_data.py:15-143).
 
 The reference reads an anonymous public S3 bucket via boto3. Engine-side
-the surface is storage-agnostic: any Spark-readable directory tree of
-parquet/csv/json datasets (S3A URIs on a real cluster, a filesystem path
-locally). Same calls: list() → relative dataset names without
+the surface is storage-agnostic and resolves through the Hadoop
+FileSystem API, so the SAME code serves a local directory tree, an
+``s3a://`` bucket, HDFS, or any other filesystem Spark's Hadoop
+configuration knows — list() → relative dataset names without
 extensions, get(name) → DataFrame, describe(name)/details().
 """
 
@@ -23,7 +24,7 @@ class PublicData:
 
     Common usage::
 
-        public_data = PublicData(root="s3a://my-public-bucket")  # or a path
+        public_data = PublicData(root="s3a://a-public-bucket")  # or a path
         public_data.list()
         df = public_data.get("comp_chem/aqsol/aqsol_public_data")
     """
@@ -37,29 +38,50 @@ class PublicData:
         )
         self.spark = spark or get_spark()
 
+    # ---------------------------------------------------------- hadoop fs
+    def _fs_root(self):
+        """(FileSystem, Path) for the configured root — works for local
+        paths, s3a://, hdfs://, … via the session's Hadoop configuration."""
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.root)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, path
+
+    @staticmethod
+    def _rel(child_path, root_path) -> str:
+        root_uri = root_path.toUri().getPath().rstrip("/")
+        child_uri = child_path.toUri().getPath()
+        return child_uri[len(root_uri) :].lstrip("/")
+
     def list(self) -> list[str]:
         """All dataset names (relative paths, extensions stripped). A
         dataset is either a plain file or a Spark-written dataset
         DIRECTORY whose name carries the extension (x.parquet/part-*);
-        directories are not descended into."""
-        out = []
-        for dirpath, dirnames, filenames in os.walk(self.root):
-            for d in list(dirnames):
-                if d.endswith(_EXTS):
-                    rel = os.path.relpath(os.path.join(dirpath, d), self.root)
-                    out.append(rel[: rel.rfind(".")])
-                    dirnames.remove(d)  # dataset dir: don't descend
-            for fn in filenames:
-                if fn.endswith(_EXTS):
-                    rel = os.path.relpath(os.path.join(dirpath, fn), self.root)
-                    out.append(rel[: rel.rfind(".")])
-        return sorted(set(out))
+        dataset directories are not descended into."""
+        fs, root = self._fs_root()
+        if not fs.exists(root):
+            return []
+        out: set[str] = set()
+        stack = [root]
+        while stack:
+            d = stack.pop()
+            for st in fs.listStatus(d):
+                p = st.getPath()
+                name = p.getName()
+                if name.endswith(_EXTS):
+                    rel = self._rel(p, root)
+                    out.add(rel[: rel.rfind(".")])
+                elif st.isDirectory():
+                    stack.append(p)
+        return sorted(out)
 
     def _resolve(self, name: str) -> str | None:
+        fs, root = self._fs_root()
+        jvm = self.spark._jvm
         for ext in _EXTS:
-            p = os.path.join(self.root, name + ext)
-            if os.path.exists(p):
-                return p
+            p = jvm.org.apache.hadoop.fs.Path(root, name + ext)
+            if fs.exists(p):
+                return p.toString()
         return None
 
     def get(self, name: str) -> DataFrame | None:

@@ -309,6 +309,7 @@ def compute_descriptors(smiles: str) -> dict[str, float | int | None] | None:
     }
     out.update(ring_family(mol))
     out.update(h_bond_atom_counts(mol))
+    out.update(bridgehead_spiro(mol))
     return out
 
 
@@ -355,6 +356,45 @@ def ring_family(mol: Mol) -> dict[str, int]:
             ):
                 out["numsaturatedrings"] += 1
     return out
+
+
+def bridgehead_spiro(mol: Mol) -> dict[str, int]:
+    """RDKit CalcNumBridgeheadAtoms / CalcNumSpiroAtoms parity from the
+    SSSR set (rdMolDescriptors definitions):
+
+    - a **spiro atom** is shared by two rings that share ONLY that atom
+      (no common bond);
+    - **bridgehead atoms** are the endpoints of a multi-bond path shared
+      by two rings (rings sharing >= 2 bonds are bridged; the shared
+      path's degree-1 atoms in the shared-bond subgraph are the
+      bridgeheads — norbornane: two 5-rings share a 2-bond path, its two
+      endpoints are the bridgeheads).
+
+    Fused rings (exactly one shared bond) contribute to neither count.
+    """
+    rings = [list(r) for r in mol.rings]
+    atom_sets = [set(r) for r in rings]
+    bond_sets = [
+        {frozenset((r[i], r[(i + 1) % len(r)])) for i in range(len(r))}
+        for r in rings
+    ]
+    spiro: set[int] = set()
+    bridge: set[int] = set()
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            shared_atoms = atom_sets[i] & atom_sets[j]
+            if not shared_atoms:
+                continue
+            shared_bonds = bond_sets[i] & bond_sets[j]
+            if len(shared_atoms) == 1 and not shared_bonds:
+                spiro |= shared_atoms
+            elif len(shared_bonds) >= 2:
+                deg: dict[int, int] = {}
+                for bnd in shared_bonds:
+                    for a in bnd:
+                        deg[a] = deg.get(a, 0) + 1
+                bridge |= {a for a, d in deg.items() if d == 1}
+    return {"numbridgeheadatoms": len(bridge), "numspiroatoms": len(spiro)}
 
 
 def h_bond_atom_counts(mol: Mol) -> dict[str, int]:

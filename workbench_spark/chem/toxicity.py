@@ -13,12 +13,21 @@ fixed motifs — a hand matcher is exact for them):
 - functional-group alerts: dithiocarbamate C(=S)N, trichloromethyl
   C(Cl)(Cl)(Cl), quaternary ammonium N+(C)(C)(C)(C), phosphate ester
   P(=O)(O)(O)O, halogenated carbonyl C(=O)-C-X, thiourea-like S=C(N)N,
-  tri-chlorinated aromatic ring, diselenide Se-Se.
+  tri-chlorinated aromatic ring, diselenide Se-Se, chromium(VI)
+  Cr(=O)(=O)=O, phosphonium P+, arsenic oxide As(=O)(=O)OH;
+- the RDKit functional-group-hierarchy alerts the reference also scans
+  (toxicity.py:131-137): nitro, azide, alcohol, aldehyde, halogen,
+  terminal alkyne;
+- the phenol/catechol exempt pattern (toxicity.py:28-31,147-150):
+  an aromatic ring bearing two ADJACENT hydroxyls voids ALL group
+  alerts (reference returns None for such molecules).
 
-The three reference patterns tied to full aromatic-substructure SMARTS
+The two reference patterns tied to full aromatic-substructure SMARTS
 semantics (chlorobenzene/phenyl thiocarbamates) are approximated by the
 thiourea/dithiocarbamate motifs that subsume their toxicophore — a
-documented simplification, not a silent gap.
+documented simplification, not a silent gap. The reference's separate
+``[N+]`` group append duplicates the ``N+`` element flag (same benign
+exemption) and is covered by ``toxic_elements`` here.
 """
 
 from __future__ import annotations
@@ -72,9 +81,41 @@ def toxic_elements(mol: Mol) -> list[str] | None:
     return sorted(found) if found else None
 
 
+def _is_hydroxyl(mol: Mol, idx: int) -> bool:
+    """-OH: oxygen carrying a hydrogen with exactly one heavy neighbor."""
+    a = mol.atoms[idx]
+    return a.symbol == "O" and a.h_count >= 1 and len(mol.adjacency[idx]) == 1
+
+
+def has_catechol_exemption(mol: Mol) -> bool:
+    """Reference exempt pattern c1ccc(O)c(O)c1 (toxicity.py:28-31): an
+    aromatic ring with hydroxyls on two ADJACENT ring atoms (catechol /
+    ortho-diphenol). When present the reference returns None from
+    toxic_groups regardless of other matches."""
+    adj = mol.adjacency
+    for ring in mol.rings:
+        if not all(
+            mol.atoms[i].aromatic or mol.atoms[i].demoted_aromatic for i in ring
+        ):
+            continue
+        k = len(ring)
+        has_oh = [
+            any(
+                _is_hydroxyl(mol, nb) and b.order == 1
+                for nb, b in adj[ring[i]]
+                if nb not in ring
+            )
+            for i in range(k)
+        ]
+        if any(has_oh[i] and has_oh[(i + 1) % k] for i in range(k)):
+            return True
+    return False
+
+
 def toxic_groups(mol: Mol) -> list[str] | None:
-    """Functional-group alerts (toxicity.py:115-150 SMARTS set) as graph
-    predicates. Returns sorted alert names or None."""
+    """Functional-group alerts (toxicity.py:115-150: RDKit FG-hierarchy
+    set + custom SMARTS set) as graph predicates. Returns sorted alert
+    names, or None when nothing matches OR the catechol exemption fires."""
     found: set[str] = set()
     adj = mol.adjacency
     for a in mol.atoms:
@@ -98,17 +139,81 @@ def toxic_groups(mol: Mol) -> list[str] | None:
                             for s, _, _ in _neighbor_symbols(mol, nb)
                         ):
                             found.add("halogenated_carbonyl")
-        elif a.symbol == "N" and a.charge == 1:
-            if len(nbrs) == 4 and all(s == "C" for s, _, _ in nbrs):
+            # aldehyde [CX3H1](=O)[#6]: carbonyl C with exactly one H
+            if (
+                a.h_count == 1
+                and not a.aromatic
+                and any(s == "O" and o == 2 for s, o, _ in nbrs)
+                and any(s == "C" for s, o, _ in nbrs)
+            ):
+                found.add("aldehyde")
+            # terminal alkyne C#C-H
+            if a.h_count >= 1 and any(o == 3 for _, o, _ in nbrs):
+                found.add("terminal_alkyne")
+        elif a.symbol == "N":
+            if a.charge == 1 and len(nbrs) == 4 and all(s == "C" for s, _, _ in nbrs):
                 found.add("quaternary_ammonium")
+            # nitro: N bonded to two oxygens as =O/=O or =O/[O-]
+            o_bonds = [
+                (o, mol.atoms[nb].charge)
+                for nb, b in adj[a.idx]
+                if mol.atoms[nb].symbol == "O"
+                and len(adj[nb]) == 1
+                for o in [b.order]
+            ]
+            if len(o_bonds) >= 2 and (
+                sum(1 for o, _ in o_bonds if o == 2) >= 2
+                or (
+                    any(o == 2 for o, _ in o_bonds)
+                    and any(o == 1 and ch == -1 for o, ch in o_bonds)
+                )
+            ):
+                found.add("nitro")
+            # azide: three-N chain with cumulated bonds (N=N=N / N-N#N)
+            if len(nbrs) == 2 and all(s == "N" for s, _, _ in nbrs):
+                orders = sorted(o for _, o, _ in nbrs)
+                if orders in ([2, 2], [1, 3]):
+                    found.add("azide")
         elif a.symbol == "P":
             n_double_o = sum(1 for s, o, _ in nbrs if s == "O" and o == 2)
             n_single_o = sum(1 for s, o, _ in nbrs if s == "O" and o == 1)
             if n_double_o >= 1 and n_single_o >= 3:
                 found.add("phosphate_ester")
+            # phosphonium [P+](C*)(C*)(C*)(C*)
+            if a.charge == 1 and sum(1 for s, _, _ in nbrs if s == "C") >= 4:
+                found.add("phosphonium")
         elif a.symbol == "Se":
             if any(s == "Se" for s, _, _ in nbrs):
                 found.add("diselenide")
+        elif a.symbol == "Cr":
+            # chromium(VI) [Cr](=O)(=O)=O
+            if sum(1 for s, o, _ in nbrs if s == "O" and o == 2) >= 3:
+                found.add("chromium_vi")
+        elif a.symbol == "As":
+            # arsenic oxide [As](=O)(=O)-[OH]
+            n_double_o = sum(1 for s, o, _ in nbrs if s == "O" and o == 2)
+            has_oh = any(
+                b.order == 1 and _is_hydroxyl(mol, nb) for nb, b in adj[a.idx]
+            )
+            if n_double_o >= 2 and has_oh:
+                found.add("arsenic_oxide")
+        elif a.symbol == "O":
+            # alcohol (FG-hierarchy): aliphatic C-OH, carbonyl excluded
+            if _is_hydroxyl(mol, a.idx):
+                nb, b = adj[a.idx][0]
+                c = mol.atoms[nb]
+                if (
+                    c.symbol == "C"
+                    and not c.aromatic
+                    and b.order == 1
+                    and not any(
+                        s in ("O", "N", "S") and o == 2
+                        for s, o, _ in _neighbor_symbols(mol, nb)
+                    )
+                ):
+                    found.add("alcohol")
+        if a.symbol in HALOGENS and any(s == "C" for s, _, _ in nbrs):
+            found.add("halogen")
     # tri-chlorinated aromatic ring: any SSSR ring with >=3 Cl substituents
     for ring in mol.rings:
         ring_set = set(ring)
@@ -121,6 +226,8 @@ def toxic_groups(mol: Mol) -> list[str] | None:
                     n_cl += 1
         if n_cl >= 3:
             found.add("trichloro_aromatic")
+    if found and has_catechol_exemption(mol):
+        return None
     return sorted(found) if found else None
 
 

@@ -324,10 +324,13 @@ def tag_molecules(df: DataFrame, smiles_col: str = "smiles", out_col: str = "tag
     """C5 — per-molecule tag array with the reference's namespaced
     vocabulary (mol_tagging.py:129-190: composition:* / structure:*
     categories), computed for REAL from the parsed molecular graph:
-    halogenation counts, isotope labels, ring topology, aromaticity,
-    macrocycles (ring > 12), written chirality, FractionCSP3 > 0.6,
-    multi-fragment salts, net formal charge, MW > 600. Unparseable
-    SMILES tag as 'invalid' (curation filters drop them downstream)."""
+    halogenation counts (size-scaled highly_halogenated threshold via
+    halogen_toxicity_score, mol_tagging.py:144-148), isotope labels,
+    ring topology, aromaticity, macrocycles (ring >= MACROCYCLE_RING_SIZE
+    = 12, mol_tagging.py:83,171), written chirality, FractionCSP3 >=
+    FSP3_HIGH_THRESHOLD = 0.5 (mol_tagging.py:99,187), multi-fragment
+    salts, net formal charge, MW > 600. Unparseable SMILES tag as
+    'invalid' (curation filters drop them downstream)."""
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def tags_udf(smiles: pd.Series) -> pd.Series:
@@ -337,6 +340,7 @@ def tag_molecules(df: DataFrame, smiles_col: str = "smiles", out_col: str = "tag
             mol_formula_weight,
             parse_smiles,
         )
+        from workbench_spark.chem.toxicity import halogen_toxicity_score
 
         def one(s):
             if s is None or not str(s).strip():
@@ -346,11 +350,11 @@ def tag_molecules(df: DataFrame, smiles_col: str = "smiles", out_col: str = "tag
             except SmilesError:
                 return ["invalid"]
             tags = []
-            n_hal = sum(1 for a in mol.atoms if a.symbol in _HALOGENS)
+            n_hal, hal_threshold = halogen_toxicity_score(mol)
             n_c = sum(1 for a in mol.atoms if a.symbol == "C")
             if n_hal:
                 tags.append("composition:halogenated")
-            if n_hal >= 4:
+            if n_hal > hal_threshold:
                 tags.append("composition:highly_halogenated")
             if any(a.isotope is not None for a in mol.atoms):
                 tags.append("composition:isotope_labeled")
@@ -360,12 +364,12 @@ def tag_molecules(df: DataFrame, smiles_col: str = "smiles", out_col: str = "tag
                 tags.append("structure:acyclic")
             if any(a.aromatic for a in mol.atoms):
                 tags.append("structure:aromatic")
-            if any(len(r) > 12 for r in mol.rings):
+            if any(len(r) >= 12 for r in mol.rings):
                 tags.append("structure:macrocycle")
             if any(a.chiral for a in mol.atoms):
                 tags.append("structure:chiral")
             fsp3 = fraction_csp3(mol)
-            if fsp3 is not None and fsp3 > 0.6:
+            if fsp3 is not None and fsp3 >= 0.5:
                 tags.append("structure:high_fsp3")
             if mol.n_components > 1:
                 tags.append("salt")
@@ -574,6 +578,7 @@ MOL_DESCRIPTOR_NAMES = [
     "numaromaticrings", "fractioncsp3", "formalcharge", "numstereocenters",
     "numaromaticheterocycles", "numsaturatedrings", "numaliphaticrings",
     "numheterocycles", "largestringsize", "nhohcount", "nocount",
+    "numbridgeheadatoms", "numspiroatoms",
 ]
 
 
@@ -626,6 +631,8 @@ def molecular_descriptors(
                     max((len(r) for r in mol.GetRingInfo().AtomRings()), default=0),
                     Descriptors.NHOHCount(mol),
                     Descriptors.NOCount(mol),
+                    rdMolDescriptors.CalcNumBridgeheadAtoms(mol),
+                    rdMolDescriptors.CalcNumSpiroAtoms(mol),
                 ])
             else:
                 from workbench_spark.chem.descriptors import compute_descriptors

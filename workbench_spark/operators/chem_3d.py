@@ -41,10 +41,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# thresholds mirror mol_descriptors_3d.py:198-205
-MAX_HEAVY_ATOMS = 100
+# thresholds mirror mol_descriptors_3d.py:198-225 (verified against the
+# reference constants: 150 heavy / 50 rot / 10 rings / ring-complexity 15 /
+# conformer-atom cost 14000)
+MAX_HEAVY_ATOMS = 150
 MAX_ROTATABLE_BONDS = 50
 MAX_RING_SYSTEMS = 10
+# rings + bridgehead + spiro atoms (backstop for polycyclic cages)
+MAX_RING_COMPLEXITY = 15
+# heavy_atoms × planned_conformers cap for the xTB energy step — catches
+# large + very flexible molecules (rot ≥ 8 AND > 70 heavy) that pass the
+# size guards but would spend minutes scoring 200 conformers
+MAX_CONFORMER_ATOM_COST = 14000
 
 RDKIT_3D_NAMES = [
     "pmi1", "pmi2", "pmi3", "npr1", "npr2", "asphericity", "eccentricity",
@@ -67,10 +75,18 @@ DIAGNOSTIC_3D_NAMES = [
 ]
 
 
-def check_complexity_smiles(smiles: str) -> str | None:
-    """check_complexity (mol_descriptors_3d.py:224-296) on the pure-Python
-    graph: returns None (pass) or a ``skip:*`` status string."""
-    from workbench_spark.chem.descriptors import num_rotatable_bonds
+def check_complexity_smiles(
+    smiles: str, n_conformers: int | None = None
+) -> str | None:
+    """check_complexity (mol_descriptors_3d.py:226-296) on the pure-Python
+    graph: returns None (pass) or a ``skip:*`` status string. Gate order
+    matches the reference: parse → heavy_atoms → rot_bonds → rings →
+    ring_complexity (rings + bridgehead + spiro > 15) → cost (heavy ×
+    planned conformers > 14000, only when ``n_conformers`` is given)."""
+    from workbench_spark.chem.descriptors import (
+        bridgehead_spiro,
+        num_rotatable_bonds,
+    )
     from workbench_spark.chem.smiles import SmilesError, parse_smiles
 
     if smiles is None or not str(smiles).strip():
@@ -79,12 +95,19 @@ def check_complexity_smiles(smiles: str) -> str | None:
         mol = parse_smiles(str(smiles))
     except SmilesError:
         return "skip:parse"
-    if len(mol.atoms) > MAX_HEAVY_ATOMS:
+    n_heavy = len(mol.atoms)
+    if n_heavy > MAX_HEAVY_ATOMS:
         return "skip:heavy_atoms"
     if num_rotatable_bonds(mol) > MAX_ROTATABLE_BONDS:
         return "skip:rot_bonds"
-    if len(mol.rings) > MAX_RING_SYSTEMS:
+    n_rings = len(mol.rings)
+    if n_rings > MAX_RING_SYSTEMS:
         return "skip:rings"
+    bs = bridgehead_spiro(mol)
+    if n_rings + bs["numbridgeheadatoms"] + bs["numspiroatoms"] > MAX_RING_COMPLEXITY:
+        return "skip:ring_complexity"
+    if n_conformers is not None and n_heavy * n_conformers > MAX_CONFORMER_ATOM_COST:
+        return "skip:cost"
     return None
 
 
@@ -136,6 +159,10 @@ def compute_descriptors_3d(
             for s in pdf[smiles_col]:
                 status = check_complexity_smiles(s)
                 n_req = adaptive_n_conformers_smiles(s) if status is None else 0
+                if status is None:
+                    # cost backstop uses the planned conformer count
+                    # (mol_descriptors_3d.py: check_complexity(mol, n_conformers))
+                    status = check_complexity_smiles(s, n_conformers=n_req)
                 if status is None and not have_rdkit:
                     status = "skip:no_rdkit"
                 if status is None:  # pragma: no cover - RDKit path

@@ -46,12 +46,21 @@ def read_jsonl_tolerant(
     malformed line, and FAILFAST turns one bad byte into a dead pipeline.
 
     Returns (good, bad): ``good`` drops the corrupt column; ``bad`` holds
-    the raw offending lines for quarantine/repair. Spark requires a
-    materialized parse before referencing the corrupt column alone, so
-    the frame is cached by default — callers looping over many inputs
-    should pass ``cache=False`` (one extra parse per side, no cached
-    blocks pinned for the session) or unpersist via
-    ``spark.catalog.clearCache()`` between batches."""
+    the raw offending lines for quarantine/repair.
+
+    Spark refuses a query whose only referenced file column is the
+    internal corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    CORRUPT_RECORD_COLUMN), so ``bad`` cannot be derived from the JSON
+    scan directly without a materialized parse. Two supported paths:
+
+    - ``cache=True`` (default): the parsed frame is cached, both sides
+      filter the cached parse — one read, cached blocks pinned until
+      ``unpersist``/``clearCache``.
+    - ``cache=False``: ``bad`` is derived from a SECOND read of the file
+      as raw text, re-parsed per-line with ``from_json`` (an expression,
+      not a file source, so the corrupt-column restriction does not
+      apply). No cached blocks pinned — right for loops over many
+      inputs — at the cost of one extra scan of the input."""
     reader = spark.read.option("mode", "PERMISSIVE").option(
         "columnNameOfCorruptRecord", corrupt_col
     )
@@ -68,8 +77,27 @@ def read_jsonl_tolerant(
         )
     if cache:
         df = df.cache()  # corrupt-column access needs a materialized parse
+        good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+        bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+        return good, bad
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    # uncached path: re-read as text and re-apply the parse with from_json,
+    # whose PERMISSIVE mode fills the corrupt field on malformed lines
+    data_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != corrupt_col]
+    ).add(corrupt_col, T.StringType())
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.col("value"),
+        F.from_json(
+            "value",
+            data_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("__parsed"),
+    )
+    bad = parsed.filter(
+        F.col(f"__parsed.{corrupt_col}").isNotNull()
+    ).select(F.col("value").alias(corrupt_col))
     return good, bad
 
 
