@@ -164,6 +164,43 @@ def test_spearman_approx_converges(spark):
     assert abs(exact - approx) < 0.01, (exact, approx)
 
 
+def test_spearman_heavy_ties_matches_scipy_definition(spark):
+    """Tie handling vs scipy.spearmanr (r3 VERDICT #7): scipy computes the
+    Pearson correlation of AVERAGE ranks; with ~80% ties (5 distinct
+    values over 200 rows) any min-rank or dense-rank shortcut diverges.
+    scipy itself is not installed in this container, so the expectation
+    reimplements its exact definition independently in numpy (stable-sort
+    average ranks -> corrcoef) and must agree to 1e-9."""
+    import numpy as np
+
+    from workbench_spark.operators.metrics import regression_metrics
+
+    rng = np.random.default_rng(7)
+    n = 200
+    y = rng.integers(0, 5, n).astype(float)
+    p = (y + rng.integers(-1, 2, n)).astype(float)
+
+    def avg_rank(x):
+        order = np.argsort(x, kind="stable")
+        ranks = np.empty(n)
+        sx = x[order]
+        i = 0
+        while i < n:
+            j = i
+            while j < n and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            i = j
+        return ranks
+
+    expected = float(np.corrcoef(avg_rank(y), avg_rank(p))[0, 1])
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, p)], "y double, p double"
+    )
+    got = regression_metrics(df, "y", "p").first()["spearman"]
+    assert abs(got - expected) < 1e-9, (got, expected)
+
+
 def test_ks_binned_converges(spark):
     from pyspark.sql import functions as F
 

@@ -207,6 +207,13 @@ def canonical_smiles(smiles: str) -> str | None:
         mol = parse_smiles(smiles)
     except SmilesError:
         return None
+    return canonical_smiles_mol(mol)
+
+
+def canonical_smiles_mol(mol: Mol) -> str:
+    """Canonical form of an already-built ``Mol`` — the shared backend for
+    SMILES input (``canonical_smiles``) and mol-block input
+    (``chem.molfile.molblock_to_smiles``)."""
     ranks = canonical_ranks(mol)
     adj = mol.adjacency
     n = len(mol.atoms)

@@ -571,6 +571,27 @@ def df_to_sdf_file(
     return path
 
 
+def sdf_to_canonical_smiles(
+    df: DataFrame, mol_col: str = "mol_block", out_col: str = "canonical_smiles"
+) -> DataFrame:
+    """S14 structural conversion: V2000 mol block → stereo-aware canonical
+    SMILES (reference sdf.py: MolFromMolBlock → MolToSmiles). Wedge bonds
+    become @/@@ parity (chem/molfile.py), so SDF-sourced molecules join
+    SMILES-sourced ones in the same canonical dedup keyspace —
+    enantiomers drawn with opposite wedges get distinct keys.
+    Unparseable blocks → NULL."""
+
+    @pandas_udf(T.StringType())
+    def convert(blocks: pd.Series) -> pd.Series:
+        from workbench_spark.chem.molfile import molblock_to_smiles
+
+        return blocks.map(
+            lambda b: molblock_to_smiles(str(b)) if b is not None else None
+        )
+
+    return df.withColumn(out_col, convert(F.col(mol_col)))
+
+
 # ------------------------------------------------------------ descriptors
 MOL_DESCRIPTOR_NAMES = [
     "molwt", "mollogp", "molmr", "heavyatomcount", "numhacceptors",
