@@ -251,6 +251,64 @@ def column_stats(df: DataFrame, exact: bool = True) -> dict:
     return out
 
 
+def column_stats_table(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """A8 as a DataFrame: the same fused one-scan aggregation as
+    ``column_stats`` but returning the long form (one row per column:
+    column, dtype, n_unique, n_nulls, n_zeros, min, q1, median, q3, max,
+    mean, stddev) WITHOUT collecting to the driver — the scale-safe shape
+    (the dict variant materializes driver-side; this one composes into
+    further Spark plans and is DuckDB-oracle-able). Non-numeric columns
+    carry NULL numeric stats. The single agg row pivots to long via one
+    JVM-side inline(array(structs)) — no second scan, no shuffle beyond
+    the aggregation's own."""
+    cols = columns or df.columns
+    num_cols = [c for c in numeric_columns(df) if c in cols]
+    dtypes = dict(df.dtypes)
+    distinct_fn = F.countDistinct if exact else F.approx_count_distinct
+    pct_of = (
+        (lambda c: f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75))")
+        if exact
+        else (lambda c: f"percentile_approx(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75), 1000)")
+    )
+    aggs = []
+    for c in cols:
+        aggs.append(distinct_fn(c).alias(f"{c}__uniq"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"{c}__nulls"))
+    for c in num_cols:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.count(F.when(F.col(c) == 0, F.lit(1))).alias(f"{c}__zeros"),
+            F.min(d).alias(f"{c}__min"),
+            F.expr(pct_of(c)).alias(f"{c}__q"),
+            F.max(d).alias(f"{c}__max"),
+            F.avg(d).alias(f"{c}__mean"),
+            F.stddev(d).alias(f"{c}__stddev"),
+        ]
+    nd = F.lit(None).cast("double")
+    structs = []
+    for c in cols:
+        is_num = c in num_cols
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col(f"{c}__uniq").cast("long").alias("n_unique"),
+                F.col(f"{c}__nulls").cast("long").alias("n_nulls"),
+                (F.col(f"{c}__zeros").cast("long") if is_num else F.lit(None).cast("long")).alias("n_zeros"),
+                (F.col(f"{c}__min") if is_num else nd).alias("min"),
+                (F.col(f"{c}__q")[0] if is_num else nd).alias("q1"),
+                (F.col(f"{c}__q")[1] if is_num else nd).alias("median"),
+                (F.col(f"{c}__q")[2] if is_num else nd).alias("q3"),
+                (F.col(f"{c}__max") if is_num else nd).alias("max"),
+                (F.col(f"{c}__mean") if is_num else nd).alias("mean"),
+                (F.col(f"{c}__stddev") if is_num else nd).alias("stddev"),
+            )
+        )
+    return df.agg(*aggs).select(F.inline(F.array(*structs)))
+
+
 # ---------------------------------------------------------------- A9 / P4
 def outlier_bounds(
     df: DataFrame,

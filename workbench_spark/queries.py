@@ -1186,3 +1186,145 @@ def q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+# =====================================================================
+# Round-4 oracle promotions (r3 VERDICT #6): A8 / F9 / J4
+# =====================================================================
+
+_A8_COLS = ["l_quantity", "l_extendedprice", "l_returnflag"]
+
+
+@query(
+    "a8_column_stats",
+    """
+    WITH s AS (
+      SELECT
+        COUNT(DISTINCT l_quantity) AS q_uniq,
+        COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS q_nulls,
+        COUNT(CASE WHEN l_quantity = 0 THEN 1 END) AS q_zeros,
+        ROUND(MIN(CAST(l_quantity AS DOUBLE)), 6) AS q_min,
+        ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS q_med,
+        ROUND(MAX(CAST(l_quantity AS DOUBLE)), 6) AS q_max,
+        ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS q_mean,
+        COUNT(DISTINCT l_extendedprice) AS p_uniq,
+        COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS p_nulls,
+        COUNT(CASE WHEN l_extendedprice = 0 THEN 1 END) AS p_zeros,
+        ROUND(MIN(CAST(l_extendedprice AS DOUBLE)), 6) AS p_min,
+        ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p_med,
+        ROUND(MAX(CAST(l_extendedprice AS DOUBLE)), 6) AS p_max,
+        ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 6) AS p_mean,
+        COUNT(DISTINCT l_returnflag) AS r_uniq,
+        COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS r_nulls
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS column, 'double' AS dtype, q_uniq AS n_unique,
+           q_nulls AS n_nulls, q_zeros AS n_zeros, q_min AS min, q_med AS median,
+           q_max AS max, q_mean AS mean FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', 'double', p_uniq, p_nulls, p_zeros, p_min, p_med,
+           p_max, p_mean FROM s
+    UNION ALL
+    SELECT 'l_returnflag', 'string', r_uniq, r_nulls, NULL, NULL, NULL,
+           NULL, NULL FROM s
+    """,
+)
+def a8_column_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — the composite column_stats pass (column_stats.py:52-121) in
+    its long tabular form: ONE fused aggregation over one scan covering
+    distinct/null/zero counts and the descriptive block for every column
+    (numeric and not), pivoted to rows JVM-side. The dict variant
+    (column_stats) collects this same row driver-side."""
+    from workbench_spark.operators.eda import column_stats_table
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = column_stats_table(li, columns=_A8_COLS, exact=True)
+    return t.select(
+        "column", "dtype", "n_unique", "n_nulls", "n_zeros",
+        F.round("min", 6).alias("min"),
+        F.round("median", 6).alias("median"),
+        F.round("max", 6).alias("max"),
+        F.round("mean", 6).alias("mean"),
+    )
+
+
+@query(
+    "f9_type_coercion",
+    """
+    SELECT * FROM (VALUES
+      (1, 1, '2024-03-05T14:30:00.250Z', '2024-03-05', 12.5, 'keep'),
+      (2, 0, '2024-12-31T23:59:59.999Z', '2025-01-01', -0.75, NULL),
+      (3, NULL, NULL, NULL, NULL, 'x')
+    ) AS t(id, flag, ts, d, amount, s)
+    """,
+)
+def f9_type_coercion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — the FeatureSet type contract (pandas_to_features.py:243-280)
+    as a schema-shaped oracle: bool→int, timestamp→ISO-8601 string,
+    date→ISO string, decimal→double, int/string pass through. The
+    driver's schema comparison IS the assertion — the oracle VALUES
+    carry the post-coercion types, so a missed cast fails schema_match
+    before values are even hashed. Literal panel (testdata has no
+    bool/decimal columns); timestamps built with make_timestamp to stay
+    session-timezone-independent."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from workbench_spark.api.feature_set import coerce_feature_types
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("amount", T.DecimalType(10, 2)),
+        T.StructField("s", T.StringType()),
+    ])
+    rows = [
+        (1, True, _dt.datetime(2024, 3, 5, 14, 30, 0, 250000), _dt.date(2024, 3, 5), Decimal("12.50"), "keep"),
+        (2, False, _dt.datetime(2024, 12, 31, 23, 59, 59, 999000), _dt.date(2025, 1, 1), Decimal("-0.75"), None),
+        (3, None, None, None, None, "x"),
+    ]
+    return coerce_feature_types(spark.createDataFrame(rows, schema))
+
+
+@query(
+    "j4_dag_union_join",
+    """
+    SELECT o.o_orderkey AS row_id,
+           ROUND(o.o_totalprice, 2) AS price_feature,
+           CAST(strftime(o.o_orderdate, '%Y') AS INT) AS year_feature,
+           n.n_lines
+    FROM orders o
+    JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+          FROM lineitem GROUP BY 1) n
+      ON o.o_orderkey = n.l_orderkey
+    """,
+)
+def j4_dag_union_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — the DAG column-union join (aggregation_nodes.py:36-104):
+    three parallel feature branches carrying the same injected row id are
+    joined back into one frame; overlapping non-id columns resolve to the
+    LEFTMOST branch (here: branch-1's price_feature survives, branch-3
+    re-derives it differently and is dropped — the oracle encodes
+    branch-1's version, so a wrong conflict resolution hash-fails)."""
+    from workbench_spark.operators.joins import column_union_join
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    b1 = o.select(
+        F.col("o_orderkey").alias("row_id"),
+        F.round("o_totalprice", 2).alias("price_feature"),
+    )
+    b2 = o.select(
+        F.col("o_orderkey").alias("row_id"),
+        F.year("o_orderdate").cast("int").alias("year_feature"),
+    )
+    b3 = li.groupBy(F.col("l_orderkey").alias("row_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        # deliberate overlap with branch 1 — must LOSE to the leftmost
+        F.round(F.sum("l_extendedprice"), 2).alias("price_feature"),
+    )
+    return column_union_join([b1, b2, b3], row_id="row_id")
