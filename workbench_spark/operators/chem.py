@@ -680,6 +680,14 @@ TOPOLOGY_DESCRIPTOR_NAMES = [
     "n_carboxylic_acid", "n_phenol", "n_amine_primary",
     "n_amine_secondary", "n_amine_tertiary",
     "wiener", "zagreb1", "zagreb2", "balaban_j",
+    # extended tail (chem/extended.py): EState, autocorrelation, BCUT
+    "maxestateindex", "minestateindex", "maxabsestateindex",
+    "minabsestateindex",
+    "ats0_m", "ats1_m", "ats2_m", "ats3_m", "ats4_m",
+    "mats1_m", "mats2_m", "mats3_m", "mats4_m",
+    "gats1_m", "gats2_m", "gats3_m", "gats4_m",
+    "bcut_mw_hi", "bcut_mw_lo", "bcut_logp_hi", "bcut_logp_lo",
+    "bcut_mr_hi", "bcut_mr_lo",
 ]
 
 
@@ -689,12 +697,16 @@ def topological_descriptors(df: DataFrame, smiles_col: str = "smiles") -> DataFr
     CarbonTypes), computed for real from the SMILES graph with the
     published Kier-Hall / Randić / Wiener / Balaban formulas (chem/topology.py; κ indices
     are the unmodified Kier 1985 forms — documented difference from
-    RDKit's α-modified Kappa1-3). Adds 37 columns; unparseable SMILES →
-    all-NULL."""
+    RDKit's α-modified Kappa1-3), plus the extended tail (chem/extended.py:
+    Kier-Hall EState summary indices, Moreau-Broto/Moran/Geary mass
+    autocorrelation d=0..4, Burden BCUT eigenvalue ranges for
+    mass/logP/MR weightings). Adds 60 columns; unparseable SMILES →
+    all-NULL; individually un-derivable cells → NULL."""
     fields = ", ".join(f"{n} double" for n in TOPOLOGY_DESCRIPTOR_NAMES)
 
     @pandas_udf(fields)
     def compute(smiles: pd.Series) -> pd.DataFrame:
+        from workbench_spark.chem.extended import extended_descriptors
         from workbench_spark.chem.smiles import SmilesError, parse_smiles
         from workbench_spark.chem.topology import topology_descriptors
 
@@ -704,11 +716,16 @@ def topological_descriptors(df: DataFrame, smiles_col: str = "smiles") -> DataFr
                 rows.append([None] * len(TOPOLOGY_DESCRIPTOR_NAMES))
                 continue
             try:
-                d = topology_descriptors(parse_smiles(str(s)))
+                mol = parse_smiles(str(s))
+                d = topology_descriptors(mol)
+                d.update(extended_descriptors(mol))
             except SmilesError:
                 rows.append([None] * len(TOPOLOGY_DESCRIPTOR_NAMES))
                 continue
-            rows.append([float(d[n]) for n in TOPOLOGY_DESCRIPTOR_NAMES])
+            rows.append([
+                None if d[n] is None else float(d[n])
+                for n in TOPOLOGY_DESCRIPTOR_NAMES
+            ])
         return pd.DataFrame(rows, columns=TOPOLOGY_DESCRIPTOR_NAMES)
 
     return df.withColumn("__topo", compute(F.col(smiles_col))).select(

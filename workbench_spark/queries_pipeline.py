@@ -1735,6 +1735,84 @@ def chem_topology_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "chem_extended_golden",
+    """
+    -- hand-derived from the published formulas (chem/extended.py):
+    -- EState (Kier-Hall): ethanol S = (1.680556, 0.25, 7.569444);
+    --   acetone S(=O) = 7 + (7-5/3)/4 + 2*(7-2)/9 = 9.444444,
+    --   S(C=O) = 5/3 + 2*(5/3-2)/4 + (5/3-7)/4 = 0.166667;
+    --   ethane/benzene: all atoms identical -> S = I = 2.0.
+    -- ATS1 (Moreau-Broto, w = atom+implicit-H mass; C 12.011 H 1.008
+    --   O 15.999): ethanol 15.035*14.027 + 14.027*17.007 = 449.453134;
+    --   acetone 2*15.035*12.011 + 12.011*15.999 = 553.334759;
+    --   ethane 15.035^2 = 226.051225; benzene 6*13.019^2 = 1016.966166.
+    -- GATS1 (Geary): ethanol 1.076854, acetone 1.896893; ethane and
+    --   benzene have zero mass variance -> NULL.
+    SELECT * FROM (VALUES
+      (1, 7.569444, 0.25,     449.453134,  1.076854),
+      (2, 9.444444, 0.166667, 553.334759,  1.896893),
+      (3, 2.0,      2.0,      226.051225,  NULL),
+      (4, 2.0,      2.0,      1016.966166, NULL)
+    ) AS t(mol_id, maxestateindex, minestateindex, ats1_m, gats1_m)
+    """,
+)
+def chem_extended_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 extended tail — EState summary indices + Moreau-Broto/Geary
+    mass autocorrelation for a hand-computed panel (ethanol, acetone,
+    ethane, benzene). The oracle VALUES are derived from the published
+    formulas by hand, independent of the engine."""
+    from workbench_spark.operators.chem import topological_descriptors
+
+    mols = spark.createDataFrame(
+        [(1, "CCO"), (2, "CC(=O)C"), (3, "CC"), (4, "c1ccccc1")],
+        "mol_id int, smiles string",
+    )
+    d = topological_descriptors(mols)
+    return d.select(
+        "mol_id",
+        F.round("maxestateindex", 6).alias("maxestateindex"),
+        F.round("minestateindex", 6).alias("minestateindex"),
+        F.round("ats1_m", 6).alias("ats1_m"),
+        F.round("gats1_m", 6).alias("gats1_m"),
+    )
+
+
+@query(
+    "chem_bcut_golden",
+    """
+    -- closed-form Burden eigenvalues (chem/extended.py BCUT):
+    -- methane: single atom -> hi = lo = w = 16.043;
+    -- ethane: [[w, 0.11], [0.11, w]] (0.1*order + 0.01 terminal),
+    --   w = 15.035 -> 15.145 / 14.925;
+    -- benzene: circulant [w; 0.15, 0.001, 0.001, 0.001, 0.15]
+    --   -> lambda_k = w + 0.3cos(t) + 0.002cos(2t) + 0.001cos(3t),
+    --   max (k=0) = w + 0.303 = 13.322, min (k=3) = w - 0.299 = 12.72.
+    SELECT * FROM (VALUES
+      (1, 16.043, 16.043),
+      (2, 15.145, 14.925),
+      (3, 13.322, 12.72)
+    ) AS t(mol_id, bcut_mw_hi, bcut_mw_lo)
+    """,
+)
+def chem_bcut_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 BCUT — Burden-matrix eigenvalue ranges for molecules whose
+    spectra have closed forms (single atom, 2x2 symmetric, circulant
+    ring), so the oracle is exact a-priori arithmetic."""
+    from workbench_spark.operators.chem import topological_descriptors
+
+    mols = spark.createDataFrame(
+        [(1, "C"), (2, "CC"), (3, "c1ccccc1")],
+        "mol_id int, smiles string",
+    )
+    d = topological_descriptors(mols)
+    return d.select(
+        "mol_id",
+        F.round("bcut_mw_hi", 6).alias("bcut_mw_hi"),
+        F.round("bcut_mw_lo", 6).alias("bcut_mw_lo"),
+    )
+
+
 # =====================================================================
 # Round-3 LLM-pipeline additions: repetition, chunk dedup, centroids
 # =====================================================================
