@@ -123,19 +123,21 @@ def _atom_masses(mol: Mol) -> list[float]:
     ]
 
 
-def autocorrelation_mass(mol: Mol, max_d: int = 4) -> dict[str, float | None]:
-    """Moreau-Broto / Moran / Geary autocorrelation on atomic mass."""
+def autocorrelation_weighted(
+    mol: Mol, w: list[float], suffix: str, max_d: int = 4
+) -> dict[str, float | None]:
+    """Moreau-Broto / Moran / Geary autocorrelation on an arbitrary
+    per-heavy-atom weight vector (``_{suffix}`` column postfix)."""
     n = len(mol.atoms)
     out: dict[str, float | None] = {}
     for d in range(0, max_d + 1):
-        out[f"ats{d}_m"] = None
+        out[f"ats{d}_{suffix}"] = None
     for d in range(1, max_d + 1):
-        out[f"mats{d}_m"] = None
-        out[f"gats{d}_m"] = None
+        out[f"mats{d}_{suffix}"] = None
+        out[f"gats{d}_{suffix}"] = None
     if n == 0:
         return out
-    w = _atom_masses(mol)
-    out["ats0_m"] = sum(x * x for x in w)
+    out[f"ats0_{suffix}"] = sum(x * x for x in w)
     if n < 2:
         return out
     dist = _distance_matrix(mol)
@@ -161,13 +163,21 @@ def autocorrelation_mass(mol: Mol, max_d: int = 4) -> dict[str, float | None]:
     for d in range(1, max_d + 1):
         if pair_count[d] == 0:
             continue
-        out[f"ats{d}_m"] = pair_prod[d]
+        out[f"ats{d}_{suffix}"] = pair_prod[d]
         if var > 0:
-            out[f"mats{d}_m"] = (pair_centered[d] / pair_count[d]) / (var / n)
-            out[f"gats{d}_m"] = (pair_sqdiff[d] / (2 * pair_count[d])) / (
+            out[f"mats{d}_{suffix}"] = (pair_centered[d] / pair_count[d]) / (var / n)
+            out[f"gats{d}_{suffix}"] = (pair_sqdiff[d] / (2 * pair_count[d])) / (
                 var / (n - 1)
             )
     return out
+
+
+def autocorrelation_mass(mol: Mol, max_d: int = 4) -> dict[str, float | None]:
+    """Moreau-Broto / Moran / Geary autocorrelation on atomic mass (heavy
+    atom + its implicit hydrogens — the folded-H weight convention)."""
+    if not mol.atoms:
+        return autocorrelation_weighted(mol, [], "m", max_d)
+    return autocorrelation_weighted(mol, _atom_masses(mol), "m", max_d)
 
 
 def _burden_eigen_range(mol: Mol, weights: list[float]) -> tuple[float, float] | None:

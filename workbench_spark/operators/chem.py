@@ -731,3 +731,72 @@ def topological_descriptors(df: DataFrame, smiles_col: str = "smiles") -> DataFr
     return df.withColumn("__topo", compute(F.col(smiles_col))).select(
         "*", "__topo.*"
     ).drop("__topo")
+
+
+#: electronic/surface-block columns (chem/peoe.py + chem/surface.py)
+ELECTRONIC_DESCRIPTOR_NAMES = [
+    "maxpartialcharge", "minpartialcharge",
+    "maxabspartialcharge", "minabspartialcharge",
+    "ats0_c", "ats1_c", "ats2_c", "ats3_c", "ats4_c",
+    "mats1_c", "mats2_c", "mats3_c", "mats4_c",
+    "gats1_c", "gats2_c", "gats3_c", "gats4_c",
+    "labuteasa",
+    *[f"slogp_vsa{i}" for i in range(1, 13)],
+    *[f"smr_vsa{i}" for i in range(1, 11)],
+    *[f"peoe_vsa{i}" for i in range(1, 15)],
+    *[f"estate_vsa{i}" for i in range(1, 12)],
+]
+
+
+def electronic_descriptors(df: DataFrame, smiles_col: str = "smiles") -> DataFrame:
+    """C2 extension — the electronic/surface Mordred tail: Gasteiger PEOE
+    partial-charge summaries (chem/peoe.py, Gasteiger-Marsili 1980),
+    charge-weighted Moreau-Broto/Moran/Geary autocorrelation (weight =
+    heavy-atom charge + its implicit-H charges, the folded-H convention),
+    and the Labute approximate-VSA families (chem/surface.py, Labute
+    2000): LabuteASA plus SlogP_VSA/SMR_VSA/PEOE_VSA/EState_VSA binned
+    sums. Adds 65 columns; unparseable SMILES → all-NULL row; a family
+    whose ingredient is un-derivable (exotic element) NULLs only itself.
+    Same Arrow-batched pandas_udf pattern as the other C2 stages — one
+    Python pass per molecule, no shuffle, scales embarrassingly."""
+    fields = ", ".join(f"{n} double" for n in ELECTRONIC_DESCRIPTOR_NAMES)
+
+    @pandas_udf(fields)
+    def compute(smiles: pd.Series) -> pd.DataFrame:
+        from workbench_spark.chem.extended import autocorrelation_weighted
+        from workbench_spark.chem.peoe import charge_descriptors, gasteiger_charges
+        from workbench_spark.chem.smiles import SmilesError, parse_smiles
+        from workbench_spark.chem.surface import surface_descriptors
+
+        rows = []
+        for s in smiles:
+            if s is None or not str(s).strip():
+                rows.append([None] * len(ELECTRONIC_DESCRIPTOR_NAMES))
+                continue
+            try:
+                mol = parse_smiles(str(s))
+            except SmilesError:
+                rows.append([None] * len(ELECTRONIC_DESCRIPTOR_NAMES))
+                continue
+            d: dict[str, float | None] = {}
+            d.update(charge_descriptors(mol))
+            q = gasteiger_charges(mol)
+            if q is None:
+                for dd in range(5):
+                    d[f"ats{dd}_c"] = None
+                for dd in range(1, 5):
+                    d[f"mats{dd}_c"] = None
+                    d[f"gats{dd}_c"] = None
+            else:
+                folded = [a + b for a, b in zip(q[0], q[1])]
+                d.update(autocorrelation_weighted(mol, folded, "c"))
+            d.update(surface_descriptors(mol))
+            rows.append([
+                None if d[n] is None else float(d[n])
+                for n in ELECTRONIC_DESCRIPTOR_NAMES
+            ])
+        return pd.DataFrame(rows, columns=ELECTRONIC_DESCRIPTOR_NAMES)
+
+    return df.withColumn("__elec", compute(F.col(smiles_col))).select(
+        "*", "__elec.*"
+    ).drop("__elec")

@@ -1386,6 +1386,45 @@ def chem_pipeline_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "chem_electronic_golden",
+    """
+    SELECT * FROM (VALUES
+      (1, -0.08, true),
+      (2, -0.06, true),
+      (3, -0.40, true)
+    ) AS t(mol_id, min_q, vsa_bins_partition_ok)
+    """,
+)
+def chem_electronic_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 electronic tier gate: Gasteiger PEOE charges + Labute VSA
+    families (chem/peoe.py, chem/surface.py). The oracle VALUES are
+    independent published anchors — methane C -0.08, benzene CH -0.06,
+    methanol O -0.40 are the classic Gasteiger-Marsili worked-example
+    charges quoted across the literature (rounded to the 2 decimals the
+    publications agree on) — plus the a-priori invariant that every VSA
+    bin family partitions the same heavy-atom surface total."""
+    from workbench_spark.operators.chem import electronic_descriptors
+
+    mols = spark.createDataFrame(
+        [(1, "C"), (2, "c1ccccc1"), (3, "CO")], "mol_id int, smiles string"
+    )
+    d = electronic_descriptors(mols)
+    slogp = sum([F.col(f"slogp_vsa{i}") for i in range(1, 13)], F.lit(0.0))
+    peoe = sum([F.col(f"peoe_vsa{i}") for i in range(1, 15)], F.lit(0.0))
+    estate = sum([F.col(f"estate_vsa{i}") for i in range(1, 12)], F.lit(0.0))
+    smr = sum([F.col(f"smr_vsa{i}") for i in range(1, 11)], F.lit(0.0))
+    return d.select(
+        "mol_id",
+        (F.round("minpartialcharge", 2) + F.lit(0)).alias("min_q"),
+        (
+            (F.abs(slogp - peoe) < 1e-6)
+            & (F.abs(slogp - estate) < 1e-6)
+            & (F.abs(slogp - smr) < 1e-6)
+        ).alias("vsa_bins_partition_ok"),
+    )
+
+
 # =====================================================================
 # M8 — label quality (Confident Learning), driver-gated
 # =====================================================================
