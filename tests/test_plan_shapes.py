@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "m4_uq_neighbors": "exact-KNN UQ scoring over broadcast queries",
     "m4_uq_coverage": "exact-KNN UQ scoring over broadcast queries",
     "m4_uq_applicability": "exact-KNN UQ scoring over broadcast queries",
+    "q22_dormant_accounts": "1-row global-mean-balance aggregate crossed into scan",
 }
 
 
