@@ -166,3 +166,54 @@ def spark():
     from workbench_spark.session import get_spark
 
     return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+
+
+# --------------------------------------------- higher chi / alpha kappas
+def test_higher_chi_hand_values():
+    from workbench_spark.chem.topology import higher_chi_indices
+
+    # butane: two 2-paths (1,2,2) -> 2/2 = 1.0; one 3-path (1,2,2,1) -> 0.5
+    d = higher_chi_indices(parse_smiles("CCCC"))
+    assert d["chi2"] == pytest.approx(1.0, abs=1e-6)
+    assert d["chi3"] == pytest.approx(0.5, abs=1e-6)
+    assert d["chi4"] == 0.0
+    # isobutane: 2-chi = 3/sqrt(3) (star paths), no 3-paths
+    d = higher_chi_indices(parse_smiles("CC(C)C"))
+    assert d["chi2"] == pytest.approx(1.732051, abs=1e-6)
+    assert d["chi3"] == 0.0
+
+
+def test_kappa3_alkane_closed_forms():
+    from workbench_spark.chem.topology import kappa_indices
+
+    # linear chains: P3 = A-3; odd A -> k3 = (A-1)(A-3)^2/(A-3)^2 = A-1
+    assert kappa_indices(parse_smiles("CCCCCCC"))["kappa3"] == pytest.approx(6.0)
+    # even A=6: (A-3)(A-2)^2/P3^2 = 3*16/9
+    assert kappa_indices(parse_smiles("CCCCCC"))["kappa3"] == pytest.approx(
+        5.333333, abs=1e-6
+    )
+
+
+def test_hall_kier_alpha_and_modified_kappas():
+    from workbench_spark.chem.topology import hall_kier_alpha, kappa_alpha_indices
+
+    bz = parse_smiles("c1ccccc1")
+    assert hall_kier_alpha(bz) == pytest.approx(-0.78, abs=1e-9)
+    ka = kappa_alpha_indices(bz)
+    # the published RDKit Kappa1/Kappa2 values for benzene
+    assert ka["kappa1a"] == pytest.approx(3.412, abs=1e-3)
+    assert ka["kappa2a"] == pytest.approx(1.606, abs=1e-3)
+    # alkanes: alpha = 0 -> modified == unmodified
+    from workbench_spark.chem.topology import kappa_indices
+
+    hx = parse_smiles("CCCCCC")
+    k, kam = kappa_indices(hx), kappa_alpha_indices(hx)
+    assert kam["kappa1a"] == pytest.approx(k["kappa1"], abs=1e-6)
+    assert kam["kappa3a"] == pytest.approx(k["kappa3"], abs=1e-6)
+
+
+def test_alpha_null_for_unparameterized():
+    from workbench_spark.chem.topology import kappa_alpha_indices
+
+    d = kappa_alpha_indices(parse_smiles("C[Si](C)C"))
+    assert all(v is None for v in d.values())

@@ -103,15 +103,148 @@ def _count_paths(mol: Mol, length: int) -> int:
 
 
 def kappa_indices(mol: Mol) -> dict[str, float]:
-    """Kier κ1/κ2 shape indices (unmodified 1985 forms)."""
+    """Kier κ1/κ2/κ3 shape indices (unmodified 1985 forms)."""
     a = len(mol.atoms)
     p1 = len(mol.bonds)
-    out = {"kappa1": 0.0, "kappa2": 0.0}
+    out = {"kappa1": 0.0, "kappa2": 0.0, "kappa3": 0.0}
     if p1 > 0:
         out["kappa1"] = round(a * (a - 1) ** 2 / p1 ** 2, 6)
     p2 = _count_paths(mol, 2)
     if p2 > 0 and a >= 3:
         out["kappa2"] = round((a - 1) * (a - 2) ** 2 / p2 ** 2, 6)
+    p3 = _count_paths(mol, 3)
+    if p3 > 0 and a >= 4:
+        if a % 2:  # Kier's odd/even split for the 3-path index
+            out["kappa3"] = round((a - 1) * (a - 3) ** 2 / p3 ** 2, 6)
+        else:
+            out["kappa3"] = round((a - 3) * (a - 2) ** 2 / p3 ** 2, 6)
+    return out
+
+
+#: Hall-Kier α contributions (Kier & Hall 1986; reproduced across the
+#: descriptor literature/RDKit docs) — covalent-radius ratio vs Csp3.
+_ALPHA = {
+    ("C", "sp3"): 0.0, ("C", "sp2"): -0.13, ("C", "sp"): -0.22,
+    ("N", "sp3"): -0.04, ("N", "sp2"): -0.20, ("N", "sp"): -0.29,
+    ("O", "sp3"): -0.04, ("O", "sp2"): -0.20,
+    ("F", "sp3"): -0.07, ("F", "sp2"): -0.07,
+    ("Cl", "sp3"): 0.29, ("Cl", "sp2"): 0.29,
+    ("Br", "sp3"): 0.48, ("Br", "sp2"): 0.48,
+    ("I", "sp3"): 0.73, ("I", "sp2"): 0.73,
+    ("S", "sp3"): 0.35, ("S", "sp2"): 0.35,
+    ("P", "sp3"): 0.43, ("P", "sp2"): 0.43,
+}
+
+
+def _atom_hyb(mol: Mol, idx: int) -> str:
+    n_double = 0
+    for _, b in mol.neighbors(idx):
+        if b.aromatic or b.demoted_aromatic:
+            return "sp2"
+        if b.order == 3:
+            return "sp"
+        if b.order == 2:
+            n_double += 1
+    if n_double >= 2:
+        return "sp"
+    return "sp2" if n_double == 1 else "sp3"
+
+
+def hall_kier_alpha(mol: Mol) -> float | None:
+    """Σ per-atom α; None when any atom lacks a published contribution
+    (NULL downstream — never a silent 0 for an exotic element)."""
+    total = 0.0
+    for i, a in enumerate(mol.atoms):
+        c = _ALPHA.get((a.symbol, _atom_hyb(mol, i)))
+        if c is None:
+            return None
+        total += c
+    return total
+
+
+def kappa_alpha_indices(mol: Mol) -> dict[str, float | None]:
+    """Hall-Kier α-modified κ1-κ3 — the forms RDKit's Kappa1-3 compute:
+    κ1α = (A+α)(A+α−1)²/(P1+α)², κ2α = (A+α−1)(A+α−2)²/(P2+α)²,
+    κ3α with Kier's odd/even split on A. Golden-tested against the
+    hand-derivable benzene values (α = −0.78 → κ1α 3.412, κ2α 1.606)."""
+    out: dict[str, float | None] = {
+        "hallkieralpha": None, "kappa1a": None, "kappa2a": None, "kappa3a": None,
+    }
+    alpha = hall_kier_alpha(mol)
+    if alpha is None:
+        return out
+    out["hallkieralpha"] = round(alpha, 6)
+    a = len(mol.atoms)
+    p1 = len(mol.bonds)
+    if p1 + alpha > 0:
+        out["kappa1a"] = round((a + alpha) * (a + alpha - 1) ** 2 / (p1 + alpha) ** 2, 6)
+    p2 = _count_paths(mol, 2)
+    if p2 + alpha > 0 and a >= 3:
+        out["kappa2a"] = round(
+            (a + alpha - 1) * (a + alpha - 2) ** 2 / (p2 + alpha) ** 2, 6
+        )
+    p3 = _count_paths(mol, 3)
+    if p3 + alpha > 0 and a >= 4:
+        if a % 2:
+            out["kappa3a"] = round(
+                (a + alpha - 1) * (a + alpha - 3) ** 2 / (p3 + alpha) ** 2, 6
+            )
+        else:
+            out["kappa3a"] = round(
+                (a + alpha - 3) * (a + alpha - 2) ** 2 / (p3 + alpha) ** 2, 6
+            )
+    return out
+
+
+def _enumerate_paths(mol: Mol, length: int) -> list[tuple[int, ...]]:
+    """All simple paths with ``length`` bonds, each reported once."""
+    adj: dict[int, list[int]] = {i: [] for i in range(len(mol.atoms))}
+    for b in mol.bonds:
+        adj[b.a].append(b.b)
+        adj[b.b].append(b.a)
+    paths: list[tuple[int, ...]] = []
+
+    def walk(node: int, remaining: int, visited: tuple[int, ...]):
+        if remaining == 0:
+            if visited[0] < visited[-1]:  # canonical direction only
+                paths.append(visited)
+            return
+        for nb in adj[node]:
+            if nb not in visited:
+                walk(nb, remaining - 1, visited + (nb,))
+
+    for start in range(len(mol.atoms)):
+        walk(start, length, (start,))
+    return paths
+
+
+def higher_chi_indices(mol: Mol) -> dict[str, float]:
+    """Path connectivity orders 2-4 (Kier & Hall 1986): χk = Σ over
+    k-bond simple paths of (Π δ)^-½, simple and valence variants —
+    the Mordred Xp-2/3/4 d and dv columns."""
+    deg = _heavy_degrees(mol)
+    dv = _valence_deltas(mol)
+    out: dict[str, float] = {}
+    for k in (2, 3, 4):
+        simple = 0.0
+        valence = 0.0
+        for path in _enumerate_paths(mol, k):
+            prod_s = 1.0
+            prod_v = 1.0
+            ok_s = ok_v = True
+            for i in path:
+                if deg[i] <= 0:
+                    ok_s = False
+                if dv[i] <= 0:
+                    ok_v = False
+                prod_s *= deg[i] if deg[i] > 0 else 1.0
+                prod_v *= dv[i] if dv[i] > 0 else 1.0
+            if ok_s:
+                simple += prod_s ** -0.5
+            if ok_v:
+                valence += prod_v ** -0.5
+        out[f"chi{k}"] = round(simple, 6)
+        out[f"chi{k}v"] = round(valence, 6)
     return out
 
 
@@ -228,7 +361,9 @@ def topology_descriptors(mol: Mol) -> dict[str, float | int]:
     """The full topology block (flat dict, stable key order)."""
     out: dict[str, float | int] = {}
     out.update(chi_indices(mol))
+    out.update(higher_chi_indices(mol))
     out.update(kappa_indices(mol))
+    out.update(kappa_alpha_indices(mol))
     out.update(carbon_types(mol))
     out.update(constitutional(mol))
     out.update(acid_base_groups(mol))

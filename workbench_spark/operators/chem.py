@@ -672,7 +672,10 @@ def molecular_descriptors(
 
 #: topology-block columns (workbench_spark.chem.topology), stable order
 TOPOLOGY_DESCRIPTOR_NAMES = [
-    "chi0", "chi1", "chi0v", "chi1v", "kappa1", "kappa2",
+    "chi0", "chi1", "chi0v", "chi1v",
+    "chi2", "chi2v", "chi3", "chi3v", "chi4", "chi4v",
+    "kappa1", "kappa2", "kappa3",
+    "hallkieralpha", "kappa1a", "kappa2a", "kappa3a",
     "c1sp3", "c2sp3", "c3sp3", "c4sp3", "c_aromatic", "c_sp2", "c_sp",
     "n_atoms", "n_heavy", "n_h", "n_bonds", "n_single_bonds",
     "n_double_bonds", "n_triple_bonds", "n_aromatic_bonds",

@@ -1740,12 +1740,14 @@ def a22_laplacian_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     --            chi1 = 6*(1/2); kappa1 = 6*25/36, kappa2 (P2=6) = 5*16/36
     -- isobutane: chi0 = 3+1/sqrt(3) = chi0v; kappa2 (P2=3) = 3*4/9
     -- glycine:   chi0v = 1/sqrt(3)+1/sqrt(2)+1/2+1/sqrt(6)+1/sqrt(5)
+    -- chi2 adds 2-bond paths: ethanol (1*2*1)^-1/2; benzene 6*(8)^-1/2;
+    -- kappa1a folds Hall-Kier alpha (benzene 6 arom C * -0.13 = -0.78)
     SELECT * FROM (VALUES
-      (1, 2.707107, 2.154320, 1.414214, 3.0, 2.0, 0, 0),
-      (2, 4.242641, 3.464102, 3.0, 4.166667, 2.222222, 0, 0),
-      (3, 3.577350, 3.577350, 1.732051, 4.0, 1.333333, 0, 0),
-      (4, 4.284457, 2.639919, 2.270056, 5.0, 2.25, 1, 1)
-    ) AS t(mol_id, chi0, chi0v, chi1, kappa1, kappa2,
+      (1, 2.707107, 2.154320, 1.414214, 3.0, 2.0, 0.707107, 2.96, 0, 0),
+      (2, 4.242641, 3.464102, 3.0, 4.166667, 2.222222, 2.12132, 3.411571, 0, 0),
+      (3, 3.577350, 3.577350, 1.732051, 4.0, 1.333333, 1.732051, 4.0, 0, 0),
+      (4, 4.284457, 2.639919, 2.270056, 5.0, 2.25, 1.802095, 4.59, 1, 1)
+    ) AS t(mol_id, chi0, chi0v, chi1, kappa1, kappa2, chi2, kappa1a,
            n_carboxylic_acid, n_amine_primary)
     """,
 )
@@ -1769,6 +1771,8 @@ def chem_topology_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("chi1", 6).alias("chi1"),
         F.round("kappa1", 6).alias("kappa1"),
         F.round("kappa2", 6).alias("kappa2"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round("kappa1a", 6).alias("kappa1a"),
         F.col("n_carboxylic_acid").cast("int").alias("n_carboxylic_acid"),
         F.col("n_amine_primary").cast("int").alias("n_amine_primary"),
     )
