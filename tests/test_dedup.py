@@ -220,3 +220,38 @@ def test_lsh_embedding_null_first_row_uses_real_dim(spark):
     # must run (dim probed from a non-null row) and produce sane pairs
     pairs = out.collect()
     assert all(r["cosine_sim"] >= 0.999 for r in pairs)
+
+
+def test_incremental_dedup_blocks_corpus_clones(spark, docs):
+    """A new batch containing clones of corpus docs must lose exactly the
+    clones; novel docs must survive; the corpus is never touched."""
+    from workbench_spark.operators.dedup import (
+        banded_minhash,
+        minhash_incremental_dedup,
+        minhash_incremental_pairs,
+    )
+
+    corpus = docs.select("doc_id", "text").filter(F.col("doc_id") < 400)
+    clones = (
+        corpus.filter(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    novel = spark.createDataFrame(
+        [(200000 + i, f"entirely novel document number {i} with unique words "
+          f"zebra-{i} quasar-{i} lattice-{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    batch = clones.unionByName(novel)
+    pairs = minhash_incremental_pairs(batch, corpus, verify_threshold=0.5)
+    matched = {r["new_id"] for r in pairs.select("new_id").distinct().collect()}
+    assert matched == {100000, 100001, 100002, 100003, 100004}
+    survivors = minhash_incremental_dedup(batch, corpus, verify_threshold=0.5)
+    ids = {r["doc_id"] for r in survivors.collect()}
+    assert ids == {200000, 200001, 200002, 200003, 200004}
+    # precomputed banded corpus gives identical pairs
+    banded = banded_minhash(corpus)
+    pairs2 = minhash_incremental_pairs(
+        batch, banded, verify_threshold=0.5, corpus_is_banded=True
+    )
+    assert sorted(map(tuple, pairs.select("new_id", "corpus_id").collect())) == \
+        sorted(map(tuple, pairs2.select("new_id", "corpus_id").collect()))

@@ -703,7 +703,7 @@ def topological_descriptors(df: DataFrame, smiles_col: str = "smiles") -> DataFr
     RDKit's α-modified Kappa1-3), plus the extended tail (chem/extended.py:
     Kier-Hall EState summary indices, Moreau-Broto/Moran/Geary mass
     autocorrelation d=0..4, Burden BCUT eigenvalue ranges for
-    mass/logP/MR weightings). Adds 60 columns; unparseable SMILES →
+    mass/logP/MR weightings). Adds 71 columns; unparseable SMILES →
     all-NULL; individually un-derivable cells → NULL."""
     fields = ", ".join(f"{n} double" for n in TOPOLOGY_DESCRIPTOR_NAMES)
 

@@ -382,6 +382,104 @@ def minhash_lsh_dedup(
     return df.join(drop, id_col, "left_anti")
 
 
+# ---------------------------------------------------- incremental dedup
+
+
+def banded_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, minhash, band, bh) banded signature frame — the persistable
+    corpus-side artifact for incremental dedup. At scale, write this once
+    per corpus snapshot (partitioned/bucketed by (band, bh) so incoming
+    batches co-locate on the join key) and reuse it for every batch
+    instead of re-hashing the corpus."""
+    r = n_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, n_hashes, shingle_n)
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("minhash"),
+        F.posexplode(F.expr(_band_hash_sql(bands, r))).alias("band", "bh"),
+    )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    verify_threshold: float | None = 0.5,
+    corpus_is_banded: bool = False,
+) -> DataFrame:
+    """Batch-vs-corpus near-dup pairs: (new_id, corpus_id, est_jaccard).
+
+    The training-data-pipeline shape: a new crawl/batch arrives and must
+    be deduped against the already-ingested corpus WITHOUT re-pairing the
+    corpus against itself. Both sides band identically (same hash family,
+    seeds, and band split — the estimator is only valid when the
+    signature spaces match), then candidates form on the (band, bh)
+    equi-join exactly like the self-join path, but new×corpus only:
+    the work is linear in the batch size, never the corpus size.
+
+    ``corpus_is_banded=True`` accepts a precomputed ``banded_minhash``
+    frame (the 100 TB path: corpus signatures are computed once per
+    snapshot and stored; per-batch cost is hash(batch) + one equi-join).
+    Intra-batch duplicates are minhash_lsh_pairs(new_df)'s job — compose
+    the two for full coverage."""
+    new_banded = banded_minhash(new_df, text_col, id_col, n_hashes, bands, shingle_n)
+    corpus_banded = (
+        corpus
+        if corpus_is_banded
+        else banded_minhash(corpus, text_col, id_col, n_hashes, bands, shingle_n)
+    )
+    a, b = new_banded.alias("a"), corpus_banded.alias("b")
+    est = F.aggregate(
+        F.zip_with("a.minhash", "b.minhash", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(n_hashes)
+    out = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+    ).select(
+        F.col("a.id").alias("new_id"),
+        F.col("b.id").alias("corpus_id"),
+        est.alias("est_jaccard"),
+    )
+    if verify_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= verify_threshold)
+    return out.dropDuplicates(["new_id", "corpus_id"])
+
+
+def minhash_incremental_dedup(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    verify_threshold: float | None = 0.5,
+    corpus_is_banded: bool = False,
+) -> DataFrame:
+    """The admission filter: new-batch rows with NO verified near-dup in
+    the corpus (left-anti on the matched new ids). Corpus rows are never
+    dropped — the corpus is the already-accepted truth."""
+    pairs = minhash_incremental_pairs(
+        new_df, corpus, text_col, id_col, n_hashes, bands, shingle_n,
+        verify_threshold, corpus_is_banded,
+    )
+    drop = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return new_df.join(drop, id_col, "left_anti")
+
+
 # ----------------------------------------------------------------- simhash
 
 

@@ -296,6 +296,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(d)
 
 
+@query(
+    "dedup_incremental_invariants",
+    """
+    SELECT * FROM (VALUES (true, true))
+      AS t(pairs_match_full_selfjoin, dedup_removes_exactly_matched)
+    """,
+)
+def dedup_incremental_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup consistency gate: split
+    documents deterministically (doc_id % 7 = 0 → "new batch", rest
+    "corpus"); the incremental new×corpus pairs must equal EXACTLY the
+    cross-split subset of the full self-join pairs (same hash family and
+    banding → same candidates and estimates), and incremental dedup must
+    remove exactly the matched new ids. Both sides of each invariant are
+    computed by the engine, so the constant-boolean oracle certifies the
+    algebra, not a copy of a number."""
+    from workbench_spark.operators.dedup import (
+        minhash_incremental_dedup,
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    new_df = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    inc = minhash_incremental_pairs(new_df, corpus, verify_threshold=0.5)
+    inc_norm = inc.select(
+        F.least("new_id", "corpus_id").alias("id_a"),
+        F.greatest("new_id", "corpus_id").alias("id_b"),
+    )
+    full = minhash_lsh_pairs(d, verify_threshold=0.5)
+    cross = full.filter(
+        (F.col("id_a") % 7 == 0) != (F.col("id_b") % 7 == 0)
+    ).select("id_a", "id_b")
+    n_inc = inc_norm.count()
+    n_cross = cross.count()
+    sym_diff = (
+        inc_norm.exceptAll(cross).count() + cross.exceptAll(inc_norm).count()
+    )
+    survivors = minhash_incremental_dedup(new_df, corpus, verify_threshold=0.5)
+    n_matched_new = inc.select("new_id").distinct().count()
+    dedup_ok = survivors.count() == new_df.count() - n_matched_new
+    return spark.createDataFrame(
+        [(n_inc == n_cross and sym_diff == 0, bool(dedup_ok))],
+        "pairs_match_full_selfjoin boolean, dedup_removes_exactly_matched boolean",
+    )
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================
