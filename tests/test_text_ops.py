@@ -43,3 +43,28 @@ def test_chunk_dedup_stats_short_docs(spark):
     assert out[1]["n_dup_chunks"] == 1 and out[2]["n_dup_chunks"] == 1
     assert out[3]["n_dup_chunks"] == 0
     assert all(out[i]["n_chunks"] == 1 for i in (1, 2, 3))
+
+
+def test_pii_scrub_and_counts(spark):
+    from workbench_spark.operators.text import add_pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and b@c.org; ip 10.0.0.1; card 4111 1111 1111 1111")],
+        "id int, text string",
+    )
+    row = scrub_pii(add_pii_counts(df)).collect()[0]
+    assert row["pii_email"] == 2
+    assert row["pii_ipv4"] == 1
+    assert row["pii_credit_card"] == 1
+    assert row["pii_total"] == 4
+    assert row["text_scrubbed"] == "mail [EMAIL] and [EMAIL]; ip [IP]; card [CC]"
+
+
+def test_pii_custom_patterns(spark):
+    from workbench_spark.operators.text import add_pii_counts, scrub_pii
+
+    pats = {"badge": (r"\bEMP-\d{4}\b", "[BADGE]")}
+    df = spark.createDataFrame([(1, "badge EMP-1234 ok")], "id int, text string")
+    row = scrub_pii(add_pii_counts(df, patterns=pats), patterns=pats).collect()[0]
+    assert row["pii_badge"] == 1 and row["pii_total"] == 1
+    assert row["text_scrubbed"] == "badge [BADGE] ok"

@@ -130,6 +130,52 @@ def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_
     return df.withColumn(out_col, best_lang)
 
 
+# ------------------------------------------------------------ PII scrub
+
+#: category -> (regex, replacement token). Patterns stay in the portable
+#: subset shared by Java regex (Spark) and RE2 (DuckDB): ASCII classes,
+#: \b boundaries, bounded quantifiers — no lookaround, no backrefs — so
+#: the DuckDB oracle certifies cross-engine match-for-match equivalence.
+#: Recall-oriented plumbing, not a compliance guarantee: a production
+#: deployment swaps in its own vetted pattern set (or an NER model) via
+#: the ``patterns`` argument.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # ordered: longer/more-specific shapes first so scrubbing is
+    # insensitive to overlaps (credit card before generic phone)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "credit_card": (r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "[CC]"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def add_pii_counts(df: DataFrame, text_col: str = "text",
+                   patterns: dict[str, tuple[str, str]] | None = None) -> DataFrame:
+    """Per-category PII match counts (``pii_<cat>`` columns) + total.
+    Pure JVM regexp_count expressions — one scan, no Python."""
+    pats = patterns or PII_PATTERNS
+    out = df
+    total = F.lit(0)
+    for cat, (pat, _) in pats.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        out = out.withColumn(f"pii_{cat}", c)
+        total = total + F.col(f"pii_{cat}")
+    return out.withColumn("pii_total", total)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed",
+              patterns: dict[str, tuple[str, str]] | None = None) -> DataFrame:
+    """Replace every PII match with its category token, in pattern order
+    (dict order is the precedence order). Chained JVM regexp_replace —
+    whole-stage codegen keeps this a single projection over the scan."""
+    pats = patterns or PII_PATTERNS
+    col = F.col(text_col)
+    for _, (pat, repl) in pats.items():
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col, col)
+
+
 # ------------------------------------------------------------ fingerprint
 
 

@@ -49,6 +49,75 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_pii_panel",
+    """
+    SELECT * FROM (VALUES
+      (1, 1, 0, 0, 1, 0, 'contact [EMAIL] or call [PHONE]'),
+      (2, 0, 0, 1, 0, 1, 'server at [IP] ssn [SSN]'),
+      (3, 0, 1, 0, 0, 0, 'card [CC] end'),
+      (4, 0, 0, 0, 0, 0, 'no sensitive content here')
+    ) AS t(doc_id, pii_email, pii_credit_card, pii_ssn, pii_phone,
+           pii_ipv4, text_scrubbed)
+    """,
+)
+def text_pii_panel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing gate on a literal panel with planted
+    matches: per-category counts and the scrubbed text against a-priori
+    hand-derived oracle VALUES. Certifies the category regexes and the
+    replacement precedence, independent of the corpus."""
+    from workbench_spark.operators.text import add_pii_counts, scrub_pii
+
+    panel = spark.createDataFrame(
+        [
+            (1, "contact john.doe@example.com or call 555-123-4567"),
+            (2, "server at 192.168.1.1 ssn 123-45-6789"),
+            (3, "card 4111 1111 1111 1111 end"),
+            (4, "no sensitive content here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = scrub_pii(add_pii_counts(panel))
+    return out.select(
+        "doc_id",
+        F.col("pii_email").cast("int").alias("pii_email"),
+        F.col("pii_credit_card").cast("int").alias("pii_credit_card"),
+        F.col("pii_ssn").cast("int").alias("pii_ssn"),
+        F.col("pii_phone").cast("int").alias("pii_phone"),
+        F.col("pii_ipv4").cast("int").alias("pii_ipv4"),
+        "text_scrubbed",
+    )
+
+
+@query(
+    "text_pii_scan",
+    """
+    SELECT CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+             AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) AS BIGINT)
+             AS n_ipv4,
+           COUNT(*) AS n_docs
+    FROM documents
+    """,
+)
+def text_pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts over the real documents table, oracled by the same
+    regexes in DuckDB — certifies cross-engine match-for-match regex
+    equivalence on corpus text at any SF (the patterns deliberately stay
+    in the Java-regex ∩ RE2 portable subset)."""
+    from workbench_spark.operators.text import add_pii_counts
+
+    d = _t(spark, sf_dir, "documents")
+    c = add_pii_counts(d)
+    return c.agg(
+        F.sum("pii_email").cast("long").alias("n_emails"),
+        F.sum("pii_ipv4").cast("long").alias("n_ipv4"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
     "text_quality_features",
     """
     SELECT doc_id,
