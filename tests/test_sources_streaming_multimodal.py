@@ -318,3 +318,47 @@ def test_jsonl_tolerant_uncached_path(spark, tmp_path):
     # inferred-schema variant of the uncached path
     good2, bad2 = read_jsonl_tolerant(spark, str(p), cache=False)
     assert bad2.count() == 2
+
+
+def test_stream_admit_against_corpus_matches_batch(spark, tmp_path):
+    """foreachBatch streaming admission == the batch incremental-dedup
+    operator on the same data: corpus clones rejected, novel docs admitted."""
+    from workbench_spark.operators.dedup import (
+        banded_minhash,
+        minhash_incremental_dedup,
+    )
+    from workbench_spark.session import read_table
+    from workbench_spark.streaming.monitor import stream_admit_against_corpus
+
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    clones = corpus.filter(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [(60000 + i, f"fresh streaming doc {i} nebula-{i} quartz-{i}")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    batch = clones.unionByName(novel)
+    src = str(tmp_path / "admit_src")
+    sink = str(tmp_path / "admit_sink")
+    ckpt = str(tmp_path / "admit_ckpt")
+    batch.write.mode("overwrite").parquet(src)
+
+    corpus_banded = banded_minhash(corpus).localCheckpoint(eager=True)
+    q = stream_admit_against_corpus(
+        spark, src, batch.schema, corpus_banded, sink, ckpt
+    )
+    q.awaitTermination(120)
+    streamed = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    expected = {
+        r["doc_id"]
+        for r in minhash_incremental_dedup(
+            spark.read.parquet(src), corpus_banded, corpus_is_banded=True
+        ).collect()
+    }
+    assert streamed == expected
+    assert streamed == {60000, 60001, 60002, 60003}

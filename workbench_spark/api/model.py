@@ -34,7 +34,14 @@ from pyspark.sql import functions as F
 from workbench_spark.api.registry import Registry, validate_name
 
 REGRESSORS = {
-    "xgb": GBTRegressor,  # gradient-boosted trees = the XGBoost-parity model
+    # "xgb" maps to MLlib's GBT: same model family (gradient-boosted
+    # trees) but a DIFFERENT algorithm from XGBoost proper — no
+    # second-order loss expansion, no L1/L2 shrinkage on leaf weights, no
+    # histogram split finding — so trained models and importances will
+    # not numerically match an actual XGBoost fit. The reference trains
+    # real xgboost inside its SageMaker container (model_scripts/
+    # xgb_model); swap in a distributed-XGBoost package for exact parity.
+    "xgb": GBTRegressor,
     "gbt": GBTRegressor,
     "rf": RandomForestRegressor,
     "linear": LinearRegression,

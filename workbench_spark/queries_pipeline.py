@@ -2213,3 +2213,60 @@ def knn_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(recall >= 0.5, max_rows <= k)],
         "recall_at_least_half boolean, k_rows_per_query boolean",
     )
+
+
+# =====================================================================
+# End-to-end training-data curation pipeline (round 4)
+# =====================================================================
+
+
+@query(
+    "pipeline_curation_end_to_end",
+    """
+    WITH filtered AS (
+      SELECT doc_id, source,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b', '[CC]', 'g'),
+            '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+            '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')
+          AS text_scrubbed
+      FROM documents
+      WHERE length(text) >= 200 AND lang = 'en'
+    ),
+    hashed AS (
+      SELECT *, md5(trim(regexp_replace(lower(text_scrubbed), '\\s+', ' ', 'g'))) AS h
+      FROM filtered
+    ),
+    keepers AS (SELECT h, MIN(doc_id) AS doc_id FROM hashed GROUP BY h)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text_scrubbed, '\\S+'))) AS BIGINT)
+             AS total_tokens,
+           ROUND(AVG(CAST(length(text_scrubbed) AS DOUBLE)), 4) AS avg_chars
+    FROM hashed JOIN keepers USING (h, doc_id)
+    GROUP BY source
+    """,
+)
+def pipeline_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation chain, end-to-end and fully DuckDB-oracled:
+    length + language admission filter → PII scrub → exact dedup on the
+    normalized scrubbed text (min-id representative) → per-source corpus
+    accounting (docs, whitespace tokens, avg chars). Every stage is the
+    production operator (text.scrub_pii, dedup.exact_dedup), composed the
+    way a real ingest job would; the near-dup stage (minhash incremental)
+    is gated separately because xxhash64 has no SQL oracle. One scan,
+    one dedup shuffle, one stats shuffle — no Python anywhere."""
+    from workbench_spark.operators.dedup import exact_dedup
+    from workbench_spark.operators.text import scrub_pii, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    admitted = d.filter((F.length("text") >= 200) & (F.col("lang") == "en"))
+    scrubbed = scrub_pii(admitted)
+    surviving = exact_dedup(scrubbed, text_col="text_scrubbed", id_col="doc_id")
+    return surviving.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text_scrubbed"))).cast("long").alias("total_tokens"),
+        F.round(F.avg(F.length("text_scrubbed").cast("double")), 4).alias("avg_chars"),
+    )

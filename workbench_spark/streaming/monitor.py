@@ -178,3 +178,57 @@ def stream_exact_dedup(
     ``dropDuplicates(key_cols)`` — equivalence asserted in tests."""
     stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
     return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def stream_admit_against_corpus(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    corpus_banded: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    verify_threshold: float = 0.5,
+):
+    """Streaming admission filter: drop incoming documents that are
+    near-duplicates of an already-ingested corpus — the online twin of
+    ``dedup.minhash_incremental_dedup``.
+
+    Shape: ``foreachBatch`` applying the BATCH incremental-dedup operator
+    per micro-batch against the static ``banded_minhash`` corpus
+    artifact. The anti-join (batch vs ids matched from the batch itself)
+    makes this a self-referential join, which stream-stream join support
+    cannot express without unbounded state — foreachBatch is the
+    documented Structured Streaming pattern for exactly this: each
+    micro-batch is a bounded DataFrame, so the full batch operator
+    (including its dropDuplicates and anti-join) runs unchanged, and
+    per-batch cost stays linear in the batch size. Corpus refresh =
+    restart on the new snapshot artifact. Compose with
+    stream_exact_dedup upstream for within-stream duplicates (a doc can
+    recur across micro-batches; this filter only consults the corpus).
+
+    Returns the started StreamingQuery writing admitted rows to
+    ``sink_dir`` as parquet. Batch-twin equivalence is asserted in
+    tests (same admitted ids as the batch operator on the same data).
+    """
+    from workbench_spark.operators.dedup import minhash_incremental_dedup
+
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        admitted = minhash_incremental_dedup(
+            batch_df, corpus_banded, text_col, id_col, n_hashes, bands,
+            shingle_n, verify_threshold, corpus_is_banded=True,
+        )
+        admitted.write.mode("append").parquet(sink_dir)
+
+    return (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
