@@ -363,3 +363,17 @@ def test_athena_misc_builtins_translate(spark):
     ).first()
     assert row["n"] == 3 and row["a"] == "5"
     assert str(row["ts0"]).startswith("1970-01-01")
+
+
+def test_athena_shim_round4_builtins():
+    from workbench_spark.functions.athena_sql import translate_athena_sql as t
+
+    assert t("SELECT contains(tags, 'x') FROM d") == \
+        "SELECT array_contains(tags, 'x') FROM d"
+    assert t("SELECT codepoint('A')") == "SELECT ascii('A')"
+    assert t("SELECT json_extract_scalar(j, '$.a') FROM d") == \
+        "SELECT get_json_object(j, '$.a') FROM d"
+    assert t("SELECT json_extract(j, '$.a.b') FROM d") == \
+        "SELECT get_json_object(j, '$.a.b') FROM d"
+    # literals stay protected
+    assert t("SELECT 'contains(x)' FROM d") == "SELECT 'contains(x)' FROM d"

@@ -15,6 +15,10 @@ reference-shaped SQL runs unchanged:
 - array_agg(x) -> collect_list(x)
 - strpos(s, sub) -> instr(s, sub)  (same argument order)
 - approx_distinct(x) -> approx_count_distinct(x)
+- contains(arr, x) -> array_contains(arr, x)
+- codepoint(c) -> ascii(c)
+- json_extract_scalar / json_extract -> get_json_object (string result;
+  exact for the scalar form, type-tag-only difference for json_extract)
 
 String literals ('...', with '' escapes) are protected from all rewrites
 except MySQL-style datetime patterns inside date_parse/date_format (those
@@ -51,6 +55,15 @@ _REPLACEMENTS = [
     (re.compile(r"\bARRAY_AGG\s*\(", re.I), "collect_list("),
     (re.compile(r"\bSTRPOS\s*\(", re.I), "instr("),
     (re.compile(r"\bAPPROX_DISTINCT\s*\(", re.I), "approx_count_distinct("),
+    # Presto contains(array, elem) -> array_contains (Presto has no string
+    # contains — strpos covers that — so the rename is dialect-safe)
+    (re.compile(r"\bCONTAINS\s*\(", re.I), "array_contains("),
+    (re.compile(r"\bCODEPOINT\s*\(", re.I), "ascii("),
+    # json_extract returns a JSON value, json_extract_scalar a string;
+    # get_json_object returns the string form either way — the scalar
+    # case is exact, the JSON-value case differs only in type tag
+    (re.compile(r"\bJSON_EXTRACT_SCALAR\s*\(", re.I), "get_json_object("),
+    (re.compile(r"\bJSON_EXTRACT\s*\(", re.I), "get_json_object("),
     (re.compile(r"\bDATE_PARSE\s*\(", re.I), "to_timestamp("),
     (re.compile(r"\bFORMAT_DATETIME\s*\(", re.I), "date_format("),
     # Presto 3-arg unit forms -> Spark timestampadd/timestampdiff. The
