@@ -68,3 +68,16 @@ def test_pii_custom_patterns(spark):
     row = scrub_pii(add_pii_counts(df, patterns=pats), patterns=pats).collect()[0]
     assert row["pii_badge"] == 1 and row["pii_total"] == 1
     assert row["text_scrubbed"] == "badge [BADGE] ok"
+
+
+def test_c4_flags_degenerate_corpus(spark):
+    """Synthetic documents have no terminal punctuation: every page drops
+    under the sentence rule, none via lorem/brace — the flags still
+    compute on real data shape."""
+    from workbench_spark.operators.text import c4_page_flags
+    from workbench_spark.session import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    out = c4_page_flags(d)
+    rows = out.select("n_sentences", "c4_keep", "has_code_brace").collect()
+    assert all(r["n_sentences"] == 0 and not r["c4_keep"] for r in rows)

@@ -130,6 +130,51 @@ def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_
     return df.withColumn(out_col, best_lang)
 
 
+# ------------------------------------------------------------ C4 rules
+
+#: a line is "kept" when it ends in terminal punctuation (optionally
+#: inside a closing quote) AND has at least 5 whitespace words
+_C4_LINE_KEEP = r"""[.!?]["']?\s*$"""
+
+
+def c4_page_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The C4 page-level cleaning heuristics (Raffel et al., JMLR 2020,
+    §2.2 — the published rule list, minus the bad-words skip list, which
+    ships as data with the original pipeline, not as an algorithm):
+
+    - line filter: keep lines that end in terminal punctuation and have
+      ≥ 5 words (``n_lines`` / ``n_kept_lines``);
+    - page filters: ≥ 3 sentences (approximated as [.!?] occurrences,
+      the common reimplementation), no "lorem ipsum", no "{" (code);
+    - ``c4_keep`` = the conjunction (line-level dedup of 3-sentence
+      spans is the separate chunk_dedup_stats operator).
+
+    All JVM array/regex expressions — one projection over the scan, no
+    Python, no shuffle."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(_C4_LINE_KEEP)
+        & (F.size(F.regexp_extract_all(x, F.lit(r"\S+"), 0)) >= 5),
+    )
+    n_sentences = F.regexp_count(t, F.lit(r"[.!?]"))
+    lower = F.lower(t)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn("n_sentences", n_sentences)
+        .withColumn("has_lorem_ipsum", lower.contains("lorem ipsum"))
+        .withColumn("has_code_brace", t.contains("{"))
+        .withColumn(
+            "c4_keep",
+            (n_sentences >= 3)
+            & ~lower.contains("lorem ipsum")
+            & ~t.contains("{"),
+        )
+    )
+
+
 # ------------------------------------------------------------ PII scrub
 
 #: category -> (regex, replacement token). Patterns stay in the portable

@@ -49,6 +49,48 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_c4_rules_panel",
+    """
+    SELECT * FROM (VALUES
+      (1, 3, 3, 3, false, false, true,  'clean page'),
+      (2, 1, 0, 1, false, false, false, 'one short sentence'),
+      (3, 1, 1, 3, true,  false, false, 'lorem ipsum page'),
+      (4, 2, 2, 4, false, true,  false, 'code page')
+    ) AS t(doc_id, n_lines, n_kept_lines, n_sentences,
+           has_lorem_ipsum, has_code_brace, c4_keep, label)
+    """,
+)
+def text_c4_rules_panel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page-cleaning heuristics (Raffel 2020) on a literal panel with
+    hand-derived oracle VALUES — certifies the line-keep predicate
+    (terminal punctuation + ≥5 words), the sentence threshold, and the
+    lorem-ipsum / code-brace page drops."""
+    from workbench_spark.operators.text import c4_page_flags
+
+    panel = spark.createDataFrame(
+        [
+            (1, "This is a fine first sentence.\nHere is another good line"
+                " with many words.\nAnd a third sentence appears right here.",
+             "clean page"),
+            (2, "Too short.", "one short sentence"),
+            (3, "Lorem ipsum dolor sit amet, consectetur adipiscing elit"
+                " today. More words follow. And more.", "lorem ipsum page"),
+            (4, "function f() { return 1; } is code here.\nA second line of"
+                " prose follows with words. Done? Yes!", "code page"),
+        ],
+        "doc_id int, text string, label string",
+    )
+    out = c4_page_flags(panel)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_kept_lines").cast("int").alias("n_kept_lines"),
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        "has_lorem_ipsum", "has_code_brace", "c4_keep", "label",
+    )
+
+
+@query(
     "text_pii_panel",
     """
     SELECT * FROM (VALUES
