@@ -2312,3 +2312,73 @@ def pipeline_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count(F.col("text_scrubbed"))).cast("long").alias("total_tokens"),
         F.round(F.avg(F.length("text_scrubbed").cast("double")), 4).alias("avg_chars"),
     )
+
+
+@query(
+    "pipeline_user_features_end_to_end",
+    """
+    WITH train AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-24 00:00:00'
+    ),
+    sess AS (
+      SELECT user_id, event_type, value,
+             CASE WHEN epoch(ts) - LAG(epoch(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                  OR LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM train
+    ),
+    feats AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             ROUND(SUM(COALESCE(value, 0.0)), 4) + 0 AS total_value,
+             CAST(SUM(is_new) AS BIGINT) AS n_sessions
+      FROM sess GROUP BY user_id
+    ),
+    labels AS (
+      SELECT user_id, true AS label_purchase
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+        AND event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT f.user_id, f.n_events, f.n_purchases, f.total_value,
+           f.n_sessions, COALESCE(l.label_purchase, false) AS label_purchase
+    FROM feats f LEFT JOIN labels l ON f.user_id = l.user_id
+    """,
+)
+def pipeline_user_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe feature-engineering chain, fully oracled: temporal
+    split at a fixed cutoff (S9/O5 semantics), per-user behavioral
+    features computed ONLY on the train window (event/purchase counts,
+    value total, 30-min-gap session count via the sessionize operator),
+    label = any purchase in the held-out window, left-joined so
+    label-window-only users never leak into the feature rows. The
+    sessionize window and the feature groupBy share one user_id shuffle;
+    the label aggregate shuffles only (user_id, bool)."""
+    from workbench_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    train = ev.filter(F.col("ts") < cutoff)
+    sess = sessionize(train, "user_id", "ts", gap_minutes=30)
+    feats = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("n_purchases"),
+        (F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4) + F.lit(0))
+        .alias("total_value"),
+        F.countDistinct("session_num").cast("long").alias("n_sessions"),
+    )
+    labels = (
+        ev.filter((F.col("ts") >= cutoff) & (F.col("event_type") == "purchase"))
+        .select("user_id").distinct()
+        .withColumn("label_purchase", F.lit(True))
+    )
+    return (
+        feats.join(labels, "user_id", "left")
+        .withColumn("label_purchase", F.coalesce("label_purchase", F.lit(False)))
+    )
