@@ -182,3 +182,66 @@ def test_spark_sdf_to_canonical_smiles(spark):
     assert out["a"] is not None and out["b"] is not None
     assert out["a"] != out["b"]  # enantiomers -> distinct dedup keys
     assert out["c"] is None and out["d"] is None
+
+
+def test_partial_explicit_h_still_fills_valence():
+    """V2000: explicit Hs count toward valence and the REMAINDER fills
+    implicitly — C drawn with one explicit H is methane, not [CH]."""
+    mol = parse_molblock(mk_mol([(0, 0, 0, "C"), (1, 0, 0, "H")], [(1, 2, 1, 0)]))
+    assert [(a.symbol, a.h_count) for a in mol.atoms] == [("C", 4)]
+    mol = parse_molblock(mk_mol([(0, 0, 0, "N"), (1, 0, 0, "H")], [(1, 2, 1, 0)]))
+    assert [(a.symbol, a.h_count) for a in mol.atoms] == [("N", 3)]
+    # fully explicit ethanol keeps the right counts
+    atoms = [(0, 0, 0, "C"), (1, 0, 0, "C"), (2, 0, 0, "O")] + [
+        (3 + i, 0, 0, "H") for i in range(6)
+    ]
+    bonds = [(1, 2, 1, 0), (2, 3, 1, 0), (1, 4, 1, 0), (1, 5, 1, 0),
+             (1, 6, 1, 0), (2, 7, 1, 0), (2, 8, 1, 0), (3, 9, 1, 0)]
+    mol = parse_molblock(mk_mol(atoms, bonds))
+    assert [(a.symbol, a.h_count) for a in mol.atoms] == [
+        ("C", 3), ("C", 2), ("O", 1)
+    ]
+
+
+def test_isotopic_and_charged_h_not_folded():
+    """Deuterium/tritium/charged hydrogens stay real atoms (RDKit removeHs
+    behavior) — folding them would merge D/T with protio dedup keys."""
+    mol = parse_molblock(
+        mk_mol([(0, 0, 0, "C"), (1, 0, 0, "H")], [(1, 2, 1, 0)],
+               props=["M  ISO  1   2   2"])
+    )
+    kinds = sorted((a.symbol, a.h_count, a.isotope) for a in mol.atoms)
+    assert ("H", 0, 2) in kinds          # deuterium kept
+    assert ("C", 3, None) in kinds       # carbon fills remaining valence
+    # H-H bond (molecular hydrogen) keeps its bond
+    mol = parse_molblock(mk_mol([(0, 0, 0, "H"), (1, 0, 0, "H")], [(1, 2, 1, 0)]))
+    assert len(mol.atoms) == 2 and len(mol.bonds) == 1
+
+
+def test_terminal_alkyne_not_nitrile():
+    from workbench_spark.chem.smiles import parse_smiles
+    from workbench_spark.chem.toxicity import toxic_groups
+
+    assert "terminal_alkyne" not in (toxic_groups(parse_smiles("C#N")) or [])
+    assert "terminal_alkyne" in (toxic_groups(parse_smiles("C#C")) or [])
+
+
+def test_extended_null_for_unparameterized_elements():
+    """CLAUDE.md invariant: uncomputable weightings go NULL, never 0."""
+    from workbench_spark.chem.extended import (
+        autocorrelation_mass,
+        bcut_descriptors,
+    )
+    from workbench_spark.chem.smiles import parse_smiles
+
+    # uranium: outside both the mass table and the Crippen typing ->
+    # every BCUT weighting and the mass autocorrelation go NULL
+    m = parse_smiles("[U]")
+    d = bcut_descriptors(m)
+    assert all(v is None for v in d.values())
+    a = autocorrelation_mass(m)
+    assert all(v is None for v in a.values())
+    # selenium IS covered (mass table + Crippen Me2 fallback): real values
+    m2 = parse_smiles("C[Se]C")
+    d2 = bcut_descriptors(m2)
+    assert d2["bcut_mw_hi"] is not None and d2["bcut_logp_hi"] is not None

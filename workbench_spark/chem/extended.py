@@ -68,9 +68,11 @@ def _distance_matrix(mol: Mol) -> list[list[int]]:
     return dist
 
 
-def estate_values(mol: Mol) -> list[float] | None:
+def estate_values(mol: Mol, dist: list[list[int]] | None = None) -> list[float] | None:
     """Per-atom S values (Kier-Hall EState); None when any atom lacks the
-    element tables (exotic species — emit NULL, never fake)."""
+    element tables (exotic species — emit NULL, never fake). ``dist``
+    accepts a precomputed distance matrix (hot-path callers share one
+    BFS pass across EState and autocorrelation)."""
     n = len(mol.atoms)
     if n == 0:
         return None
@@ -87,7 +89,8 @@ def estate_values(mol: Mol) -> list[float] | None:
             return None
         dv = zv - a.h_count
         intrinsic.append(((4.0 / period**2) * dv + 1.0) / degree[a.idx])
-    dist = _distance_matrix(mol)
+    if dist is None:
+        dist = _distance_matrix(mol)
     s_vals = list(intrinsic)
     for i in range(n):
         for j in range(i + 1, n):
@@ -100,9 +103,12 @@ def estate_values(mol: Mol) -> list[float] | None:
     return s_vals
 
 
-def estate_indices(mol: Mol) -> dict[str, float | None]:
+def estate_indices(
+    mol: Mol, s: list[float] | None = None
+) -> dict[str, float | None]:
     """RDKit summary parity: Max/Min/MaxAbs/MinAbs EState index."""
-    s = estate_values(mol)
+    if s is None:
+        s = estate_values(mol)
     if not s:
         return {
             "maxestateindex": None, "minestateindex": None,
@@ -116,15 +122,21 @@ def estate_indices(mol: Mol) -> dict[str, float | None]:
     }
 
 
-def _atom_masses(mol: Mol) -> list[float]:
-    return [
-        ATOMIC_MASS.get(a.symbol, 0.0) + a.h_count * ATOMIC_MASS["H"]
-        for a in mol.atoms
-    ]
+def _atom_masses(mol: Mol) -> list[float] | None:
+    """Folded-H atomic masses; None when any element is outside the mass
+    table (NULL downstream — CLAUDE.md invariant: never a fake zero)."""
+    out = []
+    for a in mol.atoms:
+        m = ATOMIC_MASS.get(a.symbol)
+        if m is None:
+            return None
+        out.append(m + a.h_count * ATOMIC_MASS["H"])
+    return out
 
 
 def autocorrelation_weighted(
-    mol: Mol, w: list[float], suffix: str, max_d: int = 4
+    mol: Mol, w: list[float], suffix: str, max_d: int = 4,
+    dist: list[list[int]] | None = None,
 ) -> dict[str, float | None]:
     """Moreau-Broto / Moran / Geary autocorrelation on an arbitrary
     per-heavy-atom weight vector (``_{suffix}`` column postfix)."""
@@ -140,7 +152,8 @@ def autocorrelation_weighted(
     out[f"ats0_{suffix}"] = sum(x * x for x in w)
     if n < 2:
         return out
-    dist = _distance_matrix(mol)
+    if dist is None:
+        dist = _distance_matrix(mol)
     wbar = sum(w) / n
     var = sum((x - wbar) ** 2 for x in w)
     # identical-atom molecules (benzene, cyclohexane) leave ~1e-29
@@ -172,12 +185,17 @@ def autocorrelation_weighted(
     return out
 
 
-def autocorrelation_mass(mol: Mol, max_d: int = 4) -> dict[str, float | None]:
+def autocorrelation_mass(
+    mol: Mol, max_d: int = 4, dist: list[list[int]] | None = None
+) -> dict[str, float | None]:
     """Moreau-Broto / Moran / Geary autocorrelation on atomic mass (heavy
     atom + its implicit hydrogens — the folded-H weight convention)."""
     if not mol.atoms:
         return autocorrelation_weighted(mol, [], "m", max_d)
-    return autocorrelation_weighted(mol, _atom_masses(mol), "m", max_d)
+    w = _atom_masses(mol)
+    if w is None:  # exotic element outside the mass table -> all NULL
+        return autocorrelation_weighted(Mol(), [], "m", max_d)
+    return autocorrelation_weighted(mol, w, "m", max_d, dist=dist)
 
 
 def _burden_eigen_range(mol: Mol, weights: list[float]) -> tuple[float, float] | None:
@@ -218,11 +236,16 @@ def bcut_descriptors(mol: Mol) -> dict[str, float | None]:
     )
     if not mol.atoms:
         return out
-    masses = _atom_masses(mol)
+    masses = _atom_masses(mol)  # None for exotic elements -> mw NULL
     logp_w, mr_w = [], []
     for a in mol.atoms:
         t = atom_type(mol, a)
-        lp, mr = CONTRIB[t] if t is not None else (0.0, 0.0)
+        if t is None:
+            # atom outside the Crippen typing: the logP/MR weightings are
+            # uncomputable for the whole molecule -> NULL, never a fake 0
+            logp_w = mr_w = None
+            break
+        lp, mr = CONTRIB[t]
         if a.h_count:
             hl, hm = CONTRIB[_h_type(mol, a)]
             lp += a.h_count * hl
@@ -230,6 +253,8 @@ def bcut_descriptors(mol: Mol) -> dict[str, float | None]:
         logp_w.append(lp)
         mr_w.append(mr)
     for key, w in (("mw", masses), ("logp", logp_w), ("mr", mr_w)):
+        if w is None:
+            continue
         r = _burden_eigen_range(mol, w)
         if r is not None:
             out[f"bcut_{key}_hi"], out[f"bcut_{key}_lo"] = r
@@ -250,7 +275,8 @@ EXTENDED_DESCRIPTOR_NAMES = [
 
 def extended_descriptors(mol: Mol) -> dict[str, float | None]:
     out: dict[str, float | None] = {}
-    out.update(estate_indices(mol))
-    out.update(autocorrelation_mass(mol))
+    dist = _distance_matrix(mol) if mol.atoms else None
+    out.update(estate_indices(mol, s=estate_values(mol, dist=dist)))
+    out.update(autocorrelation_mass(mol, dist=dist))
     out.update(bcut_descriptors(mol))
     return out

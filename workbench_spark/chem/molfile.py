@@ -114,22 +114,37 @@ def parse_molblock(block: str) -> Mol:
         for idx, val in chg_lines:
             charges[idx] = val
 
-    # fold explicit hydrogens into their single heavy neighbor,
-    # remembering coordinates for the stereo frame
+    # fold PLAIN explicit hydrogens into their single heavy neighbor,
+    # remembering coordinates for the stereo frame. An H carrying an
+    # isotope label (deuterium/tritium) or a formal charge is chemically
+    # distinct from an implicit H and stays a real atom (mirrors RDKit's
+    # removeHs, which keeps isotopic/charged hydrogens) — folding it
+    # would collapse D/T records into the protio dedup key and corrupt
+    # the net formal charge.
+    h_bond_count = [0] * n_atoms
+    for a, b, _o, _w in bonds:
+        h_bond_count[a] += 1
+        h_bond_count[b] += 1
     is_h = [s == "H" for s in symbols]
+    foldable = [
+        is_h[i] and i not in iso and charges[i] == 0 and h_bond_count[i] == 1
+        for i in range(n_atoms)
+    ]
     h_partner: dict[int, list[int]] = {}  # heavy idx -> [H atom idx, ...]
     heavy_bonds = []
     wedges: dict[int, list[tuple[int, int]]] = {}  # origin old-idx -> [(end old-idx, ±1)]
     for a, b, order, wedge in bonds:
-        if is_h[a] and not is_h[b] and order == 1:
+        if foldable[a] and not is_h[b] and order == 1:
             h_partner.setdefault(b, []).append(a)
-        elif is_h[b] and not is_h[a] and order == 1:
+        elif foldable[b] and not is_h[a] and order == 1:
             h_partner.setdefault(a, []).append(b)
             if wedge in (1, 6):  # wedge drawn from the heavy atom to its H
                 wedges.setdefault(a, []).append((b, 1 if wedge == 1 else -1))
-        elif not is_h[a] and not is_h[b]:
+        else:
+            # heavy-heavy bonds, plus bonds involving KEPT hydrogens
+            # (isotopic/charged H, H-H as in molecular hydrogen, or an H
+            # with multiple bonds — kept so the graph stays faithful)
             heavy_bonds.append((a, b, order, wedge))
-        # H-H bonds / charged lone H: dropped (no heavy graph impact)
 
     old_to_new: dict[int, int] = {}
     mol = Mol()
@@ -163,17 +178,21 @@ def parse_molblock(block: str) -> Mol:
         if wedge in (1, 6):
             wedges.setdefault(a, []).append((b, 1 if wedge == 1 else -1))
 
-    # explicit-H count from folded hydrogens: treat like bracket atoms so
-    # the valence rules don't double-assign
-    for heavy, hs in h_partner.items():
-        if heavy in old_to_new:
-            at = mol.atoms[old_to_new[heavy]]
-            at.from_bracket = True
-            at.explicit_h = len(hs)
-
     # component count (salts are separate fragments in one block)
     mol.n_components = _count_components(mol)
     _perceive(mol)
+
+    # V2000 semantics: explicit hydrogens COUNT TOWARD valence and the
+    # remaining valence still fills implicitly (a carbon drawn with one
+    # explicit H and no other bonds is methane, not [CH]). _perceive's
+    # valence fill already reserves slots for the folded Hs (their bonds
+    # were removed, so they are free valence); the folded count only
+    # matters when it EXCEEDS the default-valence fill (hypervalent
+    # drawings like SH6) — hence max, never overwrite.
+    for heavy, hs in h_partner.items():
+        if heavy in old_to_new:
+            at = mol.atoms[old_to_new[heavy]]
+            at.h_count = max(at.h_count, len(hs))
     _assign_parity(mol, old_to_new, coords, wedges, h_partner, folded)
     return mol
 

@@ -68,26 +68,17 @@ _N_ITER = 12
 _DAMP = 0.5
 
 
-def _hybridization(mol: Mol, idx: int) -> str:
-    """sp for triple/cumulated-double, sp2 for double or aromatic, else sp3."""
-    n_double = 0
-    for _, b in mol.neighbors(idx):
-        if b.aromatic or b.demoted_aromatic:
-            return "sp2"
-        if b.order == 3:
-            return "sp"
-        if b.order == 2:
-            n_double += 1
-    if n_double >= 2:
-        return "sp"
-    return "sp2" if n_double == 1 else "sp3"
-
-
 def _param_key(mol: Mol, idx: int) -> str | None:
+    # hybridization classification shared with the Hall-Kier alpha
+    # selection (chem/topology._atom_hyb) — ONE classifier, so a future
+    # fix cannot silently diverge the Gasteiger parameter choice from
+    # the alpha-contribution choice
+    from workbench_spark.chem.topology import _atom_hyb
+
     sym = mol.atoms[idx].symbol
     if sym in _HALOGENS:
         return sym if sym in _PARAMS else None
-    key = f"{sym}.{_hybridization(mol, idx)}"
+    key = f"{sym}.{_atom_hyb(mol, idx)}"
     return key if key in _PARAMS else None
 
 
@@ -173,15 +164,19 @@ def gasteiger_charges(mol: Mol) -> tuple[list[float], list[float]] | None:
     return q, h_sum
 
 
-def charge_descriptors(mol: Mol) -> dict[str, float | None]:
-    """RDKit-parity summary columns over the heavy-atom charges."""
+def charge_descriptors(
+    mol: Mol, charges: tuple[list[float], list[float]] | None = None
+) -> dict[str, float | None]:
+    """RDKit-parity summary columns over the heavy-atom charges. Pass a
+    precomputed ``gasteiger_charges`` result to avoid re-running the
+    12-iteration PEOE loop (the hot-path callers compute it once)."""
     out: dict[str, float | None] = dict.fromkeys(
         (
             "maxpartialcharge", "minpartialcharge",
             "maxabspartialcharge", "minabspartialcharge",
         )
     )
-    res = gasteiger_charges(mol)
+    res = charges if charges is not None else gasteiger_charges(mol)
     if res is None:
         return out
     q, _ = res

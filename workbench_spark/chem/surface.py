@@ -151,10 +151,16 @@ SURFACE_DESCRIPTOR_NAMES = (
 )
 
 
-def surface_descriptors(mol: Mol) -> dict[str, float | None]:
+def surface_descriptors(
+    mol: Mol,
+    charges: "tuple[list[float], list[float]] | None" = None,
+    estate: "list[float] | None" = None,
+) -> dict[str, float | None]:
     """LabuteASA + the four binned VSA families. Bin sums are exact
     partitions of the heavy-atom VSA total (property-tested); any
-    un-derivable ingredient NULLs only its own family."""
+    un-derivable ingredient NULLs only its own family. ``charges`` /
+    ``estate`` accept precomputed gasteiger_charges / estate_values so
+    the per-row hot path runs each expensive pass once."""
     from workbench_spark.chem.crippen import CONTRIB, _h_type, atom_type
     from workbench_spark.chem.extended import estate_values
     from workbench_spark.chem.peoe import gasteiger_charges
@@ -183,11 +189,11 @@ def surface_descriptors(mol: Mol) -> dict[str, float | None]:
         out.update(_binned(vsa, logp_w, _SLOGP_BINS, "slogp_vsa"))
         out.update(_binned(vsa, mr_w, _SMR_BINS, "smr_vsa"))
 
-    q = gasteiger_charges(mol)
+    q = charges if charges is not None else gasteiger_charges(mol)
     if q is not None:
         out.update(_binned(vsa, q[0], _PEOE_BINS, "peoe_vsa"))
 
-    s = estate_values(mol)
+    s = estate if estate is not None else estate_values(mol)
     if s is not None:
         out.update(_binned(vsa, s, _ESTATE_BINS, "estate_vsa"))
     return out

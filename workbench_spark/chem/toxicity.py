@@ -147,8 +147,13 @@ def toxic_groups(mol: Mol) -> list[str] | None:
                 and any(s == "C" for s, o, _ in nbrs)
             ):
                 found.add("aldehyde")
-            # terminal alkyne C#C-H
-            if a.h_count >= 1 and any(o == 3 for _, o, _ in nbrs):
+            # terminal alkyne C#C-H: the triple-bond partner must be
+            # CARBON (the RDKit TerminalAlkyne pattern is [C]#[CH]) —
+            # requiring only "any triple bond" would misflag nitriles
+            # written H-C#N
+            if a.h_count >= 1 and any(
+                o == 3 and s == "C" for s, o, _ in nbrs
+            ):
                 found.add("terminal_alkyne")
         elif a.symbol == "N":
             if a.charge == 1 and len(nbrs) == 4 and all(s == "C" for s, _, _ in nbrs):

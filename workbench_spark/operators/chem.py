@@ -766,7 +766,10 @@ def electronic_descriptors(df: DataFrame, smiles_col: str = "smiles") -> DataFra
 
     @pandas_udf(fields)
     def compute(smiles: pd.Series) -> pd.DataFrame:
-        from workbench_spark.chem.extended import autocorrelation_weighted
+        from workbench_spark.chem.extended import (
+            autocorrelation_weighted,
+            estate_values,
+        )
         from workbench_spark.chem.peoe import charge_descriptors, gasteiger_charges
         from workbench_spark.chem.smiles import SmilesError, parse_smiles
         from workbench_spark.chem.surface import surface_descriptors
@@ -782,8 +785,11 @@ def electronic_descriptors(df: DataFrame, smiles_col: str = "smiles") -> DataFra
                 rows.append([None] * len(ELECTRONIC_DESCRIPTOR_NAMES))
                 continue
             d: dict[str, float | None] = {}
-            d.update(charge_descriptors(mol))
+            # the 12-iteration PEOE loop and the O(n²) EState pass each
+            # run ONCE per molecule; summaries/bins consume the results
             q = gasteiger_charges(mol)
+            est = estate_values(mol)
+            d.update(charge_descriptors(mol, charges=q))
             if q is None:
                 for dd in range(5):
                     d[f"ats{dd}_c"] = None
@@ -793,7 +799,7 @@ def electronic_descriptors(df: DataFrame, smiles_col: str = "smiles") -> DataFra
             else:
                 folded = [a + b for a, b in zip(q[0], q[1])]
                 d.update(autocorrelation_weighted(mol, folded, "c"))
-            d.update(surface_descriptors(mol))
+            d.update(surface_descriptors(mol, charges=q, estate=est))
             rows.append([
                 None if d[n] is None else float(d[n])
                 for n in ELECTRONIC_DESCRIPTOR_NAMES

@@ -124,6 +124,42 @@ def adaptive_n_conformers_smiles(smiles: str) -> int:
     return 50 if n_rot < 8 else 200
 
 
+def gate_and_plan_smiles(smiles: str) -> tuple[str | None, int]:
+    """One-parse gating for the hot path: returns (skip status or None,
+    planned conformer count). Equivalent to check_complexity_smiles +
+    adaptive_n_conformers_smiles + the cost re-check, but the SMILES is
+    parsed ONCE and the early gates run once — in the no-RDKit path the
+    gate IS the per-row cost, so the separate wrappers tripled it."""
+    from workbench_spark.chem.descriptors import (
+        bridgehead_spiro,
+        num_rotatable_bonds,
+    )
+    from workbench_spark.chem.smiles import SmilesError, parse_smiles
+
+    if smiles is None or not str(smiles).strip():
+        return "skip:parse", 0
+    try:
+        mol = parse_smiles(str(smiles))
+    except SmilesError:
+        return "skip:parse", 0
+    n_heavy = len(mol.atoms)
+    if n_heavy > MAX_HEAVY_ATOMS:
+        return "skip:heavy_atoms", 0
+    n_rot = num_rotatable_bonds(mol)
+    if n_rot > MAX_ROTATABLE_BONDS:
+        return "skip:rot_bonds", 0
+    n_rings = len(mol.rings)
+    if n_rings > MAX_RING_SYSTEMS:
+        return "skip:rings", 0
+    bs = bridgehead_spiro(mol)
+    if n_rings + bs["numbridgeheadatoms"] + bs["numspiroatoms"] > MAX_RING_COMPLEXITY:
+        return "skip:ring_complexity", 0
+    n_req = 50 if n_rot < 8 else 200
+    if n_heavy * n_req > MAX_CONFORMER_ATOM_COST:
+        return "skip:cost", n_req
+    return None, n_req
+
+
 def compute_descriptors_3d(
     df: DataFrame,
     smiles_col: str = "smiles",
@@ -157,12 +193,7 @@ def compute_descriptors_3d(
             feats = {n: [] for n in FEATURE_3D_NAMES}
             diag = {n: [] for n in DIAGNOSTIC_3D_NAMES}
             for s in pdf[smiles_col]:
-                status = check_complexity_smiles(s)
-                n_req = adaptive_n_conformers_smiles(s) if status is None else 0
-                if status is None:
-                    # cost backstop uses the planned conformer count
-                    # (mol_descriptors_3d.py: check_complexity(mol, n_conformers))
-                    status = check_complexity_smiles(s, n_conformers=n_req)
+                status, n_req = gate_and_plan_smiles(s)
                 if status is None and not have_rdkit:
                     status = "skip:no_rdkit"
                 if status is None:  # pragma: no cover - RDKit path
