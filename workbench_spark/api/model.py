@@ -309,9 +309,10 @@ def cross_fold_metrics(
 
 def feature_importances(model: "Model") -> dict[str, float]:
     """Per-feature importance from the fitted estimator (tree models:
-    MLlib featureImportances; linear: |coefficients|) — the engine-side
-    stand-in for the reference's SHAP artifacts (model_core.py:118-171;
-    exact SHAP needs the shap package, not in this container)."""
+    MLlib featureImportances; linear: |coefficients|). For Shapley-based
+    attribution (the reference's SHAP artifacts, model_core.py:118-171)
+    use shap_values/shap_importance below — exact path-dependent
+    TreeSHAP, no shap package needed."""
     fitted = model.pipeline()
     est = fitted.stages[-1]
     feats = model.features
@@ -322,3 +323,29 @@ def feature_importances(model: "Model") -> dict[str, float]:
     else:
         raise ValueError(f"no importance surface on {type(est).__name__}")
     return dict(zip(feats, vals))
+
+
+def shap_values(model: "Model", df: DataFrame) -> DataFrame:
+    """Per-row SHAP attribution for a trained tree model — the engine
+    twin of utils/shapley_values.py:22-102 (TreeExplainer over prediction
+    results) and the shap_importance.json training artifact
+    (utils/shap_utils.py:23-43), computed by exact path-dependent
+    TreeSHAP on the fitted MLlib ensemble (operators/shap.py; additivity
+    Σφ = f(x) − E[f] tested to float precision). Linear models raise —
+    use feature_importances (|coefficients|) there."""
+    from workbench_spark.operators.shap import shap_values as _sv
+
+    est = model.pipeline().stages[-1]
+    return _sv(est, df, model.features)
+
+
+def shap_importance(model: "Model", df: DataFrame) -> list[tuple[str, float]]:
+    """Mean-|SHAP| global ranking over ``df`` — the list-of-tuples shape
+    get_shap_importance returns from S3 (shap_utils.py:23-43)."""
+    from workbench_spark.operators.shap import shap_importance as _si
+
+    scored = shap_values(model, df)
+    return [
+        (r["feature"], r["importance"])
+        for r in _si(scored, model.features).collect()
+    ]

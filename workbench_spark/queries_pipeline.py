@@ -2382,3 +2382,54 @@ def pipeline_user_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.join(labels, "user_id", "left")
         .withColumn("label_purchase", F.coalesce("label_purchase", F.lit(False)))
     )
+
+
+@query(
+    "m_shap_additivity",
+    """
+    SELECT * FROM (VALUES (true, true))
+      AS t(additivity_ok, importance_nonneg)
+    """,
+)
+def m_shap_additivity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TreeSHAP gate (operators/shap.py): train a seeded GBT on customer
+    features, score SHAP for 40 rows, and assert the Shapley efficiency
+    identity Σφ + E[f] = f(x) to 1e-6 for EVERY row, plus mean-|SHAP|
+    nonnegativity. The booleans hold for ANY fitted tree ensemble —
+    exactly the invariant that certifies the attribution is Shapley and
+    not a heuristic — so the oracle is constant while the computation is
+    end-to-end real (extraction → EXTEND/UNWIND → distributed stage)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    from workbench_spark.operators.shap import (
+        extract_ensemble,
+        shap_importance,
+        shap_values,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_acctbal").alias("bal"),
+        (F.col("c_custkey") % 10).cast("double").alias("k10"),
+        (F.col("c_nationkey")).cast("double").alias("nk"),
+    ).withColumn("label", F.col("bal") * 0.01 + F.col("k10") * 2.0 - F.col("nk"))
+    va = VectorAssembler(inputCols=["bal", "k10", "nk"], outputCol="features")
+    est = GBTRegressor(maxIter=5, maxDepth=3, seed=42)
+    m = est.fit(va.transform(c))
+    sample = c.orderBy("bal").limit(40)
+    scored = shap_values(m, sample, ["bal", "k10", "nk"])
+    preds = m.transform(va.transform(sample)).select(
+        "bal", "k10", "nk", "prediction"
+    )
+    joined = scored.join(preds, ["bal", "k10", "nk"])
+    bad = joined.filter(
+        F.abs(
+            F.col("shap_bal") + F.col("shap_k10") + F.col("shap_nk")
+            + F.col("shap_base") - F.col("prediction")
+        ) > 1e-6
+    ).count()
+    imp = shap_importance(scored, ["bal", "k10", "nk"])
+    nonneg = imp.filter(F.col("importance") < 0).count() == 0
+    return spark.createDataFrame(
+        [(bad == 0, bool(nonneg))], "additivity_ok boolean, importance_nonneg boolean"
+    )
