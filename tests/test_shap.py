@@ -151,3 +151,30 @@ def test_model_api_shap(spark, training_df, tmp_path):
     assert "shap_a" in scored.columns
     ranking = mi(m, training_df.limit(50))
     assert ranking[0][0] in {"a", "b"} and ranking[-1][1] >= 0
+
+
+def test_gbt_classifier_margin_additivity(spark, training_df):
+    """Binary GBT: Σφ + base equals the MARGIN (rawPrediction[1]) exactly;
+    probability = sigmoid(2·margin)."""
+    from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    df = training_df.withColumn(
+        "cls", (F.col("a") + F.col("b") > 8).cast("double")
+    )
+    va = VectorAssembler(inputCols=["a", "b", "c"], outputCol="features")
+    m = GBTClassifier(maxIter=6, maxDepth=3, seed=5, labelCol="cls").fit(
+        va.transform(df)
+    )
+    forest, base = extract_ensemble(m)
+    rows = [(3.0, 2.0, 1.0), (9.0, 6.0, 0.0), (1.0, 1.0, 3.0)]
+    sdf = spark.createDataFrame(rows, "a double, b double, c double")
+    raw = m.transform(va.transform(sdf)).select("rawPrediction").collect()
+    for phi, r in zip(shap_values_rows(forest, rows, 3), raw):
+        assert sum(phi) + base == pytest.approx(r["rawPrediction"][1], abs=1e-9)
+    # RF classifier has no additive margin: loud refusal, not mis-attribution
+    rf = RandomForestClassifier(numTrees=3, maxDepth=3, seed=5, labelCol="cls").fit(
+        va.transform(df)
+    )
+    with pytest.raises(NotImplementedError):
+        extract_ensemble(rf)

@@ -73,13 +73,25 @@ def extract_ensemble(model) -> tuple[list[tuple[float, TreeNode]], float]:
     GBT predicts Σ w_m·t_m(x); RF regression averages trees (MLlib stores
     unit weights, so the 1/M lands in the per-tree weight here). The
     expected value is the cover-weighted leaf mean, which for MLlib's
-    variance-impurity trees equals the root node's stored mean."""
+    variance-impurity trees equals the root node's stored mean.
+
+    GBTClassificationModel works identically with attribution on the
+    MARGIN scale: Σφ + E = F(x) = rawPrediction[1] (probability =
+    sigmoid(2·F), so margin attributions order log-odds contributions —
+    the same scale shap's TreeExplainer uses for binary GBMs).
+    RandomForestClassifier predicts by class-distribution vote, not an
+    additive margin, and raises."""
     name = type(model).__name__
     trees = model.trees
     if "GBT" in name:
         weights = list(model.treeWeights)
-    elif "RandomForest" in name:
+    elif "RandomForestRegress" in name:
         weights = [1.0 / len(trees)] * len(trees)
+    elif "RandomForestClassif" in name:
+        raise NotImplementedError(
+            "RandomForestClassifier votes over class distributions — no "
+            "additive margin to attribute; use GBTClassifier for SHAP"
+        )
     else:
         raise NotImplementedError(f"not a tree ensemble: {name}")
     out = []
