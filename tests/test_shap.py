@@ -178,3 +178,27 @@ def test_gbt_classifier_margin_additivity(spark, training_df):
     )
     with pytest.raises(NotImplementedError):
         extract_ensemble(rf)
+
+
+def test_linear_shap_closed_form(spark, training_df):
+    """Linear model: phi_i = w_i(x_i - mean); additivity equals the model
+    prediction exactly, all JVM-side."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from workbench_spark.operators.shap import linear_shap_values
+
+    va = VectorAssembler(inputCols=["a", "b", "c"], outputCol="features")
+    m = LinearRegression().fit(va.transform(training_df))
+    scored = linear_shap_values(m, training_df.limit(200), ["a", "b", "c"])
+    preds = m.transform(va.transform(training_df.limit(200))).select(
+        "a", "b", "c", "prediction"
+    )
+    j = scored.join(preds, ["a", "b", "c"]).withColumn(
+        "err",
+        F.abs(
+            F.col("shap_a") + F.col("shap_b") + F.col("shap_c")
+            + F.col("shap_base") - F.col("prediction")
+        ),
+    )
+    assert j.agg(F.max("err")).collect()[0][0] < 1e-9

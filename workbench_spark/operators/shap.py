@@ -240,3 +240,39 @@ def shap_importance(
     )
     spark = shap_df.sparkSession
     return spark.createDataFrame(pairs, "feature string, importance double")
+
+
+# ------------------------------------------------------------ linear SHAP
+
+def linear_shap_values(
+    model,
+    df: DataFrame,
+    feature_cols: list[str],
+    prefix: str = "shap_",
+) -> DataFrame:
+    """Exact Shapley attribution for linear models under feature
+    independence: φ_i = w_i·(x_i − E[x_i]) with base = f(E[x]) — the
+    closed form shap's LinearExplainer computes (Štrumbelj & Kononenko
+    2014 reduce to this for linear f). E[x] is estimated on ``df``
+    itself (pass the training frame for training-distribution
+    attributions). Pure JVM expressions: one tiny aggregate for the
+    means (broadcast cross-join) + a projection — no Python at all,
+    unlike the tree path which needs per-row recursion."""
+    coefs = model.coefficients.toArray().tolist()
+    intercept = float(model.intercept)
+    if len(coefs) != len(feature_cols):
+        raise ValueError("coefficient/feature arity mismatch")
+    means = df.agg(
+        *[F.avg(F.col(c).cast("double")).alias(f"__mu_{c}") for c in feature_cols]
+    )
+    out = df.crossJoin(F.broadcast(means))
+    base = F.lit(intercept)
+    for c, w in zip(feature_cols, coefs):
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.lit(w) * (F.col(c).cast("double") - F.col(f"__mu_{c}")),
+        )
+        base = base + F.lit(w) * F.col(f"__mu_{c}")
+    return out.withColumn("shap_base", base).drop(
+        *[f"__mu_{c}" for c in feature_cols]
+    )
