@@ -212,3 +212,119 @@ def test_ks_binned_converges(spark):
     exact = ks_statistic(ref, cur, "value").first()["ks"]
     binned = ks_statistic_binned(ref, cur, "value", 0.0, 100.0, bins=1000).first()["ks"]
     assert abs(exact - binned) < 0.01, (exact, binned)
+
+
+# ------------------------------------------------- chem electronic tier
+
+# random acyclic molecules: a tree over heteroatoms, rendered as SMILES
+_atom_st = st.sampled_from(["C", "N", "O", "F", "Cl", "S"])
+
+
+@st.composite
+def random_tree_smiles(draw):
+    """A random chemical TREE (no rings) as SMILES: each new atom attaches
+    to a uniformly chosen earlier atom — always parseable, always neutral,
+    and permutation-testable by re-rooting."""
+    n = draw(st.integers(min_value=2, max_value=9))
+    syms = [draw(_atom_st) for _ in range(n)]
+    parents = [draw(st.integers(min_value=0, max_value=i - 1)) for i in range(1, n)]
+    children: dict[int, list[int]] = {}
+    for i, p in enumerate(parents, start=1):
+        children.setdefault(p, []).append(i)
+
+    def render(i):
+        out = syms[i] if len(syms[i]) == 1 else f"[{syms[i]}]"
+        if syms[i] == "Cl":
+            out = "Cl"
+        for c in children.get(i, []):
+            out += f"({render(c)})"
+        return out
+
+    return render(0), syms, parents
+
+
+@given(data=random_tree_smiles())
+@settings(**SETTINGS)
+def test_peoe_charge_conservation_random_molecules(data):
+    """PEOE on any neutral molecule: total charge (heavy + folded H)
+    conserves to float precision, and halogens never go positive."""
+    from workbench_spark.chem.peoe import gasteiger_charges
+    from workbench_spark.chem.smiles import parse_smiles
+
+    smiles, syms, _ = data
+    res = gasteiger_charges(parse_smiles(smiles))
+    if res is None:  # S.sp betaine etc. — outside the parameter tables
+        return
+    q, h = res
+    assert sum(q) + sum(h) == pytest.approx(0.0, abs=1e-9)
+    mol = parse_smiles(smiles)
+    for a in mol.atoms:
+        # a halogen bonded to CARBON is always an acceptor; bonded to O/N/F
+        # it can legitimately go positive (hypofluorite-type), so only the
+        # carbon-neighbor case carries a sign guarantee
+        if a.symbol in ("F", "Cl") and all(
+            mol.atoms[nb].symbol == "C" for nb, _ in mol.neighbors(a.idx)
+        ):
+            assert q[a.idx] < 0, (smiles, a.idx)
+
+
+@given(data=random_tree_smiles())
+@settings(**SETTINGS)
+def test_vsa_partition_random_molecules(data):
+    """Every VSA bin family partitions the identical heavy-atom surface
+    total, whatever the molecule."""
+    from workbench_spark.chem.smiles import parse_smiles
+    from workbench_spark.chem.surface import (
+        labute_contributions,
+        surface_descriptors,
+    )
+
+    smiles, _, _ = data
+    mol = parse_smiles(smiles)
+    contrib = labute_contributions(mol)
+    if contrib is None:
+        return
+    total = sum(contrib[0])
+    d = surface_descriptors(mol)
+    for fam in ("slogp_vsa", "smr_vsa", "estate_vsa"):
+        fam_vals = [v for k, v in d.items() if k.startswith(fam)]
+        if any(v is None for v in fam_vals):
+            continue
+        assert sum(fam_vals) == pytest.approx(total, rel=1e-9), (smiles, fam)
+
+
+@given(data=random_tree_smiles(), seed=st.integers(min_value=0, max_value=10**6))
+@settings(**SETTINGS)
+def test_peoe_relabel_invariance_random_molecules(data, seed):
+    """Re-rooting the same tree at a different atom is a pure relabeling:
+    the charge multiset must be identical."""
+    import random as _random
+
+    from workbench_spark.chem.peoe import gasteiger_charges
+    from workbench_spark.chem.smiles import parse_smiles
+
+    smiles, syms, parents = data
+    n = len(syms)
+    # rebuild adjacency, re-root at a random atom
+    adj: dict[int, list[int]] = {i: [] for i in range(n)}
+    for i, p in enumerate(parents, start=1):
+        adj[p].append(i)
+        adj[i].append(p)
+    root = _random.Random(seed).randrange(n)
+
+    def render(i, parent):
+        out = syms[i]
+        for c in adj[i]:
+            if c != parent:
+                out += f"({render(c, i)})"
+        return out
+
+    alt = render(root, -1)
+    r1 = gasteiger_charges(parse_smiles(smiles))
+    r2 = gasteiger_charges(parse_smiles(alt))
+    if r1 is None or r2 is None:
+        assert (r1 is None) == (r2 is None)
+        return
+    a = sorted(round(x + y, 9) for x, y in zip(*r1))
+    b = sorted(round(x + y, 9) for x, y in zip(*r2))
+    assert a == b, (smiles, alt)
