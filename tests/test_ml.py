@@ -370,3 +370,100 @@ def test_projection_2d_tsne_and_umap_refusal(spark):
 
     with pytest.raises(NotImplementedError, match="umap-learn"):
         projection_2d(c, ["c_acctbal"], "c_custkey", method="umap")
+
+
+# ---------------------------------------------------------------- ensembles
+def _branch_fixture(spark):
+    rows = [
+        # id, p1, p2, p3, c1, c2, c3, target
+        (1, 10.0, 12.0, 8.0, 0.9, 0.3, 0.5, 10.5),
+        (2, 20.0, 18.0, 25.0, 0.1, 0.8, 0.2, 21.0),
+        (3, 5.0, 5.0, 5.0, 0.0, 0.0, 0.0, 5.0),   # zero-confidence row
+        (4, 30.0, 31.0, 29.0, 0.6, 0.6, 0.6, 30.0),
+    ]
+    return spark.createDataFrame(
+        rows, "id int, p1 double, p2 double, p3 double, "
+              "c1 double, c2 double, c3 double, target double"
+    )
+
+
+def test_ensemble_strategy_matches_reference_math(spark):
+    """Cross-check ensemble_strategy against a literal numpy replica of
+    ensemble_utils.conf_weights_with_fallback / ensemble_confidence."""
+    import numpy as np
+
+    from workbench_spark.operators.ensembles import ensemble_strategy
+
+    df = _branch_fixture(spark)
+    mw = np.array([2.0, 1.0, 1.0]); mw = mw / mw.sum()
+    cs = np.array([0.9, 0.5, 0.7])
+    out = (
+        ensemble_strategy(
+            df, ["p1", "p2", "p3"], ["c1", "c2", "c3"],
+            strategy="scaled_confidence", model_weights=[2.0, 1.0, 1.0],
+            corr_scale=[0.9, 0.5, 0.7], optimal_alpha=0.5,
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    preds = out[["p1", "p2", "p3"]].to_numpy()
+    confs = out[["c1", "c2", "c3"]].to_numpy()
+    scaled = confs * mw
+    tot = scaled.sum(axis=1, keepdims=True)
+    weights = np.where(tot < 1e-12, mw, scaled / (tot + 1e-12))
+    np.testing.assert_allclose(
+        out["prediction"], (preds * weights).sum(axis=1), rtol=1e-12
+    )
+    np.testing.assert_allclose(out["prediction_std"], preds.std(axis=1), rtol=1e-12)
+    cal = (confs * cs * mw).sum(axis=1)
+    np.testing.assert_allclose(
+        out["confidence"], 0.5 / (1 + preds.std(axis=1)) + 0.5 * cal, rtol=1e-12
+    )
+    # the zero-confidence row fell back to the static weights
+    zrow = out[out["id"] == 3].iloc[0]
+    assert zrow["prediction"] == 5.0
+
+
+def test_ensemble_strategy_validation(spark):
+    from workbench_spark.operators.ensembles import ensemble_strategy
+
+    df = _branch_fixture(spark)
+    with pytest.raises(ValueError, match="Unknown strategy"):
+        ensemble_strategy(df, ["p1"], ["c1"], strategy="median")
+    with pytest.raises(ValueError, match="weights"):
+        ensemble_strategy(df, ["p1", "p2"], ["c1", "c2"], model_weights=[1.0])
+    with pytest.raises(ValueError, match="non-negative"):
+        ensemble_strategy(df, ["p1", "p2"], ["c1", "c2"], model_weights=[-1.0, 2.0])
+    with pytest.raises(ValueError, match="corr_scale"):
+        ensemble_strategy(
+            df, ["p1", "p2"], ["c1", "c2"], model_weights=[1, 1], corr_scale=[1.0]
+        )
+
+
+def test_inverse_mae_weights_and_conf_corr(spark):
+    from workbench_spark.operators.ensembles import conf_error_corr, inverse_mae_weights
+
+    df = _branch_fixture(spark)
+    w = inverse_mae_weights(df, ["p1", "p2", "p3"], "target")
+    assert sum(w) == pytest.approx(1.0)
+    # p1 is closest to the target → highest weight
+    assert w[0] == max(w)
+    # constant-confidence branch → NULL corr → 0.0 (reference COALESCE path)
+    df_const = df.withColumn("c3", F.lit(0.8))
+    cs = conf_error_corr(df_const, ["p1", "p2", "p3"], ["c1", "c2", "c3"], "target")
+    assert cs[2] == 0.0
+
+
+def test_strategy_comparison_ranks_seven(spark):
+    from workbench_spark.operators.ensembles import strategy_comparison
+
+    df = _branch_fixture(spark)
+    out = strategy_comparison(df, ["p1", "p2", "p3"], ["c1", "c2", "c3"], "target")
+    pdf = out.toPandas()
+    assert len(pdf) == 7
+    assert pdf["mae"].is_monotonic_increasing
+    names = set(pdf["strategy"])
+    assert {"Simple Mean", "Confidence-Weighted", "Inverse-MAE Weighted",
+            "Scaled Conf-Weighted", "Calibrated Conf-Weighted"} <= names
+    assert any(n.startswith("Best Model Only (p1)") for n in names)
+    assert any(n.startswith("Drop Worst (") for n in names)

@@ -4,16 +4,27 @@ A19-A20; §2.3 J4 lives in operators/joins.py).
 Reference citations:
 - A13 ensemble aggregators — utils/aggregation_nodes.py:187-380
   (Mean / WeightedMean / majority Vote / confidence-weighted)
+- calibrated strategy aggregators — utils/aggregation_nodes.py:273-388
+  (ConfidenceWeighted / InverseMaeWeighted / ScaledConfidenceWeighted /
+  CalibratedConfidenceWeighted) with the shared math from
+  utils/ensemble_utils.py:12-58 (conf_weights_with_fallback,
+  ensemble_confidence)
+- strategy simulation — utils/ensemble_simulator.py:344-458
+  (ensemble_weights, strategy_comparison)
 - A19 target_health — utils/pandas_utils.py:789-884
 - A20 feature_quality_metrics — utils/pandas_utils.py:631-730
 
 All row-wise array expressions or single-pass aggregations — map-side,
-shuffle-free except the tiny final aggs.
+shuffle-free except the tiny final aggs. The strategy tier keeps the
+reference's numpy formulas verbatim (including the `+1e-12` denominator
+guard) so a SQL oracle can reproduce the values bit-for-bit; everything
+stays in whole-stage codegen — the per-row weight math is a fixed-width
+expression over M branch columns, never a Python UDF.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -52,6 +63,190 @@ def ensemble_vote(df: DataFrame, pred_cols: list[str], out_col: str = "predictio
     # ties broken by smallest label — deterministic, matches pandas mode()
     winner = F.array_min(F.filter(distinct, lambda v: count_of(v) == max_count))
     return df.withColumn(out_col, F.when(F.size(arr) > 0, winner))
+
+
+_STRATEGIES = ("confidence", "inverse_mae", "scaled_confidence", "calibrated_confidence")
+
+
+def _branch_weights(
+    conf: list[Column], raw: list[Column] | None, fallback: list[float]
+) -> list[Column]:
+    """conf_weights_with_fallback (ensemble_utils.py:12-25) as columns:
+    normalize the raw per-row values, fall back to the static weights when
+    the row sums to ~0. The reference's `/(sum + 1e-12)` guard is kept
+    verbatim so oracles match to float precision."""
+    vals = raw if raw is not None else conf
+    total = sum(vals[1:], vals[0])
+    return [
+        F.when(total < 1e-12, F.lit(w)).otherwise(v / (total + F.lit(1e-12)))
+        for v, w in zip(vals, fallback)
+    ]
+
+
+def ensemble_strategy(
+    df: DataFrame,
+    pred_cols: list[str],
+    conf_cols: list[str],
+    strategy: str = "scaled_confidence",
+    model_weights: list[float] | None = None,
+    corr_scale: list[float] | None = None,
+    optimal_alpha: float = 0.5,
+) -> DataFrame:
+    """Calibrated ensemble strategy aggregators
+    (aggregation_nodes.py:310-388) as pure column expressions.
+
+    Adds ``prediction`` (strategy-weighted branch combination),
+    ``prediction_std`` (population std of the branches — numpy ddof=0),
+    and ``confidence`` (ensemble_utils.py:27-58:
+    α·1/(1+std) + (1−α)·Σ confᵢ·corrᵢ·wᵢ).
+
+    strategy: ``confidence`` (per-row weights = normalized confidences),
+    ``inverse_mae`` (static model_weights only), ``scaled_confidence``
+    (confidence × model_weights, renormalized), ``calibrated_confidence``
+    (confidence × |conf-error corr|, renormalized). Static model_weights
+    are normalized to sum 1 exactly as _StrategyAggregator.__init__ does.
+    """
+    if strategy not in _STRATEGIES:
+        raise ValueError(f"Unknown strategy: {strategy} (pick from {_STRATEGIES})")
+    if len(pred_cols) != len(conf_cols):
+        raise ValueError("pred_cols and conf_cols must align")
+    m = len(pred_cols)
+    if model_weights is None:
+        model_weights = [1.0] * m
+    if len(model_weights) != m:
+        raise ValueError(f"got {m} branches but {len(model_weights)} weights")
+    if any(w < 0 for w in model_weights) or sum(model_weights) <= 0:
+        raise ValueError("model_weights must be non-negative and sum to > 0")
+    total_w = float(sum(model_weights))
+    mw = [float(w) / total_w for w in model_weights]
+    cs = [1.0] * m if corr_scale is None else [float(c) for c in corr_scale]
+    if len(cs) != m:
+        raise ValueError("corr_scale shape must match model_weights shape")
+
+    preds = [F.col(c).cast("double") for c in pred_cols]
+    confs = [F.col(c).cast("double") for c in conf_cols]
+
+    if strategy == "confidence":
+        weights = _branch_weights(confs, None, mw)
+    elif strategy == "inverse_mae":
+        weights = [F.lit(w) for w in mw]
+    elif strategy == "scaled_confidence":
+        weights = _branch_weights(confs, [c * F.lit(w) for c, w in zip(confs, mw)], mw)
+    else:  # calibrated_confidence
+        weights = _branch_weights(confs, [c * F.lit(s) for c, s in zip(confs, cs)], mw)
+
+    prediction = sum((p * w for p, w in zip(preds[1:], weights[1:])), preds[0] * weights[0])
+    # population std via the sum/sumsq closed form: one linear pass over
+    # the M branch columns instead of re-embedding the mean expression
+    # M times (keeps the codegen'd expression tree O(M))
+    psum = sum(preds[1:], preds[0])
+    psumsq = sum((p * p for p in preds[1:]), preds[0] * preds[0])
+    std = F.sqrt(F.greatest(F.lit(0.0), psumsq / m - (psum / m) * (psum / m)))
+    cal_conf = sum(
+        (c * F.lit(s * w) for c, s, w in zip(confs[1:], cs[1:], mw[1:])),
+        confs[0] * F.lit(cs[0] * mw[0]),
+    )
+    confidence = F.lit(optimal_alpha) / (1.0 + std) + F.lit(1.0 - optimal_alpha) * cal_conf
+    return (
+        df.withColumn("prediction", prediction)
+        .withColumn("prediction_std", std)
+        .withColumn("confidence", confidence)
+    )
+
+
+def inverse_mae_weights(df: DataFrame, pred_cols: list[str], target: str) -> list[float]:
+    """Suggested static ensemble weights ∝ 1/MAE per branch
+    (ensemble_simulator.py:344-366) — one aggregation pass for every
+    branch MAE, normalization on the driver (M scalars)."""
+    row = df.agg(
+        *[F.avg(F.abs(F.col(c) - F.col(target))).alias(c) for c in pred_cols]
+    ).collect()[0]
+    inv = [1.0 / row[c] for c in pred_cols]
+    total = sum(inv)
+    return [w / total for w in inv]
+
+
+def conf_error_corr(
+    df: DataFrame, pred_cols: list[str], conf_cols: list[str], target: str
+) -> list[float]:
+    """Per-branch Pearson correlation of confidence vs |residual|
+    (ensemble_simulator.py:213, the corr_scale input of the calibrated
+    strategies) — all branches in one aggregation pass."""
+    row = df.agg(
+        *[
+            _safe_corr(F.col(cc), F.abs(F.col(pc) - F.col(target))).alias(cc)
+            for pc, cc in zip(pred_cols, conf_cols)
+        ]
+    ).collect()[0]
+    return [float(row[cc]) if row[cc] is not None else 0.0 for cc in conf_cols]
+
+
+def _safe_corr(x: Column, y: Column) -> Column:
+    """Pearson corr that returns NULL (not an ANSI DIVIDE_BY_ZERO error)
+    when either side has zero variance — a constant confidence column is a
+    legitimate input here (it maps to corr_scale 0.0, the reference's
+    COALESCE(abs(corr), 0) path). Same covar/σσ formula F.corr uses, so
+    values agree with DuckDB's corr() to float precision."""
+    return F.try_divide(F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y))
+
+
+def strategy_comparison(
+    df: DataFrame, pred_cols: list[str], conf_cols: list[str], target: str
+) -> DataFrame:
+    """EnsembleSimulator.strategy_comparison (ensemble_simulator.py:368-456)
+    distributively: rank seven ensemble strategies by MAE against the
+    target. Two aggregation passes total — one for the per-branch MAE and
+    conf-error correlations (the strategy parameters), one computing ALL
+    seven strategy MAEs map-side in a single job — versus the reference's
+    seven sequential pandas column materializations. Output: (strategy,
+    mae) sorted best-first, ties broken by strategy name."""
+    m = len(pred_cols)
+    params = df.agg(
+        *[F.avg(F.abs(F.col(c) - F.col(target))).alias(f"mae_{i}") for i, c in enumerate(pred_cols)],
+        *[
+            _safe_corr(F.col(cc), F.abs(F.col(pc) - F.col(target))).alias(f"corr_{i}")
+            for i, (pc, cc) in enumerate(zip(pred_cols, conf_cols))
+        ],
+    ).collect()[0]
+    maes = [params[f"mae_{i}"] for i in range(m)]
+    inv = [1.0 / x for x in maes]
+    mw = [w / sum(inv) for w in inv]
+    cs = [abs(params[f"corr_{i}"]) if params[f"corr_{i}"] is not None else 0.0 for i in range(m)]
+    best_i = min(range(m), key=lambda i: maes[i])
+    worst_i = max(range(m), key=lambda i: maes[i])
+
+    preds = [F.col(c).cast("double") for c in pred_cols]
+    confs = [F.col(c).cast("double") for c in conf_cols]
+    tgt = F.col(target).cast("double")
+
+    def blended(weights: list[Column]) -> Column:
+        return sum((p * w for p, w in zip(preds[1:], weights[1:])), preds[0] * weights[0])
+
+    keep = [p for i, p in enumerate(preds) if i != worst_i]
+    strategies: dict[str, Column] = {
+        "Simple Mean": sum(preds[1:], preds[0]) / m,
+        "Confidence-Weighted": blended(_branch_weights(confs, None, mw)),
+        "Inverse-MAE Weighted": blended([F.lit(w) for w in mw]),
+        f"Best Model Only ({pred_cols[best_i]})": preds[best_i],
+        "Scaled Conf-Weighted": blended(
+            _branch_weights(confs, [c * F.lit(w) for c, w in zip(confs, mw)], mw)
+        ),
+        "Calibrated Conf-Weighted": blended(
+            _branch_weights(confs, [c * F.lit(s) for c, s in zip(confs, cs)], mw)
+        ),
+        f"Drop Worst ({pred_cols[worst_i]})": sum(keep[1:], keep[0]) / len(keep),
+    }
+    row = df.agg(
+        *[
+            F.avg(F.abs(expr - tgt)).alias(f"s_{i}")
+            for i, expr in enumerate(strategies.values())
+        ]
+    ).collect()[0]
+    out = df.sparkSession.createDataFrame(
+        [(name, float(row[f"s_{i}"])) for i, name in enumerate(strategies)],
+        "strategy string, mae double",
+    )
+    return out.orderBy("mae", "strategy")
 
 
 def target_health(df: DataFrame, target: str, pileup_threshold: float = 0.1) -> DataFrame:

@@ -871,6 +871,163 @@ def a13_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a13_ensemble_calibrated",
+    """
+    WITH b AS (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity AS p1, l_discount * 100 AS p2, l_extendedprice / 1000 AS p3,
+             0.5 + l_tax AS c1, l_discount * 2 AS c2, CAST(0.8 AS DOUBLE) AS c3
+      FROM lineitem
+    ),
+    s AS (
+      SELECT *, c1 * 0.5 AS s1, c2 * 0.25 AS s2, c3 * 0.25 AS s3,
+             c1 * 0.5 + c2 * 0.25 + c3 * 0.25 AS stot,
+             sqrt(greatest(0, (p1*p1 + p2*p2 + p3*p3)/3
+                              - ((p1+p2+p3)/3) * ((p1+p2+p3)/3))) AS sd
+      FROM b
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(p1 * (CASE WHEN stot < 1e-12 THEN 0.5  ELSE s1/(stot + 1e-12) END)
+               + p2 * (CASE WHEN stot < 1e-12 THEN 0.25 ELSE s2/(stot + 1e-12) END)
+               + p3 * (CASE WHEN stot < 1e-12 THEN 0.25 ELSE s3/(stot + 1e-12) END),
+                 6) AS prediction,
+           ROUND(sd, 6) AS prediction_std,
+           ROUND(0.5/(1 + sd)
+               + 0.5*(c1*(0.9*0.5) + c2*(0.5*0.25) + c3*(0.7*0.25)), 6) AS confidence
+    FROM s
+    """,
+)
+def a13_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 calibrated strategy aggregators (aggregation_nodes.py:310-388 +
+    ensemble_utils.py:12-58) — ScaledConfidenceWeighted over synthesized
+    branches. The oracle replays the exact numpy formulas (including the
+    +1e-12 denominator guard and the double-literal products), so this is
+    a bit-level check of the strategy math, not just the shape."""
+    from workbench_spark.operators.ensembles import ensemble_strategy
+
+    li = _t(spark, sf_dir, "lineitem")
+    branches = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("p1"),
+        (F.col("l_discount") * 100).alias("p2"),
+        (F.col("l_extendedprice") / 1000).alias("p3"),
+        (F.lit(0.5) + F.col("l_tax")).alias("c1"),
+        (F.col("l_discount") * 2).alias("c2"),
+        F.lit(0.8).alias("c3"),
+    )
+    out = ensemble_strategy(
+        branches,
+        ["p1", "p2", "p3"],
+        ["c1", "c2", "c3"],
+        strategy="scaled_confidence",
+        model_weights=[2.0, 1.0, 1.0],
+        corr_scale=[0.9, 0.5, 0.7],
+        optimal_alpha=0.5,
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("prediction", 6).alias("prediction"),
+        F.round("prediction_std", 6).alias("prediction_std"),
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
+@query(
+    "a13_strategy_comparison",
+    """
+    WITH b AS (
+      SELECT l_quantity AS p1,
+             l_quantity * (1 + l_discount) AS p2,
+             l_extendedprice / 1000 AS p3,
+             0.5 + l_tax AS c1, 1 - l_discount AS c2, CAST(0.8 AS DOUBLE) AS c3,
+             l_quantity + l_tax * 10 AS tgt
+      FROM lineitem
+    ),
+    params AS (
+      SELECT avg(abs(p1 - tgt)) AS mae1, avg(abs(p2 - tgt)) AS mae2,
+             avg(abs(p3 - tgt)) AS mae3,
+             COALESCE(abs(corr(c1, abs(p1 - tgt))), 0) AS cs1,
+             COALESCE(abs(corr(c2, abs(p2 - tgt))), 0) AS cs2,
+             COALESCE(abs(corr(c3, abs(p3 - tgt))), 0) AS cs3
+      FROM b
+    ),
+    w AS (
+      SELECT *,
+             (1/mae1)/((1/mae1) + (1/mae2) + (1/mae3)) AS w1,
+             (1/mae2)/((1/mae1) + (1/mae2) + (1/mae3)) AS w2,
+             (1/mae3)/((1/mae1) + (1/mae2) + (1/mae3)) AS w3,
+             CASE WHEN mae1 <= mae2 AND mae1 <= mae3 THEN 1
+                  WHEN mae2 <= mae3 THEN 2 ELSE 3 END AS best_i,
+             CASE WHEN mae1 >= mae2 AND mae1 >= mae3 THEN 1
+                  WHEN mae2 >= mae3 THEN 2 ELSE 3 END AS worst_i
+      FROM params
+    ),
+    scored AS (
+      SELECT b.*, w.*,
+             c1 + c2 + c3 AS ctot,
+             c1*w1 + c2*w2 + c3*w3 AS stot,
+             c1*cs1 + c2*cs2 + c3*cs3 AS caltot
+      FROM b CROSS JOIN w
+    ),
+    maes AS (
+      SELECT
+        avg(abs((p1 + p2 + p3)/3 - tgt)) AS m_mean,
+        avg(abs(p1 * (CASE WHEN ctot < 1e-12 THEN w1 ELSE c1/(ctot + 1e-12) END)
+              + p2 * (CASE WHEN ctot < 1e-12 THEN w2 ELSE c2/(ctot + 1e-12) END)
+              + p3 * (CASE WHEN ctot < 1e-12 THEN w3 ELSE c3/(ctot + 1e-12) END)
+              - tgt)) AS m_conf,
+        avg(abs(p1*w1 + p2*w2 + p3*w3 - tgt)) AS m_invmae,
+        avg(abs(CASE best_i WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END - tgt)) AS m_best,
+        avg(abs(p1 * (CASE WHEN stot < 1e-12 THEN w1 ELSE (c1*w1)/(stot + 1e-12) END)
+              + p2 * (CASE WHEN stot < 1e-12 THEN w2 ELSE (c2*w2)/(stot + 1e-12) END)
+              + p3 * (CASE WHEN stot < 1e-12 THEN w3 ELSE (c3*w3)/(stot + 1e-12) END)
+              - tgt)) AS m_scaled,
+        avg(abs(p1 * (CASE WHEN caltot < 1e-12 THEN w1 ELSE (c1*cs1)/(caltot + 1e-12) END)
+              + p2 * (CASE WHEN caltot < 1e-12 THEN w2 ELSE (c2*cs2)/(caltot + 1e-12) END)
+              + p3 * (CASE WHEN caltot < 1e-12 THEN w3 ELSE (c3*cs3)/(caltot + 1e-12) END)
+              - tgt)) AS m_cal,
+        avg(abs(CASE worst_i WHEN 1 THEN (p2 + p3)/2
+                             WHEN 2 THEN (p1 + p3)/2
+                             ELSE (p1 + p2)/2 END - tgt)) AS m_drop,
+        any_value(best_i) AS best_i, any_value(worst_i) AS worst_i
+      FROM scored
+    )
+    SELECT strategy, mae FROM (
+      SELECT 'Simple Mean' AS strategy, ROUND(m_mean, 6) AS mae FROM maes
+      UNION ALL SELECT 'Confidence-Weighted', ROUND(m_conf, 6) FROM maes
+      UNION ALL SELECT 'Inverse-MAE Weighted', ROUND(m_invmae, 6) FROM maes
+      UNION ALL SELECT 'Best Model Only (p' || best_i || ')', ROUND(m_best, 6) FROM maes
+      UNION ALL SELECT 'Scaled Conf-Weighted', ROUND(m_scaled, 6) FROM maes
+      UNION ALL SELECT 'Calibrated Conf-Weighted', ROUND(m_cal, 6) FROM maes
+      UNION ALL SELECT 'Drop Worst (p' || worst_i || ')', ROUND(m_drop, 6) FROM maes
+    ) ORDER BY mae, strategy
+    """,
+)
+def a13_strategy_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EnsembleSimulator.strategy_comparison (ensemble_simulator.py:368-456)
+    — seven strategies ranked by MAE in two aggregation passes (parameters,
+    then all seven MAEs map-side in one job). The oracle recomputes every
+    strategy from the same formulas, including the data-dependent
+    best/worst branch labels."""
+    from workbench_spark.operators.ensembles import strategy_comparison
+
+    li = _t(spark, sf_dir, "lineitem")
+    branches = li.select(
+        F.col("l_quantity").alias("p1"),
+        (F.col("l_quantity") * (1 + F.col("l_discount"))).alias("p2"),
+        (F.col("l_extendedprice") / 1000).alias("p3"),
+        (F.lit(0.5) + F.col("l_tax")).alias("c1"),
+        (F.lit(1) - F.col("l_discount")).alias("c2"),
+        F.lit(0.8).alias("c3"),
+        (F.col("l_quantity") + F.col("l_tax") * 10).alias("tgt"),
+    )
+    out = strategy_comparison(branches, ["p1", "p2", "p3"], ["c1", "c2", "c3"], "tgt")
+    return out.select("strategy", F.round("mae", 6).alias("mae"))
+
+
+@query(
     "a19_target_health",
     """
     WITH counted AS (
