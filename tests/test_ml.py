@@ -467,3 +467,81 @@ def test_strategy_comparison_ranks_seven(spark):
             "Scaled Conf-Weighted", "Calibrated Conf-Weighted"} <= names
     assert any(n.startswith("Best Model Only (p1)") for n in names)
     assert any(n.startswith("Drop Worst (") for n in names)
+
+
+# ------------------------------------------------------------ proba helpers
+def test_proba_pipeline_and_binary_accuracy(spark):
+    from workbench_spark.operators.proba import (
+        binary_accuracy,
+        compute_confusion,
+        max_proba,
+        proba_to_conf,
+    )
+
+    rows = [
+        # target, prediction, a_proba, b_proba, c_proba, residual
+        ("a", "a", 0.7, 0.2, 0.1, 0),
+        ("a", "b", 0.3, 0.5, 0.2, 1),
+        ("b", "b", 0.1, 0.8, 0.1, 0),
+        ("c", "a", 0.5, 0.2, 0.3, 2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "target string, prediction string, a_proba double, b_proba double, "
+        "c_proba double, residual int",
+    )
+    out = compute_confusion(proba_to_conf(max_proba(df))).toPandas()
+    assert out["max_proba"].tolist() == [0.7, 0.5, 0.8, 0.5]
+    # confidence: (p - 1/3) / (2/3)
+    assert out["confidence"].iloc[0] == pytest.approx((0.7 - 1 / 3) / (2 / 3))
+    # correct row: (1-conf)*bw; wrong row: r*bw + conf*bw with bw=1/3
+    bw = 1 / 3
+    c0 = (0.7 - 1 / 3) / (2 / 3)
+    assert out["confusion"].iloc[0] == pytest.approx((1 - c0) * bw)
+    c3 = (0.5 - 1 / 3) / (2 / 3)
+    assert out["confusion"].iloc[3] == pytest.approx(2 * bw + c3 * bw)
+    # binary accuracy, positive={a}: rows 0,2 correct-side; row1 FN; row3 FP
+    acc = binary_accuracy(df, "target", "prediction", ["a"], ["b", "c"])
+    assert acc == pytest.approx(0.5)
+    # label filtering excludes out-of-vocabulary rows like the reference cm
+    df2 = df.union(
+        spark.createDataFrame(
+            [("zzz", "a", 0.9, 0.05, 0.05, 0)], df.schema
+        )
+    )
+    assert binary_accuracy(df2, "target", "prediction", ["a"], ["b", "c"]) == pytest.approx(0.5)
+
+
+def test_proba_requires_columns(spark):
+    from workbench_spark.operators.proba import compute_confusion, max_proba, proba_to_conf
+
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError, match="_proba"):
+        max_proba(df)
+    # reference no-op behavior when prerequisites are missing
+    assert proba_to_conf(df).columns == ["x"]
+    assert compute_confusion(df).columns == ["x"]
+
+
+def test_confidence_profile_scalable_close_to_exact(spark):
+    from workbench_spark.operators.proba import confidence_profile
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("target"),
+        F.when(F.col("id") % 4 == 0, "a").otherwise("b").alias("prediction"),
+        ((F.col("id") % 100) / 100.0 * 0.5 + 0.5).alias("a_proba"),
+        (1 - ((F.col("id") % 100) / 100.0 * 0.5 + 0.5)).alias("b_proba"),
+    )
+    exact = confidence_profile(
+        df, "target", "prediction", ["a"], ["b"], quantiles=5, tiebreak="id"
+    ).toPandas()
+    approx = confidence_profile(
+        df, "target", "prediction", ["a"], ["b"], quantiles=5, scalable=True
+    ).toPandas()
+    assert exact["quantile"].tolist() == [0, 1, 2, 3, 4]
+    assert set(approx["quantile"]) <= {0, 1, 2, 3, 4}
+    # both paths see the same overall story; per-bin accuracy within 10pts
+    merged = exact.merge(approx, on="quantile", suffixes=("_e", "_a"))
+    assert (merged["binary_accuracy_e"] - merged["binary_accuracy_a"]).abs().max() < 0.1

@@ -1027,6 +1027,156 @@ def a13_strategy_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("strategy", F.round("mae", 6).alias("mae"))
 
 
+# Synthesized 3-class probability panel over events: integer-modulus raw
+# scores (bit-identical in any engine) normalized to probabilities, argmax
+# prediction. Shared by the two proba-operator oracles below.
+_PROBA_PANEL_SQL = """
+      SELECT event_id, event_type,
+             (1 + (event_id * 37) % 97) / CAST((1 + (event_id * 37) % 97)
+                + (1 + (event_id * 53) % 89) + (1 + (event_id * 71) % 83) AS DOUBLE)
+               AS click_proba,
+             (1 + (event_id * 53) % 89) / CAST((1 + (event_id * 37) % 97)
+                + (1 + (event_id * 53) % 89) + (1 + (event_id * 71) % 83) AS DOUBLE)
+               AS purchase_proba,
+             (1 + (event_id * 71) % 83) / CAST((1 + (event_id * 37) % 97)
+                + (1 + (event_id * 53) % 89) + (1 + (event_id * 71) % 83) AS DOUBLE)
+               AS view_proba
+      FROM events
+      WHERE event_type IN ('click', 'purchase', 'view')
+"""
+
+
+def _proba_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase", "view")
+    )
+    r1 = 1 + (F.col("event_id") * 37) % 97
+    r2 = 1 + (F.col("event_id") * 53) % 89
+    r3 = 1 + (F.col("event_id") * 71) % 83
+    tot = (r1 + r2 + r3).cast("double")
+    return ev.select(
+        "event_id",
+        "event_type",
+        (r1 / tot).alias("click_proba"),
+        (r2 / tot).alias("purchase_proba"),
+        (r3 / tot).alias("view_proba"),
+    )
+
+
+_PRED_SQL = """CASE WHEN click_proba >= purchase_proba AND click_proba >= view_proba
+                    THEN 'click'
+                    WHEN purchase_proba >= view_proba THEN 'purchase'
+                    ELSE 'view' END"""
+
+
+def _with_prediction(panel: DataFrame) -> DataFrame:
+    return panel.withColumn(
+        "prediction",
+        F.when(
+            (F.col("click_proba") >= F.col("purchase_proba"))
+            & (F.col("click_proba") >= F.col("view_proba")),
+            F.lit("click"),
+        )
+        .when(F.col("purchase_proba") >= F.col("view_proba"), F.lit("purchase"))
+        .otherwise(F.lit("view")),
+    )
+
+
+@query(
+    "p_confidence_profile",
+    f"""
+    WITH panel AS ({_PROBA_PANEL_SQL}),
+    pred AS (
+      SELECT *, greatest(click_proba, purchase_proba, view_proba) AS max_proba,
+             {_PRED_SQL} AS prediction
+      FROM panel
+    ),
+    binned AS (
+      SELECT *, ntile(10) OVER (ORDER BY max_proba DESC, event_id) - 1 AS quantile
+      FROM pred
+    )
+    SELECT quantile,
+           ROUND(avg(CASE WHEN (event_type = 'purchase') = (prediction = 'purchase')
+                          THEN 1 ELSE 0 END), 6) AS binary_accuracy
+    FROM binned GROUP BY quantile ORDER BY quantile
+    """,
+)
+def p_conf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """confidence_profile (pandas_utils.py:354-396) — binary accuracy per
+    confidence decile, positive class = purchase. The exact ntile path
+    with an event_id tiebreak so both engines bin ties identically; the
+    scalable approx-cut-point path is exercised in tests."""
+    from workbench_spark.operators.proba import confidence_profile
+
+    panel = _with_prediction(_proba_panel(spark, sf_dir))
+    out = confidence_profile(
+        panel,
+        target="event_type",
+        prediction="prediction",
+        positive_classes=["purchase"],
+        negative_classes=["click", "view"],
+        quantiles=10,
+        tiebreak="event_id",
+    )
+    return out.select(
+        F.col("quantile").cast("long").alias("quantile"),
+        F.round("binary_accuracy", 6).alias("binary_accuracy"),
+    )
+
+
+@query(
+    "p_proba_confusion",
+    f"""
+    WITH panel AS ({_PROBA_PANEL_SQL}),
+    pred AS (
+      SELECT *, greatest(click_proba, purchase_proba, view_proba) AS max_proba,
+             {_PRED_SQL} AS prediction
+      FROM panel
+    ),
+    conf AS (
+      SELECT *,
+             (max_proba - 1.0/3) / (1 - 1.0/3) AS confidence,
+             abs((CASE event_type WHEN 'click' THEN 0 WHEN 'purchase' THEN 1 ELSE 2 END)
+               - (CASE prediction WHEN 'click' THEN 0 WHEN 'purchase' THEN 1 ELSE 2 END))
+               AS residual
+      FROM pred
+    )
+    SELECT event_id,
+           ROUND(max_proba, 6) AS max_proba,
+           ROUND(confidence, 6) AS confidence,
+           ROUND(CASE WHEN residual = 0
+                      THEN (1 - confidence) * (1.0/3)
+                      ELSE residual * (1.0/3) + confidence * (1.0/3) END,
+                 6) AS confusion
+    FROM conf
+    """,
+)
+def p_proba_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_proba → proba_to_conf → compute_confusion chained
+    (pandas_utils.py:270-353): banded confusion score over the 3-class
+    panel, residual = |class-index distance|."""
+    from workbench_spark.operators.proba import (
+        compute_confusion,
+        max_proba,
+        proba_to_conf,
+    )
+
+    panel = _with_prediction(_proba_panel(spark, sf_dir))
+    idx = lambda c: (  # noqa: E731
+        F.when(F.col(c) == "click", 0).when(F.col(c) == "purchase", 1).otherwise(2)
+    )
+    scored = proba_to_conf(max_proba(panel)).withColumn(
+        "residual", F.abs(idx("event_type") - idx("prediction"))
+    )
+    out = compute_confusion(scored, n_classes=3)
+    return out.select(
+        "event_id",
+        F.round("max_proba", 6).alias("max_proba"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("confusion", 6).alias("confusion"),
+    )
+
+
 @query(
     "a19_target_health",
     """
