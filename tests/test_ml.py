@@ -545,3 +545,73 @@ def test_confidence_profile_scalable_close_to_exact(spark):
     # both paths see the same overall story; per-bin accuracy within 10pts
     merged = exact.merge(approx, on="quantile", suffixes=("_e", "_a"))
     assert (merged["binary_accuracy_e"] - merged["binary_accuracy_a"]).abs().max() < 0.1
+
+
+# ------------------------------------------------------------- uq_metrics
+def test_uq_metrics_gaussian_path_matches_exact_erf(spark):
+    """CRPS via the A&S erf approximation must track the exact closed form
+    (math.erf) to ~1e-6 relative; everything else is exact arithmetic."""
+    import math
+
+    import numpy as np
+
+    from workbench_spark.operators.uq import uq_metrics
+
+    rows = [(float(i), float(i) + (i % 7 - 3) * 2.0, 4.0 + (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "y double, prediction double, prediction_std double")
+    out = uq_metrics(df, "y").toPandas().iloc[0]
+
+    y = np.array([r[0] for r in rows]); p = np.array([r[1] for r in rows])
+    s = np.array([r[2] for r in rows])
+    z = (y - p) / s
+    phi = np.array([0.5 * (1 + math.erf(v / math.sqrt(2))) for v in z])
+    pdf = np.exp(-z * z / 2) / math.sqrt(2 * math.pi)
+    crps = s * (z * (2 * phi - 1) + 2 * pdf - 1 / math.sqrt(math.pi))
+    assert out["mean_crps"] == pytest.approx(crps.mean(), rel=1e-5)
+    assert out["coverage_95"] == pytest.approx(np.mean(np.abs(y - p) <= 1.96 * s))
+    assert out["median_width_95"] == pytest.approx(np.median(2 * 1.96 * s), rel=1e-9)
+    assert out["n_samples"] == 200
+    assert out["confidence_to_error_corr"] is None or np.isnan(out["confidence_to_error_corr"])
+
+
+def test_uq_metrics_quantile_columns_take_precedence(spark):
+    from workbench_spark.operators.uq import uq_metrics
+
+    rows = [
+        # y inside the quantile interval but outside the (tiny-std) gaussian one
+        (10.0, 0.0, 0.001, -20.0, 20.0, -15.0, 15.0, -12.0, 12.0, -5.0, 5.0)
+        for _ in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "y double, prediction double, prediction_std double, q_025 double, "
+        "q_975 double, q_05 double, q_95 double, q_10 double, q_90 double, "
+        "q_25 double, q_75 double",
+    )
+    out = uq_metrics(df, "y").toPandas().iloc[0]
+    assert out["coverage_95"] == 1.0  # quantile bounds used, not 0.001-std gaussian
+    assert out["median_width_95"] == pytest.approx(40.0)
+    # q_16/q_84 absent → 68% falls back to the 80% interval (reference df.get)
+    assert out["coverage_68"] == 1.0
+    assert out["median_width_68"] == pytest.approx(24.0)
+
+
+def test_uq_metrics_validation_and_dropna(spark):
+    from workbench_spark.operators.uq import uq_metrics
+
+    df = spark.createDataFrame([(1.0, 2.0)], "y double, other double")
+    with pytest.raises(ValueError, match="Prediction column"):
+        uq_metrics(df, "y")
+    with pytest.raises(ValueError, match="Target column"):
+        uq_metrics(df.withColumnRenamed("other", "prediction"), "missing")
+    with pytest.raises(ValueError, match="quantile columns"):
+        uq_metrics(
+            spark.createDataFrame([(1.0, 2.0)], "y double, prediction double"), "y"
+        )
+    # NULL rows dropped before metrics (reference dropna)
+    good = spark.createDataFrame(
+        [(1.0, 1.0, 1.0), (2.0, 2.0, 1.0), (None, 3.0, 1.0), (4.0, None, 1.0)],
+        "y double, prediction double, prediction_std double",
+    )
+    out = uq_metrics(good, "y").toPandas().iloc[0]
+    assert out["n_samples"] == 2

@@ -321,3 +321,180 @@ def uq_applicability(
             qframe.select(F.col(id_col).alias("id")), "id", "left_semi"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# UQ evaluation panel (model_utils.py:540-686 uq_metrics)
+# ---------------------------------------------------------------------------
+
+# Abramowitz & Stegun 7.1.26 rational erf approximation (|err| < 1.5e-7),
+# published closed form — used because neither Spark SQL nor DuckDB ships
+# erf, and a scipy.norm UDF would drop the whole panel out of codegen.
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_SQRT2 = math.sqrt(2.0)
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+_INV_SQRT_PI = 1.0 / math.sqrt(math.pi)
+
+
+def _erf_as(x):
+    """erf(x) for x >= 0 via A&S 7.1.26: 1 - poly(t)·e^(−x²), t=1/(1+px)."""
+    t = 1.0 / (1.0 + _AS_P * x)
+    poly = sum(
+        (F.lit(a) * t ** (i + 1) for i, a in enumerate(_AS_A[1:], start=1)),
+        F.lit(_AS_A[0]) * t,
+    )
+    return 1.0 - poly * F.exp(-x * x)
+
+
+def _norm_cdf(z):
+    """Φ(z) = (1 + sign(z)·erf(|z|/√2)) / 2 — odd-symmetry extension of
+    the x>=0 approximation."""
+    e = _erf_as(F.abs(z) / _SQRT2)
+    return (1.0 + F.signum(z) * e) / 2.0
+
+
+def _norm_pdf(z):
+    return F.lit(_INV_SQRT_2PI) * F.exp(-z * z / 2.0)
+
+
+# z-multipliers for the Gaussian-derived central intervals, exactly the
+# constants the reference hard-codes (model_utils.py:601-611)
+_GAUSS_Z = {50: 0.674, 68: 1.0, 80: 1.282, 90: 1.645, 95: 1.96}
+_QCOLS = {
+    95: ("q_025", "q_975"),
+    90: ("q_05", "q_95"),
+    80: ("q_10", "q_90"),
+    68: ("q_16", "q_84"),
+    50: ("q_25", "q_75"),
+}
+
+
+def uq_metrics(
+    df: DataFrame,
+    target_col: str,
+    prediction: str = "prediction",
+    prediction_std: str = "prediction_std",
+    exact: bool = True,
+) -> DataFrame:
+    """The UQ evaluation panel (model_utils.py:540-686) as ONE aggregation
+    pass: coverage@{68,80,90,95}, median std / interval widths, Gaussian
+    CRPS, interval score@95, Spearman(width_68, |residual|) and
+    Spearman(confidence, |residual|) when a confidence column exists.
+
+    Interval bounds come from explicit quantile columns (q_025..q_975,
+    with the reference's q_16/q_84 → q_10/q_90 fallback) when present,
+    else from prediction ± z·prediction_std. Rows with NULL/NaN in any
+    input column are dropped first (reference's dropna). Φ uses the
+    published A&S 7.1.26 erf approximation (<1.5e-7 absolute error, the
+    price of staying JVM-side); medians are exact percentiles when
+    ``exact`` (oracle mode), percentile_approx otherwise (constant-memory
+    sketch for the 100 TB path).
+
+    Output: one row, metric columns wide — coverage_68..95, median_std,
+    median_width_50..95, mean_crps, mean_interval_score_95,
+    interval_to_error_corr, confidence_to_error_corr (NULL when absent),
+    n_samples.
+    """
+    from workbench_spark.operators.metrics import _avg_rank
+
+    if target_col not in df.columns:
+        raise ValueError(f"Target column '{target_col}' not found in DataFrame.")
+    if prediction not in df.columns:
+        raise ValueError(f"Prediction column '{prediction}' not found in DataFrame.")
+    has_q = all(c in df.columns for q in (95, 50) for c in _QCOLS[q])
+    if not has_q and prediction_std not in df.columns:
+        raise ValueError(
+            "Either quantile columns (q_025, q_975, q_25, q_75) or "
+            f"'{prediction_std}' column must be present."
+        )
+    has_conf = "confidence" in df.columns
+
+    # dropna over every column the metrics read (model_utils.py:567-585)
+    used = [target_col, prediction]
+    if prediction_std in df.columns:
+        used.append(prediction_std)
+    if has_conf:
+        used.append("confidence")
+    if has_q:
+        used += [c for q in _QCOLS.values() for c in q if c in df.columns]
+    cond = None
+    for c in used:
+        ok = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+        cond = ok if cond is None else (cond & ok)
+    d = df.filter(cond)
+
+    y = F.col(target_col).cast("double")
+    pred = F.col(prediction).cast("double")
+    std = F.col(prediction_std).cast("double") if prediction_std in df.columns else None
+
+    def bounds(level: int):
+        if has_q:
+            lo, hi = _QCOLS[level]
+            # reference fallback: missing 68% quantiles borrow the 80% ones
+            if lo not in df.columns:
+                lo, hi = _QCOLS[80]
+            return F.col(lo).cast("double"), F.col(hi).cast("double")
+        z = _GAUSS_Z[level]
+        return pred - z * std, pred + z * std
+
+    med = (
+        (lambda c: F.percentile(c, F.lit(0.5)))
+        if exact
+        else (lambda c: F.percentile_approx(c, F.lit(0.5), F.lit(10000)))
+    )
+
+    aggs = []
+    for level in (68, 80, 90, 95):
+        lo, hi = bounds(level)
+        aggs.append(F.avg(((y >= lo) & (y <= hi)).cast("double")).alias(f"coverage_{level}"))
+    for level in (50, 68, 80, 90, 95):
+        lo, hi = bounds(level)
+        aggs.append(med(hi - lo).alias(f"median_width_{level}"))
+    if std is not None:
+        aggs.append(med(std).alias("median_std"))
+        z = (y - pred) / std
+        crps = std * (
+            z * (2.0 * _norm_cdf(z) - 1.0) + 2.0 * _norm_pdf(z) - _INV_SQRT_PI
+        )
+        aggs.append(F.avg(crps).alias("mean_crps"))
+    else:
+        aggs.append(F.lit(None).cast("double").alias("median_std"))
+        aggs.append(F.lit(None).cast("double").alias("mean_crps"))
+    lo95, hi95 = bounds(95)
+    alpha = 0.05
+    is95 = (
+        (hi95 - lo95)
+        + (2.0 / alpha) * (lo95 - y) * (y < lo95).cast("double")
+        + (2.0 / alpha) * (y - hi95) * (y > hi95).cast("double")
+    )
+    aggs.append(F.avg(is95).alias("mean_interval_score_95"))
+    aggs.append(F.count(F.lit(1)).alias("n_samples"))
+
+    # Spearman correlations need rank columns (a window pass) before the agg
+    lo68, hi68 = bounds(68)
+    ranked = (
+        d.withColumn("__w68", hi68 - lo68)
+        .withColumn("__ar", F.abs(y - pred))
+        .withColumn("__rw", _avg_rank("__w68"))
+        .withColumn("__rr", _avg_rank("__ar"))
+    )
+    # _safe_corr: ANSI mode makes F.corr raise DIVIDE_BY_ZERO on constant
+    # columns (e.g. uniform interval widths); NULL matches DuckDB corr()
+    from workbench_spark.operators.ensembles import _safe_corr
+
+    aggs.append(_safe_corr(F.col("__rw"), F.col("__rr")).alias("interval_to_error_corr"))
+    if has_conf:
+        ranked = ranked.withColumn("__rc", _avg_rank("confidence"))
+        aggs.append(_safe_corr(F.col("__rc"), F.col("__rr")).alias("confidence_to_error_corr"))
+    else:
+        aggs.append(F.lit(None).cast("double").alias("confidence_to_error_corr"))
+
+    order = (
+        [f"coverage_{x}" for x in (68, 80, 90, 95)]
+        + ["median_std"]
+        + [f"median_width_{x}" for x in (50, 68, 80, 90, 95)]
+        + ["mean_crps", "mean_interval_score_95",
+           "interval_to_error_corr", "confidence_to_error_corr", "n_samples"]
+    )
+    return ranked.agg(*aggs).select(*order)

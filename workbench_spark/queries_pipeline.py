@@ -1429,6 +1429,96 @@ def m4_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m4_uq_metrics_panel",
+    """
+    WITH d AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS y,
+             CAST(o_totalprice * 0.95 + 1000 AS DOUBLE) AS pred,
+             CAST(500 + (o_orderkey % 100) * 10 AS DOUBLE) AS std,
+             1.0/(1.0 + (o_orderkey % 100)/10.0) AS confidence
+      FROM orders
+    ),
+    scored AS (
+      SELECT *,
+             (y - pred)/std AS z,
+             abs(y - pred) AS ar,
+             (pred + 1.0*std) - (pred - 1.0*std) AS w68
+      FROM d
+    ),
+    erf AS (
+      SELECT *,
+             1/(1 + 0.3275911 * (abs(z)/sqrt(CAST(2.0 AS DOUBLE)))) AS t,
+             abs(z)/sqrt(CAST(2.0 AS DOUBLE)) AS x
+      FROM scored
+    ),
+    cdf AS (
+      SELECT *,
+             (1.0 + sign(z) * (1.0 - (0.254829592*t + (-0.284496736)*power(t,2)
+                + 1.421413741*power(t,3) + (-1.453152027)*power(t,4)
+                + 1.061405429*power(t,5)) * exp(-x*x))) / 2.0 AS phi,
+             (1/sqrt(2*pi())) * exp(-z*z/2.0) AS pdf
+      FROM erf
+    ),
+    ranked AS (
+      SELECT *,
+             RANK() OVER (ORDER BY w68) + (COUNT(*) OVER (PARTITION BY w68) - 1) / 2.0 AS rw,
+             RANK() OVER (ORDER BY ar) + (COUNT(*) OVER (PARTITION BY ar) - 1) / 2.0 AS rr,
+             RANK() OVER (ORDER BY confidence) + (COUNT(*) OVER (PARTITION BY confidence) - 1) / 2.0 AS rc
+      FROM cdf
+    )
+    SELECT
+      ROUND(avg(CASE WHEN y >= pred - 1.0*std AND y <= pred + 1.0*std THEN 1.0 ELSE 0.0 END), 6) AS coverage_68,
+      ROUND(avg(CASE WHEN y >= pred - 1.282*std AND y <= pred + 1.282*std THEN 1.0 ELSE 0.0 END), 6) AS coverage_80,
+      ROUND(avg(CASE WHEN y >= pred - 1.645*std AND y <= pred + 1.645*std THEN 1.0 ELSE 0.0 END), 6) AS coverage_90,
+      ROUND(avg(CASE WHEN y >= pred - 1.96*std AND y <= pred + 1.96*std THEN 1.0 ELSE 0.0 END), 6) AS coverage_95,
+      ROUND(quantile_cont(std, 0.5), 4) AS median_std,
+      ROUND(quantile_cont((pred + 0.674*std) - (pred - 0.674*std), 0.5), 4) AS median_width_50,
+      ROUND(quantile_cont(w68, 0.5), 4) AS median_width_68,
+      ROUND(quantile_cont((pred + 1.282*std) - (pred - 1.282*std), 0.5), 4) AS median_width_80,
+      ROUND(quantile_cont((pred + 1.645*std) - (pred - 1.645*std), 0.5), 4) AS median_width_90,
+      ROUND(quantile_cont((pred + 1.96*std) - (pred - 1.96*std), 0.5), 4) AS median_width_95,
+      ROUND(avg(std * (z * (2.0*phi - 1.0) + 2.0*pdf - 1/sqrt(pi()))), 4) AS mean_crps,
+      ROUND(avg(((pred + 1.96*std) - (pred - 1.96*std))
+          + 40.0 * ((pred - 1.96*std) - y) * (CASE WHEN y < pred - 1.96*std THEN 1.0 ELSE 0.0 END)
+          + 40.0 * (y - (pred + 1.96*std)) * (CASE WHEN y > pred + 1.96*std THEN 1.0 ELSE 0.0 END)), 4)
+        AS mean_interval_score_95,
+      ROUND(corr(rw, rr), 6) AS interval_to_error_corr,
+      ROUND(corr(rc, rr), 6) AS confidence_to_error_corr,
+      CAST(COUNT(*) AS BIGINT) AS n_samples
+    FROM ranked
+    """,
+)
+def m4_uq_metrics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uq_metrics (model_utils.py:540-686) — the full UQ evaluation panel
+    over a deterministic Gaussian-std frame. The oracle replays the exact
+    A&S-7.1.26 CRPS closed form, so the whole panel (coverages, exact
+    median widths, CRPS, interval score, both Spearman correlations) is
+    hash-checked."""
+    from workbench_spark.operators.uq import uq_metrics
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("y"),
+        (F.col("o_totalprice") * 0.95 + 1000).cast("double").alias("prediction"),
+        (500 + (F.col("o_orderkey") % 100) * 10).cast("double").alias("prediction_std"),
+        (F.lit(1.0) / (1.0 + (F.col("o_orderkey") % 100) / 10.0)).alias("confidence"),
+    )
+    out = uq_metrics(o, "y", exact=True)
+    rounds = {
+        **{f"coverage_{x}": 6 for x in (68, 80, 90, 95)},
+        "median_std": 4,
+        **{f"median_width_{x}": 4 for x in (50, 68, 80, 90, 95)},
+        "mean_crps": 4,
+        "mean_interval_score_95": 4,
+        "interval_to_error_corr": 6,
+        "confidence_to_error_corr": 6,
+    }
+    return out.select(
+        *[F.round(c, r).alias(c) for c, r in rounds.items()],
+        F.col("n_samples").cast("long").alias("n_samples"),
+    )
+
+
+@query(
     "m4_uq_applicability",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
