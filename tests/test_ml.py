@@ -615,3 +615,108 @@ def test_uq_metrics_validation_and_dropna(spark):
     )
     out = uq_metrics(good, "y").toPandas().iloc[0]
     assert out["n_samples"] == 2
+
+
+# ---------------------------------------------------- model comparison
+@pytest.fixture(scope="session")
+def contest_models(spark, warehouse):
+    """Champion + two challengers on the same learnable regression task
+    (different algos → different metrics), for the comparison suite."""
+    from workbench_spark.api.model import Model
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_rev"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).select(
+        "net_rev", "total_qty", "avg_price", "n_lines",
+        (F.col("l_orderkey") % 5 == 0).alias("validation"),
+    )
+    models = []
+    for name, algo in (("champ_gbt", "xgb"), ("chall_rf", "rf"), ("chall_lin", "linear")):
+        models.append(
+            Model.train(
+                df, name, target="net_rev",
+                features=["total_qty", "avg_price", "n_lines"],
+                model_type="regressor", algo=algo,
+                warehouse=warehouse, spark=spark,
+            )
+        )
+    return models, df
+
+
+def test_model_comparison_delta_semantics(contest_models):
+    from workbench_spark.api.model_comparison import LOWER_IS_BETTER, model_comparison
+
+    (champ, rf, lin), _ = contest_models
+    cmp_df = model_comparison(champ, rf)
+    assert list(cmp_df.index) == ["champ_gbt", "chall_rf", "delta"]
+    # delta sign: positive means model_b better on every metric
+    for col in cmp_df.columns:
+        a, b, d = cmp_df[col]
+        expected = (a - b) if col in LOWER_IS_BETTER else (b - a)
+        assert d == pytest.approx(expected)
+
+
+def test_rank_and_contest_ranking(contest_models):
+    from workbench_spark.api.model_comparison import contest_ranking, rank_models
+
+    (champ, rf, lin), _ = contest_models
+    ranked = rank_models([champ, rf, lin])
+    assert len(ranked) == 3
+    assert ranked["rmse"].is_monotonic_increasing  # regressors rank by rmse asc
+    cr = contest_ranking(champ, [rf, lin])
+    assert "Δrmse" in cr.columns and "Δsupport" not in cr.columns
+    # Δ vs champion: champion's own rmse minus the challenger's
+    champ_rmse = champ.metrics()["rmse"]
+    for name in cr.index:
+        assert cr.loc[name, "Δrmse"] == pytest.approx(champ_rmse - cr.loc[name, "rmse"])
+
+
+def test_contest_report_and_contested_flag(contest_models):
+    from workbench_spark.api.model_comparison import contest_report
+
+    (champ, rf, lin), _ = contest_models
+    rep = contest_report(champ, [rf, lin], "pricing-endpoint")
+    assert rep is not None and len(rep) == 3
+    assert rep.iloc[0]["role"] == "champion"
+    assert set(rep["role"]) == {"champion", "challenger"}
+    assert (rep[rep["role"] == "champion"]["Δrmse"] == 0.0).all()
+    assert rep["endpoint"].eq("pricing-endpoint").all()
+    assert rep["framework"].iloc[0] == "xgb"
+    assert rep["contested"].dtype == bool
+
+
+def test_prediction_comparison_stacks(contest_models, spark):
+    from workbench_spark.api.model_comparison import prediction_comparison
+
+    (champ, rf, _), df = contest_models
+    out = prediction_comparison(champ.to_endpoint(), rf.to_endpoint(), df.limit(20))
+    assert out.count() == 40
+    assert set(r["model"] for r in out.select("model").distinct().collect()) == {
+        "champ_gbt", "chall_rf",
+    }
+    assert "prediction" in out.columns
+
+
+def test_find_contests_roundtrip(contest_models, spark, warehouse):
+    from workbench_spark.api.model_comparison import (
+        contest_report,
+        contest_summary,
+        find_contests,
+    )
+    from workbench_spark.api.reports import Reports
+
+    (champ, rf, lin), _ = contest_models
+    rep = contest_report(champ, [rf, lin], "pricing-endpoint")
+    reports = Reports(spark=spark, root=warehouse)
+    reports.upsert("/contests/pricing-endpoint", spark.createDataFrame(rep))
+    hits = find_contests("chall_rf", reports)
+    assert hits and hits[0]["role"] == "challenger"
+    assert hits[0]["endpoint"] == "pricing-endpoint"
+    summary = contest_summary(reports)
+    assert summary and summary[0]["champion"] == "champ_gbt"
+    assert summary[0]["n_challengers"] == 2
+    assert summary[0]["recent_change"] is True
