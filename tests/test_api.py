@@ -377,3 +377,42 @@ def test_athena_shim_round4_builtins():
         "SELECT get_json_object(j, '$.a.b') FROM d"
     # literals stay protected
     assert t("SELECT 'contains(x)' FROM d") == "SELECT 'contains(x)' FROM d"
+
+
+# ---------------------------------------------------- compare_dataframes
+def test_compare_dataframes_semantics(spark):
+    from workbench_spark.operators.compare import compare_dataframes, dataframes_equal
+
+    df1 = spark.createDataFrame(
+        [(1, "x", 1.0, 10), (2, "", 2.0, 20), (3, None, float("nan"), 30)],
+        "k int, s string, f double, i int",
+    )
+    # s: NULL vs '' equal; f: NaN==NaN, epsilon tolerance; i: one diff; row 4 only in df2
+    df2 = spark.createDataFrame(
+        [(1, "x", 1.0 + 5e-11, 10), (2, None, 2.5, 21), (3, None, float("nan"), 30), (4, "z", 4.0, 40)],
+        "k int, s string, f double, i int",
+    )
+    rep = {(r["column"], r["status"]): r["n_differences"]
+           for r in compare_dataframes(df1, df2, "k").collect()}
+    assert rep[("__rows_only_in_df1", "row_count")] == 0
+    assert rep[("__rows_only_in_df2", "row_count")] == 1
+    assert rep[("s", "equal")] == 0          # NULL == '' per reference fillna
+    assert rep[("f", "differences")] == 1    # only the 2.0 vs 2.5 row; 5e-11 within epsilon
+    assert rep[("i", "differences")] == 1
+    assert not dataframes_equal(df1, df2, "k")
+    assert dataframes_equal(df1, df1, "k")
+
+
+def test_compare_dataframes_structure_report(spark):
+    from workbench_spark.operators.compare import compare_dataframes
+
+    df1 = spark.createDataFrame([(1, "a", 5)], "k int, only1 string, both int")
+    df2 = spark.createDataFrame([(1, 2.0, "5")], "k int, only2 double, both string")
+    rep = {r["column"]: r["status"] for r in compare_dataframes(df1, df2, "k").collect()}
+    assert rep["only1"] == "only_in_df1"
+    assert rep["only2"] == "only_in_df2"
+    assert rep["both"] == "type_mismatch"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="key"):
+        compare_dataframes(df1, df2, "nope")

@@ -1027,6 +1027,78 @@ def a13_strategy_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("strategy", F.round("mae", 6).alias("mae"))
 
 
+@query(
+    "u_compare_dataframes",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey,
+             o_custkey + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice + CASE WHEN o_orderkey % 10 = 0 THEN 5.0 ELSE 0.0 END AS o_totalprice,
+             o_orderdate
+      FROM orders WHERE o_orderkey % 13 != 0
+    ),
+    j AS (
+      SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+             a.o_custkey AS c1, b.o_custkey AS c2,
+             a.o_orderstatus AS s1, b.o_orderstatus AS s2,
+             a.o_totalprice AS p1, b.o_totalprice AS p2
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    ),
+    agg AS (
+      SELECT
+        SUM(CASE WHEN kb IS NULL THEN 1 ELSE 0 END) AS rows1,
+        SUM(CASE WHEN ka IS NULL THEN 1 ELSE 0 END) AS rows2,
+        SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                  AND NOT (c1 IS NOT DISTINCT FROM c2) THEN 1 ELSE 0 END) AS d_cust,
+        SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                  AND COALESCE(s1, '') != COALESCE(s2, '') THEN 1 ELSE 0 END) AS d_status,
+        SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                  AND NOT (p1 IS NULL AND p2 IS NULL)
+                  AND NOT COALESCE(abs(p1 - p2) <= 1e-10, false) THEN 1 ELSE 0 END) AS d_price
+      FROM j
+    )
+    SELECT * FROM (
+      SELECT '__rows_only_in_df1' AS "column", 'row_count' AS status,
+             CAST(rows1 AS BIGINT) AS n_differences FROM agg
+      UNION ALL SELECT '__rows_only_in_df2', 'row_count', CAST(rows2 AS BIGINT) FROM agg
+      UNION ALL SELECT 'o_orderpriority', 'only_in_df1', NULL FROM agg
+      UNION ALL SELECT 'o_orderdate', 'only_in_df2', NULL FROM agg
+      UNION ALL SELECT 'o_custkey',
+             CASE WHEN d_cust > 0 THEN 'differences' ELSE 'equal' END,
+             CAST(d_cust AS BIGINT) FROM agg
+      UNION ALL SELECT 'o_orderstatus',
+             CASE WHEN d_status > 0 THEN 'differences' ELSE 'equal' END,
+             CAST(d_status AS BIGINT) FROM agg
+      UNION ALL SELECT 'o_totalprice',
+             CASE WHEN d_price > 0 THEN 'differences' ELSE 'equal' END,
+             CAST(d_price AS BIGINT) FROM agg
+    ) ORDER BY "column"
+    """,
+)
+def u_compare_dataframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compare_dataframes (pandas_utils.py:97-186) as a keyed diff report:
+    one full-outer join + one agg pass. The perturbed copy exercises every
+    report path — dropped rows, one-sided columns, int/string/float-epsilon
+    differences, NULL-as-equal semantics."""
+    from workbench_spark.operators.compare import compare_dataframes
+
+    o = _t(spark, sf_dir, "orders")
+    df1 = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    df2 = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") + F.when(F.col("o_orderkey") % 5 == 0, 1).otherwise(0)).alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.when(F.col("o_orderkey") % 10 == 0, 5.0).otherwise(0.0)).alias("o_totalprice"),
+        "o_orderdate",
+    )
+    return compare_dataframes(df1, df2, "o_orderkey").orderBy("column")
+
+
 # Synthesized 3-class probability panel over events: integer-modulus raw
 # scores (bit-identical in any engine) normalized to probabilities, argmax
 # prediction. Shared by the two proba-operator oracles below.
