@@ -809,3 +809,37 @@ def electronic_descriptors(df: DataFrame, smiles_col: str = "smiles") -> DataFra
     return df.withColumn("__elec", compute(F.col(smiles_col))).select(
         "*", "__elec.*"
     ).drop("__elec")
+
+
+def mqn_42_descriptors(df: DataFrame, smiles_col: str = "smiles") -> DataFrame:
+    """C2 extension — the 42 Molecular Quantum Numbers (Nguyen/Reymond
+    2009; the reference reaches the same counts through RDKit's
+    rdMolDescriptors.MQNs_). Pure graph counts from chem/mqn.py —
+    atom/bond/polarity/topology buckets over the Kekulé form; definitional
+    choices documented in the module docstring. Arrow-batched UDF stage,
+    one int column per MQN; unparseable SMILES → all-NULL row."""
+    from workbench_spark.chem.mqn import MQN_NAMES
+
+    fields = ", ".join(f"{n} int" for n in MQN_NAMES)
+
+    @pandas_udf(fields)
+    def compute(smiles: pd.Series) -> pd.DataFrame:
+        from workbench_spark.chem.mqn import mqn_descriptors
+        from workbench_spark.chem.smiles import SmilesError, parse_smiles
+
+        rows = []
+        for s in smiles:
+            if s is None or not str(s).strip():
+                rows.append([None] * len(MQN_NAMES))
+                continue
+            try:
+                d = mqn_descriptors(parse_smiles(str(s)))
+            except SmilesError:
+                rows.append([None] * len(MQN_NAMES))
+                continue
+            rows.append([d[n] for n in MQN_NAMES])
+        return pd.DataFrame(rows, columns=list(MQN_NAMES))
+
+    return df.withColumn("__mqn", compute(F.col(smiles_col))).select(
+        "*", "__mqn.*"
+    ).drop("__mqn")

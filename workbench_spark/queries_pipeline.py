@@ -2407,6 +2407,55 @@ def chem_topology_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chem_mqn_golden",
+    """
+    -- hand-counted from the Nguyen/Reymond 2009 MQN definitions
+    -- (chem/mqn.py documents each bucket; Kekulé bond counts:
+    --  benzene 3+3, naphthalene 6 single + 5 double over 11 ring bonds;
+    --  glycine: pos=1 primary amine, neg=1 carboxylic acid, hbam=5
+    --  lone pairs (N:1 + 2×O:2); naphthalene fusion: afr=2, bfr=1)
+    SELECT * FROM (VALUES
+      (1, 2,0,0,0,0,0,0, 0,0,1,0, 3,  2,0,0,0,0,0, 0,  1,1,1,2,0,0,
+          2,1,0,0, 0,0,0,  0,0,0,0,0,0,0, 0, 0,0),
+      (2, 6,0,0,0,0,0,0, 0,0,0,0, 6,  0,0,0,3,3,0, 0,  0,0,0,0,0,0,
+          0,0,0,0, 6,0,0,  0,0,0,1,0,0,0, 0, 0,0),
+      (3, 2,0,0,0,0,0,0, 1,0,2,0, 5,  3,1,0,0,0,0, 1,  2,3,3,5,1,1,
+          3,1,1,0, 0,0,0,  0,0,0,0,0,0,0, 0, 0,0),
+      (4, 4,0,0,0,0,0,0, 0,1,0,1, 6,  0,0,0,6,0,0, 0,  1,1,2,3,1,0,
+          0,0,0,0, 6,0,0,  0,0,0,1,0,0,0, 0, 0,0),
+      (5, 10,0,0,0,0,0,0, 0,0,0,0, 10, 0,0,0,6,5,0, 0,  0,0,0,0,0,0,
+          0,0,0,0, 8,2,0,  0,0,0,2,0,0,0, 0, 2,1)
+    ) AS t(mol_id, mqn_c, mqn_f, mqn_cl, mqn_br, mqn_i, mqn_s, mqn_p,
+           mqn_an, mqn_cn, mqn_ao, mqn_co, mqn_hac,
+           mqn_asb, mqn_adb, mqn_atb, mqn_csb, mqn_cdb, mqn_ctb, mqn_rbc,
+           mqn_hbd, mqn_hbdm, mqn_hba, mqn_hbam, mqn_pos, mqn_neg,
+           mqn_asv, mqn_adv, mqn_atv, mqn_aqv, mqn_cdv, mqn_ctv, mqn_cqv,
+           mqn_r3, mqn_r4, mqn_r5, mqn_r6, mqn_r7, mqn_r8, mqn_r9,
+           mqn_rg10, mqn_afr, mqn_bfr)
+    """,
+)
+def chem_mqn_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 extension — the 42 Molecular Quantum Numbers (Nguyen/Reymond
+    2009) for a hand-counted panel: ethanol, benzene, glycine, morpholine,
+    naphthalene. Every one of the 42 columns is checked; the oracle values
+    were counted by hand from the published definitions, independent of
+    the engine."""
+    from workbench_spark.operators.chem import mqn_42_descriptors
+
+    mols = spark.createDataFrame(
+        [
+            (1, "CCO"),
+            (2, "c1ccccc1"),
+            (3, "NCC(=O)O"),
+            (4, "C1COCCN1"),
+            (5, "c1ccc2ccccc2c1"),
+        ],
+        "mol_id int, smiles string",
+    )
+    return mqn_42_descriptors(mols).drop("smiles")
+
+
+@query(
     "chem_extended_golden",
     """
     -- hand-derived from the published formulas (chem/extended.py):
