@@ -362,3 +362,34 @@ def test_stream_admit_against_corpus_matches_batch(spark, tmp_path):
     }
     assert streamed == expected
     assert streamed == {60000, 60001, 60002, 60003}
+
+
+def test_stream_windowed_drift_matches_batch_psi(spark):
+    """Streaming per-window PSI (one windowed agg, conditional-sum bins)
+    must match operators/drift.psi computed per window in batch."""
+    from workbench_spark.operators.drift import psi
+    from workbench_spark.session import read_table
+    from workbench_spark.streaming.monitor import run_stream_to_memory, stream_windowed_drift
+
+    ev = read_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    baseline = ev.filter(F.col("event_id") % 2 == 0)
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "drift_src")
+        ev.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = stream_windowed_drift(
+            spark, src, schema, baseline, "value", 0.0, 100.0,
+            bins=10, window="1 hour", watermark="2 hours",
+        )
+        out = run_stream_to_memory(stream, "drift_out")
+        emitted = out.collect()
+        assert len(emitted) > 0
+        for r in emitted[:5]:  # spot-check a handful of windows vs batch
+            cur = ev.filter(
+                (F.col("ts") >= r["window_start"]) & (F.col("ts") < r["window_end"])
+            )
+            batch_psi = psi(baseline, cur, "value", 0.0, 100.0, 10).first()["psi"]
+            assert r["psi"] == pytest.approx(batch_psi, rel=1e-9, abs=1e-12)
+            assert r["n"] == cur.count()
+        # identical distributions drift little; all PSI finite and >= 0
+        assert all(r["psi"] >= 0 or abs(r["psi"]) < 1e-9 for r in emitted)

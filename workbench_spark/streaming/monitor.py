@@ -232,3 +232,80 @@ def stream_admit_against_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_windowed_drift(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    baseline: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    eps: float = 1e-6,
+):
+    """Per-window PSI drift against a static baseline, fully streaming.
+
+    The reference's drift check is a scheduled batch job over capture
+    files (monitor_core.py:195-260); this is its Structured-Streaming
+    twin: one watermarked event-time windowed aggregation emitting
+    (window, n, psi) rows as windows close.
+
+    Streaming shape: PSI needs per-window bucket fractions, but a second
+    aggregation over a streaming aggregate is unsupported (and would add
+    a shuffle). Instead the ``bins`` bucket counts are conditional sums
+    inside the SINGLE windowed aggregation — O(bins) state per window —
+    and PSI is a closed-form projection over those count columns. The
+    baseline side is collected ONCE into ``bins`` constant fractions
+    (a handful of doubles on the driver, independent of baseline size),
+    exactly like the UQ calibration CDF. Bucketing matches
+    operators/drift.binned_distribution (edge values clamp into the end
+    buckets), so a batch psi() over the same window is the oracle twin.
+    """
+    from workbench_spark.operators.drift import binned_distribution
+
+    base = {
+        r["bucket"]: r["frac"]
+        for r in binned_distribution(baseline, column, lo, hi, bins).collect()
+    }
+    p = [max(base.get(i, 0.0), eps) for i in range(bins)]
+
+    width = (hi - lo) / bins
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(column) - lo) / width)),
+    ).cast("int")
+
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    agg = (
+        stream.filter(F.col(column).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.when(bucket == i, 1).otherwise(0)).alias(f"__b{i}")
+                for i in range(bins)
+            ],
+        )
+    )
+    q_frac = [
+        F.greatest(F.col(f"__b{i}") / F.col("n"), F.lit(eps)) for i in range(bins)
+    ]
+    psi_expr = sum(
+        (
+            (F.lit(p[i]) - q_frac[i]) * F.log(F.lit(p[i]) / q_frac[i])
+            for i in range(1, bins)
+        ),
+        (F.lit(p[0]) - q_frac[0]) * F.log(F.lit(p[0]) / q_frac[0]),
+    )
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n",
+        psi_expr.alias("psi"),
+    )
