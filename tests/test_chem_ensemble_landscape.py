@@ -351,3 +351,62 @@ def test_toxicity_tags_operator(spark):
     assert out["t2"]["is_toxic"] and "trichloromethyl" in out["t2"]["toxic_groups"]
     assert out["t3"]["heavy_metals"] and out["t3"]["toxic_elements"] == ["Hg"]
     assert out["t4"]["is_toxic"] is None  # unknown != safe
+
+
+def test_dag_with_prediction_aggregator(spark):
+    """Full reference DAG shape: parallel predictor branches → calibrated
+    strategy aggregation node (aggregation_nodes.py:310-388)."""
+    import numpy as np
+
+    from workbench_spark.plans.transform import (
+        DagNode,
+        Mean,
+        MetaEndpointDag,
+        ScaledConfidenceWeighted,
+        Vote,
+        WeightedMean,
+    )
+
+    base = spark.createDataFrame([(i, float(i)) for i in range(6)], "id int, x double")
+    branches = [
+        DagNode("m1", lambda d: d.withColumn("p1", F.col("x") * 2)
+                .withColumn("c1", F.lit(0.9)), ["x"], ["p1", "c1"]),
+        DagNode("m2", lambda d: d.withColumn("p2", F.col("x") * 2 + 1)
+                .withColumn("c2", F.lit(0.1)), ["x"], ["p2", "c2"]),
+    ]
+    dag = MetaEndpointDag(
+        branches,
+        aggregator=ScaledConfidenceWeighted("ens", model_weights=[1.0, 1.0]),
+        pred_cols=["p1", "p2"],
+        conf_cols=["c1", "c2"],
+    )
+    out = {r["id"]: r for r in dag.run(base).collect()}
+    # weights ∝ conf*mw → (0.9, 0.1)/1.0; x=2: 0.9*4 + 0.1*5 = 4.1
+    assert out[2]["prediction"] == pytest.approx(0.9 * 4 + 0.1 * 5)
+    assert out[2]["prediction_std"] == pytest.approx(np.std([4.0, 5.0]))
+    assert "confidence" in out[2].asDict()
+
+    # Mean node over the same branches
+    mean_dag = MetaEndpointDag(branches, aggregator=Mean("avg"), pred_cols=["p1", "p2"])
+    m = {r["id"]: r for r in mean_dag.run(base).collect()}
+    assert m[2]["prediction"] == pytest.approx(4.5)
+
+    # contract validation: aggregator referencing an undeclared column
+    bad = MetaEndpointDag(branches, aggregator=Mean("avg"), pred_cols=["nope"])
+    assert any("not declared" in p for p in bad.validate(base))
+    with pytest.raises(ValueError):
+        bad.run(base)
+
+    # arity validation mirrors the reference _check_arity
+    with pytest.raises(ValueError, match="weights"):
+        MetaEndpointDag(
+            branches, aggregator=WeightedMean("w", [1.0]), pred_cols=["p1", "p2"]
+        ).run(base)
+    # Vote over categorical branches
+    cat = [
+        DagNode("a", lambda d: d.withColumn("v1", F.lit("x")), ["x"], ["v1"]),
+        DagNode("b", lambda d: d.withColumn("v2", F.lit("y")), ["x"], ["v2"]),
+        DagNode("c", lambda d: d.withColumn("v3", F.lit("y")), ["x"], ["v3"]),
+    ]
+    v = MetaEndpointDag(cat, aggregator=Vote("v"), pred_cols=["v1", "v2", "v3"]).run(base)
+    assert v.select("prediction").distinct().collect()[0]["prediction"] == "y"

@@ -79,8 +79,22 @@ class MetaEndpointDag:
 
     ROW_ID = "__dag_row_id"
 
-    def __init__(self, branches: list[DagNode]):
+    def __init__(
+        self,
+        branches: list[DagNode],
+        aggregator: "PredictionAggregator | None" = None,
+        pred_cols: list[str] | None = None,
+        conf_cols: list[str] | None = None,
+    ):
+        """Optionally reduce the joined branch outputs with a prediction
+        aggregation node (the reference's [endpoints] → Mean/Vote/strategy
+        DAG shape, meta_endpoint_dag.py + aggregation_nodes.py). pred_cols
+        (and conf_cols for the calibrated strategies) name the branch
+        output columns to combine; they must be declared branch outputs."""
         self.branches = branches
+        self.aggregator = aggregator
+        self.pred_cols = pred_cols or []
+        self.conf_cols = conf_cols
 
     def validate(self, df: DataFrame) -> list[str]:
         """Static contract check against the input schema; returns problems."""
@@ -98,6 +112,14 @@ class MetaEndpointDag:
                         f"branch {b.name}: output column {c!r} collides with {seen[c]}"
                     )
                 seen[c] = b.name
+        if self.aggregator is not None:
+            declared = {c for b in self.branches for c in b.output_columns}
+            for c in list(self.pred_cols) + list(self.conf_cols or []):
+                if c not in declared:
+                    problems.append(
+                        f"aggregator {self.aggregator.name}: column {c!r} "
+                        "is not declared by any branch"
+                    )
         return problems
 
     def run(self, df: DataFrame) -> DataFrame:
@@ -113,4 +135,127 @@ class MetaEndpointDag:
             out = b.fn(branch_in)
             outs.append(out.select(self.ROW_ID, *b.output_columns))
         joined = column_union_join([base] + outs, self.ROW_ID)
+        if self.aggregator is not None:
+            joined = self.aggregator.apply(joined, self.pred_cols, self.conf_cols)
         return joined.drop(self.ROW_ID)
+
+
+# ------------------------------------------------------ aggregation nodes
+class PredictionAggregator:
+    """Base prediction-aggregation node (aggregation_nodes.py:120-185):
+    combines per-branch prediction columns after the DAG join into a
+    single ``prediction`` (and, for the calibrated strategies,
+    ``prediction_std`` + ``confidence``). Pure column math from
+    operators/ensembles — no extra shuffle beyond the DAG join itself."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def output_columns(self) -> list[str]:
+        return ["prediction"]
+
+    def apply(
+        self, df: DataFrame, pred_cols: list[str], conf_cols: list[str] | None = None
+    ) -> DataFrame:
+        raise NotImplementedError
+
+    def _check_arity(self, pred_cols: list[str], n: int) -> None:
+        if len(pred_cols) != n:
+            raise ValueError(
+                f"{type(self).__name__}[{self.name}]: got {len(pred_cols)} "
+                f"upstream prediction columns but {n} weights"
+            )
+
+
+class Mean(PredictionAggregator):
+    """aggregation_nodes.py:187-199 — row-wise branch average."""
+
+    def apply(self, df, pred_cols, conf_cols=None):
+        from workbench_spark.operators.ensembles import ensemble_mean
+
+        return ensemble_mean(df, pred_cols)
+
+
+class WeightedMean(PredictionAggregator):
+    """aggregation_nodes.py:201-228 — static-weight branch average."""
+
+    def __init__(self, name: str, weights: list[float]):
+        super().__init__(name)
+        self.weights = [float(w) for w in weights]
+
+    def apply(self, df, pred_cols, conf_cols=None):
+        from workbench_spark.operators.ensembles import ensemble_weighted_mean
+
+        self._check_arity(pred_cols, len(self.weights))
+        return ensemble_weighted_mean(df, pred_cols, self.weights)
+
+
+class Vote(PredictionAggregator):
+    """aggregation_nodes.py:230-271 — majority vote, smallest-label ties."""
+
+    def apply(self, df, pred_cols, conf_cols=None):
+        from workbench_spark.operators.ensembles import ensemble_vote
+
+        return ensemble_vote(df, pred_cols)
+
+
+class _StrategyAggregator(PredictionAggregator):
+    """aggregation_nodes.py:273-308 — shared parameters for the calibrated
+    strategies; validation mirrors _StrategyAggregator.__init__."""
+
+    STRATEGY = ""
+
+    def __init__(
+        self,
+        name: str,
+        model_weights: list[float],
+        corr_scale: list[float] | None = None,
+        optimal_alpha: float = 0.5,
+    ):
+        super().__init__(name)
+        self.model_weights = [float(w) for w in model_weights]
+        self.corr_scale = corr_scale
+        self.optimal_alpha = float(optimal_alpha)
+
+    def output_columns(self) -> list[str]:
+        return ["prediction", "prediction_std", "confidence"]
+
+    def apply(self, df, pred_cols, conf_cols=None):
+        from workbench_spark.operators.ensembles import ensemble_strategy
+
+        if conf_cols is None:
+            raise ValueError(f"{type(self).__name__}[{self.name}]: needs conf_cols")
+        self._check_arity(pred_cols, len(self.model_weights))
+        return ensemble_strategy(
+            df,
+            pred_cols,
+            conf_cols,
+            strategy=self.STRATEGY,
+            model_weights=self.model_weights,
+            corr_scale=self.corr_scale,
+            optimal_alpha=self.optimal_alpha,
+        )
+
+
+class ConfidenceWeighted(_StrategyAggregator):
+    """aggregation_nodes.py:310-327."""
+
+    STRATEGY = "confidence"
+
+
+class InverseMaeWeighted(_StrategyAggregator):
+    """aggregation_nodes.py:329-347."""
+
+    STRATEGY = "inverse_mae"
+
+
+class ScaledConfidenceWeighted(_StrategyAggregator):
+    """aggregation_nodes.py:349-368."""
+
+    STRATEGY = "scaled_confidence"
+
+
+class CalibratedConfidenceWeighted(_StrategyAggregator):
+    """aggregation_nodes.py:370-388."""
+
+    STRATEGY = "calibrated_confidence"
