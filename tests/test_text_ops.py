@@ -81,3 +81,65 @@ def test_c4_flags_degenerate_corpus(spark):
     out = c4_page_flags(d)
     rows = out.select("n_sentences", "c4_keep", "has_code_brace").collect()
     assert all(r["n_sentences"] == 0 and not r["c4_keep"] for r in rows)
+
+
+# ------------------------------------------------ decontamination / mixing
+def test_decontaminate_planted_overlap(spark):
+    from workbench_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "bid int, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text THE QUICK  Brown fox Jumps over the lazy dog tonight and more"),
+            (2, "a completely different document about spark physical plans"),
+            (3, "short doc"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=10).collect()}
+    # doc 1 contains the full 10-gram despite case/whitespace differences
+    assert out[1]["contaminated"] and out[1]["n_contaminated_ngrams"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_contaminated_ngrams"] == 0
+    assert not out[3]["contaminated"]  # shorter than n words -> no n-grams
+    # every input doc appears exactly once in the report
+    assert len(out) == 3
+
+
+def test_decontaminate_no_fanout_on_common_ngrams(spark):
+    """Benchmark n-grams are deduped before the join, so a phrase repeated
+    across many benchmark docs still matches each doc n-gram once."""
+    from workbench_spark.operators.text import decontaminate
+
+    phrase = "one two three four five"
+    bench = spark.createDataFrame(
+        [(i, phrase) for i in range(10)], "bid int, text string"
+    )
+    docs = spark.createDataFrame([(1, phrase)], "doc_id int, text string")
+    out = decontaminate(docs, bench, n=5).collect()[0]
+    assert out["n_contaminated_ngrams"] == 1  # not 10
+
+
+def test_mixture_weights_reshapes_distribution(spark):
+    from workbench_spark.operators.text import mixture_weights
+
+    docs = spark.createDataFrame(
+        [("a", "w " * 80), ("b", "w " * 15), ("c", "w " * 5)],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in
+           mixture_weights(docs, {"a": 0.5, "b": 0.5}).collect()}
+    assert out["a"]["n_tokens"] == 80
+    assert out["c"]["sampling_weight"] == 0.0  # dropped domain
+    # reweighted expected tokens hit the target ratio: w_s * tokens_s equal
+    wa = out["a"]["sampling_weight"] * out["a"]["n_tokens"]
+    wb = out["b"]["sampling_weight"] * out["b"]["n_tokens"]
+    assert wa == pytest.approx(wb)
+    # fractions normalize even if the target dict doesn't sum to 1
+    out2 = {r["source"]: r for r in
+            mixture_weights(docs, {"a": 2.0, "b": 2.0}).collect()}
+    assert out2["a"]["target_frac"] == pytest.approx(0.5)
+    with pytest.raises(ValueError, match="sum"):
+        mixture_weights(docs, {"a": 0.0})

@@ -365,3 +365,130 @@ def chunk_dedup_stats(
             ).alias("dup_chunk_frac"),
         )
     )
+
+
+# ------------------------------------------------- decontamination / mixing
+def word_ngram_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, distinct word n-grams) — normalized text split once into a
+    words-array column, n-grams sliced from that ATTRIBUTE (the
+    _shingle_sql rule: an expression embedded in the per-element lambda
+    body is re-evaluated per element). Docs shorter than n words emit an
+    empty array."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    words = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    )
+    grams = F.when(
+        F.size("__w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__w", i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return words.select(F.col(id_col), grams.alias("__ngrams"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination by word-n-gram overlap (the GPT-3
+    appendix-C procedure: a training document is contaminated when it
+    shares any length-n word n-gram with an evaluation set; 13-grams in
+    the paper, configurable here).
+
+    Shape: the benchmark collapses to a DISTINCT n-gram set (no per-bench
+    -doc identity survives), so the equi-join multiplicity is at most 1
+    per document n-gram — linear in corpus n-grams, no fan-out even for
+    stop-phrase n-grams, no cross product at any scale. One shuffle on
+    the n-gram key.
+
+    Output: every input doc id with ``n_contaminated_ngrams`` and the
+    ``contaminated`` flag (left join — clean docs report 0/false).
+    """
+    doc_grams = word_ngram_frame(docs, text_col, id_col, n).select(
+        id_col, F.explode("__ngrams").alias("__g")
+    )
+    bench_grams = (
+        word_ngram_frame(
+            benchmark.withColumn("__bid__", F.monotonically_increasing_id()),
+            bench_text_col, "__bid__", n,
+        )
+        .select(F.explode("__ngrams").alias("__g"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(bench_grams, "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    target: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling weights that reshape the corpus token
+    distribution into a target mixture (the domain-reweighting step of
+    training-data pipelines — e.g. the Pile / DoReMi-style fixed target
+    mixtures). weight_s = target_frac_s / current_token_frac_s; sampling
+    with these weights makes expected token counts match the target.
+
+    One aggregation pass (token counts are a map-side regex count);
+    sources absent from ``target`` get weight 0 (dropped domains), and a
+    target source absent from the corpus is simply not emitted — check
+    ``target_frac`` coverage downstream if that must be an error.
+
+    Output per source: n_docs, n_tokens, current_frac, target_frac,
+    sampling_weight.
+    """
+    total = float(sum(target.values()))
+    if total <= 0:
+        raise ValueError("mixture_weights: target fractions must sum > 0")
+    norm_target = {k: v / total for k, v in target.items()}
+    per_source = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    tgt = F.create_map(
+        *[F.lit(x) for kv in norm_target.items() for x in kv]
+    )
+    grand = per_source.agg(F.sum("n_tokens").alias("__t"))
+    return (
+        per_source.crossJoin(F.broadcast(grand))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("__t")).alias("current_frac"),
+            F.coalesce(tgt[F.col(source_col)], F.lit(0.0)).alias("target_frac"),
+        )
+        .withColumn(
+            "sampling_weight",
+            F.when(
+                F.col("current_frac") > 0,
+                F.col("target_frac") / F.col("current_frac"),
+            ).otherwise(0.0),
+        )
+    )

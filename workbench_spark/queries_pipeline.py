@@ -259,6 +259,95 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_decontaminate",
+    """
+    WITH norm AS (
+      SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    doc_grams AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= 8 THEN
+               list_distinct([array_to_string(list_slice(w, i, i + 7), ' ')
+                              for i in generate_series(1, len(w) - 7)])
+             ELSE [] END) AS g
+      FROM norm
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM doc_grams WHERE doc_id % 17 = 0
+    ),
+    hits AS (
+      SELECT d.doc_id, COUNT(*) AS n
+      FROM doc_grams d JOIN bench b ON d.g = b.g
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_contaminated_ngrams,
+           COALESCE(n, 0) > 0 AS contaminated
+    FROM documents LEFT JOIN hits USING (doc_id)
+    """,
+)
+def text_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C word-n-gram overlap,
+    8-grams here for the synthetic corpus): the benchmark is the
+    doc_id%17 slice of the corpus itself, so those docs are contaminated
+    by construction and the oracle checks both hit counting and the
+    clean-doc zero path."""
+    from workbench_spark.operators.text import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    out = decontaminate(d, bench, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated_ngrams").cast("long").alias("n_contaminated_ngrams"),
+        "contaminated",
+    )
+
+
+@query(
+    "text_mixture_weights",
+    """
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(regexp_extract_all(text, '\\S+'))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per_source)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_tokens / CAST(t AS DOUBLE), 6) AS current_frac,
+           CASE WHEN source IN ('src0', 'src1', 'src2') THEN ROUND(0.25/1.0, 6)
+                WHEN source = 'src3' THEN ROUND(0.25/1.0, 6)
+                ELSE 0.0 END AS target_frac,
+           ROUND(CASE WHEN n_tokens > 0 THEN
+                   (CASE WHEN source IN ('src0','src1','src2','src3')
+                         THEN 0.25/1.0 ELSE 0.0 END) / (n_tokens / CAST(t AS DOUBLE))
+                 ELSE 0.0 END, 6) AS sampling_weight
+    FROM per_source CROSS JOIN tot ORDER BY source
+    """,
+)
+def text_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture reweighting: equal 25% target over four sources,
+    everything else dropped (weight 0). One aggregation pass; token
+    counting is the map-side regex count."""
+    from workbench_spark.operators.text import mixture_weights
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_weights(
+        d, {"src0": 0.25, "src1": 0.25, "src2": 0.25, "src3": 0.25}
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("current_frac", 6).alias("current_frac"),
+        F.round("target_frac", 6).alias("target_frac"),
+        F.round("sampling_weight", 6).alias("sampling_weight"),
+    ).orderBy("source")
+
+
 # =====================================================================
 # Deduplication
 # =====================================================================
