@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "m4_uq_coverage": "exact-KNN UQ scoring over broadcast queries",
     "m4_uq_applicability": "exact-KNN UQ scoring over broadcast queries",
     "q22_dormant_accounts": "1-row global-mean-balance aggregate crossed into scan",
+    "text_mixture_weights": "1-row grand-total-tokens aggregate crossed into the per-source frame",
 }
 
 
