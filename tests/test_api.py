@@ -187,6 +187,35 @@ def test_meta_listings(spark, warehouse, ds):
     m = Meta(spark, warehouse=warehouse)
     names = [r["name"] for r in m.data_sources().collect()]
     assert "orders_ds" in names
+    # per-artifact getter + type guard (api/meta.py:171-215 semantics)
+    assert m.data_source("orders_ds") is not None
+    assert m.data_source("no_such") is None
+    assert m.model("orders_ds") is None  # wrong artifact type
+    cfg = m.config()
+    assert cfg["warehouse"] and "spark.master" in cfg
+
+
+def test_meta_champions_and_details(spark, warehouse, ds):
+    from workbench_spark.api import Meta
+    from workbench_spark.api.model import Model
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_totalprice",
+        (F.col("o_totalprice") * 0.5).alias("f1"),
+        (F.col("o_orderkey") % 3 == 0).alias("validation"),
+    )
+    mdl = Model.train(
+        df, "meta_probe_model", target="o_totalprice", features=["f1"],
+        model_type="regressor", algo="linear", warehouse=warehouse, spark=spark,
+    )
+    mdl.to_endpoint("meta_probe_end")
+    meta = Meta(spark, warehouse=warehouse)
+    details = {r["name"]: r for r in meta.models_with_details().collect()}
+    assert details["meta_probe_model"]["algo"] == "linear"
+    assert details["meta_probe_model"]["model_type"] == "regressor"
+    champs = {r["endpoint"]: r["model"] for r in meta.champion_models().collect()}
+    assert champs.get("meta_probe_end") == "meta_probe_model"
+    assert meta.challenger_models("meta_probe_end") == []  # no reports store
 
 
 def test_one_hot_and_undummify(spark):
