@@ -328,3 +328,89 @@ def test_peoe_relabel_invariance_random_molecules(data, seed):
     a = sorted(round(x + y, 9) for x, y in zip(*r1))
     b = sorted(round(x + y, 9) for x, y in zip(*r2))
     assert a == b, (smiles, alt)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+            st.text(alphabet="xyz", min_size=0, max_size=4),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**SETTINGS)
+def test_compare_dataframes_self_is_equal(spark, rows):
+    """Identity contract: any keyed frame compared to itself reports zero
+    structural rows and 'equal' for every column."""
+    from workbench_spark.operators.compare import compare_dataframes, dataframes_equal
+
+    df = spark.createDataFrame(rows, "k int, f double, s string")
+    rep = compare_dataframes(df, df, "k").collect()
+    for r in rep:
+        if r["status"] == "row_count":
+            assert r["n_differences"] == 0
+        else:
+            assert r["status"] == "equal" and r["n_differences"] == 0
+    assert dataframes_equal(df, df, "k")
+
+
+@given(
+    preds=st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+            st.floats(min_value=0, max_value=1, allow_nan=False),
+            st.floats(min_value=0, max_value=1, allow_nan=False),
+            st.floats(min_value=0, max_value=1, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    strategy=st.sampled_from(
+        ["confidence", "inverse_mae", "scaled_confidence", "calibrated_confidence"]
+    ),
+)
+@settings(**SETTINGS)
+def test_ensemble_strategy_convexity(spark, preds, strategy):
+    """Every strategy is a convex combination of the branches: the
+    prediction must lie in [min, max] of the branch predictions, and the
+    population std must be non-negative."""
+    rows = [(i, *p) for i, p in enumerate(preds)]
+    df = spark.createDataFrame(
+        rows, "id int, p1 double, p2 double, p3 double, c1 double, c2 double, c3 double"
+    )
+    from workbench_spark.operators.ensembles import ensemble_strategy
+
+    out = ensemble_strategy(
+        df, ["p1", "p2", "p3"], ["c1", "c2", "c3"],
+        strategy=strategy, model_weights=[1.0, 2.0, 3.0], optimal_alpha=0.5,
+    ).collect()
+    for r in out:
+        lo = min(r["p1"], r["p2"], r["p3"]) - 1e-9
+        hi = max(r["p1"], r["p2"], r["p3"]) + 1e-9
+        assert lo <= r["prediction"] <= hi, (strategy, r)
+        assert r["prediction_std"] >= 0
+
+
+@given(
+    text=st.text(alphabet="ab cd", min_size=0, max_size=60),
+    n=st.integers(min_value=2, max_value=4),
+)
+@settings(**SETTINGS)
+def test_decontaminate_self_benchmark(spark, text, n):
+    """A doc checked against a benchmark containing itself is contaminated
+    iff it has at least n normalized words (i.e. it produces any n-gram)."""
+    from workbench_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = decontaminate(docs, docs, n=n).collect()[0]
+    n_words = len([w for w in text.lower().split() if w])
+    if n_words >= n:
+        assert out["contaminated"]
+    else:
+        assert not out["contaminated"]
