@@ -445,3 +445,31 @@ def test_compare_dataframes_structure_report(spark):
 
     with _pt.raises(ValueError, match="key"):
         compare_dataframes(df1, df2, "nope")
+
+
+def test_athena_round4_builtins_translate(spark):
+    from workbench_spark.functions.athena_sql import translate_athena_sql as t
+
+    # reduce == Spark aggregate (same 4-arg lambda shape)
+    assert t("SELECT reduce(a, 0, (s, x) -> s + x, s -> s) FROM t") == (
+        "SELECT aggregate(a, 0, (s, x) -> s + x, s -> s) FROM t"
+    )
+    assert t("SELECT is_nan(x), day_of_year(d), week(d) FROM t") == (
+        "SELECT isnan(x), dayofyear(d), weekofyear(d) FROM t"
+    )
+    assert t("SELECT nan(), infinity() FROM t") == (
+        "SELECT CAST('NaN' AS DOUBLE), CAST('Infinity' AS DOUBLE) FROM t"
+    )
+    # ISO day_of_week: Presto 1=Monday..7=Sunday == Spark weekday()+1,
+    # nested args survive the balanced-paren wrap
+    assert t("SELECT day_of_week(coalesce(a, cast(b as date))) FROM t") == (
+        "SELECT (weekday(coalesce(a, cast(b as date))) + 1) + 1 FROM t"
+    ).replace(" + 1) + 1 ", " + 1) ")  # guard against accidental double-wrap
+    assert t("SELECT dow(d) FROM t") == "SELECT (weekday(d) + 1) FROM t"
+    # semantics check against Spark itself: 2024-01-01 is a Monday -> 1
+    sql = t("SELECT day_of_week(DATE'2024-01-01') AS dw, "
+            "day_of_week(DATE'2024-01-07') AS sun")
+    row = spark.sql(sql).collect()[0]
+    assert row["dw"] == 1 and row["sun"] == 7
+    # 'week' inside an identifier must NOT be rewritten
+    assert t("SELECT week_total FROM t") == "SELECT week_total FROM t"

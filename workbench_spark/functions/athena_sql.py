@@ -80,7 +80,51 @@ _REPLACEMENTS = [
     # Presto from_unixtime(double) -> TIMESTAMP; Spark's same-named builtin
     # returns a STRING, so map to timestamp_seconds for type parity
     (re.compile(r"\bFROM_UNIXTIME\s*\(", re.I), "timestamp_seconds("),
+    # Presto reduce(arr, init, merge, finish) IS Spark aggregate(...)
+    (re.compile(r"\bREDUCE\s*\(", re.I), "aggregate("),
+    (re.compile(r"\bIS_NAN\s*\(", re.I), "isnan("),
+    (re.compile(r"\bDAY_OF_YEAR\s*\(", re.I), "dayofyear("),
+    (re.compile(r"\bDOY\s*\(", re.I), "dayofyear("),
+    (re.compile(r"\bWEEK_OF_YEAR\s*\(", re.I), "weekofyear("),
+    (re.compile(r"\bWEEK\s*\(", re.I), "weekofyear("),
+    # Presto's zero-arg special values have no Spark function form
+    (re.compile(r"\bNAN\s*\(\s*\)", re.I), "CAST('NaN' AS DOUBLE)"),
+    (re.compile(r"\bINFINITY\s*\(\s*\)", re.I), "CAST('Infinity' AS DOUBLE)"),
 ]
+
+# Presto day_of_week/dow: ISO numbering 1=Monday..7=Sunday. Spark's
+# dayofweek is 1=Sunday..7=Saturday, but weekday() is 0=Monday..6=Sunday,
+# so Presto day_of_week(x) == weekday(x) + 1. The +1 lands AFTER the
+# argument, so this one needs a balanced-paren wrap, not a head rename.
+_DOW_HEAD_RE = re.compile(r"\b(?:DAY_OF_WEEK|DOW)\s*\(", re.I)
+
+
+def _wrap_dow_calls(masked: str) -> str:
+    """Rewrite day_of_week(<args>) -> (weekday(<args>) + 1) with a
+    balanced-paren walk so nested expressions survive."""
+    while True:
+        head = _DOW_HEAD_RE.search(masked)
+        if head is None:
+            return masked
+        open_paren = head.end() - 1
+        depth = 0
+        close = None
+        for i in range(open_paren, len(masked)):
+            if masked[i] == "(":
+                depth += 1
+            elif masked[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close is None:
+            return masked  # unbalanced — leave for Spark's parser to report
+        args = masked[open_paren + 1 : close]
+        masked = (
+            masked[: head.start()]
+            + f"(weekday({args}) + 1)"
+            + masked[close + 1 :]
+        )
 
 _STRING_LITERAL = re.compile(r"'(?:[^']|'')*'")
 
@@ -199,6 +243,7 @@ def translate_athena_sql(sql: str) -> str:
     masked = re.sub(r'"([^"]+)"', r"`\1`", masked)
     for pat, repl in _REPLACEMENTS:
         masked = pat.sub(repl, masked)
+    masked = _wrap_dow_calls(masked)
 
     # MySQL datetime patterns live in the final literal argument of a
     # to_timestamp( / date_format( call (whether produced by _REPLACEMENTS
