@@ -61,3 +61,64 @@ def test_exact_dedup_clusters_from_minhash(spark):
     for p in pairs.collect():
         assert by_node[p["id_a"]] == by_node[p["id_b"]]
         assert by_node[p["id_a"]] <= min(p["id_a"], p["id_b"])
+
+
+def test_connected_components_star_matches_label(spark, chain_edges):
+    from workbench_spark.operators.graph import connected_components
+
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(chain_edges, method="star").collect()
+    }
+    label = {
+        r["node"]: r["component"] for r in connected_components(chain_edges).collect()
+    }
+    assert star == label
+
+
+def test_connected_components_star_random_graph(spark):
+    """Star CC ≡ ground-truth union-find on a seeded random graph."""
+    import random
+
+    from workbench_spark.operators.graph import connected_components
+
+    rng = random.Random(42)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for a, b in edges:
+        truth[a] = find(a)
+        truth[b] = find(b)
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, method="star", max_iter=30).collect()
+    }
+    assert got == truth
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 64-node path: diameter 63, label propagation would need ~63
+    rounds; star must finish well inside max_iter=10 (O(log^2 n))."""
+    from workbench_spark.operators.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = connected_components(df, method="star", max_iter=10)
+    assert {r["component"] for r in got.collect()} == {0}
+    assert got.count() == 64

@@ -74,18 +74,27 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    method: str = "label",
 ) -> DataFrame:
-    """Connected components by min-label propagation: every node starts
-    labeled with its own id; each iteration assigns min(own, neighbors')
-    label; stop when no label changes. Output: (node, component) with
-    component = min node id in the component.
+    """Connected components. Output: (node, component) with component =
+    min node id in the component.
 
-    Scale: each iteration = one shuffle join on node id + one groupBy —
-    O(E) per iteration, iterations bounded by component diameter (near-dup
-    clusters are tiny-diameter, so 2-3 iterations in the dedup use case).
-    For web-scale general graphs use the large-star/small-star variant
-    (halves diameter per round); this simple form keeps the plan legible.
+    method='label' (default): min-label propagation — every node starts
+    labeled with its own id; each iteration assigns min(own, neighbors')
+    label; stop when no label changes. One shuffle join + one groupBy per
+    iteration, iterations ≈ component DIAMETER. Near-dup clusters are
+    tiny-diameter, so 2-3 iterations in the dedup use case — the right
+    default there.
+
+    method='star': alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    O(log² n) rounds on ANY graph shape, each round two window-min
+    passes over the edge list. The 100 TB path when components can be
+    long chains (e.g. transitive URL redirects, co-citation graphs)
+    where label propagation would need diameter≈n iterations.
     """
+    if method == "star":
+        return _connected_components_star(edges, src, dst, max_iter)
     und = _undirected(edges, src, dst)
     labels = (
         und.select(F.col("s").alias("node"))
@@ -118,6 +127,92 @@ def connected_components(
         if not has_change:
             break
     return labels
+
+
+def _connected_components_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris 2014 §3).
+
+    Each round:
+      large-star — for every node u with neighborhood Γ(u) in the
+        symmetric edge set, connect each strictly-larger neighbor v>u to
+        m = min(Γ(u) ∪ {u}).
+      small-star — direct each edge from its larger endpoint to the
+        smaller; for every node u, connect u and its smaller neighbors
+        to their minimum.
+    Both are a single window-min over a hash shuffle on the grouping
+    node (no self-join), so a round is two shuffles of O(E) rows.
+    Convergence: the canonical edge multiset stops changing, detected by
+    an order-insensitive (count, xor-of-hashes) fingerprint (ANSI-safe
+    — a SUM of xxhash64 overflows long under Spark 4 ANSI mode) — one cheap
+    action per round. At the fixpoint the edge set is a star forest:
+    every node points at its component minimum.
+    """
+    from pyspark.sql import Window
+
+    nodes = (
+        _undirected(edges, src, dst).select(F.col("s").alias("node")).distinct()
+    )
+    # canonical (hi, lo) pairs, self-loops dropped
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = fingerprint(e)
+    for _ in range(max_iter):
+        # ---- large-star over the symmetric neighborhood
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        w = Window.partitionBy("u")
+        ls = (
+            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        )
+        # ---- small-star over larger→smaller directed edges
+        w2 = Window.partitionBy("hi")
+        mn = F.min("lo").over(w2)
+        ss = (
+            ls.filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .withColumn("m", mn)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("hi").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("lo").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("hi"), F.col("e.b").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        e = ss.localCheckpoint(eager=True)
+        new_fp = fingerprint(e)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # star forest → labels; roots never appear as 'hi', so coalesce to self
+    comp = e.groupBy(F.col("hi").alias("node")).agg(F.min("lo").alias("__c"))
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("__c", F.col("node")).alias("component")
+    )
 
 
 def dedup_clusters_exact(

@@ -431,6 +431,52 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cc_membership",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))]) AS g
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id < 250)
+    ),
+    ex AS (SELECT id, UNNEST(g) AS g, len(g) AS sz FROM sh),
+    jp AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING CAST(COUNT(*) AS DOUBLE)
+             / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.25
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_cc_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING, not just pairs: connected components over the
+    exact 5-gram Jaccard pair graph (same deterministic edge source as
+    dedup_ngram_jaccard), component label = min doc_id reached. The
+    Spark side is the distributed min-label/large-star CC in
+    operators/graph.py (each round a bounded shuffle over the edge
+    list); the oracle is DuckDB's recursive-CTE transitive closure —
+    exact on the small swept graph, the thing the distributed algorithm
+    must reproduce at any scale."""
+    from workbench_spark.operators.dedup import ngram_jaccard_pairs
+    from workbench_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.25)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
     "ruzicka_count_pairs",
     """
     WITH tok AS (
