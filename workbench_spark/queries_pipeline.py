@@ -431,6 +431,40 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_end
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum_end - n_tokens) // 512 AS BIGINT) AS start_seq,
+           CAST((CASE WHEN n_tokens > 0 THEN cum_end - 1 ELSE cum_end - n_tokens END) // 512
+             AS BIGINT) AS end_seq,
+           ((CASE WHEN n_tokens > 0 THEN cum_end - 1 ELSE cum_end - n_tokens END) // 512)
+             > ((cum_end - n_tokens) // 512) AS spans_boundary
+    FROM c
+    """,
+)
+def text_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget 512) — per-doc sequence
+    assignment. Engine side = two-phase distributed prefix sum
+    (operators/packing.py: per-range-partition totals → driver prefix →
+    partition-local window), NEVER a global single-partition window;
+    oracle = the plain global window DuckDB can afford at sweep scale.
+    The hash match proves the distributed scan equals the global scan."""
+    from workbench_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=512)
+
+
+@query(
     "dedup_cc_membership",
     """
     WITH RECURSIVE sh AS (
