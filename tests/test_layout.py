@@ -1,0 +1,115 @@
+"""Data-layout tests: hive partition pruning, sorted-file min/max
+narrowing, z-order multi-dimension clustering — all asserted from the
+actual plan / actual parquet footers, never from writer intent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from workbench_spark.session import get_spark
+
+    return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.fixture(scope="session")
+def events(spark):
+    from workbench_spark.session import read_table
+
+    return read_table(spark, SF_DIR, "events")
+
+
+def test_partitioned_write_prunes(spark, events, tmp_path_factory):
+    from workbench_spark.sources.layout import scan_report, write_layout
+
+    path = str(tmp_path_factory.mktemp("layout") / "events_part")
+    write_layout(events, path, partition_by=["event_type"], sort_by=["ts"])
+
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = scan_report(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    # correctness: same rows as filtering the original
+    want = events.filter(F.col("event_type") == "click").count()
+    assert back.count() == want
+
+
+def test_sorted_files_narrow_ranges(spark, events, tmp_path_factory):
+    """value-sorted layout: per-file [min,max] spans must be far narrower
+    than the global span (that narrowing IS what lets footers skip)."""
+    from workbench_spark.sources.layout import file_stat_ranges, write_layout
+
+    base = tmp_path_factory.mktemp("layout2")
+    sorted_path, unsorted_path = str(base / "sorted"), str(base / "unsorted")
+    write_layout(events, sorted_path, sort_by=["value"], layout_partitions=8)
+    events.repartition(8).write.mode("overwrite").parquet(unsorted_path)
+
+    lo, hi = events.agg(F.min("value"), F.max("value")).collect()[0]
+    span = hi - lo
+
+    def avg_width(path):
+        stats = [s for s in file_stat_ranges(path, ["value"]) if "value_min" in s]
+        assert stats
+        return sum(s["value_max"] - s["value_min"] for s in stats) / len(stats)
+
+    assert avg_width(sorted_path) < 0.35 * span
+    assert avg_width(unsorted_path) > 0.8 * span
+
+
+def test_zorder_narrows_both_dimensions(spark, tmp_path_factory):
+    """Z-order on (x, y): per-file range products must shrink on BOTH
+    columns vs a single-column sort, which clusters only its own column."""
+    from workbench_spark.sources.layout import file_stat_ranges, write_layout
+
+    df = (
+        spark.range(0, 40000)
+        .select(
+            (F.col("id") % 200).cast("double").alias("x"),
+            (F.col("id") / 200).cast("long").cast("double").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    base = tmp_path_factory.mktemp("layout3")
+    z_path, lin_path = str(base / "zorder"), str(base / "linear")
+    write_layout(df, z_path, zorder_by=["x", "y"], layout_partitions=16)
+    write_layout(df, lin_path, sort_by=["x"], layout_partitions=16)
+
+    def mean_range(path, col):
+        stats = [s for s in file_stat_ranges(path, [col]) if f"{col}_min" in s]
+        return sum(s[f"{col}_max"] - s[f"{col}_min"] for s in stats) / len(stats)
+
+    # linear sort: x is tightly clustered but y spans nearly everything
+    assert mean_range(lin_path, "x") < 0.2 * 200
+    assert mean_range(lin_path, "y") > 0.6 * 200
+    # z-order: BOTH dimensions are materially narrowed
+    assert mean_range(z_path, "x") < 0.5 * 200
+    assert mean_range(z_path, "y") < 0.5 * 200
+
+
+def test_zorder_roundtrip_and_schema(spark, tmp_path_factory):
+    from workbench_spark.sources.layout import write_layout
+
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("double").alias("x"),
+        (F.lit(999) - F.col("id")).cast("double").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path_factory.mktemp("layout4") / "z")
+    write_layout(df, path, zorder_by=["x", "y"], max_records_per_file=100)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"x", "y", "payload"}  # __zorder never written
+    assert back.count() == 1000
+    assert back.agg(F.sum("payload")).collect()[0][0] == 999 * 1000 // 2
+
+
+def test_max_records_per_file(spark, events, tmp_path_factory):
+    from workbench_spark.sources.layout import file_stat_ranges, write_layout
+
+    path = str(tmp_path_factory.mktemp("layout5") / "bounded")
+    write_layout(events, path, sort_by=["ts"], max_records_per_file=500, layout_partitions=4)
+    stats = file_stat_ranges(path, [])
+    assert stats and all(s["num_rows"] <= 500 for s in stats)

@@ -1,0 +1,238 @@
+"""Pipeline DAG manager tests: discovery, bipartite graph, dependency
+groups, freshness plan, linearize semantics, hierarchy + lookups.
+Pure driver-side (no Spark session needed)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pytest
+
+
+def _write(tmp_path, rel, spec):
+    d = tmp_path / rel if rel else tmp_path
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "pipelines.json").write_text(json.dumps(spec))
+
+
+@pytest.fixture
+def root(tmp_path):
+    _write(
+        tmp_path,
+        "physchem/logd",
+        {
+            "pipelines": {
+                "logd": [
+                    {
+                        "script": "build_fs.py",
+                        "inputs": ["ds:logd_raw", "public:pubchem"],
+                        "outputs": ["fs:logd"],
+                    },
+                    {
+                        "script": "train.py",
+                        "mode": "dt",
+                        "inputs": ["fs:logd"],
+                        "outputs": ["model:logd", "endpoint:logd"],
+                    },
+                ]
+            }
+        },
+    )
+    _write(
+        tmp_path,
+        "tox",
+        {
+            "pipelines": {
+                "tox21": [
+                    {
+                        "script": "tox_all.py",
+                        "inputs": ["ds:tox_raw"],
+                        "outputs": ["ds:tox", "fs:tox", "model:tox", "endpoint:tox"],
+                    },
+                ],
+                "promotion": [
+                    {
+                        "script": "model_promotion.py",
+                        "inputs": ["model:tox", "model:logd"],
+                        "outputs": ["endpoint:champ"],
+                    },
+                ],
+            }
+        },
+    )
+    return tmp_path
+
+
+def test_discovery_and_pipelines(root):
+    from workbench_spark.api.pipelines import PipelineManager
+
+    pm = PipelineManager(root)
+    assert pm.list_pipelines() == ["logd", "tox21", "promotion"]
+    assert pm.get_pipeline_relative_dir("logd") == "physchem/logd"
+    assert pm.get_pipeline_relative_dir("tox21") == "tox"
+    g = pm.get_pipeline("logd")
+    ids = {n["id"] for n in g["nodes"]}
+    assert "fs:logd" in ids and "job:fs:logd" in ids
+    # bipartite: every link touches a job node
+    jobs = {n["id"] for n in g["nodes"] if n["kind"] == "job"}
+    for l in g["links"]:
+        assert l["source"] in jobs or l["target"] in jobs
+
+
+def test_one_producer_enforced(root):
+    from workbench_spark.api.pipelines import Job, PipelineManager
+
+    jobs = [
+        Job(script="a.py", outputs=["fs:x"]),
+        Job(script="b.py", outputs=["fs:x"]),
+    ]
+    with pytest.raises(ValueError, match="two producers"):
+        PipelineManager.from_jobs(jobs)
+
+
+def test_cycle_detection(root):
+    from workbench_spark.api.pipelines import Job, PipelineManager
+
+    jobs = [
+        Job(script="a.py", inputs=["fs:b"], outputs=["fs:a"]),
+        Job(script="b.py", inputs=["fs:a"], outputs=["fs:b"]),
+    ]
+    with pytest.raises(ValueError, match="cycle"):
+        PipelineManager.from_jobs(jobs)
+
+
+def test_dependency_groups(root):
+    from workbench_spark.api.pipelines import PipelineManager
+
+    pm = PipelineManager(root)
+    groups = pm.dependency_groups()
+    # the promotion job consumes model:tox AND model:logd, welding all
+    # three pipelines into ONE weakly-connected component
+    assert len(groups) == 1
+    gid = next(iter(groups))
+    # smallest root artifact: sorted() of the no-producer refs
+    assert gid == "ds:logd_raw"
+
+
+def test_plan_freshness(root):
+    from workbench_spark.api.pipelines import PipelineManager
+
+    pm = PipelineManager(root)
+    t0, t1 = datetime(2026, 1, 1), datetime(2026, 1, 2)
+
+    # everything exists and is fresh
+    fresh = {r: t0 for j in pm.jobs for r in (*j.inputs, *j.outputs)}
+    plan = {p.job.node_id: p.reason for p in pm.plan(lambda r: fresh.get(r))}
+    assert plan["build_fs"] == "up_to_date"
+    assert plan["train [dt]"] == "up_to_date"
+
+    # a newer raw input makes build_fs stale, and the forward flood pushes
+    # train + promotion without their own timestamps moving
+    stale = dict(fresh, **{"ds:logd_raw": t1})
+    plan2 = [p for p in pm.plan(lambda r: stale.get(r))]
+    reasons = {p.job.node_id: p.reason for p in plan2}
+    assert reasons["build_fs"] == "stale"
+    assert reasons["train [dt]"] == "upstream"
+    assert reasons["model_promotion"] == "upstream"
+    assert all(p.run for p in plan2 if p.job.node_id != "tox_all")
+
+    # a missing output always runs
+    missing = {r: t0 for r in fresh if r != "fs:logd"}
+    plan3 = {p.job.node_id: p.reason for p in pm.plan(lambda r: missing.get(r))}
+    assert plan3["build_fs"] == "missing"
+
+
+def test_linearize_chains_through_bands(root):
+    """tox_all produces ds→fs→model→endpoint: linearize must render one
+    chain with the input feeding the LOWEST band only."""
+    from workbench_spark.api.pipelines import PipelineManager, linearize
+
+    pm = PipelineManager(root)
+    lin = linearize(pm.get_pipeline("tox21"))
+    links = {(l["source"], l["target"]) for l in lin["links"]}
+    assert ("ds:tox", "fs:tox") in links
+    assert ("fs:tox", "model:tox") in links
+    assert ("model:tox", "endpoint:tox") in links
+    assert ("ds:tox_raw", "ds:tox") in links
+    # the raw input must NOT feed higher bands directly
+    assert ("ds:tox_raw", "endpoint:tox") not in links
+    # job nodes are gone
+    assert all(not n["id"].startswith("job:") for n in lin["nodes"])
+
+
+def test_linearize_name_pairing_and_fallback():
+    from workbench_spark.api.pipelines import Job, PipelineManager, linearize
+
+    # 2 models + 2 endpoints with matching names: pair by name
+    pm = PipelineManager.from_jobs(
+        [
+            Job(
+                script="multi.py",
+                pipeline="m",
+                inputs=["fs:base"],
+                outputs=["model:a", "model:b", "endpoint:a", "endpoint:b"],
+            )
+        ]
+    )
+    links = {(l["source"], l["target"]) for l in linearize(pm.get_pipeline("m"))["links"]}
+    assert ("model:a", "endpoint:a") in links and ("model:b", "endpoint:b") in links
+    assert ("model:a", "endpoint:b") not in links
+
+    # mismatched names: ambiguous → plain input→output fan
+    pm2 = PipelineManager.from_jobs(
+        [
+            Job(
+                script="multi.py",
+                pipeline="m",
+                inputs=["fs:base"],
+                outputs=["model:a", "model:b", "endpoint:x", "endpoint:y"],
+            )
+        ]
+    )
+    links2 = {
+        (l["source"], l["target"]) for l in linearize(pm2.get_pipeline("m"))["links"]
+    }
+    assert ("model:a", "endpoint:x") not in links2
+    assert ("fs:base", "endpoint:x") in links2 and ("fs:base", "model:a") in links2
+
+
+def test_hierarchy_and_lookups(root):
+    from workbench_spark.api.pipelines import (
+        base_model_name,
+        endpoint_group_paths,
+        find_pipelines,
+        pipeline_hierarchy,
+        promotion_map,
+    )
+
+    h = pipeline_hierarchy(str(root))
+    names = {g["name"] for g in h}
+    assert names == {"physchem", "tox"}
+    phys = next(g for g in h if g["name"] == "physchem")
+    assert phys["subgroups"][0]["name"] == "logd"
+    assert "logd" in phys["subgroups"][0]["pipelines"]
+
+    assert base_model_name("my-model-260715") == "my-model"
+    assert base_model_name("my-model") == "my-model"
+
+    hits = find_pipelines("tox", "model", h)
+    assert {(x["group"], x["pipeline"]) for x in hits} >= {("tox", "tox21")}
+    # promotion-suffixed lookup resolves to the declared base name
+    hits2 = find_pipelines("tox-260801", "model", h)
+    assert any(x["matched"] == "model:tox" for x in hits2)
+
+    paths = endpoint_group_paths(h)
+    assert paths["logd"] == ["physchem", "logd"]
+    assert paths["tox"] == ["tox"]
+
+    promo = promotion_map(str(root))
+    assert promo == {"champ": ["logd", "tox"]}
+
+
+def test_meta_pipeline_surface(root):
+    from workbench_spark.api.pipelines import single_pipeline
+
+    assert single_pipeline(str(root), "nope") is None
+    lin = single_pipeline(str(root), "logd")
+    assert {n["id"] for n in lin["nodes"]} >= {"fs:logd", "model:logd"}

@@ -132,3 +132,25 @@ class Meta:
             "warehouse": str(self.registry.warehouse),
             **{k: conf.get(k, None) for k in keys},
         }
+
+    def pipelines(self, root: str | None = None) -> list:
+        """The ML-pipeline hierarchy (reference Meta.pipelines() /
+        pipeline_serializer.pipeline_hierarchy): nested groups of
+        linearized artifact-lineage DAGs, discovered from every
+        pipelines.json under ``root`` (default: <warehouse>/pipelines).
+        """
+        from workbench_spark.api.pipelines import pipeline_hierarchy
+
+        import os
+
+        root = root or os.path.join(str(self.registry.warehouse), "pipelines")
+        return pipeline_hierarchy(root)
+
+    def pipeline(self, name: str, root: str | None = None) -> dict | None:
+        """One pipeline's linearized node-link dict, or None."""
+        from workbench_spark.api.pipelines import single_pipeline
+
+        import os
+
+        root = root or os.path.join(str(self.registry.warehouse), "pipelines")
+        return single_pipeline(root, name)
