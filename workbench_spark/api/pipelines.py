@@ -505,7 +505,14 @@ def pipeline_hierarchy(root: str) -> list:
     root_group = _new_group("")
     for name in pm.list_pipelines():
         node = root_group
-        for seg in [s for s in pm.get_pipeline_relative_dir(name).split("/") if s]:
+        segs = [s for s in pm.get_pipeline_relative_dir(name).split("/") if s]
+        if not segs:
+            # reference parity (_group_segments): a root-level
+            # pipelines.json nests its pipelines under a group named after
+            # the root directory — otherwise they'd land on the synthetic
+            # root group and be discarded by the ['subgroups'] return.
+            segs = [Path(root).resolve().name]
+        for seg in segs:
             node = node["subgroups"].setdefault(seg, _new_group(seg))
         if name in node["pipelines"]:
             log.warning(f"Duplicate pipeline name {name!r}; keeping first")

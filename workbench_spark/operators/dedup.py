@@ -324,6 +324,64 @@ def minhash_lsh_pairs(
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidate generation with an EXACT n-gram Jaccard
+    recheck: candidates form only on (band, band_hash) equality (the 100 TB
+    shape — never a cross product), then each candidate pair joins back to
+    its two shingle sets and is kept only when the exact Jaccard clears
+    ``threshold``. Output: (id_a, id_b, jaccard), id_a < id_b — a
+    deterministic projection a DuckDB exact-Jaccard oracle can replicate,
+    unlike the estimated-Jaccard stream of minhash_lsh_pairs.
+
+    Parameter discipline: the default 64 hashes / 32 bands (r=2) puts the
+    LSH S-curve's candidate knee (~(1/b)^(1/r) ≈ 0.18) far below the
+    recheck threshold, so recall at j ≥ threshold is 1 - (1-j²)^32
+    (≥ 0.9999 at j = 0.5) — the oracle-grade setting. Production dedup
+    keeps the cheaper (32, 8) default of minhash_lsh_pairs and tolerates
+    estimator noise instead of paying the exact recheck join.
+
+    Scale: the recheck join carries the two shingle ARRAYS only for
+    candidate pairs (LSH-pruned), keyed on id — an equi-join, linear in
+    the candidate count, not the corpus."""
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, n_hashes, bands, shingle_n, verify_threshold=None
+    ).select("id_a", "id_b")
+    sh = (
+        shingle_frame(df, text_col, id_col, shingle_n, "sh")
+        .withColumnRenamed(id_col, "id")
+        .withColumn("sz", F.size("sh"))
+    )
+    p = cands.join(
+        sh.select(
+            F.col("id").alias("id_a"), F.col("sh").alias("__sha"), F.col("sz").alias("__sza")
+        ),
+        "id_a",
+    ).join(
+        sh.select(
+            F.col("id").alias("id_b"), F.col("sh").alias("__shb"), F.col("sz").alias("__szb")
+        ),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    scored = p.select(
+        "id_a",
+        "id_b",
+        (
+            inter.cast("double")
+            / (F.col("__sza") + F.col("__szb") - inter)
+        ).alias("jaccard"),
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -522,24 +580,92 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return with_t.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash whose token hashes are ENGINE-PORTABLE polynomial
+    hashes (two independent 30-bit families: base 31 mod 1e9+7 and base
+    131 mod 999999937 over character code points), so a SQL engine without
+    xxhash64 (DuckDB) can recompute the identical signature bit-for-bit —
+    this is what lets dedup_simhash_pairs carry a REAL value oracle instead
+    of a rows-only check. Production simhash() keeps xxhash64 (stronger
+    mixing, one JVM intrinsic per token, shuffle-free).
+
+    Plan shape: explode tokens → per-token h1/h2 (single-level SQL lambdas
+    over the token ATTRIBUTE — a transform-over-tokens formulation would
+    nest lambdas capturing the outer element and fall off codegen ~100x)
+    → one groupBy(id) with 60 conditional-sum bit votes → pack to a
+    positive BIGINT. One shuffle, linear in token count. Docs with no
+    tokens produce no row (matches the oracle's explode semantics)."""
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    src = df.select(F.col(id_col), F.col(text_col))
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
+    exploded = src.select(F.col(id_col), F.explode(toks).alias("__t"))
+    poly = (
+        "aggregate(transform(sequence(1, length(__t)),"
+        " i -> ascii(substring(__t, i, 1))),"
+        " 0L, (a, c) -> (a * {base} + c) % {mod})"
+    )
+    hashed = exploded.select(
+        F.col(id_col),
+        F.expr(poly.format(base=31, mod=1000000007)).alias("__h1"),
+        F.expr(poly.format(base=131, mod=999999937)).alias("__h2"),
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h1" if b < 30 else "__h2"), b % 30)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(60)
+        ]
+    )
+    sim = None
+    for b in range(60):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using the
-    pigeonhole banding trick: split 64 bits into n_bands blocks — any pair
-    within distance < n_bands must agree on ≥1 whole block, so candidates
-    form only on block equality (an equi-join, not a cross product).
+    pigeonhole banding trick: split the signature bits into n_bands blocks
+    — any pair within distance < n_bands must agree on ≥1 whole block, so
+    candidates form only on block equality (an equi-join, not a cross
+    product).
 
     Detection is GUARANTEED only when n_bands > max_hamming; with fewer
     bands, pairs between n_bands and max_hamming are found only when their
     flipped bits happen to cluster. More bands = more candidates = more
-    cost; pick n_bands = max_hamming + 1 for exactness."""
-    width = 64 // n_bands
-    sh = simhash(df, text_col, id_col)
+    cost; pick n_bands = max_hamming + 1 for exactness.
+
+    portable=True uses the 60-bit engine-portable signature
+    (simhash_portable) instead of the 64-bit xxhash64 one — same pair
+    semantics, oracle-replicable values."""
+    total_bits = 60 if portable else 64
+    width = total_bits // n_bands
+    sh = (
+        simhash_portable(df, text_col, id_col)
+        if portable
+        else simhash(df, text_col, id_col)
+    )
     blocks = sh.select(
         F.col(id_col).alias("id"),
         "simhash",

@@ -16,10 +16,11 @@ Reference citations:
 
 All row-wise array expressions or single-pass aggregations — map-side,
 shuffle-free except the tiny final aggs. The strategy tier keeps the
-reference's numpy formulas verbatim (including the `+1e-12` denominator
-guard) so a SQL oracle can reproduce the values bit-for-bit; everything
-stays in whole-stage codegen — the per-row weight math is a fixed-width
-expression over M branch columns, never a Python UDF.
+reference's numpy formulas except the `+1e-12` denominator guard, which
+breaks convexity (see _branch_weights) and is replaced by exact
+normalization; the SQL oracles replay the exact same corrected formulas
+bit-for-bit. Everything stays in whole-stage codegen — the per-row weight
+math is a fixed-width expression over M branch columns, never a Python UDF.
 """
 
 from __future__ import annotations
@@ -73,12 +74,20 @@ def _branch_weights(
 ) -> list[Column]:
     """conf_weights_with_fallback (ensemble_utils.py:12-25) as columns:
     normalize the raw per-row values, fall back to the static weights when
-    the row sums to ~0. The reference's `/(sum + 1e-12)` guard is kept
-    verbatim so oracles match to float precision."""
+    the row sums to exactly 0.
+
+    Deliberate divergence from the reference: its numpy formula divides by
+    ``(sum + 1e-12)``, which makes the weights sum to ``1 - 1e-12/Σ`` — for
+    tiny Σ the "weighted mean" lands OUTSIDE the hull of the branch
+    predictions (Hypothesis found Σc ≈ 6e-5 pushing the result below every
+    input). We divide exactly (``try_divide``), so the combination is a
+    true convex combination for every Σ > 0, and fall back to the static
+    weights only at Σ == 0 (where the reference's guard effectively lands
+    anyway). Verified by tests/test_properties.py convexity property."""
     vals = raw if raw is not None else conf
     total = sum(vals[1:], vals[0])
     return [
-        F.when(total < 1e-12, F.lit(w)).otherwise(v / (total + F.lit(1e-12)))
+        F.when(total == 0, F.lit(w)).otherwise(F.try_divide(v, total))
         for v, w in zip(vals, fallback)
     ]
 
@@ -161,7 +170,9 @@ def inverse_mae_weights(df: DataFrame, pred_cols: list[str], target: str) -> lis
     row = df.agg(
         *[F.avg(F.abs(F.col(c) - F.col(target))).alias(c) for c in pred_cols]
     ).collect()[0]
-    inv = [1.0 / row[c] for c in pred_cols]
+    # clamp: a degenerate/leaky branch can hit MAE == 0 exactly — weight it
+    # as 1/1e-12 rather than crash (the reference shares the raw-1/x flaw)
+    inv = [1.0 / max(row[c], 1e-12) for c in pred_cols]
     total = sum(inv)
     return [w / total for w in inv]
 
@@ -209,7 +220,7 @@ def strategy_comparison(
         ],
     ).collect()[0]
     maes = [params[f"mae_{i}"] for i in range(m)]
-    inv = [1.0 / x for x in maes]
+    inv = [1.0 / max(x, 1e-12) for x in maes]  # MAE==0 branch: clamp, don't crash
     mw = [w / sum(inv) for w in inv]
     cs = [abs(params[f"corr_{i}"]) if params[f"corr_{i}"] is not None else 0.0 for i in range(m)]
     best_i = min(range(m), key=lambda i: maes[i])

@@ -142,6 +142,7 @@ def hyperplane_signature(
 
 def lsh_cosine_knn(
     vectors: DataFrame,
+    queries: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
@@ -150,21 +151,27 @@ def lsh_cosine_knn(
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate self-KNN via hyperplane LSH: vectors sharing a signature
+    """Approximate KNN via hyperplane LSH: vectors sharing a signature
     in ANY of ``n_tables`` independent tables become candidates; exact
     cosine is computed only within buckets, then top-k per id.
+
+    queries=None → self-KNN over ``vectors`` (self matches excluded).
+    queries=DataFrame → J7 novel-query mode: the queries are signed with
+    the SAME planes per table and probe the corpus buckets — per-query
+    cost is O(n_tables · bucket occupancy), never a scan of the corpus.
 
     Scale analysis: with b bits per table, expected bucket size is N/2^b —
     candidate pairs per table ≈ N²/2^b, tunable to the cluster. The join is
     a shuffle on (table, signature): co-located, skew-handled by AQE.
     Recall grows with n_tables (union of candidates), cost linearly.
     """
+    import functools
     import random
 
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     rng = random.Random(seed)
-    tables = []
+    corpus_tables, query_tables = [], []
     for t in range(n_tables):
         planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
         sig = hyperplane_signature(
@@ -176,22 +183,35 @@ def lsh_cosine_knn(
             F.col(vec_col).alias("v"),
             _norm(F.col(vec_col)).alias("nrm"),  # per-vector, not per-pair
         )
-        tables.append(sig)
-    import functools
+        corpus_tables.append(sig)
+        if queries is not None:
+            query_tables.append(
+                hyperplane_signature(
+                    queries.select(id_col, vec_col), vec_col, planes, "sig"
+                ).select(
+                    F.lit(t).alias("tbl"),
+                    F.col("sig"),
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("v"),
+                    _norm(F.col(vec_col)).alias("nrm"),
+                )
+            )
 
-    signed = functools.reduce(DataFrame.unionAll, tables)
-    left = signed.select(
+    signed = functools.reduce(DataFrame.unionAll, corpus_tables)
+    q_signed = (
+        signed if queries is None else functools.reduce(DataFrame.unionAll, query_tables)
+    )
+    left = q_signed.select(
         "tbl", "sig", F.col("id"), F.col("v").alias("__qv"), F.col("nrm").alias("__qn")
     )
     right = signed.select(
         "tbl", "sig", F.col("id").alias("neighbor_id"),
         F.col("v").alias("__rv"), F.col("nrm").alias("__rn"),
     )
-    cands = (
-        left.join(right, ["tbl", "sig"])
-        .filter(F.col("id") != F.col("neighbor_id"))
-        .dropDuplicates(["id", "neighbor_id"])
-    )
+    cands = left.join(right, ["tbl", "sig"])
+    if queries is None:
+        cands = cands.filter(F.col("id") != F.col("neighbor_id"))
+    cands = cands.dropDuplicates(["id", "neighbor_id"])
     scored = cands.select(
         "id",
         "neighbor_id",

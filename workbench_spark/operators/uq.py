@@ -429,14 +429,22 @@ def uq_metrics(
     std = F.col(prediction_std).cast("double") if prediction_std in df.columns else None
 
     def bounds(level: int):
+        # per-level resolution: this level's quantile columns if present
+        # (68% borrows 80%'s per the reference), else Gaussian bounds from
+        # prediction_std, else NULL bounds (that level's metrics come back
+        # NULL instead of a missing-column AnalysisException — a frame
+        # carrying exactly q_025/q_975/q_25/q_75 and no std is legal per
+        # this function's own error message).
         if has_q:
             lo, hi = _QCOLS[level]
-            # reference fallback: missing 68% quantiles borrow the 80% ones
-            if lo not in df.columns:
-                lo, hi = _QCOLS[80]
-            return F.col(lo).cast("double"), F.col(hi).cast("double")
-        z = _GAUSS_Z[level]
-        return pred - z * std, pred + z * std
+            if level == 68 and lo not in df.columns:
+                lo, hi = _QCOLS[80]  # reference fallback
+            if lo in df.columns and hi in df.columns:
+                return F.col(lo).cast("double"), F.col(hi).cast("double")
+        if std is not None:
+            z = _GAUSS_Z[level]
+            return pred - z * std, pred + z * std
+        return F.lit(None).cast("double"), F.lit(None).cast("double")
 
     med = (
         (lambda c: F.percentile(c, F.lit(0.5)))

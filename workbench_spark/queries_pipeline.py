@@ -18,6 +18,17 @@ from pyspark.sql import functions as F
 
 from workbench_spark.queries import _t, query
 
+
+def _fround(c, digits: int = 6):
+    """Engine-deterministic rounding: floor(x·10^d + 0.5)/10^d. Spark's
+    ROUND (BigDecimal HALF_UP on the exact decimal expansion) and DuckDB's
+    ROUND (float multiply) disagree when a double lands exactly on a .5
+    half-boundary at the target precision; this formula is the same IEEE
+    op sequence in both engines, so results are bit-identical (and floor
+    never yields -0.0). SQL twin: floor(x * 1e6 + 0.5) / 1e6."""
+    s = float(10**digits)
+    return F.floor(c * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
 # =====================================================================
 # Text analysis
 # =====================================================================
@@ -556,24 +567,110 @@ def ruzicka_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("ruzicka", 6).alias("ruzicka"))
 
 
-@query("dedup_minhash_pairs")  # xxhash64 signatures — rows-only check
+@query(
+    "dedup_minhash_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))]) AS g
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents)
+    ),
+    ex AS (SELECT id, UNNEST(g) AS g, len(g) AS sz FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / (sz_a + sz_b - inter), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (sz_a + sz_b - inter) >= 0.5
+    """,
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32)+LSH(8 bands) near-dup candidate pairs with estimated
-    Jaccard ≥ 0.5. Estimator quality vs exact Jaccard asserted in
-    tests/test_dedup.py (oracle not expressible: xxhash64)."""
-    from workbench_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash(64)+LSH(32 bands) candidate pairs EXACT-RECHECKED against
+    5-gram Jaccard ≥ 0.5 (dedup.minhash_verified_pairs). The engine path
+    is the full scale pipeline — map-side signatures, (band, hash)
+    equi-join candidates, shingle-array recheck only for candidates —
+    while the oracle computes the exact all-pairs Jaccard; the hash match
+    certifies LSH recall is 1 at this threshold with the r=2/32-band
+    S-curve (miss probability (1-j²)^32 ≤ 1e-4 at j = 0.5) on top of the
+    recheck's exactness. Upgraded from a rows-only check in r5."""
+    from workbench_spark.operators.dedup import minhash_verified_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, verify_threshold=0.5)
+    pairs = minhash_verified_pairs(d, n_hashes=64, bands=32, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("dedup_simhash_pairs")  # xxhash64+bit ops — rows-only check
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of dedup.simhash_portable + pigeonhole pairs: the
+    oracle recomputes the SAME 60-bit signature (two portable polynomial
+    token-hash families) and all-pairs Hamming ≤ 8 over doc_id < 250 —
+    a bit-level check of the simhash computation itself, not just of
+    candidate recall."""
+    poly = (
+        "list_reduce(list_prepend(0::BIGINT,"
+        " [ascii(substr(t, i, 1)) for i in generate_series(1, length(t))]),"
+        " (a, c) -> (a * {base} + c) % {mod})"
+    )
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h{1 if b < 30 else 2} // {1 << (b % 30)}) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(60)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(60)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> length(t) > 0)) AS t
+      FROM documents WHERE doc_id < 250
+    ),
+    h AS (
+      SELECT doc_id,
+             {poly.format(base=31, mod=1000000007)} AS h1,
+             {poly.format(base=131, mod=999999937)} AS h2
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM h GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {pack} AS s FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 8
+    """
+
+
+@query("dedup_simhash_pairs", _simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming ≤ 3 via 4-band pigeonhole."""
+    """SimHash near-dup pairs at Hamming ≤ 8 via 10-band pigeonhole over
+    the 60-bit ENGINE-PORTABLE signature (dedup.simhash_portable — two
+    polynomial token-hash families DuckDB can recompute). n_bands = 10 >
+    max_hamming = 8 makes the pigeonhole candidate generation COMPLETE
+    (any pair at distance ≤ 9 must agree on a whole 6-bit block), so the
+    output is exactly the all-pairs Hamming-≤ 8 set the oracle computes —
+    a bit-level signature check, upgraded from rows-only in r5. Production
+    simhash() keeps xxhash64 (shuffle-free, stronger mixing); the
+    portable family exists precisely so the math is independently
+    checkable."""
     from workbench_spark.operators.dedup import simhash_near_pairs
 
-    d = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(d)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    pairs = simhash_near_pairs(d, max_hamming=8, n_bands=10, portable=True)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 @query(
@@ -656,15 +753,49 @@ def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
-@query("knn_cosine_lsh")  # seeded random hyperplanes — rows-only check
+@query(
+    "knn_cosine_lsh",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             [embedding[i]::DOUBLE + 0.03 * embedding[65 - i]::DOUBLE
+              for i in generate_series(1, 64)] AS qv
+      FROM embeddings
+    )
+    SELECT id, neighbor_id, cosine_sim FROM (
+      SELECT q.vec_id AS id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) DESC,
+                        e.vec_id ASC) AS rn
+      FROM q CROSS JOIN embeddings e
+    ) WHERE rn <= 1
+    """,
+)
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate KNN (the 100 TB path: candidates form
-    only within signature buckets). Recall vs brute force asserted in
-    tests/test_similarity.py."""
+    """Hyperplane-LSH nearest-neighbor retrieval, oracled as a planted-twin
+    recall@1 benchmark (upgraded from rows-only in r5): each query is a
+    perturbed copy of a corpus vector (v[i] + 0.03·v[65-i] — the base
+    embeddings are i.i.d. Gaussian with max pairwise cosine ≈ 0.51, so
+    there is no natural near-neighbor structure; the planted twin at
+    cosine ≈ 0.9995 creates the retrieval workload exactly like a standard
+    ANN recall benchmark). The engine path is the real scale pipeline —
+    queries probe (table, signature) buckets only, exact cosine within
+    buckets, top-1 — while the oracle computes exact brute-force top-1,
+    so the hash match certifies recall@1 = 1 (8 planes × 6 tables: miss
+    probability per query ≈ (1 - 0.99^8)^6 < 1e-6 at cosine 0.9995).
+    Candidates stay equi-join-shaped per the plan-shape tripwire."""
     from workbench_spark.operators.similarity import lsh_cosine_knn
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_cosine_knn(e, k=5, n_planes=6, n_tables=3, dim=64)
+    qv = F.expr(
+        "transform(sequence(1, 64), i -> cast(element_at(embedding, i) as double)"
+        " + 0.03d * cast(element_at(embedding, 65 - i) as double))"
+    )
+    q = e.select("vec_id", qv.alias("embedding"))
+    out = lsh_cosine_knn(e, queries=q, k=1, n_planes=8, n_tables=6, dim=64)
+    return out.select("id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
 @query(
@@ -1056,22 +1187,24 @@ def a13_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b
     )
     SELECT l_orderkey, l_linenumber,
-           ROUND(p1 * (CASE WHEN stot < 1e-12 THEN 0.5  ELSE s1/(stot + 1e-12) END)
-               + p2 * (CASE WHEN stot < 1e-12 THEN 0.25 ELSE s2/(stot + 1e-12) END)
-               + p3 * (CASE WHEN stot < 1e-12 THEN 0.25 ELSE s3/(stot + 1e-12) END),
-                 6) AS prediction,
-           ROUND(sd, 6) AS prediction_std,
-           ROUND(0.5/(1 + sd)
-               + 0.5*(c1*(0.9*0.5) + c2*(0.5*0.25) + c3*(0.7*0.25)), 6) AS confidence
+           floor((p1 * (CASE WHEN stot = 0 THEN 0.5  ELSE s1/stot END)
+                + p2 * (CASE WHEN stot = 0 THEN 0.25 ELSE s2/stot END)
+                + p3 * (CASE WHEN stot = 0 THEN 0.25 ELSE s3/stot END)) * 1e6 + 0.5) / 1e6
+             AS prediction,
+           floor(sd * 1e6 + 0.5) / 1e6 AS prediction_std,
+           floor((0.5/(1 + sd)
+                + 0.5*(c1*(0.9*0.5) + c2*(0.5*0.25) + c3*(0.7*0.25))) * 1e6 + 0.5) / 1e6
+             AS confidence
     FROM s
     """,
 )
 def a13_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 calibrated strategy aggregators (aggregation_nodes.py:310-388 +
     ensemble_utils.py:12-58) — ScaledConfidenceWeighted over synthesized
-    branches. The oracle replays the exact numpy formulas (including the
-    +1e-12 denominator guard and the double-literal products), so this is
-    a bit-level check of the strategy math, not just the shape."""
+    branches. The oracle replays the exact formulas (with the corrected
+    exact-normalization weights — see ensembles._branch_weights — and the
+    double-literal products), so this is a bit-level check of the strategy
+    math, not just the shape."""
     from workbench_spark.operators.ensembles import ensemble_strategy
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1097,9 +1230,9 @@ def a13_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("prediction", 6).alias("prediction"),
-        F.round("prediction_std", 6).alias("prediction_std"),
-        F.round("confidence", 6).alias("confidence"),
+        _fround(F.col("prediction")).alias("prediction"),
+        _fround(F.col("prediction_std")).alias("prediction_std"),
+        _fround(F.col("confidence")).alias("confidence"),
     )
 
 
@@ -1143,19 +1276,19 @@ def a13_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     maes AS (
       SELECT
         avg(abs((p1 + p2 + p3)/3 - tgt)) AS m_mean,
-        avg(abs(p1 * (CASE WHEN ctot < 1e-12 THEN w1 ELSE c1/(ctot + 1e-12) END)
-              + p2 * (CASE WHEN ctot < 1e-12 THEN w2 ELSE c2/(ctot + 1e-12) END)
-              + p3 * (CASE WHEN ctot < 1e-12 THEN w3 ELSE c3/(ctot + 1e-12) END)
+        avg(abs(p1 * (CASE WHEN ctot = 0 THEN w1 ELSE c1/ctot END)
+              + p2 * (CASE WHEN ctot = 0 THEN w2 ELSE c2/ctot END)
+              + p3 * (CASE WHEN ctot = 0 THEN w3 ELSE c3/ctot END)
               - tgt)) AS m_conf,
         avg(abs(p1*w1 + p2*w2 + p3*w3 - tgt)) AS m_invmae,
         avg(abs(CASE best_i WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END - tgt)) AS m_best,
-        avg(abs(p1 * (CASE WHEN stot < 1e-12 THEN w1 ELSE (c1*w1)/(stot + 1e-12) END)
-              + p2 * (CASE WHEN stot < 1e-12 THEN w2 ELSE (c2*w2)/(stot + 1e-12) END)
-              + p3 * (CASE WHEN stot < 1e-12 THEN w3 ELSE (c3*w3)/(stot + 1e-12) END)
+        avg(abs(p1 * (CASE WHEN stot = 0 THEN w1 ELSE (c1*w1)/stot END)
+              + p2 * (CASE WHEN stot = 0 THEN w2 ELSE (c2*w2)/stot END)
+              + p3 * (CASE WHEN stot = 0 THEN w3 ELSE (c3*w3)/stot END)
               - tgt)) AS m_scaled,
-        avg(abs(p1 * (CASE WHEN caltot < 1e-12 THEN w1 ELSE (c1*cs1)/(caltot + 1e-12) END)
-              + p2 * (CASE WHEN caltot < 1e-12 THEN w2 ELSE (c2*cs2)/(caltot + 1e-12) END)
-              + p3 * (CASE WHEN caltot < 1e-12 THEN w3 ELSE (c3*cs3)/(caltot + 1e-12) END)
+        avg(abs(p1 * (CASE WHEN caltot = 0 THEN w1 ELSE (c1*cs1)/caltot END)
+              + p2 * (CASE WHEN caltot = 0 THEN w2 ELSE (c2*cs2)/caltot END)
+              + p3 * (CASE WHEN caltot = 0 THEN w3 ELSE (c3*cs3)/caltot END)
               - tgt)) AS m_cal,
         avg(abs(CASE worst_i WHEN 1 THEN (p2 + p3)/2
                              WHEN 2 THEN (p1 + p3)/2
@@ -1163,14 +1296,14 @@ def a13_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         any_value(best_i) AS best_i, any_value(worst_i) AS worst_i
       FROM scored
     )
-    SELECT strategy, mae FROM (
-      SELECT 'Simple Mean' AS strategy, ROUND(m_mean, 6) AS mae FROM maes
-      UNION ALL SELECT 'Confidence-Weighted', ROUND(m_conf, 6) FROM maes
-      UNION ALL SELECT 'Inverse-MAE Weighted', ROUND(m_invmae, 6) FROM maes
-      UNION ALL SELECT 'Best Model Only (p' || best_i || ')', ROUND(m_best, 6) FROM maes
-      UNION ALL SELECT 'Scaled Conf-Weighted', ROUND(m_scaled, 6) FROM maes
-      UNION ALL SELECT 'Calibrated Conf-Weighted', ROUND(m_cal, 6) FROM maes
-      UNION ALL SELECT 'Drop Worst (p' || worst_i || ')', ROUND(m_drop, 6) FROM maes
+    SELECT strategy, floor(m * 1e6 + 0.5) / 1e6 AS mae FROM (
+      SELECT 'Simple Mean' AS strategy, m_mean AS m FROM maes
+      UNION ALL SELECT 'Confidence-Weighted', m_conf FROM maes
+      UNION ALL SELECT 'Inverse-MAE Weighted', m_invmae FROM maes
+      UNION ALL SELECT 'Best Model Only (p' || best_i || ')', m_best FROM maes
+      UNION ALL SELECT 'Scaled Conf-Weighted', m_scaled FROM maes
+      UNION ALL SELECT 'Calibrated Conf-Weighted', m_cal FROM maes
+      UNION ALL SELECT 'Drop Worst (p' || worst_i || ')', m_drop FROM maes
     ) ORDER BY mae, strategy
     """,
 )
@@ -1193,7 +1326,7 @@ def a13_strategy_cmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") + F.col("l_tax") * 10).alias("tgt"),
     )
     out = strategy_comparison(branches, ["p1", "p2", "p3"], ["c1", "c2", "c3"], "tgt")
-    return out.select("strategy", F.round("mae", 6).alias("mae"))
+    return out.select("strategy", _fround(F.col("mae")).alias("mae"))
 
 
 @query(
