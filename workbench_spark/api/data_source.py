@@ -47,11 +47,16 @@ class DataSource:
         spark: SparkSession | None = None,
         warehouse: str | None = None,
         onboard: bool = True,
+        layout: dict | None = None,
     ):
         from workbench_spark.session import get_spark
 
         self.spark = spark or get_spark()
         self.registry = Registry(warehouse)
+        # pruning-friendly write layout (sources/layout.py write_layout
+        # kwargs: partition_by / sort_by / zorder_by / max_records_per_file)
+        # — applied at ingest; compact() re-layouts an existing artifact
+        self._layout = dict(layout) if layout else None
         if source is None and name is None:
             raise ValueError("need a source and/or a name")
         if source is None:
@@ -95,14 +100,54 @@ class DataSource:
         else:
             raise ValueError(f"unsupported source type: {type(source)}")
         df = sanitize_columns(df)
-        df.write.mode("overwrite").parquet(self.registry.data_path(self.name))
-        self.registry.upsert_meta(
-            self.name,
-            {"artifact_type": "data_source", "status": "loaded", "tags": [self.name]},
-        )
+        if self._layout:
+            from workbench_spark.sources.layout import write_layout
+
+            write_layout(df, self.registry.data_path(self.name), **self._layout)
+        else:
+            df.write.mode("overwrite").parquet(self.registry.data_path(self.name))
+        meta = {"artifact_type": "data_source", "status": "loaded", "tags": [self.name]}
+        if self._layout:
+            meta["layout"] = self._layout
+        self.registry.upsert_meta(self.name, meta)
 
     def _register_view(self) -> None:
         self.df().createOrReplaceTempView(self.name)
+
+    def compact(
+        self,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> "DataSource":
+        """Rewrite the stored parquet with a pruning-friendly layout — the
+        OPTIMIZE / ZORDER maintenance operation (sources/layout.py).
+
+        Spark cannot overwrite a path it is lazily reading, so the rewrite
+        lands in a sibling temp directory and is swapped in atomically-ish
+        with a filesystem rename (an object store would swap a manifest the
+        same way). The registered view re-points at the new layout."""
+        import shutil
+        import uuid
+
+        from workbench_spark.sources.layout import write_layout
+
+        path = self.registry.data_path(self.name)
+        tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+        layout = {
+            "partition_by": partition_by,
+            "sort_by": sort_by,
+            "zorder_by": zorder_by,
+            "max_records_per_file": max_records_per_file,
+        }
+        layout = {k: v for k, v in layout.items() if v}
+        write_layout(self.df(), tmp, **layout)
+        shutil.rmtree(path)
+        shutil.move(tmp, path)
+        self.registry.upsert_meta(self.name, {"layout": layout})
+        self._register_view()
+        return self
 
     # ------------------------------------------------------------- basics
     def df(self) -> DataFrame:

@@ -68,11 +68,15 @@ class FeatureSet:
         one_hot_columns: list[str] | None = None,
         spark: SparkSession | None = None,
         warehouse: str | None = None,
+        layout: dict | None = None,
     ):
         from workbench_spark.session import get_spark
 
         self.spark = spark or get_spark()
         self.registry = Registry(warehouse)
+        # pruning-friendly offline-store layout (write_layout kwargs);
+        # applied to every ingest batch — appends cluster within the batch
+        self._layout = dict(layout) if layout else None
         if source is None:
             self.name = validate_name(name)
             meta = self.registry.read_meta(self.name)
@@ -111,17 +115,24 @@ class FeatureSet:
             .withColumn("api_invocation_time", F.current_timestamp())
             .withColumn("is_deleted", F.lit(False))
         )
-        df.write.mode("append").parquet(self.registry.data_path(self.name))
-        self.registry.upsert_meta(
-            self.name,
-            {
-                "artifact_type": "feature_set",
-                "status": "ready",
-                "id_column": self.id_column,
-                "event_time_column": self.event_time_column,
-                "tags": [self.name],
-            },
-        )
+        if self._layout:
+            from workbench_spark.sources.layout import write_layout
+
+            write_layout(
+                df, self.registry.data_path(self.name), mode="append", **self._layout
+            )
+        else:
+            df.write.mode("append").parquet(self.registry.data_path(self.name))
+        meta = {
+            "artifact_type": "feature_set",
+            "status": "ready",
+            "id_column": self.id_column,
+            "event_time_column": self.event_time_column,
+            "tags": [self.name],
+        }
+        if self._layout:
+            meta["layout"] = self._layout
+        self.registry.upsert_meta(self.name, meta)
 
     def append(self, df: DataFrame) -> None:
         """S8-style incremental ingest: event-time versions accumulate;
@@ -191,12 +202,30 @@ class FeatureSet:
             roles = self.spark.read.parquet(self.registry.data_path(roles_name))
         return training_view(self.snapshot(), roles, self.id_column)
 
-    def create_training_data(self, path: str | None = None, fmt: str = "parquet") -> str:
+    def create_training_data(
+        self,
+        path: str | None = None,
+        fmt: str = "parquet",
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> str:
         """S9 — export the training view (feature_set_core.py:342-368;
-        reference writes CSV via Athena — parquet default here, csv opt-in)."""
+        reference writes CSV via Athena — parquet default here, csv
+        opt-in). partition_by/sort_by/zorder_by route the parquet export
+        through the pruning-friendly writer (sources/layout.py) so the
+        downstream training scan can partition-prune and footer-skip."""
         import os
 
         out = path or os.path.join(self.registry.artifact_dir(self.name), "training_data")
+        if fmt != "csv" and (partition_by or sort_by or zorder_by):
+            from workbench_spark.sources.layout import write_layout
+
+            write_layout(
+                self.training_view(), out,
+                partition_by=partition_by, sort_by=sort_by, zorder_by=zorder_by,
+            )
+            return out
         w = self.training_view().write.mode("overwrite")
         (w.option("header", True).csv(out) if fmt == "csv" else w.parquet(out))
         return out

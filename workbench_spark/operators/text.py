@@ -492,3 +492,45 @@ def mixture_weights(
             ).otherwise(0.0),
         )
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary table — the curation-side stats behind stopword
+    discovery, vocab pruning, and df_cap selection for the dedup inverted
+    indexes: one row per normalized whitespace token with
+
+    - ``doc_freq``  — documents containing the token (distinct),
+    - ``term_freq`` — total occurrences across the corpus,
+    - ``idf``       — ln(N / doc_freq), the classic inverse document
+      frequency (N = corpus document count).
+
+    Plan shape: explode(tokens) → ONE groupBy(token) computing both
+    frequencies (count_distinct(doc) + count(*) in the same agg — no
+    second shuffle), corpus size joined in as a broadcast 1-row aggregate.
+    Linear in token count at any scale; the result is vocabulary-sized,
+    the thing you'd write out as a reusable corpus artifact."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    exploded = df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("token"))
+    stats = exploded.groupBy("token").agg(
+        F.count_distinct("__id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("term_freq"),
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    out = stats.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "doc_freq",
+        "term_freq",
+        F.log(F.col("__n") / F.col("doc_freq")).alias("idf"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("doc_freq") >= min_df)
+    return out

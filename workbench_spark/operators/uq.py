@@ -1,17 +1,27 @@
-"""Uncertainty quantification, reference v1/v2 depth (SURVEY §2.10 M4).
+"""Uncertainty quantification — the reference's full v0/v1/v2 family
+(SURVEY §2.10 M4). Named-mode map (UQ_VERSIONS at the bottom):
 
-Reference semantics:
-- UQ v1 — algorithms/dataframe/uq_model_v1.py:13-433: residual features
+- UQ v0 — algorithms/dataframe/uq_model_v0.py:1-367: the lightweight
+  (prediction, std)-only calibrator. Quantile-bin the predictions (10
+  bins), fit IsotonicRegression(std → |residual|) per bin with a global
+  fallback for under-populated bins, confidence = 1 − percentile rank of
+  the calibrated expected residual, intervals = split-conformal scale
+  factors q_α · std (nonconformity |y−ŷ|/max(std, 1e-10), scale_α at the
+  ceil((n+1)α)/n quantile). → class UQv0 here.
+- UQ v1 — uq_model_v1.py:13-433: residual features
   [prediction, prediction_std, knn_distance, knn_target_std,
   local_pred_gap] → RandomForest error model predicting |residual| →
   NORMALIZED CONFORMAL calibration (nonconformity = |y-ŷ|/expected;
   scale_α = the ceil((n+1)α)/n empirical quantile) → intervals
   ŷ ± scale_α·expected, plus a percentile-rank confidence score.
+  → class UQConformal here.
 - UQ v2 — uq_model_v2.py:1-419: pure applicability-domain score — no
   fitted model; confidence = (1-dist_pctile)·(1-var_pctile) against the
   training distribution, intervals = neighbor-target quantiles centered
   on the neighbor median (deliberately NOT on the prediction).
-- v0 (neighbor-spread sigma) stays in ml_analysis.uq_from_neighbors.
+  → uq_applicability here.
+- neighbor-spread sigma (the pre-v0 heuristic) stays in
+  ml_analysis.uq_from_neighbors.
 
 Spark-first design:
 - The error model is MLlib RandomForestRegressor (distributed fit).
@@ -248,6 +258,262 @@ class UQConformal:
                 f"upper_{tag}", F.col("prediction") + s * floored
             )
         return out
+
+
+def _pava_blocks(x, y):
+    """Weighted pool-adjacent-violators over (x, y): sort by x, average y
+    at duplicate x, pool adjacent decreasing blocks to their weighted
+    mean. Returns (thresholds, fitted) — the block representation sklearn
+    IsotonicRegression stores as X_/y_thresholds_, so np.interp over it is
+    the identical piecewise-linear calibrator the reference applies
+    (uq_model_v0.py:60-133). Labels here are |residual| ≥ 0, so the
+    fitted block means satisfy y_min=0 without an explicit clip."""
+    import numpy as np
+
+    order = np.argsort(x, kind="mergesort")
+    x, y = np.asarray(x, float)[order], np.asarray(y, float)[order]
+    ux, inv, cnt = np.unique(x, return_inverse=True, return_counts=True)
+    sums = np.zeros(len(ux))
+    np.add.at(sums, inv, y)
+    vals = list(sums / cnt)
+    wts = list(cnt.astype(float))
+    lens = [1] * len(vals)
+    out_v, out_w, out_l = [], [], []
+    for v, w, length in zip(vals, wts, lens):
+        out_v.append(v), out_w.append(w), out_l.append(length)
+        while len(out_v) > 1 and out_v[-2] > out_v[-1]:
+            tw = out_w[-2] + out_w[-1]
+            out_v[-2] = (out_v[-2] * out_w[-2] + out_v[-1] * out_w[-1]) / tw
+            out_w[-2] = tw
+            merged_len = out_l.pop()
+            out_l[-1] += merged_len
+            out_v.pop(), out_w.pop()
+    fitted = np.repeat(out_v, out_l)
+    return ux, fitted
+
+
+def _interp_sql(x_col: str, xs: list[float], ys: list[float]) -> str:
+    """np.interp as ONE codegen'd SQL expression over literal arrays:
+    clip outside [xs[0], xs[-1]], linear between adjacent thresholds.
+    One expr string per calibrator bin (per-Column py4j round-trips cost
+    ~1.5s/query build — the measured cliff)."""
+    n = len(xs)
+    if n == 1:
+        return repr(float(ys[0]))
+    xa = "array(" + ", ".join(repr(float(v)) for v in xs) + ")"
+    ya = "array(" + ", ".join(repr(float(v)) for v in ys) + ")"
+    return (
+        f"CASE size(filter({xa}, v -> v <= {x_col})) "
+        f"WHEN 0 THEN element_at({ya}, 1) "
+        f"WHEN {n} THEN element_at({ya}, {n}) "
+        f"ELSE element_at({ya}, size(filter({xa}, v -> v <= {x_col}))) "
+        f"+ (element_at({ya}, size(filter({xa}, v -> v <= {x_col})) + 1) "
+        f"  - element_at({ya}, size(filter({xa}, v -> v <= {x_col})))) "
+        f"* ({x_col} - element_at({xa}, size(filter({xa}, v -> v <= {x_col})))) "
+        f"/ (element_at({xa}, size(filter({xa}, v -> v <= {x_col})) + 1) "
+        f"  - element_at({xa}, size(filter({xa}, v -> v <= {x_col})))) END"
+    )
+
+
+class UQv0:
+    """v0 — isotonic-on-(prediction, std) calibrator (uq_model_v0.py).
+
+    The lightweight member of the family: no neighborhoods, no error
+    model. fit() on an out-of-fold calibration frame; predict() emits
+    expected_residual, confidence, q_50 = prediction and the conformal
+    interval columns (q_025..q_975 per confidence level).
+
+    Spark-first shape:
+    - Bin edges + conformal scale factors + the 101-point residual CDF
+      are driver-side constants from TWO exact multi-percentile passes.
+    - The per-bin isotonic fits run as ONE distributed job
+      (groupBy(bin).applyInPandas over a numpy PAVA) — quantile bins are
+      balanced by construction, so each task sees ~n/10 rows and the
+      <MIN_SAMPLES global fallback can only trigger when the whole
+      calibration set is tiny (n < bins·20), where a single-task global
+      fit is trivially fine.
+    - Calibrator state is (thresholds, fitted) block arrays per bin,
+      capped at ``max_thresholds`` points (resampled on the std-quantile
+      grid past the cap) so inference state is O(bins·cap) regardless of
+      calibration size; inference itself is a pure codegen'd expression —
+      bin lookup + piecewise-linear interpolation over literal arrays, no
+      Python per row, no shuffle.
+    """
+
+    N_BINS = 10
+    MIN_SAMPLES_PER_BIN = 20
+
+    def __init__(
+        self,
+        id_col: str = "id",
+        confidence_levels: tuple[float, ...] = _DEFAULT_LEVELS,
+        n_bins: int = N_BINS,
+        max_thresholds: int = 1001,
+    ):
+        self.id_col = id_col
+        self.confidence_levels = tuple(confidence_levels)
+        self.n_bins = n_bins
+        self.max_thresholds = max_thresholds
+        self.bin_edges: list[float] | None = None
+        self.calibrators: dict[int, tuple[list[float], list[float]]] | None = None
+        self.scale_factors: dict[float, float] | None = None
+        self.residual_percentiles: list[float] | None = None
+
+    # ---------------------------------------------------------------- fit
+    def fit(
+        self, cal: DataFrame, target: str, prediction: str, prediction_std: str
+    ) -> "UQv0":
+        import numpy as np
+        import pandas as pd
+
+        y = F.col(target).cast("double")
+        pred = F.col(prediction).cast("double")
+        std = F.col(prediction_std).cast("double")
+        frame = cal.select(
+            pred.alias("__p"),
+            std.alias("__s"),
+            F.abs(y - pred).alias("__r"),
+            (F.abs(y - pred) / F.greatest(std, F.lit(1e-10))).alias("__nc"),
+        ).persist()
+        n = frame.count()
+        if n == 0:
+            raise ValueError("UQv0.fit needs a non-empty calibration frame")
+        probs = [min(math.ceil((n + 1) * a) / n, 1.0) for a in self.confidence_levels]
+        row = frame.agg(
+            F.percentile(F.col("__nc"), F.array(*[F.lit(p) for p in probs])).alias("__q"),
+            F.percentile(
+                F.col("__p"),
+                F.array(*[F.lit(i / self.n_bins) for i in range(self.n_bins + 1)]),
+            ).alias("__edges"),
+        ).first()
+        self.scale_factors = dict(zip(self.confidence_levels, row["__q"]))
+        edges = sorted(set(row["__edges"]))  # np.unique on quantile points
+        edges[0] -= 1e-6
+        edges[-1] += 1e-6
+        self.bin_edges = [float(e) for e in edges]
+        n_bins = len(edges) - 1
+
+        edge_arr = "array(" + ", ".join(repr(e) for e in self.bin_edges) + ")"
+        bin_expr = F.expr(
+            f"least(greatest(size(filter({edge_arr}, e -> e <= __p)) - 1, 0), {n_bins - 1})"
+        )
+        binned = frame.withColumn("__bin", bin_expr)
+        counts = {
+            r["__bin"]: r["n"]
+            for r in binned.groupBy("__bin").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        cap = self.max_thresholds
+
+        def fit_bin(pdf: pd.DataFrame) -> pd.DataFrame:
+            xs, ys = _pava_blocks(pdf["__s"].to_numpy(), pdf["__r"].to_numpy())
+            if len(xs) > cap:
+                grid = np.quantile(xs, np.linspace(0, 1, cap))
+                ys = np.interp(grid, xs, ys)
+                xs = grid
+            return pd.DataFrame(
+                {"bin": [int(pdf["__bin"].iloc[0])], "xs": [list(map(float, xs))],
+                 "ys": [list(map(float, ys))]}
+            )
+
+        big = [b for b, c in counts.items() if c >= self.MIN_SAMPLES_PER_BIN]
+        fits = (
+            binned.filter(F.col("__bin").isin(big))
+            .groupBy("__bin")
+            .applyInPandas(fit_bin, "bin int, xs array<double>, ys array<double>")
+            .collect()
+            if big
+            else []
+        )
+        self.calibrators = {r["bin"]: (list(r["xs"]), list(r["ys"])) for r in fits}
+        if len(self.calibrators) < n_bins:
+            # global fallback for under-populated bins — single-task fit,
+            # reachable only when n < n_bins·MIN_SAMPLES (see class doc)
+            gpdf = frame.select("__s", "__r").toPandas()
+            gx, gy = _pava_blocks(gpdf["__s"].to_numpy(), gpdf["__r"].to_numpy())
+            if len(gx) > cap:
+                grid = np.quantile(gx, np.linspace(0, 1, cap))
+                gy = np.interp(grid, gx, gy)
+                gx = grid
+            g = (list(map(float, gx)), list(map(float, gy)))
+            for b in range(n_bins):
+                self.calibrators.setdefault(b, g)
+
+        # 101-point CDF of the calibrated residual on the cal set itself
+        expected = self._expected_expr("__p", "__s")
+        cdf = (
+            binned.select(expected.alias("__e"))
+            .agg(
+                F.percentile(
+                    F.col("__e"), F.array(*[F.lit(p / 100.0) for p in range(101)])
+                ).alias("__cdf")
+            )
+            .first()
+        )
+        self.residual_percentiles = [float(v) for v in cdf["__cdf"]]
+        frame.unpersist()
+        return self
+
+    # ------------------------------------------------------------ helpers
+    def _expected_expr(self, pred_col: str, std_col: str):
+        """expected_residual as one codegen'd CASE over the bins."""
+        n_bins = len(self.bin_edges) - 1
+        edge_arr = "array(" + ", ".join(repr(e) for e in self.bin_edges) + ")"
+        idx = f"least(greatest(size(filter({edge_arr}, e -> e <= {pred_col})) - 1, 0), {n_bins - 1})"
+        branches = " ".join(
+            f"WHEN {b} THEN greatest({_interp_sql(std_col, *self.calibrators[b])}, 0.0d)"
+            for b in range(n_bins)
+        )
+        return F.expr(f"CASE {idx} {branches} END")
+
+    # ------------------------------------------------------------ predict
+    def predict(
+        self, df: DataFrame, prediction: str, prediction_std: str
+    ) -> DataFrame:
+        """(id, prediction, expected_residual, confidence, q_025..q_975).
+        Pure column expressions against the fitted driver-side constants —
+        scores any size frame with zero shuffles."""
+        if self.calibrators is None:
+            raise RuntimeError("UQv0 not fitted — call .fit() first")
+        pred = F.col(prediction).cast("double")
+        std = F.col(prediction_std).cast("double")
+        out = df.select(
+            self.id_col,
+            pred.alias("prediction"),
+            pred.alias("__p"),
+            std.alias("__s"),
+        ).withColumn("__e", self._expected_expr("__p", "__s"))
+        rank = _rank_expr("__e", self.residual_percentiles)
+        out = out.withColumn(
+            "confidence",
+            F.least(F.greatest(1.0 - rank, F.lit(0.0)), F.lit(1.0)),
+        ).withColumn("q_50", F.col("prediction"))
+        safe_std = F.greatest(F.col("__s"), F.lit(1e-10))
+        for a in self.confidence_levels:
+            if a not in _UQ_LEVEL_COLS:
+                continue
+            lo_col, hi_col = _UQ_LEVEL_COLS[a]
+            q = self.scale_factors[a]
+            out = out.withColumn(lo_col, F.col("prediction") - q * safe_std)
+            out = out.withColumn(hi_col, F.col("prediction") + q * safe_std)
+        return out.select(
+            self.id_col,
+            "prediction",
+            F.col("__e").alias("expected_residual"),
+            "confidence",
+            *[c for pair in _UQ_LEVEL_COLS.values() for c in pair if c in out.columns],
+            "q_50",
+        )
+
+
+# quantile column names by confidence level — shared across UQ versions
+# (uq_model_v0.py:47-53)
+_UQ_LEVEL_COLS = {
+    0.50: ("q_25", "q_75"),
+    0.68: ("q_16", "q_84"),
+    0.80: ("q_10", "q_90"),
+    0.90: ("q_05", "q_95"),
+    0.95: ("q_025", "q_975"),
+}
 
 
 def uq_applicability(
@@ -506,3 +772,14 @@ def uq_metrics(
            "interval_to_error_corr", "confidence_to_error_corr", "n_samples"]
     )
     return ranked.agg(*aggs).select(*order)
+
+
+# --------------------------------------------------------------------------
+# named-mode registry: the reference ships three distinct UQ models
+# (uq_model_v0/v1/v2.py) behind one family — map each version name to its
+# engine twin so callers can dispatch by the reference's own version tags.
+UQ_VERSIONS = {
+    "v0": UQv0,              # isotonic (prediction, std) calibrator + split conformal
+    "v1": UQConformal,       # residual features + RF error model + normalized conformal
+    "v2": uq_applicability,  # pure applicability-domain score from neighbors
+}

@@ -2957,6 +2957,105 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_vocabulary_top",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> length(t) > 0)) AS token
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    stats AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS term_freq
+      FROM toks GROUP BY token
+    )
+    SELECT token, doc_freq, term_freq, ROUND(ln(n.n / doc_freq), 6) AS idf
+    FROM stats, n
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT 50
+    """,
+)
+def text_vocabulary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary / IDF table (text.vocabulary) — the stats behind
+    stopword discovery and df_cap selection for the dedup inverted
+    indexes. One explode + one groupBy(token) computing doc_freq AND
+    term_freq in the same agg (no second shuffle); corpus size is a
+    broadcast 1-row aggregate. Top 50 by document frequency with a full
+    deterministic tiebreak."""
+    from workbench_spark.operators.text import vocabulary
+
+    d = _t(spark, sf_dir, "documents")
+    out = vocabulary(d)
+    return (
+        out.select(
+            "token",
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("term_freq").cast("long").alias("term_freq"),
+            F.round("idf", 6).alias("idf"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "m4_uq_v0_coverage",
+    """
+    SELECT * FROM (VALUES (true, true, true, true))
+      AS t(coverage_50_ok, coverage_80_ok, coverage_95_ok, confidence_in_range)
+    """,
+)
+def uq_v0_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UQ v0 conformal-coverage gate (uq_model_v0.py finite-sample
+    guarantee): fit the isotonic-(prediction,std) calibrator on a
+    lineitem-derived heteroscedastic frame (|residual| = std·|sin(key)| —
+    fully deterministic), then verify ON THE CALIBRATION SET that every
+    interval level covers at least its target (the ceil((n+1)α)/n
+    quantile makes this hold by construction — the engine must reproduce
+    it exactly) and confidence stays in [0, 1]. Both sides of each
+    boolean are computed by the engine, so the constant oracle certifies
+    the algebra, not a copied number."""
+    from workbench_spark.operators.uq import UQv0
+
+    li = _t(spark, sf_dir, "lineitem")
+    # the synthetic lineitem has NO unique natural key (even
+    # (orderkey, linenumber, partkey) collides) — aggregate to unique ids
+    # deterministically before deriving y, or the verification join fans out
+    frame = (
+        li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+            F.col("l_quantity").cast("double").alias("pred"),
+            (0.5 + F.col("l_tax") * 5).alias("std"),
+        )
+        .groupBy("id")
+        .agg(F.min("pred").alias("pred"), F.min("std").alias("std"))
+        .withColumn(
+            "y", F.col("pred") + F.col("std") * F.sin(F.col("id").cast("double"))
+        )
+    )
+    uq = UQv0(id_col="id").fit(frame, "y", "pred", "std")
+    out = uq.predict(frame, "pred", "std").join(frame.select("id", "y"), "id")
+    row = out.agg(
+        F.avg(((F.col("y") >= F.col("q_25")) & (F.col("y") <= F.col("q_75"))).cast("double")).alias("c50"),
+        F.avg(((F.col("y") >= F.col("q_10")) & (F.col("y") <= F.col("q_90"))).cast("double")).alias("c80"),
+        F.avg(((F.col("y") >= F.col("q_025")) & (F.col("y") <= F.col("q_975"))).cast("double")).alias("c95"),
+        F.min("confidence").alias("cmin"),
+        F.max("confidence").alias("cmax"),
+    ).first()
+    return spark.createDataFrame(
+        [(
+            bool(row["c50"] >= 0.50),
+            bool(row["c80"] >= 0.80),
+            bool(row["c95"] >= 0.95),
+            bool(0.0 <= row["cmin"] and row["cmax"] <= 1.0),
+        )],
+        "coverage_50_ok boolean, coverage_80_ok boolean, "
+        "coverage_95_ok boolean, confidence_in_range boolean",
+    )
+
+
 # =====================================================================
 # Driver-visible invariant companions for the remaining rows-only entries
 # =====================================================================
@@ -2970,10 +3069,12 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Companion for dedup_simhash_pairs (xxhash64 → no engine-portable
-    oracle): every returned pair must actually be within the Hamming
-    bound when recomputed from the signatures, ids must be ordered
-    (id_a < id_b), and pairs unique — the defining output contract."""
+    """Invariant gate for the PRODUCTION simhash path (xxhash64 — the
+    dedup_simhash_pairs sweep entry now carries a portable bit-level
+    oracle, but the production signature keeps the stronger hash, which
+    no SQL engine can replay): every returned pair must actually be
+    within the Hamming bound when recomputed from the signatures, ids
+    must be ordered (id_a < id_b), and pairs unique."""
     from workbench_spark.operators.dedup import simhash, simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -3004,13 +3105,13 @@ def simhash_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Companion for knn_cosine_lsh (seeded hyperplanes): LSH top-k must
+    """Recall gate for LSH self-KNN on the RAW (unplanted) embeddings —
+    the adversarial no-structure corpus where the knn_cosine_lsh sweep
+    entry's planted-twin recall@1 = 1 cannot hold: LSH top-k must still
     recover ≥50% of the exact top-k on average (seeded → deterministic;
-    measured ~0.71 at 3 planes x 5 tables on the near-uniform synthetic
-    embeddings — an adversarial corpus for LSH, hence the dense setting),
-    emit ≤ k rows per query, and every reported similarity must equal the
-    exact cosine for that pair (LSH prunes candidates, never perturbs
-    scores)."""
+    measured ~0.71 at 3 planes x 5 tables), emit ≤ k rows per query, and
+    every reported similarity must equal the exact cosine for that pair
+    (LSH prunes candidates, never perturbs scores)."""
     from workbench_spark.operators.similarity import cosine_knn, lsh_cosine_knn
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
