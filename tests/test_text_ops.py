@@ -143,3 +143,56 @@ def test_mixture_weights_reshapes_distribution(spark):
     assert out2["a"]["target_frac"] == pytest.approx(0.5)
     with pytest.raises(ValueError, match="sum"):
         mixture_weights(docs, {"a": 0.0})
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Hand-worked Gopher rule checks (Rae 2021 thresholds): a normal
+    paragraph passes; too-short, bullet-heavy, and no-alpha docs fail the
+    specific rule they violate."""
+    from workbench_spark.operators.text import gopher_quality_flags
+
+    good = ("The quick brown fox jumps over the lazy dog and then runs "
+            "to the hills with great speed that nobody can have matched "
+            "in all of recorded history because it was very fast indeed "
+            "and kept going for a long time across many green fields "
+            "today and tomorrow and the day after that as well friends")
+    bullets = "\n".join(["• item one here", "• item two here",
+                         "• item three here", "* item four here"])
+    digits = " ".join(["12345"] * 60)
+    df = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, bullets), (4, digits)],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert out[1]["gopher_keep"], out[1]
+    assert out[1]["n_stop_words"] >= 2 and out[1]["alpha_word_frac"] == 1.0
+    # doc 2: word count 2 < 50
+    assert not out[2]["gopher_keep"] and out[2]["n_words"] == 2
+    # doc 3: every line starts with a bullet -> frac 1.0 >= 0.9
+    assert out[3]["bullet_line_frac"] == 1.0 and not out[3]["gopher_keep"]
+    # doc 4: zero words contain an alphabetic char
+    assert out[4]["alpha_word_frac"] == 0.0 and not out[4]["gopher_keep"]
+
+
+def test_vocabulary_idf_hand_computed(spark):
+    """IDF on a 4-doc corpus: token in all docs -> idf ln(1)=0; token in
+    one doc -> ln(4)."""
+    import math
+
+    from workbench_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry"), (3, "apple banana"),
+         (4, "apple date date")],
+        "doc_id int, text string",
+    )
+    rows = {r["token"]: r for r in vocabulary(df).collect()}
+    assert rows["apple"]["doc_freq"] == 4 and rows["apple"]["idf"] == 0.0
+    assert rows["banana"]["doc_freq"] == 2
+    assert rows["banana"]["idf"] == pytest.approx(math.log(2))
+    assert rows["date"]["doc_freq"] == 1 and rows["date"]["term_freq"] == 2
+    assert rows["date"]["idf"] == pytest.approx(math.log(4))
+    assert "cherry" in rows and rows["cherry"]["term_freq"] == 1
+    # min_df prunes singletons
+    pruned = {r["token"] for r in vocabulary(df, min_df=2).collect()}
+    assert pruned == {"apple", "banana"}

@@ -534,3 +534,68 @@ def vocabulary(
     if min_df > 1:
         out = out.filter(F.col("doc_freq") >= min_df)
     return out
+
+
+#: the Gopher stop-word presence list (Rae et al. 2021, App. A1.1) —
+#: a document must contain at least 2 of these to pass rule 7
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training Gopher",
+    Appendix A1.1 — published thresholds, transcribed from the paper):
+
+    1. 50 ≤ word count ≤ 100,000
+    2. 3 ≤ mean word length ≤ 10
+    3. symbol-to-word ratio ≤ 0.1 for '#' and for '...'
+    4. < 90% of lines start with a bullet point
+    5. < 30% of lines end with an ellipsis
+    6. ≥ 80% of words contain at least one alphabetic character
+    7. contains ≥ 2 of the 8 stop words {the, be, to, of, and, that,
+       have, with}
+
+    ``gopher_keep`` is the conjunction. Words are whitespace tokens; the
+    bullet set [•*-] is the common reimplementation of the paper's
+    "bullet point" (the paper doesn't enumerate glyphs). All JVM
+    regex/array expressions over one projection — stop-word presence is
+    8 unrolled array_contains (no nested lambdas, stays in codegen), no
+    Python, no shuffle; linear scan at any corpus size."""
+    t = F.col(text_col)
+    toks = F.regexp_extract_all(t, F.lit(r"\S+"), 0)
+    toks_l = F.regexp_extract_all(F.lower(t), F.lit(r"\S+"), 0)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    mean_len = sum_len / n_words
+    n_hash = F.regexp_count(t, F.lit("#"))
+    n_ellipsis = F.regexp_count(t, F.lit(r"\.\.\."))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[•*-]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$")))
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = None
+    for w in GOPHER_STOP_WORDS:
+        term = F.array_contains(toks_l, w).cast("int")
+        n_stop = term if n_stop is None else n_stop + term
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_len)
+        .withColumn("hash_word_ratio", n_hash / n_words)
+        .withColumn("ellipsis_word_ratio", n_ellipsis / n_words)
+        .withColumn("bullet_line_frac", bullet_lines / n_lines)
+        .withColumn("ellipsis_line_frac", ellipsis_lines / n_lines)
+        .withColumn("alpha_word_frac", alpha_words / n_words)
+        .withColumn("n_stop_words", n_stop)
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("hash_word_ratio") <= 0.1)
+        & (F.col("ellipsis_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stop_words") >= 2)
+    )
+    return out.withColumn("gopher_keep", keep)

@@ -1733,16 +1733,65 @@ def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m4_uq_neighbors")  # KNN float-sum order nondeterminism → rows-only
+@query(
+    "m4_uq_neighbors",
+    """
+    WITH stats AS (
+      SELECT AVG(c_acctbal) AS mu, STDDEV(c_acctbal) AS sd FROM customer
+    ),
+    p AS (
+      SELECT c_custkey AS id, c_acctbal * 0.9 AS pred,
+             (c_acctbal - mu) / (CASE WHEN sd > 0 THEN sd ELSE 1 END) AS z
+      FROM customer, stats
+    ),
+    knn AS (
+      SELECT id, nid FROM (
+        SELECT a.id AS id, b.id AS nid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.id
+                 ORDER BY ABS(a.z - b.z) ASC, b.id ASC) AS rn
+        FROM p a JOIN p b ON a.id != b.id
+      ) WHERE rn <= 5
+    ),
+    spread AS (
+      SELECT knn.id, STDDEV(p.pred) AS sigma, AVG(p.pred) AS nmean
+      FROM knn JOIN p ON knn.nid = p.id GROUP BY knn.id
+    ),
+    g AS (SELECT STDDEV(pred) AS gs FROM p)
+    SELECT p.id AS c_custkey,
+           ROUND(p.pred, 4) + 0 AS pred,
+           ROUND(COALESCE(spread.sigma, g.gs), 4) + 0 AS uq_sigma,
+           ROUND(p.pred - 1.645 * COALESCE(spread.sigma, g.gs), 4) + 0 AS lower_bound,
+           ROUND(p.pred + 1.645 * COALESCE(spread.sigma, g.gs), 4) + 0 AS upper_bound,
+           ROUND(spread.nmean, 4) + 0 AS neighbor_mean_pred
+    FROM p LEFT JOIN spread ON p.id = spread.id CROSS JOIN g
+    """,
+)
 def m4_uq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4 — neighbor-spread UQ (uq_model_v0 semantics); invariants in
-    tests/test_ml.py."""
+    """M4 — neighbor-spread UQ (uq_model_v0 pre-calibrator semantics):
+    sigma = stddev of the 5 standardized-Euclidean neighbors' predictions,
+    interval = pred ± 1.645·sigma, global-sigma fallback for degenerate
+    neighborhoods. Upgraded from rows-only in r5: the exact KNN path is
+    fully deterministic here (single feature → distance ordering is
+    monotone in the raw gap; ties broken by neighbor id on both sides),
+    so DuckDB replays the identical z-score/rank/stddev pipeline and the
+    hash match checks neighbor SELECTION, not just shape. Verified tie
+    behavior empirically at both sweep scales (quantized 2-decimal
+    acctbal gaps make boundary ties real, not hypothetical)."""
     from workbench_spark.operators.ml_analysis import uq_from_neighbors
 
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", (F.col("c_acctbal") * 0.9).alias("pred")
     )
-    return uq_from_neighbors(c, "c_custkey", "pred", ["c_acctbal"], k=5)
+    out = uq_from_neighbors(c, "c_custkey", "pred", ["c_acctbal"], k=5)
+    return out.select(
+        "c_custkey",
+        (F.round("pred", 4) + F.lit(0.0)).alias("pred"),
+        (F.round("uq_sigma", 4) + F.lit(0.0)).alias("uq_sigma"),
+        (F.round("lower_bound", 4) + F.lit(0.0)).alias("lower_bound"),
+        (F.round("upper_bound", 4) + F.lit(0.0)).alias("upper_bound"),
+        (F.round("neighbor_mean_pred", 4) + F.lit(0.0)).alias("neighbor_mean_pred"),
+    )
 
 
 @query(
@@ -2997,6 +3046,71 @@ def text_vocabulary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
         .limit(50)
+    )
+
+
+@query(
+    "text_gopher_rules",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '\\S+') AS toks,
+             regexp_extract_all(lower(text), '\\S+') AS toks_l,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mean_word_len,
+             CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+               / len(toks) AS hash_word_ratio,
+             CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+               / len(toks) AS ellipsis_word_ratio,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[•*-]'))) AS DOUBLE)
+               / len(lines) AS bullet_line_frac,
+             CAST(len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.\\s*$'))) AS DOUBLE)
+               / len(lines) AS ellipsis_line_frac,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / len(toks) AS alpha_word_frac,
+             list_contains(toks_l, 'the')::INT + list_contains(toks_l, 'be')::INT
+             + list_contains(toks_l, 'to')::INT + list_contains(toks_l, 'of')::INT
+             + list_contains(toks_l, 'and')::INT + list_contains(toks_l, 'that')::INT
+             + list_contains(toks_l, 'have')::INT + list_contains(toks_l, 'with')::INT
+               AS n_stop_words
+      FROM base
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(alpha_word_frac, 6) AS alpha_word_frac,
+           CAST(n_stop_words AS INT) AS n_stop_words,
+           (n_words BETWEEN 50 AND 100000)
+           AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+           AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+           AND alpha_word_frac >= 0.8 AND n_stop_words >= 2 AS gopher_keep
+    FROM m
+    """,
+)
+def text_gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, App. A1.1 —
+    published thresholds) over the corpus. The oracle recomputes every
+    per-doc statistic (word counts, mean word length, symbol ratios,
+    bullet/ellipsis line fractions, alphabetic-word fraction, stop-word
+    presence) from the same regex subset, so the hash match certifies the
+    rule arithmetic, not just row counts."""
+    from workbench_spark.operators.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    out = gopher_quality_flags(d)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.col("n_stop_words").cast("int").alias("n_stop_words"),
+        "gopher_keep",
     )
 
 
