@@ -414,3 +414,38 @@ def test_decontaminate_self_benchmark(spark, text, n):
         assert out["contaminated"]
     else:
         assert not out["contaminated"]
+
+
+def test_resample_ffill_hand_computed(spark):
+    """Hourly resample with a 2-hour gap: the missing bins appear on the
+    grid, carry the last observed value, and are flagged is_filled."""
+    from datetime import datetime
+
+    from workbench_spark.operators.windows import resample_timeseries
+
+    rows = [
+        (1, datetime(2026, 1, 1, 0, 10), 10.0),
+        (1, datetime(2026, 1, 1, 0, 50), 20.0),   # same bin -> avg 15
+        (1, datetime(2026, 1, 1, 3, 5), 40.0),    # bins 1 and 2 are gaps
+        (2, datetime(2026, 1, 1, 5, 0), 7.0),     # single-bin group
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    out = resample_timeseries(
+        df, "ts", "value", group_col="user_id", step_seconds=3600
+    )
+    got = {
+        (r["user_id"], r["bucket_ts"].hour): (r["value"], r["is_filled"])
+        for r in out.collect()
+    }
+    assert got[(1, 0)] == (15.0, False)
+    assert got[(1, 1)] == (15.0, True)   # gap carries forward
+    assert got[(1, 2)] == (15.0, True)
+    assert got[(1, 3)] == (40.0, False)
+    assert got[(2, 5)] == (7.0, False)
+    assert len(got) == 5  # grid bounded per group, no cross-group bleed
+    # zero-fill mode
+    z = resample_timeseries(
+        df, "ts", "value", group_col="user_id", step_seconds=3600, fill="zero"
+    )
+    gz = {(r["user_id"], r["bucket_ts"].hour): r["value"] for r in z.collect()}
+    assert gz[(1, 1)] == 0.0 and gz[(1, 3)] == 40.0

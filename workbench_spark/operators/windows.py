@@ -160,3 +160,72 @@ def stratified_split(
     train = keyed.sampleBy(strata_col, fractions, seed=seed)
     holdout = keyed.join(train.select("__sid"), "__sid", "left_anti")
     return train.drop("__sid"), holdout.drop("__sid")
+
+
+def resample_timeseries(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_col: str | None = None,
+    step_seconds: int = 3600,
+    agg: str = "avg",
+    fill: str = "ffill",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid with gap
+    filling — the batch twin of the streaming hourly rollup (and the op a
+    training pipeline needs before any windowed feature join).
+
+    Semantics: bucket events into ``step_seconds`` bins (floor of the
+    epoch), aggregate ``value_col`` per (group, bin) with ``agg``
+    (avg/sum/min/max/count), then DENSIFY: emit a row for every grid step
+    between each group's first and last bin and fill empty bins —
+    ``fill='ffill'`` carries the last observed value forward (the
+    standard as-of semantics), ``'zero'`` fills 0, ``'null'`` leaves
+    gaps NULL. Output: (group?, bucket_ts, value, is_filled).
+
+    Spark-first shape: the dense grid comes from ONE sequence()/explode
+    per group (never a driver loop or a calendar-table cross join), and
+    forward-fill is last(value, ignorenulls=True) over an unbounded
+    preceding window per group — a single shuffle on the group key, which
+    the preceding aggregation already paid. At 100 TB the grid size is
+    bounded by (time span / step) per group, independent of event count.
+    """
+    if agg not in ("avg", "sum", "min", "max", "count"):
+        raise ValueError(f"agg must be avg/sum/min/max/count, got {agg!r}")
+    if fill not in ("ffill", "zero", "null"):
+        raise ValueError(f"fill must be ffill/zero/null, got {fill!r}")
+    step = int(step_seconds)
+    bucket = (F.floor(F.unix_timestamp(F.col(time_col)) / step) * step).cast("long")
+    keys = [group_col] if group_col else []
+    agg_fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+              "count": lambda c: F.count(c)}[agg]
+    binned = (
+        df.select(*keys, bucket.alias("__b"), F.col(value_col).cast("double").alias("__v"))
+        .groupBy(*keys, "__b")
+        .agg(agg_fn(F.col("__v")).alias("__v"))
+    )
+    span = binned.groupBy(*keys).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))).alias("__b"),
+    )
+    joined = grid.join(binned, keys + ["__b"], "left").withColumn(
+        "is_filled", F.col("__v").isNull()
+    )
+    if fill == "ffill":
+        w = Window.partitionBy(*keys).orderBy("__b").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        filled = F.last("__v", ignorenulls=True).over(w)
+    elif fill == "zero":
+        filled = F.coalesce(F.col("__v"), F.lit(0.0))
+    else:
+        filled = F.col("__v")
+    return joined.select(
+        *keys,
+        F.timestamp_seconds(F.col("__b")).alias("bucket_ts"),
+        filled.alias("value"),
+        "is_filled",
+    )

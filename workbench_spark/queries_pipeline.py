@@ -3050,6 +3050,56 @@ def text_vocabulary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w_resample_ffill",
+    """
+    WITH binned AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+             AVG(value) AS v
+      FROM events WHERE user_id < 20
+      GROUP BY user_id, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM binned GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(lo, hi, 3600)) AS b FROM span
+    ),
+    joined AS (
+      SELECT g.user_id, g.b, binned.v, binned.v IS NULL AS is_filled
+      FROM grid g LEFT JOIN binned ON g.user_id = binned.user_id AND g.b = binned.b
+    )
+    SELECT user_id, b AS bucket_epoch,
+           ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+           is_filled
+    FROM joined
+    """,
+)
+def w_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward-fill (windows.resample_timeseries):
+    hourly grid per user, gaps densified via one sequence()/explode per
+    group (never a calendar cross join) and carried forward with
+    last(ignorenulls) — the batch twin of the streaming hourly rollup.
+    The oracle replays bucket/densify/ffill in DuckDB, including which
+    rows were synthesized (is_filled)."""
+    from workbench_spark.operators.windows import resample_timeseries
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    out = resample_timeseries(
+        ev, "ts", "value", group_col="user_id", step_seconds=3600,
+        agg="avg", fill="ffill",
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").cast("long").alias("bucket_epoch"),
+        F.round("value", 6).alias("value"),
+        "is_filled",
+    )
+
+
+@query(
     "text_gopher_rules",
     """
     WITH base AS (
