@@ -196,3 +196,29 @@ def test_vocabulary_idf_hand_computed(spark):
     # min_df prunes singletons
     pruned = {r["token"] for r in vocabulary(df, min_df=2).collect()}
     assert pruned == {"apple", "banana"}
+
+
+def test_chunk_documents_hand_computed(spark):
+    """Windows at stride 4 with chunk 6 over 10 tokens: starts {0, 4};
+    exactly-chunk-sized doc gets ONE window; empty doc none."""
+    from workbench_spark.operators.text import chunk_documents
+
+    ten = " ".join(f"w{i}" for i in range(10))
+    six = " ".join(f"w{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [(1, ten), (2, six), (3, "   ")], "doc_id int, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=6, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, 0)}
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3 w4 w5"
+    assert rows[(1, 1)]["chunk_text"] == "w4 w5 w6 w7 w8 w9"
+    assert rows[(1, 1)]["n_tokens"] == 6
+    assert rows[(2, 0)]["chunk_text"] == six and rows[(2, 0)]["n_tokens"] == 6
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+    # every token of every doc is covered by at least one chunk
+    short = chunk_documents(df, chunk_tokens=4, overlap=1)
+    n1 = [r["n_tokens"] for r in short.filter("doc_id = 1").collect()]
+    starts = sorted(3 * r["chunk_id"] for r in short.filter("doc_id = 1").collect())
+    assert starts[0] == 0 and max(s + 4 for s in starts) >= 10

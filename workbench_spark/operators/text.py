@@ -599,3 +599,53 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("n_stop_words") >= 2)
     )
     return out.withColumn("gopher_keep", keep)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the passage
+    shape for context-window packing and retrieval indexing. Whitespace
+    tokens; windows start every ``chunk_tokens - overlap`` tokens and a
+    final short window is kept only when it adds new tokens (the standard
+    sliding-window convention). Output: (id, chunk_id, chunk_text,
+    n_tokens), chunk_id 0-based in document order.
+
+    Plan shape: tokens projected once per row, window starts come from
+    sequence() over the token count, slice()/array_join build each chunk
+    — one explode, no shuffle at all until the caller aggregates; chunk
+    count per doc is ceil((n-overlap)/stride), linear in corpus size."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    with_t = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    # last window start = smallest stride multiple whose window reaches
+    # the end (start + chunk_tokens >= n): ceil((n - chunk)/stride)*stride,
+    # clamped at 0 — later windows would add no new tokens
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((F.col("__n") - chunk_tokens) / stride).cast("int"), F.lit(0)
+        ) * stride,
+        F.lit(stride),
+    )
+    exploded = with_t.select(
+        F.col(id_col),
+        "__toks",
+        "__n",
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.least(F.col("__n") - F.col("__start"), F.lit(chunk_tokens)).alias("n_tokens"),
+    )

@@ -3050,6 +3050,39 @@ def text_vocabulary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks,
+             len(regexp_extract_all(text, '\\S+')) AS n
+      FROM documents WHERE doc_id < 100
+    ),
+    starts AS (
+      SELECT doc_id, toks, n,
+             UNNEST(generate_series(0,
+               GREATEST(CAST(ceil((n - 64.0) / 48) AS BIGINT), 0) * 48, 48)) AS s
+      FROM t WHERE n > 0
+    )
+    SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
+           array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text,
+           CAST(LEAST(n - s, 64) AS INT) AS n_tokens
+    FROM starts
+    """,
+)
+def text_chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (text.chunk_documents): 64-token
+    windows, stride 48 (overlap 16), final window starts at the smallest
+    stride multiple reaching the end so a short tail never duplicates the
+    previous window. The oracle rebuilds every chunk STRING in DuckDB via
+    list slicing, so the hash match certifies exact window boundaries and
+    token content, not just counts."""
+    from workbench_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+@query(
     "w_resample_ffill",
     """
     WITH binned AS (
