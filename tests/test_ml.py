@@ -949,8 +949,8 @@ def test_uq_v0_global_fallback_small_cal(spark):
     )
     uq = UQv0(id_col="id").fit(df, "y", "pred", "std")
     cals = uq.calibrators
-    # all bins share the one global calibrator object content
-    assert len(set(tuple(map(tuple, v)) for v in cals.values())) == 1
+    # all bins share the one global calibrator content (lo, hi, grid)
+    assert len(set((v[0], v[1], tuple(v[2])) for v in cals.values())) == 1
     out = uq.predict(df, "pred", "std")
     assert out.filter(F.col("expected_residual") < 0).count() == 0
 

@@ -352,7 +352,8 @@ def minhash_verified_pairs(
     candidate pairs (LSH-pruned), keyed on id — an equi-join, linear in
     the candidate count, not the corpus."""
     cands = minhash_lsh_pairs(
-        df, text_col, id_col, n_hashes, bands, shingle_n, verify_threshold=None
+        df, text_col, id_col, n_hashes, bands, shingle_n,
+        verify_threshold=None, persist_signatures=True,
     ).select("id_a", "id_b")
     sh = (
         shingle_frame(df, text_col, id_col, shingle_n, "sh")
@@ -799,10 +800,9 @@ def _lsh_embedding_candidates(
     sharing a full signature in ANY table become a candidate pair exactly
     once (dropDuplicates on the unordered pair). Shuffle key is
     (table, signature) — equi-join-shaped per the CLAUDE.md invariant."""
-    import functools
     import random
 
-    from workbench_spark.operators.similarity import _norm, hyperplane_signature
+    from workbench_spark.operators.similarity import _stacked_signatures
 
     if dim is None:
         # first() is a full Spark job at plan-build time — hot paths should
@@ -813,20 +813,13 @@ def _lsh_embedding_candidates(
         # empty/all-null frame: any dim keeps the plan valid, zero rows out
         dim = 1 if row is None else len(row[0])
     rng = random.Random(seed)
-    tables = []
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    )
-    for t in range(n_tables):
-        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
-        tables.append(
-            hyperplane_signature(base, "v", planes, "sig").select(
-                F.lit(t).alias("tbl"), "sig", "id", "v", "nrm"
-            )
-        )
-    signed = functools.reduce(DataFrame.unionAll, tables)
+    planes_per_table = [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+    # all tables' signatures from ONE scan (stack generator), not a
+    # union of per-table branches — see similarity._stacked_signatures
+    signed = _stacked_signatures(df, id_col, vec_col, planes_per_table)
     left = signed.select(
         "tbl", "sig", F.col("id").alias("id_a"),
         F.col("v").alias("__va"), F.col("nrm").alias("__na"),

@@ -128,16 +128,59 @@ def cosine_knn(
     )
 
 
+def _dlit(x: float) -> str:
+    """A float as a Spark SQL DOUBLE literal (bare decimals parse as
+    DECIMAL in Spark 4; exponent forms are already DOUBLE)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "n" in r) else r + "D"
+
+
+def _sig_sql(vec_col: str, planes: list[list[float]]) -> str:
+    """One signature (concat of sign bits) as a single SQL string:
+    building the plane constants through the Column API costs a py4j
+    round-trip per literal (planes × dim of them — measured seconds of
+    pure plan-build time per query at 8×64), while an expr string is one
+    round-trip total. Same fold shape either way."""
+    bits = []
+    for p in planes:
+        arr = "array(" + ", ".join(_dlit(x) for x in p) + ")"
+        bits.append(
+            f"CASE WHEN aggregate(zip_with({vec_col}, {arr},"
+            f" (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, x) -> a + x)"
+            f" >= 0.0D THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
 def hyperplane_signature(
     df: DataFrame, vec_col: str, planes: list[list[float]], out_col: str = "lsh_sig"
 ) -> DataFrame:
     """Random-hyperplane LSH signature for cosine similarity: bit i = sign
-    of dot(vec, plane_i). Pure DataFrame expression — codegen'd, no UDF."""
-    bits = []
-    for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(_dot(F.col(vec_col), arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.withColumn(out_col, F.concat(*bits))
+    of dot(vec, plane_i). Pure DataFrame expression, no UDF (see
+    _sig_sql for the build-cost note)."""
+    return df.withColumn(out_col, F.expr(_sig_sql(vec_col, planes)))
+
+
+def _stacked_signatures(
+    df: DataFrame, id_col: str, vec_col: str, planes_per_table: list[list[list[float]]]
+) -> DataFrame:
+    """(tbl, sig, id, v, nrm) for ALL tables from ONE scan: every table's
+    signature is computed in the same projection and fanned out with a
+    stack() generator — versus a union of per-table branches, which
+    re-scans the input once per table and multiplies the plan (measured:
+    the 12-branch union dominated the query at 6 tables × 2 sides)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    rows = ", ".join(
+        f"{t}, {_sig_sql('v', planes)}" for t, planes in enumerate(planes_per_table)
+    )
+    return base.select(
+        "id", "v", "nrm",
+        F.expr(f"stack({len(planes_per_table)}, {rows}) as (tbl, sig)"),
+    )
 
 
 def lsh_cosine_knn(
@@ -165,41 +208,20 @@ def lsh_cosine_knn(
     a shuffle on (table, signature): co-located, skew-handled by AQE.
     Recall grows with n_tables (union of candidates), cost linearly.
     """
-    import functools
     import random
 
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     rng = random.Random(seed)
-    corpus_tables, query_tables = [], []
-    for t in range(n_tables):
-        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
-        sig = hyperplane_signature(
-            vectors.select(id_col, vec_col), vec_col, planes, "sig"
-        ).select(
-            F.lit(t).alias("tbl"),
-            F.col("sig"),
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            _norm(F.col(vec_col)).alias("nrm"),  # per-vector, not per-pair
-        )
-        corpus_tables.append(sig)
-        if queries is not None:
-            query_tables.append(
-                hyperplane_signature(
-                    queries.select(id_col, vec_col), vec_col, planes, "sig"
-                ).select(
-                    F.lit(t).alias("tbl"),
-                    F.col("sig"),
-                    F.col(id_col).alias("id"),
-                    F.col(vec_col).alias("v"),
-                    _norm(F.col(vec_col)).alias("nrm"),
-                )
-            )
-
-    signed = functools.reduce(DataFrame.unionAll, corpus_tables)
+    planes_per_table = [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+    signed = _stacked_signatures(vectors, id_col, vec_col, planes_per_table)
     q_signed = (
-        signed if queries is None else functools.reduce(DataFrame.unionAll, query_tables)
+        signed
+        if queries is None
+        else _stacked_signatures(queries, id_col, vec_col, planes_per_table)
     )
     left = q_signed.select(
         "tbl", "sig", F.col("id"), F.col("v").alias("__qv"), F.col("nrm").alias("__qn")

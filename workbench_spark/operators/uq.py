@@ -292,26 +292,33 @@ def _pava_blocks(x, y):
     return ux, fitted
 
 
-def _interp_sql(x_col: str, xs: list[float], ys: list[float]) -> str:
-    """np.interp as ONE codegen'd SQL expression over literal arrays:
-    clip outside [xs[0], xs[-1]], linear between adjacent thresholds.
-    One expr string per calibrator bin (per-Column py4j round-trips cost
-    ~1.5s/query build — the measured cliff)."""
-    n = len(xs)
-    if n == 1:
-        return repr(float(ys[0]))
-    xa = "array(" + ", ".join(repr(float(v)) for v in xs) + ")"
-    ya = "array(" + ", ".join(repr(float(v)) for v in ys) + ")"
+def _grid_interp_sql(x_col: str, lo: float, hi: float, ys: list[float]) -> str:
+    """Linear interpolation over a UNIFORM grid as ONE SQL expression:
+    clamp x to [lo, hi], map to a fractional grid index, blend the two
+    surrounding values with element_at — pure O(1) arithmetic per row.
+
+    Why uniform: a thresholds-array formulation (size(filter(...)) rank
+    search over the PAVA block boundaries) was the first version and
+    measured ~50x slower at sf0.01 — Spark evaluates higher-order
+    functions interpreted, so every row paid five O(thresholds) lambda
+    scans. Resampling the isotonic fit onto an even grid keeps the stored
+    state O(grid) and turns inference into two element_at calls that stay
+    inside whole-stage codegen."""
+    from workbench_spark.operators.similarity import _dlit
+
+    g = len(ys)
+    if g == 1 or hi <= lo:
+        return _dlit(ys[0])
+    ya = "array(" + ", ".join(_dlit(v) for v in ys) + ")"
+    t = (
+        f"(least(greatest(({x_col} - {_dlit(lo)}) / {_dlit(hi - lo)}, 0.0D), 1.0D)"
+        f" * {g - 1})"
+    )
+    i = f"least(cast(floor({t}) as int), {g - 2})"
     return (
-        f"CASE size(filter({xa}, v -> v <= {x_col})) "
-        f"WHEN 0 THEN element_at({ya}, 1) "
-        f"WHEN {n} THEN element_at({ya}, {n}) "
-        f"ELSE element_at({ya}, size(filter({xa}, v -> v <= {x_col}))) "
-        f"+ (element_at({ya}, size(filter({xa}, v -> v <= {x_col})) + 1) "
-        f"  - element_at({ya}, size(filter({xa}, v -> v <= {x_col})))) "
-        f"* ({x_col} - element_at({xa}, size(filter({xa}, v -> v <= {x_col})))) "
-        f"/ (element_at({xa}, size(filter({xa}, v -> v <= {x_col})) + 1) "
-        f"  - element_at({xa}, size(filter({xa}, v -> v <= {x_col})))) END"
+        f"element_at({ya}, {i} + 1)"
+        f" + (element_at({ya}, {i} + 2) - element_at({ya}, {i} + 1))"
+        f" * ({t} - {i})"
     )
 
 
@@ -332,12 +339,12 @@ class UQv0:
       <MIN_SAMPLES global fallback can only trigger when the whole
       calibration set is tiny (n < bins·20), where a single-task global
       fit is trivially fine.
-    - Calibrator state is (thresholds, fitted) block arrays per bin,
-      capped at ``max_thresholds`` points (resampled on the std-quantile
-      grid past the cap) so inference state is O(bins·cap) regardless of
-      calibration size; inference itself is a pure codegen'd expression —
-      bin lookup + piecewise-linear interpolation over literal arrays, no
-      Python per row, no shuffle.
+    - Calibrator state per bin is the PAVA fit resampled onto a uniform
+      ``grid_points`` std grid — (lo, hi, values) — so stored state is
+      O(bins·grid) regardless of calibration size and inference is pure
+      O(1) arithmetic per row (clamp → fractional index → two element_at,
+      fully codegen'd; see _grid_interp_sql for why the thresholds-array
+      form was abandoned). No Python per row, no shuffle at predict.
     """
 
     N_BINS = 10
@@ -348,14 +355,15 @@ class UQv0:
         id_col: str = "id",
         confidence_levels: tuple[float, ...] = _DEFAULT_LEVELS,
         n_bins: int = N_BINS,
-        max_thresholds: int = 1001,
+        grid_points: int = 65,
     ):
         self.id_col = id_col
         self.confidence_levels = tuple(confidence_levels)
         self.n_bins = n_bins
-        self.max_thresholds = max_thresholds
+        self.grid_points = grid_points
         self.bin_edges: list[float] | None = None
-        self.calibrators: dict[int, tuple[list[float], list[float]]] | None = None
+        # bin -> (lo, hi, grid values)
+        self.calibrators: dict[int, tuple[float, float, list[float]]] | None = None
         self.scale_factors: dict[float, float] | None = None
         self.residual_percentiles: list[float] | None = None
 
@@ -402,39 +410,41 @@ class UQv0:
             r["__bin"]: r["n"]
             for r in binned.groupBy("__bin").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        cap = self.max_thresholds
+        gpts = self.grid_points
+
+        def to_grid(xs, ys):
+            """PAVA blocks → (lo, hi, uniform-grid values)."""
+            if len(xs) == 1 or xs[-1] <= xs[0]:
+                return float(xs[0]), float(xs[0]), [float(ys[0])]
+            grid = np.linspace(xs[0], xs[-1], gpts)
+            return float(xs[0]), float(xs[-1]), [
+                float(v) for v in np.interp(grid, xs, ys)
+            ]
 
         def fit_bin(pdf: pd.DataFrame) -> pd.DataFrame:
-            xs, ys = _pava_blocks(pdf["__s"].to_numpy(), pdf["__r"].to_numpy())
-            if len(xs) > cap:
-                grid = np.quantile(xs, np.linspace(0, 1, cap))
-                ys = np.interp(grid, xs, ys)
-                xs = grid
+            lo, hi, vals = to_grid(
+                *_pava_blocks(pdf["__s"].to_numpy(), pdf["__r"].to_numpy())
+            )
             return pd.DataFrame(
-                {"bin": [int(pdf["__bin"].iloc[0])], "xs": [list(map(float, xs))],
-                 "ys": [list(map(float, ys))]}
+                {"bin": [int(pdf["__bin"].iloc[0])], "lo": [lo], "hi": [hi],
+                 "ys": [vals]}
             )
 
         big = [b for b, c in counts.items() if c >= self.MIN_SAMPLES_PER_BIN]
         fits = (
             binned.filter(F.col("__bin").isin(big))
             .groupBy("__bin")
-            .applyInPandas(fit_bin, "bin int, xs array<double>, ys array<double>")
+            .applyInPandas(fit_bin, "bin int, lo double, hi double, ys array<double>")
             .collect()
             if big
             else []
         )
-        self.calibrators = {r["bin"]: (list(r["xs"]), list(r["ys"])) for r in fits}
+        self.calibrators = {r["bin"]: (r["lo"], r["hi"], list(r["ys"])) for r in fits}
         if len(self.calibrators) < n_bins:
             # global fallback for under-populated bins — single-task fit,
             # reachable only when n < n_bins·MIN_SAMPLES (see class doc)
             gpdf = frame.select("__s", "__r").toPandas()
-            gx, gy = _pava_blocks(gpdf["__s"].to_numpy(), gpdf["__r"].to_numpy())
-            if len(gx) > cap:
-                grid = np.quantile(gx, np.linspace(0, 1, cap))
-                gy = np.interp(grid, gx, gy)
-                gx = grid
-            g = (list(map(float, gx)), list(map(float, gy)))
+            g = to_grid(*_pava_blocks(gpdf["__s"].to_numpy(), gpdf["__r"].to_numpy()))
             for b in range(n_bins):
                 self.calibrators.setdefault(b, g)
 
@@ -460,7 +470,7 @@ class UQv0:
         edge_arr = "array(" + ", ".join(repr(e) for e in self.bin_edges) + ")"
         idx = f"least(greatest(size(filter({edge_arr}, e -> e <= {pred_col})) - 1, 0), {n_bins - 1})"
         branches = " ".join(
-            f"WHEN {b} THEN greatest({_interp_sql(std_col, *self.calibrators[b])}, 0.0d)"
+            f"WHEN {b} THEN greatest({_grid_interp_sql(std_col, *self.calibrators[b])}, 0.0d)"
             for b in range(n_bins)
         )
         return F.expr(f"CASE {idx} {branches} END")
