@@ -393,3 +393,53 @@ def test_stream_windowed_drift_matches_batch_psi(spark):
             assert r["n"] == cur.count()
         # identical distributions drift little; all PSI finite and >= 0
         assert all(r["psi"] >= 0 or abs(r["psi"]) < 1e-9 for r in emitted)
+
+
+def test_stream_quality_monitor_matches_batch(spark, tmp_path):
+    """Streaming per-window quality pass rates must equal the batch
+    operators applied to the same documents (shared rule code — the
+    twin property the monitor promises)."""
+    from workbench_spark.operators.text import c4_page_flags, gopher_quality_flags
+    from workbench_spark.session import read_table
+    from workbench_spark.streaming.monitor import (
+        run_stream_to_memory,
+        stream_quality_monitor,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").limit(200).select(
+        "doc_id",
+        "text",
+        # spread docs across two hourly windows deterministically
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("2026-01-01 00:10:00"))
+        .otherwise(F.lit("2026-01-01 05:10:00"))
+        .cast("timestamp")
+        .alias("ingest_ts"),
+    )
+    src = str(tmp_path / "doc_stream")
+    docs.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = stream_quality_monitor(
+        spark, src, schema, window="1 hour", watermark="30 minutes"
+    )
+    out = run_stream_to_memory(stream, "doc_quality")
+    emitted = {r["window_start"]: r for r in out.collect()}
+    assert len(emitted) > 0
+    batch = c4_page_flags(gopher_quality_flags(docs), "text")
+    agg = {
+        r["ws"]: r
+        for r in batch.groupBy(
+            F.window("ingest_ts", "1 hour").getField("start").alias("ws")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("gopher_keep").cast("long")).alias("g"),
+            F.sum(F.col("c4_keep").cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    for ws, r in emitted.items():
+        assert agg[ws]["n_docs"] == r["n_docs"]
+        assert agg[ws]["g"] == r["n_gopher_pass"]
+        assert agg[ws]["c"] == r["n_c4_pass"]
+        assert r["gopher_pass_rate"] == r["n_gopher_pass"] / r["n_docs"]

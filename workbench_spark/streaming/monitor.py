@@ -309,3 +309,50 @@ def stream_windowed_drift(
         "n",
         psi_expr.alias("psi"),
     )
+
+
+def stream_quality_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+):
+    """Ingest-time corpus quality monitor: apply the batch quality rules
+    (Gopher thresholds + C4 page flags — the SAME operators the batch
+    pipeline runs, so streaming and batch can never disagree on a rule)
+    to a document file stream and roll pass rates up per event-time
+    window. Output per window: docs seen, gopher/c4 pass counts and
+    rates, mean word count.
+
+    Plan shape: the rule columns are one stateless projection (all JVM
+    regex/array exprs); the only state is the windowed count aggregation
+    — O(windows) with the watermark bounding it. The monitor is how a
+    100 TB ingest notices a crawler regression (pass-rate cliff) within
+    a window of arrival rather than at the next batch audit."""
+    from workbench_spark.operators.text import c4_page_flags, gopher_quality_flags
+
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    flagged = c4_page_flags(gopher_quality_flags(stream, text_col), text_col)
+    return (
+        flagged.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("gopher_keep").cast("long")).alias("n_gopher_pass"),
+            F.sum(F.col("c4_keep").cast("long")).alias("n_c4_pass"),
+            F.avg(F.col("n_words").cast("double")).alias("mean_words"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_docs",
+            "n_gopher_pass",
+            "n_c4_pass",
+            (F.col("n_gopher_pass") / F.col("n_docs")).alias("gopher_pass_rate"),
+            (F.col("n_c4_pass") / F.col("n_docs")).alias("c4_pass_rate"),
+            "mean_words",
+        )
+    )
