@@ -449,3 +449,108 @@ def test_resample_ffill_hand_computed(spark):
     )
     gz = {(r["user_id"], r["bucket_ts"].hour): r["value"] for r in z.collect()}
     assert gz[(1, 1)] == 0.0 and gz[(1, 3)] == 40.0
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_covers_every_token(spark, n_tokens, chunk, overlap_frac):
+    """Chunking invariants for any (n, chunk, overlap): every token index
+    is covered by >= 1 window, window starts are consecutive stride
+    multiples, no window is empty, and the non-overlapping prefix parts
+    reconstruct the document."""
+    from workbench_spark.operators.text import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    if n_tokens == 0:
+        assert rows == []
+        return
+    covered = set()
+    for r in rows:
+        start = r["chunk_id"] * stride
+        toks = r["chunk_text"].split(" ")
+        assert toks == [f"t{i}" for i in range(start, min(start + chunk, n_tokens))]
+        assert r["n_tokens"] == len(toks) > 0
+        covered.update(range(start, start + len(toks)))
+    assert covered == set(range(n_tokens))
+    # chunk_ids are consecutive from 0
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    # last window reaches the end; the one before it (if any) does not
+    last_start = rows[-1]["chunk_id"] * stride
+    assert last_start + chunk >= n_tokens
+    if len(rows) > 1:
+        assert (rows[-2]["chunk_id"] * stride) + chunk < n_tokens
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30),
+                  st.floats(min_value=-100, max_value=100, allow_nan=False)),
+        min_size=1, max_size=25,
+    ),
+    step=st.sampled_from([60, 300, 3600]),
+)
+@settings(**SETTINGS)
+def test_resample_grid_complete_and_ffill(spark, vals, step):
+    """Resample invariants: the grid is exactly every step between the
+    group's first and last bucket, observed bins equal the bin average,
+    filled bins carry the most recent observed value."""
+    from datetime import datetime, timedelta
+
+    from workbench_spark.operators.windows import resample_timeseries
+
+    base = datetime(2026, 3, 1)
+    rows = [(1, base + timedelta(seconds=step * off + (off % 7)), v) for off, v in vals]
+    df = spark.createDataFrame(rows, "g int, ts timestamp, v double")
+    out = sorted(
+        resample_timeseries(df, "ts", "v", group_col="g", step_seconds=step).collect(),
+        key=lambda r: r["bucket_ts"],
+    )
+    offs = sorted({off for off, _ in vals})
+    assert len(out) == offs[-1] - offs[0] + 1  # dense grid, no more no less
+    import collections
+
+    by_bin = collections.defaultdict(list)
+    for off, v in vals:
+        by_bin[off].append(v)
+    last = None
+    for i, r in enumerate(out):
+        off = offs[0] + i
+        if off in by_bin:
+            expect = sum(by_bin[off]) / len(by_bin[off])
+            assert not r["is_filled"]
+            assert abs(r["value"] - expect) < 1e-9
+            last = r["value"]
+        else:
+            assert r["is_filled"] and r["value"] == last
+
+
+@given(
+    docs=st.lists(st.text(alphabet="ab c", min_size=0, max_size=30),
+                  min_size=1, max_size=8),
+)
+@settings(**SETTINGS)
+def test_vocabulary_mass_conservation(spark, docs):
+    """Σ term_freq = total token count; doc_freq <= min(term_freq, n_docs);
+    idf = ln(N/df) exactly."""
+    import math
+
+    from workbench_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id int, text string")
+    rows = vocabulary(df).collect()
+    total_tokens = sum(len(d.split()) for d in docs)
+    assert sum(r["term_freq"] for r in rows) == total_tokens
+    for r in rows:
+        assert 1 <= r["doc_freq"] <= min(r["term_freq"], len(docs))
+        assert abs(r["idf"] - math.log(len(docs) / r["doc_freq"])) < 1e-12
