@@ -48,6 +48,8 @@ ALLOWED: dict[tuple[str, str], str] = {
         "O(1) conformal scale/CDF constants + per-bin PAVA block arrays "
         "(capped at max_thresholds); the global-isotonic toPandas fallback "
         "is reachable only when the whole calibration set is < bins*20 rows",
+    ("operators/text.py", "ngram_lm_counts"):
+        "1-row total-token aggregate (the LM's normalization constant)",
     ("operators/windows.py", "stratified_split"):
         "O(distinct strata) fraction map for sampleBy",
     ("api/model.py", "shap_importance"):

@@ -222,3 +222,34 @@ def test_chunk_documents_hand_computed(spark):
     n1 = [r["n_tokens"] for r in short.filter("doc_id = 1").collect()]
     starts = sorted(3 * r["chunk_id"] for r in short.filter("doc_id = 1").collect())
     assert starts[0] == 0 and max(s + 4 for s in starts) >= 10
+
+
+def test_lm_stupid_backoff_hand_computed(spark):
+    """Brants 2007 arithmetic on a tiny corpus: train 'a b a b c',
+    score 'a b', 'c a' (unseen bigram -> 0.4*c(a)/T), 'a z' (OOV ->
+    0.16/T)."""
+    import math
+
+    from workbench_spark.operators.text import lm_score_documents, ngram_lm_counts
+
+    train = spark.createDataFrame([(0, "a b a b c")], "doc_id int, text string")
+    uni, bi, total = ngram_lm_counts(train)
+    assert total == 5
+    u = {r["token"]: r["c1"] for r in uni.collect()}
+    assert u == {"a": 2, "b": 2, "c": 1}
+    b = {(r["w1"], r["w2"]): r["c2"] for r in bi.collect()}
+    assert b == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "c a"), (3, "a z")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           lm_score_documents(score, uni, bi, total).collect()}
+    # seen bigram: c(a,b)/c(a) = 2/2 = 1 -> log 0
+    assert out[1]["mean_logscore"] == 0.0
+    assert out[1]["pseudo_perplexity"] == 1.0
+    # unseen bigram (c,a): 0.4 * c(a)/T = 0.4*2/5 = 0.16
+    assert out[2]["mean_logscore"] == pytest.approx(math.log(0.4 * 2 / 5))
+    # OOV z: 0.4*0.4/T
+    assert out[3]["mean_logscore"] == pytest.approx(math.log(0.4 * 0.4 / 5))
+    assert all(r["n_scored"] == 1 for r in out.values())

@@ -649,3 +649,108 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.least(F.col("__n") - F.col("__start"), F.lit(chunk_tokens)).alias("n_tokens"),
     )
+
+
+def ngram_lm_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train the count tables of a corpus bigram language model:
+    (unigrams (token, c1), bigrams (w1, w2, c2), total token count).
+    One explode + two groupBys — the model IS the count tables, the
+    persistable corpus artifact (write them out like the banded-minhash
+    corpus artifact and reuse across batches)."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    with_t = df.select(F.col(id_col), toks.alias("__toks"))
+    uni = (
+        with_t.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    # adjacent pairs: zip the array with itself shifted by one — stays a
+    # projection; the shuffle is only the count groupBy
+    bi = (
+        with_t.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("__toks", 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                    F.slice("__toks", 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    total = with_t.agg(F.sum(F.size("__toks"))).collect()[0][0] or 0
+    return uni, bi, int(total)
+
+
+def lm_score_documents(
+    df: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    total_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """CCNet-style LM quality scoring with Stupid Backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the published
+    web-scale smoothing: S(w2|w1) = c(w1,w2)/c(w1) when the bigram was
+    seen, else α·c(w2)/T, else α²/T for OOV; no normalization, which is
+    what makes it a pure count-join at any scale). Output per document:
+    n_scored (token transitions), mean_logscore (natural log), and
+    pseudo_perplexity = exp(−mean_logscore) — the CCNet filtering key
+    (low = fluent under the corpus model, high = noise).
+
+    Plan shape: explode doc bigrams → equi-join the bigram and unigram
+    count tables (broadcast when small, shuffle-hash at scale) → one
+    groupBy(doc). Train on the corpus itself for self-perplexity (the
+    CCNet setup trains on a reference corpus — pass any count tables)."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    with_t = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= 2
+    )
+    pairs = with_t.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice("__toks", 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                F.slice("__toks", 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    joined = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(uni.select(F.col("token").alias("w1"), F.col("c1").alias("__c_w1")), "w1", "left")
+        .join(uni.select(F.col("token").alias("w2"), F.col("c1").alias("__c_w2")), "w2", "left")
+    )
+    score = (
+        F.when(
+            F.col("c2").isNotNull(),
+            F.col("c2").cast("double") / F.col("__c_w1"),
+        )
+        .when(
+            F.col("__c_w2").isNotNull(),
+            F.lit(alpha) * F.col("__c_w2").cast("double") / F.lit(float(total_tokens)),
+        )
+        .otherwise(F.lit(alpha * alpha / float(total_tokens)))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.avg(F.log(score)).alias("mean_logscore"),
+        )
+        .withColumn("pseudo_perplexity", F.exp(-F.col("mean_logscore")))
+    )

@@ -3133,6 +3133,72 @@ def w_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_lm_score",
+    """
+    WITH tt AS (
+      SELECT doc_id, list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    train AS (SELECT * FROM tt WHERE doc_id < 400),
+    uni AS (
+      SELECT tk AS token, COUNT(*) AS c1
+      FROM (SELECT UNNEST(toks) AS tk FROM train) GROUP BY tk
+    ),
+    tot AS (SELECT SUM(len(toks)) AS T FROM train),
+    bip AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM (
+        SELECT toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        FROM train WHERE len(toks) >= 2)
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM bip GROUP BY w1, w2),
+    pairs AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM (
+        SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 1)) AS i
+        FROM tt WHERE doc_id >= 400 AND len(toks) >= 2)
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CASE WHEN bi.c2 IS NOT NULL THEN CAST(bi.c2 AS DOUBLE) / u1.c1
+                  WHEN u2.c1 IS NOT NULL
+                    THEN CAST(0.4 AS DOUBLE) * u2.c1 / tot.T
+                  ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) / tot.T END AS s
+      FROM pairs p
+      LEFT JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+      LEFT JOIN uni u1 ON p.w1 = u1.token
+      LEFT JOIN uni u2 ON p.w2 = u2.token
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+           ROUND(AVG(ln(s)), 6) AS mean_logscore,
+           ROUND(exp(-AVG(ln(s))), 6) AS pseudo_perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: a bigram model with Stupid Backoff
+    (Brants et al. 2007 — the published web-scale smoothing; pure count
+    ratios, no normalization, so scoring is an equi-join against the
+    count tables at any scale) trained on doc_id < 400 and scoring the
+    held-out docs, where unseen bigrams and OOV tokens exercise BOTH
+    backoff branches. pseudo_perplexity is the CCNet filtering key. The
+    oracle retrains and rescores the whole model in DuckDB — counts,
+    backoff arithmetic, and log-average all replayed."""
+    from workbench_spark.operators.text import lm_score_documents, ngram_lm_counts
+
+    d = _t(spark, sf_dir, "documents")
+    uni, bi, total = ngram_lm_counts(d.filter(F.col("doc_id") < 400))
+    out = lm_score_documents(d.filter(F.col("doc_id") >= 400), uni, bi, total)
+    return out.select(
+        "doc_id",
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.round("mean_logscore", 6).alias("mean_logscore"),
+        F.round("pseudo_perplexity", 6).alias("pseudo_perplexity"),
+    )
+
+
+@query(
     "text_gopher_rules",
     """
     WITH base AS (
