@@ -253,3 +253,36 @@ def test_lm_stupid_backoff_hand_computed(spark):
     # OOV z: 0.4*0.4/T
     assert out[3]["mean_logscore"] == pytest.approx(math.log(0.4 * 0.4 / 5))
     assert all(r["n_scored"] == 1 for r in out.values())
+
+
+def test_dedup_spans_hand_computed(spark):
+    """Span surgery on a 3-doc corpus with a shared 4-word span: doc 1
+    keeps everything (first occurrence), doc 2 loses the copied span but
+    keeps its own tail, a fully-copied doc 3 is emptied."""
+    from workbench_spark.operators.text import dedup_spans
+
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} own tail one x"),
+            (2, f"{shared} different ending here y"),
+            (3, shared),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(df, chunk_words=4).collect()}
+    assert out[1]["text_deduped"] == "alpha beta gamma delta own tail one x"
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["text_deduped"] == "different ending here y"
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["text_deduped"] == "" and out[3]["n_kept"] == 0
+    # idempotence: deduping the deduped corpus changes nothing
+    again = dedup_spans(
+        spark.createDataFrame(
+            [(i, out[i]["text_deduped"]) for i in (1, 2)],
+            "doc_id int, text string",
+        ),
+        chunk_words=4,
+    ).collect()
+    for r in again:
+        assert r["n_kept"] == r["n_spans"]

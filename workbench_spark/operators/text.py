@@ -754,3 +754,70 @@ def lm_score_documents(
         )
         .withColumn("pseudo_perplexity", F.exp(-F.col("mean_logscore")))
     )
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """Cross-document span REMOVAL — the surgery half of the C4 span-dedup
+    rule (Raffel 2020 deduplicates three-sentence spans corpus-wide;
+    chunk_dedup_stats reports the census, this operator performs the
+    removal at the same chunk granularity): every repeated span keeps
+    exactly its FIRST occurrence in (doc_id, position) order, later
+    occurrences are cut, and each document's text is reconstructed from
+    its surviving spans in order. Output: (id, text_deduped, n_spans,
+    n_kept) — one row per input document, empty string when everything
+    was cut.
+
+    Plan shape: one posexplode (linear), one window over the span hash
+    (row_number in (doc, pos) order — groups are duplication-cluster
+    sized, never corpus-sized), one groupBy(doc) rebuilding the text via
+    array_sort over (pos, span) structs. The shuffle keys are the span
+    hash and the doc id — equi-shaped, no pairs, duplication level only
+    changes group widths."""
+    from pyspark.sql import Window
+
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    chunks = F.expr(
+        f"CASE WHEN size(__w) > 0 THEN "
+        f"transform(sequence(0, (size(__w) - 1) div {chunk_words}), "
+        f"i -> concat_ws(' ', slice(__w, i * {chunk_words} + 1, {chunk_words}))) "
+        f"ELSE array() END"
+    )
+    exploded = (
+        df.withColumn("__w", words)
+        .withColumn("__c", chunks)
+        .select(F.col(id_col), F.posexplode("__c").alias("pos", "span"))
+        .withColumn("__h", F.md5(F.col("span")))
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    marked = exploded.withColumn("__occ", F.row_number().over(w))
+    rebuilt = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__occ") == 1).cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN __occ = 1 "
+                    "THEN struct(pos, span) END)), s -> s.span)"
+                ),
+            ).alias("text_deduped"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -3133,6 +3133,57 @@ def w_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_dedup_spans",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             CASE WHEN len(w) > 0 THEN
+               [array_to_string(w[i*8+1 : i*8+8], ' ')
+                for i in generate_series(0, (len(w)-1)//8)]
+             ELSE [] END AS c
+      FROM base
+    ),
+    ex AS (
+      SELECT doc_id, UNNEST(generate_series(0, len(c)-1)) AS pos, UNNEST(c) AS span
+      FROM ch WHERE len(c) > 0
+    ),
+    marked AS (
+      SELECT doc_id, pos, span,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS occ
+      FROM ex
+    ),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS n_kept,
+             COALESCE(string_agg(CASE WHEN occ = 1 THEN span END, ' ' ORDER BY pos), '')
+               AS text_deduped
+      FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(reb.text_deduped, '') AS text_deduped,
+           CAST(COALESCE(reb.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+    """,
+)
+def text_dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide span dedup with text RECONSTRUCTION
+    (text.dedup_spans): repeated 8-word spans keep exactly their first
+    (doc, position) occurrence, documents are rebuilt from the surviving
+    spans in order. The oracle replays the whole surgery — chunking,
+    first-occurrence ranking, and the reconstructed STRINGS — so the hash
+    match certifies the rebuilt text byte-for-byte, not just counts."""
+    from workbench_spark.operators.text import dedup_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_spans(d, chunk_words=8)
+
+
+@query(
     "text_lm_score",
     """
     WITH tt AS (
