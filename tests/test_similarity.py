@@ -235,3 +235,37 @@ def test_driver_matrix_gate_raises_and_is_configurable(spark, emb):
         spark.conf.unset(DRIVER_MATRIX_CONF)
     fits, _, _ = driver_matrix_check(emb, "embedding")
     assert fits  # default 256 MiB bound admits the test-scale frame
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    """int8 quantization invariants: codes in [-127, 127], per-component
+    reconstruction error <= scale/2 + ulp, zero vectors stay zero, and
+    cosine similarity survives quantization to ~1e-2."""
+    from workbench_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from workbench_spark.session import read_table
+
+    e = read_table(spark, SF_DIR, "embeddings").limit(50)
+    q = dequantize_embeddings(quantize_embeddings(e))
+    rows = q.select("vec_id", "embedding", "q_embedding", "q_scale",
+                    "embedding_approx").collect()
+    assert rows
+    for r in rows:
+        s = r["q_scale"]
+        assert all(-127 <= c <= 127 for c in r["q_embedding"])
+        for orig, approx in zip(r["embedding"], r["embedding_approx"]):
+            assert abs(float(orig) - approx) <= s / 2 + 1e-9
+    import math
+
+    zero = spark.createDataFrame([(1, [0.0] * 8)], "vec_id int, embedding array<float>")
+    zr = quantize_embeddings(zero).collect()[0]
+    assert zr["q_scale"] == 0.0 and set(zr["q_embedding"]) == {0}
+    # cosine between original and dequantized stays ~1
+    def cos(a, b):
+        num = sum(float(x) * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(float(x) ** 2 for x in a))
+                      * math.sqrt(sum(y ** 2 for y in b)))
+    for r in rows[:10]:
+        assert cos(r["embedding"], r["embedding_approx"]) > 0.999

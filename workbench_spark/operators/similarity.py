@@ -591,3 +591,51 @@ def embedding_group_centroids(
     return out.select(
         F.col("g").alias(group_col), "centroid", "n_vectors"
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "q_embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization — the standard 4x storage/IO
+    saver for large embedding tables (and the format ANN engines scan):
+    per-vector scale = max|v| / 127, q_i = floor(v_i/scale + 0.5) clamped
+    to [-127, 127]. Adds (q_embedding array<int>, q_scale double);
+    dequantize_embeddings inverts with per-component error ≤ scale/2.
+
+    floor(x + 0.5) rather than ROUND: deterministic across engines at the
+    .5 boundaries (see queries_pipeline._fround) and one codegen'd
+    expression per row — no UDF, no shuffle. All-zero vectors get scale 0
+    and an all-zero code (guarded division)."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.least(
+            F.greatest(
+                F.floor(
+                    F.try_divide(x.cast("double"), scale) + F.lit(0.5)
+                ).cast("int"),
+                F.lit(-127),
+            ),
+            F.lit(127),
+        ),
+    )
+    zeros = F.transform(v, lambda x: F.lit(0))
+    return df.withColumn("q_scale", scale).withColumn(
+        out_col, F.when(scale > 0, q).otherwise(zeros)
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, q_col: str = "q_embedding", scale_col: str = "q_scale",
+    out_col: str = "embedding_approx",
+) -> DataFrame:
+    """Inverse of quantize_embeddings: v̂_i = q_i · scale."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

@@ -3133,6 +3133,51 @@ def w_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+               / CAST(127 AS DOUBLE) AS scale
+      FROM embeddings WHERE vec_id < 100
+    ),
+    ex AS (
+      SELECT vec_id, scale,
+             UNNEST(generate_series(1, len(embedding))) AS dim,
+             UNNEST(embedding) AS v
+      FROM q
+    )
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           CAST(CASE WHEN scale > 0
+                THEN least(greatest(floor(v::DOUBLE / scale + 0.5), -127), 127)
+                ELSE 0 END AS INT) AS qval,
+           ROUND(scale, 6) + 0 AS q_scale
+    FROM ex
+    """,
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (similarity.quantize_embeddings — the 4x storage/IO format for
+    100 TB embedding tables), exploded to scalars for hash-compare. The
+    oracle replays the per-vector max-abs scale and the floor(x+0.5)
+    deterministic rounding for every component."""
+    from workbench_spark.operators.similarity import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    out = quantize_embeddings(e)
+    return out.select(
+        "vec_id",
+        F.posexplode("q_embedding").alias("dim0", "qval"),
+        "q_scale",
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.col("qval").cast("int").alias("qval"),
+        (F.round("q_scale", 6) + F.lit(0.0)).alias("q_scale"),
+    )
+
+
+@query(
     "text_dedup_spans",
     """
     WITH base AS (
