@@ -5,6 +5,7 @@ in workbench_spark.api.model (MLlib-backed)."""
 
 from workbench_spark.api.data_source import DataSource
 from workbench_spark.api.feature_set import FeatureSet
+from workbench_spark.api.hpo import SearchSpace, hpo_train, mllib_search, run_search
 from workbench_spark.api.inference_cache import InferenceCache
 from workbench_spark.api.meta import Meta
 from workbench_spark.api.model import Endpoint, Model
@@ -30,4 +31,8 @@ __all__ = [
     "InferenceCache",
     "ParameterStore",
     "cache_dataframe",
+    "SearchSpace",
+    "run_search",
+    "mllib_search",
+    "hpo_train",
 ]
