@@ -964,3 +964,35 @@ def test_uq_version_map_contract(spark):
     assert hasattr(UQ_VERSIONS["v0"], "fit") and hasattr(UQ_VERSIONS["v0"], "predict")
     assert hasattr(UQ_VERSIONS["v1"], "fit") and hasattr(UQ_VERSIONS["v1"], "predict")
     assert callable(UQ_VERSIONS["v2"])
+
+
+def test_sample_weight_reaches_tree_models(spark, warehouse):
+    """The J2 sample_weight role column must weight every algo's fit —
+    a heavily up-weighted subpopulation should pull tree predictions
+    toward its own target values."""
+    from workbench_spark.api.model import Model
+
+    # consecutive id pairs share one x with CONFLICTING labels (+2x vs
+    # -2x), so every leaf sees both: the weighted leaf mean ~ +2x only if
+    # the weights actually reach the fit
+    df = spark.range(0, 400).select(
+        ((F.col("id") / 2).cast("long") % 20).cast("double").alias("x"),
+        F.when(F.col("id") % 2 == 0, ((F.col("id") / 2).cast("long") % 20) * 2.0)
+        .otherwise(((F.col("id") / 2).cast("long") % 20) * -2.0)
+        .cast("double")
+        .alias("y"),
+        F.when(F.col("id") % 2 == 0, 1000.0).otherwise(1.0).alias("sample_weight"),
+        F.lit(False).alias("validation"),
+    )
+    m = Model.train(
+        df, "weighted_gbt", target="y", features=["x"],
+        model_type="regressor", algo="gbt", warehouse=warehouse, spark=spark,
+    )
+    preds = (
+        m.to_endpoint().transform(df.select("x").distinct())
+        .agg(F.corr("x", "prediction").alias("c"))
+        .first()
+    )
+    # the up-weighted labeling is y = +2x → strong positive correlation;
+    # unweighted conflicting labels would cancel to ~0
+    assert preds["c"] > 0.9, preds

@@ -91,7 +91,10 @@ class Model:
         )
         stages = [assembler]
         weight_kw = {}
-        if "sample_weight" in df.columns and algo in ("linear", "logistic"):
+        if "sample_weight" in df.columns:
+            # every MLlib estimator Model.train builds supports weightCol
+            # (trees since Spark 3.0) — the J2 sample_weight role column
+            # weights ALL algos, matching the reference's training view
             weight_kw = {"weightCol": "sample_weight"}
         if model_type == "classifier":
             indexer = StringIndexer(
