@@ -772,14 +772,16 @@ def dedup_spans(
     n_kept) — one row per input document, empty string when everything
     was cut.
 
-    Plan shape: one posexplode (linear), one window over the span hash
-    (row_number in (doc, pos) order — groups are duplication-cluster
-    sized, never corpus-sized), one groupBy(doc) rebuilding the text via
-    array_sort over (pos, span) structs. The shuffle keys are the span
-    hash and the doc id — equi-shaped, no pairs, duplication level only
-    changes group widths."""
-    from pyspark.sql import Window
-
+    Plan shape: one posexplode (linear), one groupBy over the span hash
+    computing min(struct(doc_id, pos)) — a partial-aggregable (map-side
+    combinable) reduction, so boilerplate spans whose duplication cluster
+    is corpus-sized (cookie banners, license headers: precisely the
+    spans this rule targets) combine locally instead of forcing a
+    single-task per-key sort — then one equi-join of the one-row-per-hash
+    firsts back onto the exploded spans, and one groupBy(doc) rebuilding
+    the text via array_sort over (pos, span) structs. The shuffle keys
+    are the span hash and the doc id — equi-shaped, no pairs, no window,
+    constant memory per key regardless of duplication level."""
     words = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
@@ -795,17 +797,24 @@ def dedup_spans(
         .select(F.col(id_col), F.posexplode("__c").alias("pos", "span"))
         .withColumn("__h", F.md5(F.col("span")))
     )
-    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    marked = exploded.withColumn("__occ", F.row_number().over(w))
+    firsts = exploded.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("fid"), F.col("pos").alias("fpos"))).alias(
+            "__first"
+        )
+    )
+    marked = exploded.join(firsts, "__h").withColumn(
+        "__keep",
+        (F.col("__first.fid") == F.col(id_col)) & (F.col("__first.fpos") == F.col("pos")),
+    )
     rebuilt = (
         marked.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("__occ") == 1).cast("long")).alias("n_kept"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
             F.concat_ws(
                 " ",
                 F.expr(
-                    "transform(array_sort(collect_list(CASE WHEN __occ = 1 "
+                    "transform(array_sort(collect_list(CASE WHEN __keep "
                     "THEN struct(pos, span) END)), s -> s.span)"
                 ),
             ).alias("text_deduped"),
