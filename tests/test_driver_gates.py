@@ -47,7 +47,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/uq.py", "fit"):
         "O(1) conformal scale/CDF constants + per-bin PAVA block arrays "
         "(capped at max_thresholds); the global-isotonic toPandas fallback "
-        "is reachable only when the whole calibration set is < bins*20 rows",
+        "is structurally gated: an explicit n < bins*MIN_SAMPLES_PER_BIN check "
+        "bounds the pull at 200 rows; degenerate bins at large n borrow the "
+        "nearest fitted calibrator instead",
     ("operators/text.py", "ngram_lm_counts"):
         "1-row total-token aggregate (the LM's normalization constant)",
     ("operators/windows.py", "stratified_split"):

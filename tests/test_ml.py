@@ -996,3 +996,62 @@ def test_sample_weight_reaches_tree_models(spark, warehouse):
     # the up-weighted labeling is y = +2x → strong positive correlation;
     # unweighted conflicting labels would cancel to ~0
     assert preds["c"] > 0.9, preds
+
+
+def test_uq_v0_degenerate_bin_never_pulls_frame(spark, monkeypatch):
+    """Structural driver-pull gate: at large n (>= bins x MIN_SAMPLES) the
+    global-isotonic toPandas fallback must be unreachable even when
+    quantile ties leave bins empty (constant predictions put every row in
+    one bin). Missing bins borrow the nearest fitted calibrator."""
+    from pyspark.sql import DataFrame
+
+    from workbench_spark.operators.uq import UQv0
+
+    # three prediction atoms (1000x 0.0, 990x 1.0, 10x 100.0): quantile
+    # edges dedupe to [0, 0.5, 1, 100] -> 3 bins where the middle bin
+    # (0.5, 1.0) interpolation artifact holds ZERO rows at n=2000
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        F.when(F.col("id") < 1000, 0.0)
+        .when(F.col("id") < 1990, 1.0)
+        .otherwise(100.0)
+        .alias("pred"),
+        (0.5 + (F.col("id") % 7).cast("double")).alias("std"),
+    ).withColumn(
+        "y",
+        F.col("pred")
+        + F.col("std") * F.sin(F.col("id").cast("double") * 12.9898),
+    )
+
+    def _no_pull(self):
+        raise AssertionError("toPandas reached at large n — gate broken")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _no_pull)
+    uq = UQv0(id_col="id").fit(df, "y", "pred", "std")
+    monkeypatch.undo()
+    n_actual_bins = len(uq.bin_edges) - 1
+    assert n_actual_bins >= 2  # the tie-dedupe left a multi-bin layout
+    # every bin has a calibrator; empty ones borrowed a fitted neighbor
+    assert set(uq.calibrators) == set(range(n_actual_bins))
+    out = uq.predict(df, "pred", "std")
+    assert out.filter(F.col("expected_residual") < 0).count() == 0
+
+
+def test_uq_v0_constant_predictions(spark):
+    """Constant predictions collapse every quantile edge to one value —
+    fit() must degrade to a single spanning bin, not an empty CASE."""
+    from workbench_spark.operators.uq import UQv0
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        F.lit(5.0).alias("pred"),
+        (0.5 + (F.col("id") % 7).cast("double")).alias("std"),
+    ).withColumn(
+        "y",
+        F.col("pred")
+        + F.col("std") * F.sin(F.col("id").cast("double") * 12.9898),
+    )
+    uq = UQv0(id_col="id").fit(df, "y", "pred", "std")
+    assert len(uq.bin_edges) == 2  # one bin spanning the constant
+    out = uq.predict(df, "pred", "std")
+    assert out.filter(F.col("expected_residual") < 0).count() == 0

@@ -269,3 +269,60 @@ def test_quantize_roundtrip_error_bound(spark):
                       * math.sqrt(sum(y ** 2 for y in b)))
     for r in rows[:10]:
         assert cos(r["embedding"], r["embedding_approx"]) > 0.999
+
+
+def _candidate_shuffle_is_int8(df):
+    """True when the candidate-generation joins carry the int8 code array
+    and NOT the float64 embedding: in the analyzed plan, every join ABOVE
+    the rescore boundary references __lq/__rq (array<int>) and the fp
+    column appears only in the rescore projections."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "__lq" in plan and "__rq" in plan
+
+
+def test_int8_scan_frame_dtypes(spark, emb):
+    """The scan payload really is int codes: (id, array<int>, double)."""
+    from workbench_spark.operators.similarity import _int8_scan_frame
+
+    scan = _int8_scan_frame(emb, "vec_id", "embedding")
+    assert dict(scan.dtypes) == {
+        "id": "bigint", "__qv": "array<int>", "__qn": "double",
+    }, scan.dtypes
+
+
+def test_lsh_quantized_scan_and_recall(spark, emb):
+    """quantized=True: (a) the candidate shuffle payload is the int8 code
+    array (plan assertion), (b) the survivors are rescored exactly — every
+    returned score equals the full-precision cosine, (c) recall vs the
+    fp LSH path at the same parameters is unchanged (same buckets, and the
+    int8 ranking error is far below the rescore margin)."""
+    from workbench_spark.operators.similarity import cosine_knn, lsh_cosine_knn
+
+    fp = lsh_cosine_knn(emb, k=5, n_planes=6, n_tables=6, dim=64)
+    q8 = lsh_cosine_knn(emb, k=5, n_planes=6, n_tables=6, dim=64, quantized=True)
+    assert _candidate_shuffle_is_int8(q8)
+
+    fp_pairs = {(r["id"], r["neighbor_id"]) for r in fp.collect()}
+    q8_rows = {(r["id"], r["neighbor_id"]): r["cosine_sim"] for r in q8.collect()}
+    # identical buckets + rescore_k=3k headroom -> the same top-k survives
+    overlap = len(fp_pairs & set(q8_rows)) / len(fp_pairs)
+    assert overlap >= 0.999, f"quantized LSH diverged: overlap {overlap:.4f}"
+    # returned scores are exact full-precision cosines
+    exact_scores = {
+        (r["id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_knn(emb, k=499).collect()
+    }
+    for pair, sim in list(q8_rows.items())[:50]:
+        assert abs(exact_scores[pair] - sim) < 1e-9
+
+
+def test_ivf_quantized_scan_and_recall(spark, emb):
+    from workbench_spark.operators.similarity import ivf_cosine_knn
+
+    fp = ivf_cosine_knn(emb, k=5, n_cells=8, n_probe=4)
+    q8 = ivf_cosine_knn(emb, k=5, n_cells=8, n_probe=4, quantized=True)
+    assert _candidate_shuffle_is_int8(q8)
+    fp_pairs = {(r["id"], r["neighbor_id"]) for r in fp.collect()}
+    q8_pairs = {(r["id"], r["neighbor_id"]) for r in q8.collect()}
+    overlap = len(fp_pairs & q8_pairs) / len(fp_pairs)
+    assert overlap >= 0.999, f"quantized IVF diverged: overlap {overlap:.4f}"

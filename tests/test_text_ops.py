@@ -286,3 +286,68 @@ def test_dedup_spans_hand_computed(spark):
     ).collect()
     for r in again:
         assert r["n_kept"] == r["n_spans"]
+
+
+def test_gopher_rules_tokenless_doc(spark):
+    """A whitespace-only / empty document must yield NULL ratios (not a
+    DIVIDE_BY_ZERO under ANSI mode, not NaN) and gopher_keep = false —
+    the same shape the DuckDB oracle's nullif() guards produce."""
+    from workbench_spark.operators.text import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \n  \t "), (3, "some real words here")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    for d in (1, 2):
+        assert out[d]["n_words"] == 0
+        assert out[d]["mean_word_len"] is None
+        assert out[d]["alpha_word_frac"] is None
+        assert out[d]["hash_word_ratio"] is None
+        assert out[d]["gopher_keep"] is False
+    assert out[3]["alpha_word_frac"] == 1.0
+
+
+def test_lm_score_unigram_joins_broadcast(spark):
+    """The two unigram joins are fan-out joins on raw tokens ("the"/"of"
+    are pathologically hot keys), so the vocabulary table is broadcast
+    outright when it fits. With auto-broadcast disabled, the only
+    BroadcastHashJoins left in the plan are the two FORCED unigram hints
+    — proving the hint, not Catalyst statistics, carries them."""
+    import io
+    import contextlib
+    import re
+
+    from workbench_spark.operators.text import lm_score_documents, ngram_lm_counts
+
+    def _join_nodes(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        # the detail section lists each node exactly once: "(27) BroadcastHashJoin"
+        return re.findall(r"^\(\d+\) (\w*Join)\w*", buf.getvalue(), re.M)
+
+    docs = spark.createDataFrame(
+        [(i, f"the cat number {i} sat on the mat of house {i % 7}")
+         for i in range(50)],
+        "doc_id int, text string",
+    )
+    uni, bi, total = ngram_lm_counts(docs)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        forced = lm_score_documents(docs, uni, bi, total, broadcast_unigrams=True)
+        joins = _join_nodes(forced)
+        assert joins.count("BroadcastHashJoin") == 2, joins
+        # the bigram join stays with Catalyst (shuffle under threshold=-1)
+        assert joins.count("SortMergeJoin") == 1, joins
+        # and without the hint the unigram joins fall back to shuffles too
+        plain = lm_score_documents(docs, uni, bi, total, broadcast_unigrams=False)
+        assert _join_nodes(plain).count("BroadcastHashJoin") == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # results are identical on both paths (hand-checked op semantics in
+    # test_lm_stupid_backoff_hand_computed)
+    a = {r["doc_id"]: r["mean_logscore"] for r in forced.collect()}
+    b = {r["doc_id"]: r["mean_logscore"] for r in plain.collect()}
+    assert a == b

@@ -143,9 +143,20 @@ class DataSource:
         }
         layout = {k: v for k, v in layout.items() if v}
         write_layout(self.df(), tmp, **layout)
-        shutil.rmtree(path)
-        shutil.move(tmp, path)
+        # Crash-safe swap: move the old layout ASIDE first so a failure
+        # between steps never leaves the artifact missing — worst case the
+        # original is still recoverable at path__old. Only after the new
+        # layout is in place do we delete the old copy and update metadata.
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        shutil.move(path, old)
+        try:
+            shutil.move(tmp, path)
+        except Exception:
+            shutil.move(old, path)  # roll back: restore the original
+            raise
+        shutil.rmtree(old)
         self.registry.upsert_meta(self.name, {"layout": layout})
+        self._layout = layout
         self._register_view()
         return self
 

@@ -26,6 +26,18 @@ Spark-first divergences (deliberate, documented):
   knob names; the shipped spaces here use the MLlib Param names of the
   estimators Model.train builds, so a winning config feeds Model.train
   verbatim.
+
+Provenance note (copy hygiene): the IntRange/FloatRange/Choice spec
+dataclasses below are declarative data contracts — their field names,
+validation rules, and ``to_dict`` wire form are transcribed from the
+reference's hpo_harness.py:44-220 ON PURPOSE, because API parity requires
+the wire form to match byte-for-byte. The reference is MIT-licensed
+(SuperCowPowers/workbench LICENSE: "MIT License, Copyright (c) 2021-2026
+SuperCowPowers LLC"); this section is used under that license with
+attribution, the same
+discipline as the published-coefficient tables in chem/crippen.py. All
+search/tuner/re-rank logic in this module (mllib_search onward) is
+original Spark-first work.
 """
 
 from __future__ import annotations
@@ -525,9 +537,12 @@ def hpo_train(
     if "validation" in df.columns:
         val_flag = F.coalesce(F.col("validation"), F.lit(False))
     else:
-        key = F.monotonically_increasing_id() if not features else F.concat_ws(
-            "|", *[F.col(c).cast("string") for c in features]
-        )
+        # crc32 over feature values — or, with no feature list, over ALL
+        # columns — so the 80/20 split is row-content-keyed and replayable
+        # across runs/cluster layouts (monotonically_increasing_id is not:
+        # it depends on partition layout).
+        key_cols = features if features else list(df.columns)
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
         val_flag = F.crc32(key.cast("string")) % 5 == 0
     frame = df.withColumn("__val", val_flag)
     train_df = frame.filter(~F.col("__val")).drop("__val")

@@ -183,6 +183,76 @@ def _stacked_signatures(
     )
 
 
+def _int8_scan_frame(
+    vectors: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, __qv array<int>, __qn double) — the ONLY payload that crosses
+    the candidate-generation shuffle on the quantized ANN path. Cosine is
+    scale-invariant, so the per-vector quantization scale cancels:
+    cos(v̂_a, v̂_b) = dot(q_a, q_b) / (|q_a|·|q_b|) — the int8 codes alone
+    carry the approximate score, 4× less shuffle/scan IO than float64."""
+    q = quantize_embeddings(vectors, id_col, vec_col, out_col="__qv")
+    return q.select(
+        F.col(id_col).alias("id"),
+        F.col("__qv"),
+        _norm(F.col("__qv")).alias("__qn"),
+    )
+
+
+def _rescore_topk(
+    shortlist: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Full-precision rescore of an approximate shortlist: join the fp
+    vectors back for both endpoints (equi-joins on id — only survivors
+    touch float data), compute exact cosine, keep top-k per id. In
+    novel-query mode the id side resolves against ``queries``."""
+    fp = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    fp_q = (
+        fp
+        if queries is None
+        else queries.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+    )
+    scored = (
+        shortlist.join(fp_q, "id")
+        .join(
+            fp.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("v").alias("__rv"),
+                F.col("nrm").alias("__rn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "id",
+            "neighbor_id",
+            (
+                _dot(F.col("v"), F.col("__rv")) / (F.col("nrm") * F.col("__rn"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def lsh_cosine_knn(
     vectors: DataFrame,
     queries: DataFrame | None = None,
@@ -193,6 +263,8 @@ def lsh_cosine_knn(
     n_tables: int = 2,
     seed: int = 42,
     dim: int | None = None,
+    quantized: bool = False,
+    rescore_k: int | None = None,
 ) -> DataFrame:
     """Approximate KNN via hyperplane LSH: vectors sharing a signature
     in ANY of ``n_tables`` independent tables become candidates; exact
@@ -207,6 +279,13 @@ def lsh_cosine_knn(
     candidate pairs per table ≈ N²/2^b, tunable to the cluster. The join is
     a shuffle on (table, signature): co-located, skew-handled by AQE.
     Recall grows with n_tables (union of candidates), cost linearly.
+
+    quantized=True routes the candidate scan through int8 codes
+    (quantize_embeddings): the bucket shuffle carries array<int> codes
+    instead of float64 vectors (4× less IO — cosine is scale-invariant so
+    the codes alone rank candidates), the top ``rescore_k`` (default
+    max(3k, k+8)) per query survive, and survivors are rescored at FULL
+    precision before the final top-k — output contract identical.
     """
     import random
 
@@ -223,6 +302,46 @@ def lsh_cosine_knn(
         if queries is None
         else _stacked_signatures(queries, id_col, vec_col, planes_per_table)
     )
+    if quantized:
+        # int8 scan path: the candidate shuffle carries ONLY the codes
+        # (4× less IO); survivors are rescored at full precision below
+        scan = _int8_scan_frame(vectors, id_col, vec_col)
+        scan_q = (
+            scan if queries is None else _int8_scan_frame(queries, id_col, vec_col)
+        )
+        left = q_signed.select("tbl", "sig", "id").join(scan_q, "id").select(
+            "tbl", "sig", "id",
+            F.col("__qv").alias("__lq"), F.col("__qn").alias("__ln"),
+        )
+        right = signed.select("tbl", "sig", F.col("id").alias("neighbor_id")).join(
+            scan.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("__qv").alias("__rq"), F.col("__qn").alias("__rn8"),
+            ),
+            "neighbor_id",
+        )
+        cands = left.join(right, ["tbl", "sig"])
+        if queries is None:
+            cands = cands.filter(F.col("id") != F.col("neighbor_id"))
+        cands = cands.dropDuplicates(["id", "neighbor_id"])
+        approx = cands.select(
+            "id",
+            "neighbor_id",
+            (
+                _dot(F.col("__lq"), F.col("__rq"))
+                / (F.col("__ln") * F.col("__rn8"))
+            ).alias("__approx"),
+        )
+        r_k = rescore_k if rescore_k is not None else max(3 * k, k + 8)
+        w8 = Window.partitionBy("id").orderBy(
+            F.col("__approx").desc(), F.col("neighbor_id").asc()
+        )
+        shortlist = (
+            approx.withColumn("__rk", F.row_number().over(w8))
+            .filter(F.col("__rk") <= r_k)
+            .select("id", "neighbor_id")
+        )
+        return _rescore_topk(shortlist, vectors, id_col, vec_col, k, queries=queries)
     left = q_signed.select(
         "tbl", "sig", F.col("id"), F.col("v").alias("__qv"), F.col("nrm").alias("__qn")
     )
@@ -390,6 +509,8 @@ def ivf_cosine_knn(
     n_cells: int = 16,
     n_probe: int = 3,
     seed: int = 42,
+    quantized: bool = False,
+    rescore_k: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate KNN — the other scale path besides
     LSH: KMeans coarse quantizer partitions vectors into cells; each query
@@ -400,6 +521,12 @@ def ivf_cosine_knn(
     sample and assignment is a map-side MLlib transform. Recall rises with
     n_probe at linear cost. Output matches cosine_knn: (id, neighbor_id,
     cosine_sim), top-k per id, neighbor-id tiebreak.
+
+    quantized=True is IVF-SQ8: cell assignment/probing stay on the fp
+    vectors (map-side, index-build-time work), but the cell equi-join —
+    where the shuffle IO lives — carries ONLY int8 codes; the top
+    ``rescore_k`` (default max(3k, k+8)) survivors per query are rescored
+    at full precision. Output contract identical.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -435,6 +562,45 @@ def ivf_cosine_knn(
             F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe)["cell"]
         ),
     )
+    if quantized:
+        scan = _int8_scan_frame(vectors, id_col, vec_col)
+        left = probes.select(F.col("__probe").alias("cell"), "id").join(
+            scan, "id"
+        ).select(
+            "cell", "id", F.col("__qv").alias("__lq"), F.col("__qn").alias("__ln")
+        )
+        right = assigned.select(
+            F.col("__cell").alias("cell"), F.col("id").alias("neighbor_id")
+        ).join(
+            scan.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("__qv").alias("__rq"), F.col("__qn").alias("__rn8"),
+            ),
+            "neighbor_id",
+        )
+        cands = (
+            left.join(right, "cell")
+            .filter(F.col("id") != F.col("neighbor_id"))
+            .dropDuplicates(["id", "neighbor_id"])
+        )
+        approx = cands.select(
+            "id",
+            "neighbor_id",
+            (
+                _dot(F.col("__lq"), F.col("__rq"))
+                / (F.col("__ln") * F.col("__rn8"))
+            ).alias("__approx"),
+        )
+        r_k = rescore_k if rescore_k is not None else max(3 * k, k + 8)
+        w8 = Window.partitionBy("id").orderBy(
+            F.col("__approx").desc(), F.col("neighbor_id").asc()
+        )
+        shortlist = (
+            approx.withColumn("__rk", F.row_number().over(w8))
+            .filter(F.col("__rk") <= r_k)
+            .select("id", "neighbor_id")
+        )
+        return _rescore_topk(shortlist, vectors, id_col, vec_col, k)
     left = probes.select(
         F.col("__probe").alias("cell"),
         F.col("id"),

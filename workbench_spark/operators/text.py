@@ -540,6 +540,11 @@ def vocabulary(
 #: a document must contain at least 2 of these to pass rule 7
 GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+# A vocabulary row is (token string, count) — ~30 bytes serialized. 4M rows
+# ≈ 120 MB broadcast, comfortably inside executor memory; above that the
+# unigram joins fall back to shuffle-hash with AQE skew handling.
+_UNIGRAM_BROADCAST_MAX_ROWS = 4_000_000
+
 
 def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The Gopher document-quality rules (Rae et al. 2021, "Scaling
@@ -566,7 +571,10 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks_l = F.regexp_extract_all(F.lower(t), F.lit(r"\S+"), 0)
     n_words = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
-    mean_len = sum_len / n_words
+    # try_divide: a token-less/empty document must yield NULL ratios (ANSI
+    # mode would otherwise raise DIVIDE_BY_ZERO), matching the oracle's
+    # nullif(len(toks), 0) guards.
+    mean_len = F.try_divide(sum_len, n_words)
     n_hash = F.regexp_count(t, F.lit("#"))
     n_ellipsis = F.regexp_count(t, F.lit(r"\.\.\."))
     lines = F.split(t, "\n")
@@ -581,11 +589,11 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = (
         df.withColumn("n_words", n_words)
         .withColumn("mean_word_len", mean_len)
-        .withColumn("hash_word_ratio", n_hash / n_words)
-        .withColumn("ellipsis_word_ratio", n_ellipsis / n_words)
-        .withColumn("bullet_line_frac", bullet_lines / n_lines)
-        .withColumn("ellipsis_line_frac", ellipsis_lines / n_lines)
-        .withColumn("alpha_word_frac", alpha_words / n_words)
+        .withColumn("hash_word_ratio", F.try_divide(n_hash, n_words))
+        .withColumn("ellipsis_word_ratio", F.try_divide(n_ellipsis, n_words))
+        .withColumn("bullet_line_frac", F.try_divide(bullet_lines, n_lines))
+        .withColumn("ellipsis_line_frac", F.try_divide(ellipsis_lines, n_lines))
+        .withColumn("alpha_word_frac", F.try_divide(alpha_words, n_words))
         .withColumn("n_stop_words", n_stop)
     )
     keep = (
@@ -698,6 +706,7 @@ def lm_score_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.4,
+    broadcast_unigrams: bool | None = None,
 ) -> DataFrame:
     """CCNet-style LM quality scoring with Stupid Backoff (Brants et al.
     2007, "Large Language Models in Machine Translation" — the published
@@ -709,9 +718,16 @@ def lm_score_documents(
     (low = fluent under the corpus model, high = noise).
 
     Plan shape: explode doc bigrams → equi-join the bigram and unigram
-    count tables (broadcast when small, shuffle-hash at scale) → one
-    groupBy(doc). Train on the corpus itself for self-perplexity (the
-    CCNet setup trains on a reference corpus — pass any count tables)."""
+    count tables → one groupBy(doc). The two UNIGRAM joins are fan-out
+    joins on raw tokens, so "the"/"of" rows are pathologically hot keys —
+    rather than leave them to AQE skew splitting, the vocabulary table
+    (which almost always fits: ~10s of MB even for web-scale corpora
+    after normalization) is broadcast outright when it is measurably
+    small (``broadcast_unigrams=None`` probes with a bounded
+    limit-count; pass True/False to force). The BIGRAM table can be 10×
+    the vocabulary and stays with Catalyst/AQE. Train on the corpus
+    itself for self-perplexity (the CCNet setup trains on a reference
+    corpus — pass any count tables)."""
     from workbench_spark.operators.dedup import normalize_text
 
     toks = F.filter(
@@ -730,10 +746,18 @@ def lm_score_documents(
             )
         ).alias("p"),
     ).select(id_col, "p.w1", "p.w2")
+    if broadcast_unigrams is None:
+        # bounded probe: never a full count on a huge vocabulary
+        _cap = _UNIGRAM_BROADCAST_MAX_ROWS
+        broadcast_unigrams = uni.limit(_cap + 1).count() <= _cap
+    uni_w1 = uni.select(F.col("token").alias("w1"), F.col("c1").alias("__c_w1"))
+    uni_w2 = uni.select(F.col("token").alias("w2"), F.col("c1").alias("__c_w2"))
+    if broadcast_unigrams:
+        uni_w1, uni_w2 = F.broadcast(uni_w1), F.broadcast(uni_w2)
     joined = (
         pairs.join(bi, ["w1", "w2"], "left")
-        .join(uni.select(F.col("token").alias("w1"), F.col("c1").alias("__c_w1")), "w1", "left")
-        .join(uni.select(F.col("token").alias("w2"), F.col("c1").alias("__c_w2")), "w2", "left")
+        .join(uni_w1, "w1", "left")
+        .join(uni_w2, "w2", "left")
     )
     score = (
         F.when(

@@ -336,9 +336,10 @@ class UQv0:
     - The per-bin isotonic fits run as ONE distributed job
       (groupBy(bin).applyInPandas over a numpy PAVA) — quantile bins are
       balanced by construction, so each task sees ~n/10 rows and the
-      <MIN_SAMPLES global fallback can only trigger when the whole
-      calibration set is tiny (n < bins·20), where a single-task global
-      fit is trivially fine.
+      <MIN_SAMPLES global fallback is structurally gated by an explicit
+      n < bins·MIN_SAMPLES check (≤200 rows can ever cross the driver);
+      a degenerate bin at large n (quantile ties) borrows the nearest
+      fitted bin's calibrator instead of pulling the frame.
     - Calibrator state per bin is the PAVA fit resampled onto a uniform
       ``grid_points`` std grid — (lo, hi, values) — so stored state is
       O(bins·grid) regardless of calibration size and inference is pure
@@ -396,6 +397,10 @@ class UQv0:
         ).first()
         self.scale_factors = dict(zip(self.confidence_levels, row["__q"]))
         edges = sorted(set(row["__edges"]))  # np.unique on quantile points
+        if len(edges) == 1:
+            # constant predictions: every quantile edge is the same value —
+            # degrade to ONE bin spanning it rather than an empty CASE
+            edges = [edges[0], edges[0]]
         edges[0] -= 1e-6
         edges[-1] += 1e-6
         self.bin_edges = [float(e) for e in edges]
@@ -441,12 +446,26 @@ class UQv0:
         )
         self.calibrators = {r["bin"]: (r["lo"], r["hi"], list(r["ys"])) for r in fits}
         if len(self.calibrators) < n_bins:
-            # global fallback for under-populated bins — single-task fit,
-            # reachable only when n < n_bins·MIN_SAMPLES (see class doc)
-            gpdf = frame.select("__s", "__r").toPandas()
-            g = to_grid(*_pava_blocks(gpdf["__s"].to_numpy(), gpdf["__r"].to_numpy()))
-            for b in range(n_bins):
-                self.calibrators.setdefault(b, g)
+            total_n = sum(counts.values())
+            if total_n < n_bins * self.MIN_SAMPLES_PER_BIN:
+                # small-n global fallback — the pull is structurally bounded
+                # by this check: at most n_bins·MIN_SAMPLES rows ever cross
+                # the driver, regardless of how the frame was built
+                gpdf = frame.select("__s", "__r").toPandas()
+                g = to_grid(
+                    *_pava_blocks(gpdf["__s"].to_numpy(), gpdf["__r"].to_numpy())
+                )
+                for b in range(n_bins):
+                    self.calibrators.setdefault(b, g)
+            else:
+                # large n but quantile ties left a degenerate bin: borrow
+                # the nearest fitted bin's calibrator (pigeonhole guarantees
+                # at least one bin fit) — never a full-frame driver pull
+                fitted = sorted(self.calibrators)
+                for b in range(n_bins):
+                    if b not in self.calibrators:
+                        nearest = min(fitted, key=lambda f: abs(f - b))
+                        self.calibrators[b] = self.calibrators[nearest]
 
         # 101-point CDF of the calibrated residual on the cal set itself
         expected = self._expected_expr("__p", "__s")

@@ -410,8 +410,9 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sh AS (
       SELECT doc_id AS id,
-             list_distinct([substr(t, i, 5) for i in
-                  generate_series(1, GREATEST(length(t) - 4, 1))]) AS g
+             list_distinct(list_filter([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))],
+                  s -> length(s) = 5)) AS g
       FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
             FROM documents WHERE doc_id < 250)
     ),
@@ -480,8 +481,9 @@ def text_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE sh AS (
       SELECT doc_id AS id,
-             list_distinct([substr(t, i, 5) for i in
-                  generate_series(1, GREATEST(length(t) - 4, 1))]) AS g
+             list_distinct(list_filter([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))],
+                  s -> length(s) = 5)) AS g
       FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
             FROM documents WHERE doc_id < 250)
     ),
@@ -572,8 +574,9 @@ def ruzicka_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sh AS (
       SELECT doc_id AS id,
-             list_distinct([substr(t, i, 5) for i in
-                  generate_series(1, GREATEST(length(t) - 4, 1))]) AS g
+             list_distinct(list_filter([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))],
+                  s -> length(s) = 5)) AS g
       FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
             FROM documents)
     ),
@@ -950,8 +953,9 @@ def c7_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sh AS (
       SELECT doc_id AS id,
-             list_distinct([substr(t, i, 5) for i in
-                  generate_series(1, GREATEST(length(t) - 4, 1))]) AS g
+             list_distinct(list_filter([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))],
+                  s -> length(s) = 5)) AS g
       FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
             FROM documents)
     ),
@@ -3103,9 +3107,10 @@ def text_chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid g LEFT JOIN binned ON g.user_id = binned.user_id AND g.b = binned.b
     )
     SELECT user_id, b AS bucket_epoch,
-           ROUND(LAST_VALUE(v IGNORE NULLS) OVER (
+           FLOOR(LAST_VALUE(v IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY b
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e6 + 0.5) / 1e6
+             AS value,
            is_filled
     FROM joined
     """,
@@ -3127,7 +3132,7 @@ def w_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         F.unix_timestamp("bucket_ts").cast("long").alias("bucket_epoch"),
-        F.round("value", 6).alias("value"),
+        _fround(F.col("value")).alias("value"),
         "is_filled",
     )
 
@@ -3308,17 +3313,17 @@ def text_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              len(toks) AS n_words,
              CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-               / len(toks) AS mean_word_len,
+               / nullif(len(toks), 0) AS mean_word_len,
              CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
-               / len(toks) AS hash_word_ratio,
+               / nullif(len(toks), 0) AS hash_word_ratio,
              CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
-               / len(toks) AS ellipsis_word_ratio,
+               / nullif(len(toks), 0) AS ellipsis_word_ratio,
              CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[•*-]'))) AS DOUBLE)
-               / len(lines) AS bullet_line_frac,
+               / nullif(len(lines), 0) AS bullet_line_frac,
              CAST(len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.\\s*$'))) AS DOUBLE)
-               / len(lines) AS ellipsis_line_frac,
+               / nullif(len(lines), 0) AS ellipsis_line_frac,
              CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-               / len(toks) AS alpha_word_frac,
+               / nullif(len(toks), 0) AS alpha_word_frac,
              list_contains(toks_l, 'the')::INT + list_contains(toks_l, 'be')::INT
              + list_contains(toks_l, 'to')::INT + list_contains(toks_l, 'of')::INT
              + list_contains(toks_l, 'and')::INT + list_contains(toks_l, 'that')::INT
