@@ -54,6 +54,32 @@ ALLOWED: dict[tuple[str, str], str] = {
         "1-row total-token aggregate (the LM's normalization constant)",
     ("operators/windows.py", "stratified_split"):
         "O(distinct strata) fraction map for sampleBy",
+    ("api/ensemble_simulator.py", "_spearman_many"):
+        "1-row aggregate of rank correlations (one scalar per pair)",
+    ("api/ensemble_simulator.py", "_base_params"):
+        "1-row aggregate: M MAE + M correlation scalars",
+    ("api/ensemble_simulator.py", "model_performance"):
+        "1-row aggregate: O(M) per-model metric scalars",
+    ("api/ensemble_simulator.py", "residual_correlations"):
+        "1-row aggregate: M(M-1)/2 correlation scalars",
+    ("api/ensemble_simulator.py", "confidence_analysis"):
+        "1-row stats aggregate + O(4) quartile rows per model",
+    ("api/ensemble_simulator.py", "model_agreement"):
+        "1-row stats aggregate + O(4) quartile rows",
+    ("api/ensemble_simulator.py", "confidence_weight_distribution"):
+        "1-row aggregate: O(M) weight-distribution scalars",
+    ("api/ensemble_simulator.py", "_compute_strategy_config"):
+        "1-row aggregate: O(strategies) MAE scalars",
+    ("api/ensemble_simulator.py", "best_ensemble_predictions"):
+        "1-row aggregate: O(strategies) MAE scalars (output frame stays "
+        "distributed)",
+    ("api/ensemble_simulator.py", "ensemble_failure_analysis"):
+        "two 1-row aggregates: strategy MAEs, then win-rate scalars",
+    ("api/ensemble_simulator.py", "report"):
+        "composite analysis report: every collected frame is O(M) or "
+        "O(strategies) rows by construction",
+    ("api/ensemble_simulator.py", "simulate_strategies"):
+        "7 strategy rows per scenario (driver-side rank of scalars)",
     ("api/model.py", "shap_importance"):
         "O(feature-count) aggregate",
     ("api/model.py", "inference"):

@@ -105,6 +105,64 @@ class SyntheticDataGenerator:
         )
         return base.unionByName(probes)
 
+    # ----------------------------------------------- ensemble_branch_data
+    def ensemble_branch_data(
+        self,
+        n_samples: int = 2000,
+        n_branches: int = 3,
+        noise: float = 1.0,
+        error_corr: float = 0.0,
+        conf_quality: float = 0.5,
+        branch_noise: list[float] | None = None,
+    ) -> DataFrame:
+        """Synthetic child-model prediction branches with CONTROLLED error
+        level and inter-branch error correlation — the scenario input of
+        the EnsembleSimulator sweep (reference ensemble_simulator.py
+        analyzes real cross-fold captures; this generator synthesizes the
+        same (target, {p_i}, {c_i}) shape over a parameter grid so
+        strategies can be ranked across hypothetical model families).
+
+        Error model: e_i = √ρ·shared + √(1−ρ)·own_i, so
+        corr(e_i, e_j) = ρ exactly (in expectation). p_i = y + σ_i·e_i
+        with σ_i = noise·(1 + i/4) by default (branches get progressively
+        worse so best/worst/inverse-MAE strategies have signal), or
+        ``branch_noise`` per branch. Confidence: c_i mixes an oracle
+        signal 1/(1+|e_i|) with uniform junk at ``conf_quality`` — q=1 is
+        perfectly informative confidence, q=0 pure noise.
+
+        Columns: (id, target, p_0..p_{m-1}, c_0..c_{m-1}). Everything is
+        seeded JVM randn/rand over a pinned partitioning (header note)."""
+        if not 0.0 <= error_corr <= 1.0:
+            raise ValueError(f"error_corr must be in [0,1], got {error_corr}")
+        sig = branch_noise or [noise * (1 + i / 4) for i in range(n_branches)]
+        if len(sig) != n_branches:
+            raise ValueError("branch_noise length must equal n_branches")
+        df = self.spark.range(n_samples).repartition(8, "id")
+        y = F.col("id").cast("double") % 100 + F.randn(self.seed) * 5.0
+        df = df.withColumn("target", y).withColumn(
+            "__shared", F.randn(self.seed + 500)
+        )
+        a = error_corr ** 0.5
+        b = (1.0 - error_corr) ** 0.5
+        cols = [F.col("id"), F.col("target")]
+        for i in range(n_branches):
+            e_i = F.lit(a) * F.col("__shared") + F.lit(b) * F.randn(
+                self.seed + 1000 + i
+            )
+            df = df.withColumn(f"__e_{i}", e_i)
+            cols.append(
+                (F.col("target") + F.lit(sig[i]) * F.col(f"__e_{i}")).alias(f"p_{i}")
+            )
+        for i in range(n_branches):
+            oracle = 1.0 / (1.0 + F.abs(F.col(f"__e_{i}")))
+            junk = F.rand(self.seed + 2000 + i)
+            cols.append(
+                (F.lit(conf_quality) * oracle + F.lit(1 - conf_quality) * junk).alias(
+                    f"c_{i}"
+                )
+            )
+        return df.select(*cols)
+
     # --------------------------------------- regression_with_varying_noise
     def regression_with_varying_noise(self, n_samples: int = 1000) -> DataFrame:
         """feature 0..n, target = feature + 1000 ± 10% heteroscedastic

@@ -3724,3 +3724,151 @@ def m_shap_additivity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(bad == 0, bool(nonneg))], "additivity_ok boolean, importance_nonneg boolean"
     )
+
+
+# ---------------------------------------------------------- A13 simulator sweep
+# Scenario branch formulas are SHARED between the Spark engine (F.expr) and
+# the DuckDB oracle (inlined into the SQL) — one source of truth, both
+# engines parse the identical arithmetic. Deterministic column-derived
+# "noise" stands in for the seeded-randn generator (which DuckDB cannot
+# replay) so the sweep is fully value-oracled.
+_SIM_SCENARIOS = [
+    dict(
+        p1="l_quantity",
+        p2="l_quantity * (1 + l_discount)",
+        p3="l_extendedprice / 1000",
+        c1="0.5 + l_tax",
+        c2="1 - l_discount",
+        c3="CAST(0.8 AS DOUBLE)",
+        tgt="l_quantity + l_tax * 10",
+    ),
+    dict(
+        p1="l_quantity * (1 + 2 * l_tax)",
+        p2="l_quantity + l_discount * 20",
+        p3="l_extendedprice / 950",
+        c1="0.3 + l_discount",
+        c2="0.9 - l_tax",
+        c3="CAST(0.6 AS DOUBLE)",
+        tgt="l_quantity + l_tax * 10",
+    ),
+]
+
+
+def _sim_scenario_sql(s: dict) -> str:
+    """One scenario's (strategy, mae) body — the a13_strategy_comparison
+    oracle parametrized by the branch formulas."""
+    return f"""
+    WITH b AS (
+      SELECT {s['p1']} AS p1, {s['p2']} AS p2, {s['p3']} AS p3,
+             {s['c1']} AS c1, {s['c2']} AS c2, {s['c3']} AS c3,
+             {s['tgt']} AS tgt
+      FROM lineitem
+    ),
+    params AS (
+      SELECT avg(abs(p1 - tgt)) AS mae1, avg(abs(p2 - tgt)) AS mae2,
+             avg(abs(p3 - tgt)) AS mae3,
+             COALESCE(abs(corr(c1, abs(p1 - tgt))), 0) AS cs1,
+             COALESCE(abs(corr(c2, abs(p2 - tgt))), 0) AS cs2,
+             COALESCE(abs(corr(c3, abs(p3 - tgt))), 0) AS cs3
+      FROM b
+    ),
+    w AS (
+      SELECT *,
+             (1/mae1)/((1/mae1) + (1/mae2) + (1/mae3)) AS w1,
+             (1/mae2)/((1/mae1) + (1/mae2) + (1/mae3)) AS w2,
+             (1/mae3)/((1/mae1) + (1/mae2) + (1/mae3)) AS w3,
+             CASE WHEN mae1 <= mae2 AND mae1 <= mae3 THEN 1
+                  WHEN mae2 <= mae3 THEN 2 ELSE 3 END AS best_i,
+             CASE WHEN mae1 >= mae2 AND mae1 >= mae3 THEN 1
+                  WHEN mae2 >= mae3 THEN 2 ELSE 3 END AS worst_i
+      FROM params
+    ),
+    scored AS (
+      SELECT b.*, w.*,
+             c1 + c2 + c3 AS ctot,
+             c1*w1 + c2*w2 + c3*w3 AS stot,
+             c1*cs1 + c2*cs2 + c3*cs3 AS caltot
+      FROM b CROSS JOIN w
+    ),
+    maes AS (
+      SELECT
+        avg(abs((p1 + p2 + p3)/3 - tgt)) AS m_mean,
+        avg(abs(p1 * (CASE WHEN ctot = 0 THEN w1 ELSE c1/ctot END)
+              + p2 * (CASE WHEN ctot = 0 THEN w2 ELSE c2/ctot END)
+              + p3 * (CASE WHEN ctot = 0 THEN w3 ELSE c3/ctot END)
+              - tgt)) AS m_conf,
+        avg(abs(p1*w1 + p2*w2 + p3*w3 - tgt)) AS m_invmae,
+        avg(abs(CASE best_i WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END - tgt)) AS m_best,
+        avg(abs(p1 * (CASE WHEN stot = 0 THEN w1 ELSE (c1*w1)/stot END)
+              + p2 * (CASE WHEN stot = 0 THEN w2 ELSE (c2*w2)/stot END)
+              + p3 * (CASE WHEN stot = 0 THEN w3 ELSE (c3*w3)/stot END)
+              - tgt)) AS m_scaled,
+        avg(abs(p1 * (CASE WHEN caltot = 0 THEN w1 ELSE (c1*cs1)/caltot END)
+              + p2 * (CASE WHEN caltot = 0 THEN w2 ELSE (c2*cs2)/caltot END)
+              + p3 * (CASE WHEN caltot = 0 THEN w3 ELSE (c3*cs3)/caltot END)
+              - tgt)) AS m_cal,
+        avg(abs(CASE worst_i WHEN 1 THEN (p2 + p3)/2
+                             WHEN 2 THEN (p1 + p3)/2
+                             ELSE (p1 + p2)/2 END - tgt)) AS m_drop,
+        any_value(best_i) AS best_i, any_value(worst_i) AS worst_i
+      FROM scored
+    )
+    SELECT strategy, floor(m * 1e6 + 0.5) / 1e6 AS mae FROM (
+      SELECT 'Simple Mean' AS strategy, m_mean AS m FROM maes
+      UNION ALL SELECT 'Confidence-Weighted', m_conf FROM maes
+      UNION ALL SELECT 'Inverse-MAE Weighted', m_invmae FROM maes
+      UNION ALL SELECT 'Best Model Only (p' || best_i || ')', m_best FROM maes
+      UNION ALL SELECT 'Scaled Conf-Weighted', m_scaled FROM maes
+      UNION ALL SELECT 'Calibrated Conf-Weighted', m_cal FROM maes
+      UNION ALL SELECT 'Drop Worst (p' || worst_i || ')', m_drop FROM maes
+    )
+    """
+
+
+@query(
+    "a13_simulator_sweep",
+    f"""
+    SELECT scenario, strategy, mae,
+           CAST(row_number() OVER (
+             PARTITION BY scenario ORDER BY mae, strategy) AS INT) AS rank
+    FROM (
+      SELECT 0 AS scenario, * FROM ({_sim_scenario_sql(_SIM_SCENARIOS[0])})
+      UNION ALL
+      SELECT 1 AS scenario, * FROM ({_sim_scenario_sql(_SIM_SCENARIOS[1])})
+    )
+    """,
+)
+def a13_simulator_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EnsembleSimulator scenario sweep (api/ensemble_simulator.py
+    simulate_strategies; reference ensemble_simulator.py runs the same
+    strategy ranking over alternative model families): rank the seven
+    strategies WITHIN each of two deterministic scenarios. The branch
+    formulas come from _SIM_SCENARIOS verbatim on both sides (F.expr here,
+    inlined SQL in the oracle), so the hash match certifies the complete
+    sweep arithmetic — strategy MAEs, data-dependent best/worst labels,
+    and the within-scenario ranking."""
+    from workbench_spark.operators.ensembles import strategy_comparison
+
+    li = _t(spark, sf_dir, "lineitem")
+    parts = []
+    for sid, s in enumerate(_SIM_SCENARIOS):
+        branches = li.select(
+            F.expr(s["p1"]).alias("p1"),
+            F.expr(s["p2"]).alias("p2"),
+            F.expr(s["p3"]).alias("p3"),
+            F.expr(s["c1"]).alias("c1"),
+            F.expr(s["c2"]).alias("c2"),
+            F.expr(s["c3"]).alias("c3"),
+            F.expr(s["tgt"]).alias("tgt"),
+        )
+        cmp = strategy_comparison(branches, ["p1", "p2", "p3"], ["c1", "c2", "c3"], "tgt")
+        parts.append(
+            cmp.select(
+                F.lit(sid).alias("scenario"),
+                "strategy",
+                _fround(F.col("mae")).alias("mae"),
+            )
+        )
+    out = parts[0].unionByName(parts[1])
+    w = Window.partitionBy("scenario").orderBy("mae", "strategy")
+    return out.withColumn("rank", F.row_number().over(w))
