@@ -28,14 +28,52 @@ def _pairs():
     return [(name, q[name], o.get(name)) for name in sorted(q)]
 
 
+# Per-entry wall-time budget (seconds) for the SPARK side at sf0.001.
+# Purpose: rotation-proofing — the driver's 50-slot sweep samples a subset,
+# but any entry it picks must finish comfortably inside its harness; an
+# entry that silently regresses to minutes would fail here first. The cap
+# is generous (cold-JVM + plan compile dominate at this SF); entries with a
+# documented reason to be slower get an explicit override.
+SPARK_TIME_BUDGET_S = 20.0
+_TIME_BUDGET_OVERRIDES = {
+    # the distributed-PAVA UQ entries fit + score + coverage-check a
+    # calibration frame (multi-job by design); cold first-run compile cost
+    "m4_uq_v0_coverage": 40.0,
+    "m4_uq_neighbors": 40.0,
+    "m4_uq_coverage": 40.0,
+    "m4_uq_applicability": 40.0,
+    "m4_uq_metrics_panel": 40.0,
+    # label-quality entries train MLlib cross-fold models
+    "m8_confident_joint": 60.0,
+    "m8_label_quality": 60.0,
+    # end-to-end pipelines chain 5 stages
+    "pipeline_curation_end_to_end": 60.0,
+    "pipeline_user_features_end_to_end": 60.0,
+    "chem_pipeline_golden": 60.0,
+    # the ORACLE side dominates here: DuckDB's recursive-CTE transitive
+    # closure (~30s) — the Spark CC itself is seconds
+    "dedup_cc_membership": 90.0,
+    "dedup_cluster_representatives": 90.0,
+}
+
+
 @pytest.mark.parametrize("name,fn,oracle", _pairs(), ids=[p[0] for p in _pairs()])
 def test_query_matches_oracle(spark, name, fn, oracle):
+    import time
+
+    t0 = time.monotonic()
     df = fn(spark, SF_DIR)
     if oracle is None:
         assert df.count() >= 0  # rows-only check, like the driver
-        return
-    problems = compare(df, duckdb_run(oracle, SF_DIR))
-    assert not problems, f"{name}: {problems}"
+    else:
+        problems = compare(df, duckdb_run(oracle, SF_DIR))
+        assert not problems, f"{name}: {problems}"
+    elapsed = time.monotonic() - t0
+    budget = _TIME_BUDGET_OVERRIDES.get(name, SPARK_TIME_BUDGET_S)
+    assert elapsed <= budget, (
+        f"{name} took {elapsed:.1f}s at sf0.001 (budget {budget}s) — "
+        "an entry this slow risks blowing the driver sweep harness"
+    )
 
 
 def test_entry_smoke(spark):

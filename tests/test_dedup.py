@@ -255,3 +255,28 @@ def test_incremental_dedup_blocks_corpus_clones(spark, docs):
     )
     assert sorted(map(tuple, pairs.select("new_id", "corpus_id").collect())) == \
         sorted(map(tuple, pairs2.select("new_id", "corpus_id").collect()))
+
+
+def test_cluster_representatives_hand_computed(spark):
+    """Two clusters + a singleton: the highest-quality member wins, ties
+    go to the smallest id, singletons keep themselves."""
+    from workbench_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, 5.0), (2, 9.0), (3, 9.0),   # cluster {1,2,3}: tie 2 vs 3 -> 2
+            (10, 4.0), (11, 3.0),           # cluster {10,11} -> 10
+            (99, 1.0),                      # singleton -> itself
+        ],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in
+           cluster_representatives(docs, pairs, "q").collect()}
+    assert len(out) == 6
+    assert out[2]["keep"] and not out[1]["keep"] and not out[3]["keep"]
+    assert out[10]["keep"] and not out[11]["keep"]
+    assert out[99]["keep"] and out[99]["component"] == 99
+    assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1

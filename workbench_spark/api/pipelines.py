@@ -83,6 +83,12 @@ class Job:
 
     @property
     def stem(self) -> str:
+        if callable(self.script) and not isinstance(self.script, (str, Path)):
+            # callable jobs (the execute_plan engine path): repr contains
+            # dots + an address, which Path.stem mangles into COLLIDING ids
+            # for same-named closures — use the name + identity instead
+            name = getattr(self.script, "__name__", "callable")
+            return f"{name}_{id(self.script):x}"
         s = str(self.script)
         return Path(s.split("/")[-1]).stem
 
@@ -602,3 +608,107 @@ def endpoint_group_paths(pipelines: list) -> dict:
 
     walk(pipelines or [], [])
     return groups
+
+
+# ----------------------------------------------------------------- executor
+class ExecutionRecord(NamedTuple):
+    job: Job
+    action: str  # ran | skipped | failed | blocked
+    reason: str
+    error: Optional[Exception] = None
+
+
+def default_runner(job: Job) -> None:
+    """Engine-scope script execution: a Job whose ``script`` is a Python
+    callable is invoked with the job (the Transform-ABC integration point
+    — pass e.g. ``lambda job: MyTransform(**params).transform(df)`` bound
+    closures, or any artifact-(re)building function). Path/scheme scripts
+    are the reference launcher's subprocess/SQS submission surface
+    (ml_pipeline_launcher.py:742-824) — CLI/AWS plumbing, out of engine
+    scope, so they need an injected runner."""
+    if callable(job.script):
+        job.script(job)
+        return
+    raise NotImplementedError(
+        f"job {job.node_id!r}: script submission for {job.script!r} is the "
+        "launcher's CLI/AWS surface; inject runner= to execute_plan"
+    )
+
+
+def execute_plan(
+    manager: "PipelineManager",
+    runner: Callable[[Job], None] | None = None,
+    mtime_fn=None,
+    force: list | None = None,
+    dry_run: bool = False,
+    stop_on_error: bool = False,
+) -> list[ExecutionRecord]:
+    """Walk the freshness plan in topological order and (re)build every
+    missing/stale artifact — the engine core of the reference's
+    ml_pipeline_launcher (sort_pipelines → run loop, py:213-824; the
+    countdown/SQS/Batch submission stays out of scope).
+
+    Semantics:
+    - ``plan()`` already forward-floods staleness, so exactly the suffix
+      downstream of a missing/stale artifact is marked run=True; jobs that
+      are up-to-date are recorded as ``skipped``.
+    - A failing job records ``failed`` and every not-yet-run job reachable
+      through its outputs records ``blocked`` (the reference launcher
+      merely logs and keeps submitting — py:816-818 — which can waste a
+      cluster-sized rebuild on poisoned inputs; blocking the flooded
+      suffix is the deliberate divergence, documented here).
+    - ``stop_on_error=True`` raises after recording the failure instead.
+    - ``dry_run=True`` records ``would_run`` without executing — the
+      launcher's simulation surface (run_simulation, py:884-923).
+
+    Driver-side by design (module docstring): the DAG is configuration;
+    each *job body* is what actually runs Spark work.
+    """
+    runner = runner or default_runner
+    items = manager.plan(mtime_fn=mtime_fn, force=force)
+    records: list[ExecutionRecord] = []
+    poisoned: set = set()  # artifact refs produced by failed/blocked jobs
+    for item in items:
+        job = item.job
+        if not item.run:
+            records.append(ExecutionRecord(job, "skipped", item.reason))
+            continue
+        if any(ref in poisoned for ref in job.inputs):
+            poisoned.update(job.outputs)
+            records.append(ExecutionRecord(job, "blocked", "upstream_failed"))
+            continue
+        if dry_run:
+            records.append(ExecutionRecord(job, "would_run", item.reason))
+            continue
+        try:
+            runner(job)
+        except Exception as exc:  # noqa: BLE001 — recorded, optionally re-raised
+            poisoned.update(job.outputs)
+            records.append(ExecutionRecord(job, "failed", item.reason, exc))
+            if stop_on_error:
+                raise
+            continue
+        records.append(ExecutionRecord(job, "ran", item.reason))
+    return records
+
+
+def local_parquet_mtime(root: str) -> Callable[[str], Optional[float]]:
+    """An mtime_fn for filesystem-backed artifacts: ``ref`` (``ds:name`` /
+    ``fs:name`` / ...) resolves to <root>/<name>; returns the newest mtime
+    under that directory, or None when absent — the local twin of the
+    reference's AWS artifact-timestamp resolvers."""
+    import os
+
+    def mtime(ref: str) -> Optional[float]:
+        path = Path(root) / ref_name(ref)
+        if not path.exists():
+            return None
+        if path.is_file():
+            return os.path.getmtime(path)
+        newest = os.path.getmtime(path)
+        for dirpath, _dirs, files in os.walk(path):
+            for fn in files:
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, fn)))
+        return newest
+
+    return mtime

@@ -899,3 +899,60 @@ def embedding_dedup(
     pairs = embedding_near_dup_pairs(df, id_col, vec_col, threshold, **kwargs)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware near-duplicate resolution — the step AFTER candidate
+    pairs: build duplicate clusters from the pair list (connected
+    components) and keep exactly ONE representative per cluster, the
+    highest-``quality_col`` member (ties → smallest id, deterministic).
+    Singletons (documents in no pair) are their own representative. This
+    is the standard "keep the best copy" corpus-curation policy
+    (near-dup clusters often mix a clean original with mangled rescrapes
+    — keeping argmax(quality) instead of min(id) retains the clean one).
+
+    Output: (id, component, quality, keep) — every input document, with
+    ``component`` = min member id of its cluster (own id for singletons).
+
+    Plan shape: label-propagation CC over the pair edges (tiny-diameter
+    dedup clusters → 2-3 rounds), one left join docs→components, one
+    groupBy(component).agg(max_by(struct(quality, -id))) for the winners,
+    one equi-join back. No windows, no pairs beyond the input candidates;
+    map-side combinable aggregation exactly like dedup_spans' firsts.
+    """
+    from workbench_spark.operators.graph import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    comp = connected_components(edges)
+    base = df.select(
+        F.col(id_col),
+        F.col(quality_col).cast("double").alias("__q"),
+    ).join(
+        comp.select(F.col("node").alias(id_col), "component"), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    # winner per component: max quality, ties to the SMALLEST id — encode
+    # as max(struct(quality, -id)) so one partial-aggregable max carries
+    # both criteria
+    winners = base.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("__q").alias("q"), (-F.col(id_col)).alias("nid"))
+        ).alias("__w")
+    ).select(
+        "component", (-F.col("__w.nid")).alias("__win_id")
+    )
+    return (
+        base.join(winners, "component")
+        .select(
+            F.col(id_col),
+            "component",
+            F.col("__q").alias("quality"),
+            (F.col(id_col) == F.col("__win_id")).alias("keep"),
+        )
+    )

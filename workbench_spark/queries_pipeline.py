@@ -3872,3 +3872,72 @@ def a13_simulator_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0].unionByName(parts[1])
     w = Window.partitionBy("scenario").orderBy("mae", "strategy")
     return out.withColumn("rank", F.row_number().over(w))
+
+
+@query(
+    "dedup_cluster_representatives",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_filter([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))],
+                  s -> length(s) = 5)) AS g
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id < 250)
+    ),
+    ex AS (SELECT id, UNNEST(g) AS g, len(g) AS sz FROM sh),
+    jp AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING CAST(COUNT(*) AS DOUBLE)
+             / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.25
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    base AS (
+      SELECT d.doc_id,
+             COALESCE(comp.component, d.doc_id) AS component,
+             CAST(len(regexp_extract_all(d.text, '\\S+')) AS DOUBLE) AS quality
+      FROM (SELECT doc_id, text FROM documents WHERE doc_id < 250) d
+      LEFT JOIN comp ON d.doc_id = comp.id
+    ),
+    winners AS (
+      SELECT component, doc_id AS win_id FROM (
+        SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM base
+      ) WHERE rn = 1
+    )
+    SELECT base.doc_id, base.component, base.quality,
+           base.doc_id = winners.win_id AS keep
+    FROM base JOIN winners ON base.component = winners.component
+    """,
+)
+def dedup_cluster_reps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution (dedup.cluster_representatives):
+    cluster the exact 5-gram Jaccard pair graph (same deterministic edge
+    source as dedup_cc_membership), then keep per cluster the member with
+    the highest quality score (token count here — any per-doc quality
+    column works), ties to the smallest doc_id; singletons keep
+    themselves. The oracle replays clustering (recursive-CTE closure),
+    the quality metric, and the arg-max winner selection."""
+    from workbench_spark.operators.dedup import (
+        cluster_representatives,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    with_q = d.withColumn(
+        "quality",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).cast("double"),
+    )
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.25)
+    return cluster_representatives(with_q, pairs, "quality", id_col="doc_id")
