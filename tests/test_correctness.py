@@ -53,6 +53,9 @@ _TIME_BUDGET_OVERRIDES = {
     # the ORACLE side dominates here: DuckDB's recursive-CTE transitive
     # closure (~30s) — the Spark CC itself is seconds
     "dedup_cc_membership": 90.0,
+    # PQ trains codebooks + encodes + BNLJ-scores (codegen fallback on the
+    # encode projection is expected; one-time index-build cost)
+    "knn_cosine_pq": 40.0,
     "dedup_cluster_representatives": 90.0,
 }
 

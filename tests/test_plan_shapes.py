@@ -32,6 +32,8 @@ BNLJ_ALLOWED = {
     "o5_temporal_split_counts": "1-row cutoff aggregate crossed into scan",
     "dedup_embedding_cosine": "exact blas path: driver-gated broadcast matrix",
     "knn_cosine_bruteforce": "exact path: small broadcast query set x refs",
+    "knn_cosine_pq": "ADC path: small broadcast query LUTs x m-byte code scan "
+                     "(per-pair work is m element_at lookups, not O(dim))",
     "knn_euclidean_standardized": "exact path: small broadcast query set",
     "m4_uq_neighbors": "exact-KNN UQ scoring over broadcast queries",
     "m4_uq_coverage": "exact-KNN UQ scoring over broadcast queries",

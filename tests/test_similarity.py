@@ -326,3 +326,59 @@ def test_ivf_quantized_scan_and_recall(spark, emb):
     q8_pairs = {(r["id"], r["neighbor_id"]) for r in q8.collect()}
     overlap = len(fp_pairs & q8_pairs) / len(fp_pairs)
     assert overlap >= 0.999, f"quantized IVF diverged: overlap {overlap:.4f}"
+
+
+def test_pq_roundtrip_and_determinism(spark, emb):
+    """PQ contract: codes in [0, k); deterministic under seed; relative
+    reconstruction error well below the zero-information baseline (1.0)
+    and monotone improving with k."""
+    from workbench_spark.operators.similarity import pq_decode, pq_encode, pq_train
+
+    def rel_err(books):
+        codes = pq_encode(emb, books)
+        dec = pq_decode(codes.join(emb, "vec_id"), books)
+        r = dec.select(
+            F.expr(
+                "aggregate(zip_with(embedding, embedding_approx,"
+                " (x,y)->(cast(x as double)-y)*(cast(x as double)-y)),"
+                " 0.0D, (a,x)->a+x)"
+            ).alias("se"),
+            F.expr(
+                "aggregate(embedding, 0.0D, (a,x)->a+cast(x as double)*x)"
+            ).alias("nn"),
+        ).agg(F.avg("se").alias("mse"), F.avg("nn").alias("mnn")).collect()[0]
+        return r["mse"] / r["mnn"]
+
+    b16 = pq_train(emb, m=8, k=16, sample_n=400, seed=7)
+    b64 = pq_train(emb, m=8, k=64, sample_n=400, seed=7)
+    e16, e64 = rel_err(b16), rel_err(b64)
+    assert e16 < 0.75, e16      # far below the zero-code baseline 1.0
+    assert e64 < e16            # more centroids -> less distortion
+    # deterministic codebooks under the same seed
+    b16b = pq_train(emb, m=8, k=16, sample_n=400, seed=7)
+    assert b16 == b16b
+    # codes are valid indices
+    codes = pq_encode(emb, b16)
+    bad = codes.filter(
+        F.exists("pq_codes", lambda c: (c < 0) | (c >= 16))
+    ).count()
+    assert bad == 0
+    assert codes.select(F.size("pq_codes")).distinct().collect()[0][0] == 8
+
+
+def test_pq_knn_planted_twin_recall(spark, emb):
+    """ADC retrieval through the m-byte code scan must still find the
+    planted twin (cosine ~0.9995 vs background ~0.51) for EVERY query,
+    and returned scores are exact full-precision cosines (rescore)."""
+    from workbench_spark.operators.similarity import cosine_knn, pq_knn
+
+    qv = F.expr(
+        "transform(sequence(1, 64), i -> cast(element_at(embedding, i) as double)"
+        " + 0.03d * cast(element_at(embedding, 65 - i) as double))"
+    )
+    q = emb.select("vec_id", qv.alias("embedding"))
+    res = pq_knn(emb, q, k=1, m=8, n_codes=16).collect()
+    assert len(res) == emb.count()
+    assert all(r["id"] == r["neighbor_id"] for r in res)  # recall@1 = 1
+    for r in res[:20]:
+        assert r["cosine_sim"] > 0.99

@@ -346,8 +346,11 @@ def test_lm_score_unigram_joins_broadcast(spark):
         assert _join_nodes(plain).count("BroadcastHashJoin") == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    # results are identical on both paths (hand-checked op semantics in
-    # test_lm_stupid_backoff_hand_computed)
+    # results agree on both paths (hand-checked op semantics in
+    # test_lm_stupid_backoff_hand_computed); tolerance, not ==, because
+    # the join strategy changes the avg(log) accumulation order
     a = {r["doc_id"]: r["mean_logscore"] for r in forced.collect()}
     b = {r["doc_id"]: r["mean_logscore"] for r in plain.collect()}
-    assert a == b
+    assert a.keys() == b.keys()
+    for d in a:
+        assert abs(a[d] - b[d]) < 1e-12, d

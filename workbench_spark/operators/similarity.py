@@ -805,3 +805,197 @@ def dequantize_embeddings(
         out_col,
         F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
     )
+
+
+# ------------------------------------------------------------ product quant
+def pq_train(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 4096,
+    iters: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    vector into ``m`` contiguous subspaces and k-means each one to ``k``
+    centroids. Returns codebooks[m][k][dim/m].
+
+    The training sample is a DETERMINISTIC prefix (orderBy id, limit) —
+    PQ codebooks only need the distribution, and determinism beats
+    sampling finesse for replayability. The pull is gated by
+    driver_matrix_check (FAISS trains PQ on a driver-side sample the
+    same way); Lloyd runs seeded numpy on sample_n×(dim/m) blocks."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sample = vectors.orderBy(F.col(id_col)).limit(sample_n).select(vec_col)
+    fits, est, lim = driver_matrix_check(sample, vec_col, dim=dim)
+    if not fits:
+        raise ValueError(
+            f"pq_train sample would need {est}B on the driver (limit {lim}B); "
+            "lower sample_n"
+        )
+    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    d_sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * d_sub:(j + 1) * d_sub]
+        # k-means++-lite seeded init: k distinct sample rows
+        idx = rng.choice(len(S), size=min(k, len(S)), replace=False)
+        C = S[idx].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def _pq_dist_array_sql(vec_col: str, book: list[list[float]], j: int, d_sub: int) -> str:
+    """array(d_0..d_{k-1}) of squared L2 distances from subvector j to each
+    centroid, as ONE flat SQL string: element_at arithmetic, no
+    higher-order functions (HOFs run interpreted — measured cliff), no
+    per-literal py4j round-trips."""
+    terms = []
+    for cent in book:
+        parts = [
+            f"power(cast(element_at({vec_col}, {j * d_sub + i + 1}) as double) - {_dlit(c)}, 2)"
+            for i, c in enumerate(cent)
+        ]
+        terms.append("(" + " + ".join(parts) + ")")
+    return "array(" + ", ".join(terms) + ")"
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector as m one-byte codes (nearest centroid per
+    subspace, first-index tiebreak): (id, pq_codes array<int>) — the
+    m-byte-per-vector index payload (64-dim float64 → 8 bytes: 64×
+    smaller scan). Two projections: the m distance arrays, then
+    array_position(argmin) over those attributes — everything flat
+    codegen-able arithmetic."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    staged = df.select(
+        F.col(id_col),
+        *[
+            F.expr(_pq_dist_array_sql(vec_col, codebooks[j], j, d_sub)).alias(f"__d_{j}")
+            for j in range(m)
+        ],
+    )
+    codes = F.array(
+        *[
+            (F.array_position(F.col(f"__d_{j}"), F.array_min(F.col(f"__d_{j}"))) - 1)
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(m)
+        ]
+    )
+    # NOTE: the m distance arrays are ~m*k*d_sub flat terms — past janino's
+    # 64KB method limit at the defaults, so this projection runs with
+    # codegen fallback (interpreted). Acceptable: encode is the ONE-TIME
+    # index build (linear scan, no shuffle); query-time ADC scoring is m
+    # element_at lookups and stays tiny.
+    return staged.select(F.col(id_col), codes.alias(out_col))
+
+
+def pq_decode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    codes_col: str = "pq_codes",
+    out_col: str = "embedding_approx",
+) -> DataFrame:
+    """Reconstruct the approximation: concatenate each subspace's coded
+    centroid. Mean squared reconstruction error is the PQ distortion —
+    it shrinks as k grows (tested) and, unlike scalar quantization, PQ
+    exploits intra-subspace correlation when the data has any."""
+    m = len(codebooks)
+    arrs = []
+    for j in range(m):
+        lut = "array(" + ", ".join(
+            "array(" + ", ".join(_dlit(x) for x in cent) + ")" for cent in codebooks[j]
+        ) + ")"
+        arrs.append(F.expr(f"element_at({lut}, element_at({codes_col}, {j + 1}) + 1)"))
+    return df.withColumn(out_col, F.concat(*arrs))
+
+
+def pq_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    rescore_k: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """PQ-ADC nearest neighbors (Jégou 2011 asymmetric distance): encode
+    the corpus once (m bytes/vector), build per-QUERY lookup tables
+    (exact query-subvector → centroid distances, computed map-side on the
+    small query frame), broadcast the queries, and score every corpus
+    code by m table lookups — then rescore the top ``rescore_k``
+    (default max(4k, k+16)) survivors at full precision and return exact
+    top-k cosine per query, same output contract as cosine_knn.
+
+    Scale shape: the corpus-side scan reads ONLY the m-byte codes (the
+    same IO argument as quantized= in lsh/ivf, 32× stronger); the
+    broadcast-queries × codes join is the allow-listed small-broadcast
+    pattern (knn_cosine_bruteforce), with the per-pair work reduced from
+    O(dim) float ops to m element_at lookups. Pair PQ with the IVF cell
+    join when the query set itself scales."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    books = codebooks if codebooks is not None else pq_train(
+        vectors, id_col, vec_col, m=m, k=n_codes, seed=seed, dim=dim
+    )
+    m = len(books)
+    d_sub = len(books[0][0])
+    codes = pq_encode(vectors, books, id_col, vec_col)
+    q_luts = queries.select(
+        F.col(id_col).alias("id"),
+        F.array(
+            *[
+                F.expr(_pq_dist_array_sql(vec_col, books[j], j, d_sub))
+                for j in range(m)
+            ]
+        ).alias("__luts"),
+    )
+    adc = " + ".join(
+        f"element_at(element_at(__luts, {j + 1}), element_at(pq_codes, {j + 1}) + 1)"
+        for j in range(m)
+    )
+    # queries are a SEPARATE frame (J7 novel-query mode, like
+    # lsh_cosine_knn queries=): a shared id space is coincidental, so no
+    # self-exclusion — pass corpus rows as queries explicitly for self-KNN
+    scored = (
+        F.broadcast(q_luts)
+        .crossJoin(codes.withColumnRenamed(id_col, "neighbor_id"))
+        .withColumn("__approx", F.expr(adc))
+    )
+    r_k = rescore_k if rescore_k is not None else max(4 * k, k + 16)
+    w = Window.partitionBy("id").orderBy(F.col("__approx").asc(), F.col("neighbor_id").asc())
+    shortlist = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= r_k)
+        .select("id", "neighbor_id")
+    )
+    return _rescore_topk(shortlist, vectors, id_col, vec_col, k, queries=queries)

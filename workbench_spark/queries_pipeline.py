@@ -3941,3 +3941,171 @@ def dedup_cluster_reps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = ngram_jaccard_pairs(d, n=5, threshold=0.25)
     return cluster_representatives(with_q, pairs, "quality", id_col="doc_id")
+
+
+# -------------------------------------------------------------- web curation
+# Deterministic synthetic URL per document — ONE formula string, parsed by
+# both Spark SQL (F.expr) and DuckDB, so the URL-curation oracles replay the
+# identical input. Collision structure: docs sharing (lower(source),
+# doc_id % 37) with doc_id % 3 in {0, 1} normalize to the SAME canonical
+# URL (tracking params stripped, params sorted, trailing slash and default
+# port dropped, host lowercased).
+_URL_FORMULA = (
+    "'https://' || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END"
+    " || '.example.com' || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END"
+    " || '/Docs/' || cast(doc_id % 37 as string)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&b=2&a=1#top'"
+    "         WHEN doc_id % 3 = 1 THEN '?a=1&b=2'"
+    "         ELSE '/' END"
+)
+
+# the DuckDB replay of operators/web.normalize_url (identical regexes;
+# replacement backrefs are \\1 in DuckDB vs $1 in Java — syntax only)
+_NORM_URL_SQL = """
+      SELECT doc_id, n_chars,
+             lower(regexp_replace(regexp_replace(
+               regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1),
+               '^(http://[^/:]*):80$', '\\1'), '^(https://[^/:]*):443$', '\\1'))
+             || regexp_replace(substring(base,
+                  length(regexp_extract(base, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) + 1),
+                  '/$', '')
+             || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS norm_url,
+             lower(regexp_extract(base, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1))
+               AS domain
+      FROM (
+        SELECT doc_id, n_chars,
+               regexp_extract(u, '^([^?]*)', 1) AS base,
+               coalesce(array_to_string(list_sort(list_filter(
+                 string_split(coalesce(regexp_extract(u, '\\?(.*)$', 1), ''), '&'),
+                 p -> length(p) > 0 AND NOT regexp_matches(p,
+                   '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|$)')
+               )), '&'), '') AS qs
+        FROM (SELECT doc_id, n_chars,
+                     regexp_replace(trim({url}), '#.*$', '') AS u
+              FROM documents)
+      )
+"""
+
+
+def _web_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "n_chars", F.expr(_URL_FORMULA).alias("url"))
+
+
+@query(
+    "web_url_normalize",
+    f"""
+    WITH norm AS ({_NORM_URL_SQL.format(url=_URL_FORMULA)})
+    SELECT doc_id, norm_url, domain FROM norm
+    """,
+)
+def web_url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 syntax normalization + tracking-param strip + domain
+    extraction (operators/web.normalize_url/extract_domain) — one
+    codegen'd projection per row, the canonical key every downstream
+    URL-level curation step shares. The oracle replays the identical
+    regex pipeline in DuckDB."""
+    from workbench_spark.operators.web import extract_domain, normalize_url
+
+    b = _web_base(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        normalize_url(F.col("url")).alias("norm_url"),
+        extract_domain(F.col("url")).alias("domain"),
+    )
+
+
+@query(
+    "web_url_dedup",
+    f"""
+    WITH norm AS ({_NORM_URL_SQL.format(url=_URL_FORMULA)}),
+    winners AS (
+      SELECT norm_url, doc_id AS win_id FROM (
+        SELECT norm_url, doc_id,
+               row_number() OVER (PARTITION BY norm_url
+                 ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rn
+        FROM norm
+      ) WHERE rn = 1
+    )
+    SELECT norm.doc_id, norm.norm_url, norm.doc_id = winners.win_id AS keep
+    FROM norm JOIN winners ON norm.norm_url = winners.norm_url
+    """,
+)
+def web_url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed exact dedup (operators/web.url_dedup): one keeper per
+    canonical URL, highest quality (n_chars) with smallest-id tiebreak.
+    Engine: partial-aggregable max(struct) + equi-join (no window — a
+    hot canonical URL costs constant memory); oracle: the window form of
+    the same winner rule."""
+    from workbench_spark.operators.web import url_dedup
+
+    b = _web_base(spark, sf_dir)
+    out = url_dedup(b, url_col="url", id_col="doc_id", quality_col="n_chars")
+    return out.select("doc_id", "norm_url", "keep")
+
+
+@query(
+    "web_domain_cap",
+    f"""
+    WITH norm AS ({_NORM_URL_SQL.format(url=_URL_FORMULA)})
+    SELECT doc_id, domain,
+           row_number() OVER (PARTITION BY domain
+             ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) <= 40 AS keep
+    FROM norm
+    """,
+)
+def web_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (operators/web.domain_cap, exact path): keep the 40
+    highest-quality documents per domain. The exact row_number path is
+    the oracle-grade twin; domain_cap(exact=False) is the 100 TB path
+    (per-domain quantile-grid threshold, no per-key sort)."""
+    from workbench_spark.operators.web import domain_cap
+
+    b = _web_base(spark, sf_dir)
+    out = domain_cap(
+        b, url_col="url", cap=40, quality_col="n_chars", id_col="doc_id", exact=True
+    )
+    return out.select("doc_id", "domain", "keep")
+
+
+@query(
+    "knn_cosine_pq",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             [embedding[i]::DOUBLE + 0.03 * embedding[65 - i]::DOUBLE
+              for i in generate_series(1, 64)] AS qv
+      FROM embeddings
+    )
+    SELECT id, neighbor_id, cosine_sim FROM (
+      SELECT q.vec_id AS id, e.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) DESC,
+                        e.vec_id ASC) AS rn
+      FROM q CROSS JOIN embeddings e
+    ) WHERE rn <= 1
+    """,
+)
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC retrieval (Jégou 2011;
+    similarity.pq_train/pq_encode/pq_knn), oracled as the same
+    planted-twin recall@1 benchmark as knn_cosine_lsh: the corpus is
+    scanned as m=8 one-byte codes (64× less IO than the float64
+    vectors), each query scores codes via m lookup-table reads, the top
+    rescore_k survivors are rescored at full precision, and the final
+    top-1 must equal DuckDB's exact brute-force top-1 — certifying
+    recall@1 = 1 through the quantized scan (twin at cosine ≈ 0.9995 vs
+    max background ≈ 0.51; PQ distortion at 4 bits/dim-octet is far
+    below that margin, verified empirically at both test SFs)."""
+    from workbench_spark.operators.similarity import pq_knn
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        "transform(sequence(1, 64), i -> cast(element_at(embedding, i) as double)"
+        " + 0.03d * cast(element_at(embedding, 65 - i) as double))"
+    )
+    q = e.select("vec_id", qv.alias("embedding"))
+    out = pq_knn(e, q, k=1, m=8, n_codes=16)
+    return out.select("id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
