@@ -554,3 +554,26 @@ def test_vocabulary_mass_conservation(spark, docs):
     for r in rows:
         assert 1 <= r["doc_freq"] <= min(r["term_freq"], len(docs))
         assert abs(r["idf"] - math.log(len(docs) / r["doc_freq"])) < 1e-12
+
+
+def test_descriptive_stats_sampled_mode(spark):
+    """The sample_fraction production mode: full-data min/max/mean/stddev
+    are BIT-identical to exact mode; sampled quantiles land within the
+    ~1/(2*sqrt(n*f)) rank-error bound of the exact ones."""
+    from pyspark.sql import functions as F
+
+    from workbench_spark.operators.eda import descriptive_stats
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cols = ["o_totalprice"]
+    ex = descriptive_stats(o, cols, exact=True).first()
+    sm = descriptive_stats(o, cols, exact=False, sample_fraction=0.3).first()
+    for k in ("min", "max", "mean", "stddev"):
+        assert sm[k] == ex[k], k
+    # the method bounds RANK error (~sqrt(p(1-p)/(n*f)) ≈ 2% at n*f≈450),
+    # not value error (a flat CDF amplifies value deviation arbitrarily):
+    # the sampled quantile's rank within the FULL data must sit near p
+    n = o.count()
+    for k, p in (("q1", 0.25), ("median", 0.5), ("q3", 0.75)):
+        rank = o.filter(F.col("o_totalprice") <= sm[k]).count() / n
+        assert abs(rank - p) < 0.06, (k, rank, p)

@@ -443,3 +443,38 @@ def test_stream_quality_monitor_matches_batch(spark, tmp_path):
         assert agg[ws]["g"] == r["n_gopher_pass"]
         assert agg[ws]["c"] == r["n_c4_pass"]
         assert r["gopher_pass_rate"] == r["n_gopher_pass"] / r["n_docs"]
+
+
+def test_stream_url_dedup_composition(spark, tmp_path):
+    """normalize_url composes with the streaming exact-dedup guard: dedup
+    on the CANONICAL url at ingestion time (map-side normalization, then
+    watermarked dropDuplicates) == batch dedup on the same canonical key.
+    The same composition any operators/web key works with."""
+    from pyspark.sql import functions as F
+
+    from workbench_spark.operators.web import normalize_url
+    from workbench_spark.streaming.monitor import run_stream_to_memory
+
+    rows = []
+    for i in range(50):
+        # three spellings of the same canonical URL per i
+        rows.append((3 * i, f"https://Site.com/page/{i}?utm_source=x", i))
+        rows.append((3 * i + 1, f"https://site.com/page/{i}/", i))
+        rows.append((3 * i + 2, f"https://site.com/page/{i}", i))
+    src = spark.createDataFrame(rows, "doc_id long, url string, n int").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    )
+    d = str(tmp_path / "url_src")
+    src.write.mode("overwrite").parquet(d)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(src.schema)
+        .load(d)
+        .withColumn("norm_url", normalize_url(F.col("url")))
+        .withWatermark("ts", "1 day")
+        .dropDuplicates(["norm_url"])
+    )
+    out = run_stream_to_memory(stream, "url_dedup_out")
+    assert out.count() == 50  # one survivor per canonical URL
+    assert out.select("norm_url").distinct().count() == 50

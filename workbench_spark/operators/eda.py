@@ -103,6 +103,7 @@ def descriptive_stats(
     columns: list[str] | None = None,
     exact: bool = True,
     accuracy: int = 1000,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Per numeric column: min, q1, median, q3, max, mean, stddev
     (descriptive_stats.py:14-83) — one aggregation pass, then unpivoted to
@@ -110,9 +111,18 @@ def descriptive_stats(
 
     The reference uses Athena approx_percentile; for oracle hash-matching we
     default to exact ``percentile`` (linear interpolation — same contract as
-    duckdb quantile_cont). ``exact=False`` uses percentile_approx (t-digest
-    style sketch, constant memory) — the right choice at 100 TB.
-    """
+    duckdb quantile_cont). ``exact=False`` uses percentile_approx (GK
+    sketch, constant memory) — bounded-error at 100 TB.
+
+    ``exact=False, sample_fraction=f`` replaces the sketch with EXACT
+    percentiles of a seeded f-sample: the GK per-row insert dominates the
+    whole stats pass (measured 1.0s of 1.1s at sf0.1; lowering accuracy
+    stops helping below ~100 because insert cost, not merge, is the
+    bottleneck), while a Bernoulli sample costs one RNG draw per row and
+    the quantile rank error is ~1/(2·sqrt(n·f)) — at f·n = 1M rows that is
+    ~0.05%, tighter than the accuracy=250 sketch. Size f so f·n stays
+    ~1e6 per column (the exact-percentile buffer is the sample itself).
+    Min/max/mean/stddev always come from the FULL data."""
     cols = columns or numeric_columns(df)
     pct_of = (
         (lambda c: f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75))")
@@ -133,7 +143,29 @@ def descriptive_stats(
             F.avg(d).alias(f"{c}___mean"),
             F.stddev(d).alias(f"{c}___stddev"),
         ]
-    wide = df.agg(*aggs)
+    if not exact and sample_fraction:
+        # quantiles from the sample, everything else from the full frame:
+        # two 1-row aggregate branches joined into one plan/action
+        base = []
+        qaggs = []
+        for c in cols:
+            d = F.col(c).cast("double")
+            base += [
+                F.min(d).alias(f"{c}___min"),
+                F.max(d).alias(f"{c}___max"),
+                F.avg(d).alias(f"{c}___mean"),
+                F.stddev(d).alias(f"{c}___stddev"),
+            ]
+            qaggs.append(
+                F.expr(
+                    f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.5, 0.75))"
+                ).alias(f"{c}___q")
+            )
+        wide = df.agg(*base).crossJoin(
+            df.sample(fraction=sample_fraction, seed=42).agg(*qaggs)
+        )
+    else:
+        wide = df.agg(*aggs)
     # Unpivot driver-side structure (cols known statically; the agg row is 1 row)
     stack_args = ", ".join(
         f"'{c}', `{c}___min`, `{c}___q`[0], `{c}___q`[1], `{c}___q`[2],"
