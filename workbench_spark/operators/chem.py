@@ -70,14 +70,20 @@ def canonicalize(df: DataFrame, smiles_col: str = "smiles", out_col: str = "cano
 def dedup_by_canonical_smiles(df: DataFrame, smiles_col: str = "smiles", id_col: str = "id") -> DataFrame:
     """C4 dedup — keep one row per canonical form (invalid SMILES → NULL
     canonical → dropped, mirroring drop-on-parse-failure,
-    proximity.py:121-144)."""
-    canon = canonicalize(df, smiles_col)
-    w = Window.partitionBy("canonical_smiles").orderBy(id_col)
+    proximity.py:121-144). Winner = smallest id, via a partial-aggregable
+    groupBy-min + equi-join rather than a window over the canonical form
+    (a very common structure — a salt, a solvent — can dominate a vendor
+    deck; min() combines map-side, a per-key sort buffers the hot key)."""
+    canon = canonicalize(df, smiles_col).filter(
+        F.col("canonical_smiles").isNotNull()
+    )
+    winners = canon.groupBy("canonical_smiles").agg(
+        F.min(F.col(id_col)).alias("__win_id")
+    )
     return (
-        canon.filter(F.col("canonical_smiles").isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        canon.join(winners, "canonical_smiles")
+        .filter(F.col(id_col) == F.col("__win_id"))
+        .drop("__win_id")
     )
 
 

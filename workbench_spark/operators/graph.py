@@ -88,10 +88,12 @@ def connected_components(
 
     method='star': alternating large-star/small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC 2014) —
-    O(log² n) rounds on ANY graph shape, each round two window-min
-    passes over the edge list. The 100 TB path when components can be
-    long chains (e.g. transitive URL redirects, co-citation graphs)
-    where label propagation would need diameter≈n iterations.
+    O(log² n) rounds on ANY graph shape, each round two combiner-friendly
+    groupBy-min + equi-join passes over the edge list (no per-node
+    windows — see _connected_components_star). The 100 TB path when
+    components can be long chains (e.g. transitive URL redirects,
+    co-citation graphs) where label propagation would need diameter≈n
+    iterations.
     """
     if method == "star":
         return _connected_components_star(edges, src, dst, max_iter)
@@ -141,16 +143,18 @@ def _connected_components_star(
       small-star — direct each edge from its larger endpoint to the
         smaller; for every node u, connect u and its smaller neighbors
         to their minimum.
-    Both are a single window-min over a hash shuffle on the grouping
-    node (no self-join), so a round is two shuffles of O(E) rows.
+    Both stars compute a per-node neighbor minimum as a PARTIAL-AGGREGABLE
+    groupBy-min joined back onto the edges (map-side combine) — not a
+    window over the node: hub nodes in near-dup graphs have corpus-sized
+    neighbor lists (a boilerplate clique makes every member a hub), and a
+    window would buffer one whole hot partition per task. A round is two
+    grouped shuffles + two co-partitioned equi-joins of O(E) rows.
     Convergence: the canonical edge multiset stops changing, detected by
     an order-insensitive (count, xor-of-hashes) fingerprint (ANSI-safe
     — a SUM of xxhash64 overflows long under Spark 4 ANSI mode) — one cheap
     action per round. At the fixpoint the edge set is a star forest:
     every node points at its component minimum.
     """
-    from pyspark.sql import Window
-
     nodes = (
         _undirected(edges, src, dst).select(F.col("s").alias("node")).distinct()
     )
@@ -178,19 +182,20 @@ def _connected_components_star(
         sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
             e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        w = Window.partitionBy("u")
+        mins = sym.groupBy("u").agg(F.min("v").alias("__mn"))
         ls = (
-            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+            sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .select(
+                F.col("v").alias("hi"),
+                F.least(F.col("__mn"), F.col("u")).alias("lo"),
+            )
         )
         # ---- small-star over larger→smaller directed edges
-        w2 = Window.partitionBy("hi")
-        mn = F.min("lo").over(w2)
+        lsd = ls.filter(F.col("hi") != F.col("lo")).distinct()
+        mins2 = lsd.groupBy("hi").agg(F.min("lo").alias("m"))
         ss = (
-            ls.filter(F.col("hi") != F.col("lo"))
-            .distinct()
-            .withColumn("m", mn)
+            lsd.join(mins2, "hi")
             .select(
                 F.explode(
                     F.array(
