@@ -44,6 +44,10 @@ ALLOWED: dict[tuple[str, str], str] = {
         "O(feature-count) mean-|shap| aggregate",
     ("operators/similarity.py", "cosine_knn_blas"):
         "reached only behind driver_matrix_check (byte-bounded)",
+    ("operators/similarity.py", "pq_train"):
+        "deterministic codebook-training sample (orderBy+limit sample_n), "
+        "gated by driver_matrix_check before the pull — FAISS-style "
+        "driver-side PQ training",
     ("operators/uq.py", "fit"):
         "O(1) conformal scale/CDF constants + per-bin PAVA block arrays "
         "(capped at max_thresholds); the global-isotonic toPandas fallback "

@@ -107,3 +107,32 @@ def test_domain_cap_exact_vs_approx(spark):
     assert len(akept) <= 15
     # under-cap domain passes through untouched
     assert approx.filter("keep AND domain = 'cold.org'").count() == 3
+
+
+def test_url_dedup_incremental_admission(spark):
+    from workbench_spark.operators.web import url_dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "https://a.com/x?utm_source=z"), (2, "https://b.com/y")],
+        "doc_id long, url string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "https://A.com/x/", 1.0),   # canonical dup of corpus 1 -> rejected
+            (11, "https://c.com/new", 2.0),  # novel -> admitted
+            (12, "https://c.com/new?utm_a=1", 9.0),  # batch-dup of 11, better quality -> wins
+            (13, None, 1.0),                 # no URL -> passes through
+        ],
+        "doc_id long, url string, q double",
+    )
+    out = {r["doc_id"] for r in
+           url_dedup_incremental(batch, corpus, quality_col="q").collect()}
+    assert out == {12, 13}
+    # persisted-artifact fast path agrees
+    from workbench_spark.operators.web import normalize_url
+    from pyspark.sql import functions as F
+
+    art = corpus.select(normalize_url(F.col("url")).alias("norm_url"))
+    out2 = {r["doc_id"] for r in url_dedup_incremental(
+        batch, art, quality_col="q", corpus_is_normalized=True).collect()}
+    assert out2 == out

@@ -5,6 +5,11 @@ in workbench_spark.api.model (MLlib-backed)."""
 
 from workbench_spark.api.data_source import DataSource
 from workbench_spark.api.feature_set import FeatureSet
+from workbench_spark.api.ensemble_simulator import (
+    EnsembleSimulator,
+    rank_strategies,
+    simulate_strategies,
+)
 from workbench_spark.api.hpo import SearchSpace, hpo_train, mllib_search, run_search
 from workbench_spark.api.inference_cache import InferenceCache
 from workbench_spark.api.meta import Meta
@@ -31,6 +36,9 @@ __all__ = [
     "InferenceCache",
     "ParameterStore",
     "cache_dataframe",
+    "EnsembleSimulator",
+    "simulate_strategies",
+    "rank_strategies",
     "SearchSpace",
     "run_search",
     "mllib_search",

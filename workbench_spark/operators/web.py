@@ -184,3 +184,38 @@ def domain_cap(
         )
         .drop("__n", "__thresh", "__q")
     )
+
+
+def url_dedup_incremental(
+    new_df: DataFrame,
+    corpus_urls: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    corpus_is_normalized: bool = False,
+) -> DataFrame:
+    """The URL-level ADMISSION filter (the dedup.minhash_incremental_dedup
+    pattern at the URL key): keep only new-batch rows whose canonical URL
+    is (a) absent from the already-accepted corpus and (b) the winner
+    within the batch itself. Corpus rows are never dropped — the corpus
+    is the accepted truth; persist ``norm_url`` with the corpus exactly
+    like the banded-minhash artifact so each batch costs one left-anti
+    equi-join, linear per batch at any corpus size.
+
+    ``corpus_urls``: a frame containing ``url_col`` (raw, normalized
+    on the fly) or a ``norm_url`` column (corpus_is_normalized=True —
+    the persisted-artifact fast path)."""
+    if corpus_is_normalized:
+        corpus_keys = corpus_urls.select("norm_url").distinct()
+    else:
+        corpus_keys = (
+            corpus_urls.select(normalize_url(F.col(url_col)).alias("norm_url"))
+            .filter(F.col("norm_url").isNotNull())
+            .distinct()
+        )
+    batch = url_dedup(new_df, url_col, id_col, quality_col)
+    admitted = batch.filter(F.col("keep")).join(corpus_keys, "norm_url", "left_anti")
+    # URL-less rows can't be URL-deduped; they pass through (same rule as
+    # url_dedup)
+    no_url = batch.filter(F.col("norm_url").isNull())
+    return admitted.unionByName(no_url).drop("keep")
