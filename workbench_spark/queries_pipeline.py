@@ -4109,3 +4109,131 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.select("vec_id", qv.alias("embedding"))
     out = pq_knn(e, q, k=1, m=8, n_codes=16)
     return out.select("id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@query(
+    "web_url_admission",
+    f"""
+    WITH norm AS ({_NORM_URL_SQL.format(url=_URL_FORMULA)}),
+    corpus AS (SELECT DISTINCT norm_url FROM norm WHERE doc_id < 300),
+    batch AS (SELECT * FROM norm WHERE doc_id >= 300),
+    winners AS (
+      SELECT norm_url, doc_id AS win_id FROM (
+        SELECT norm_url, doc_id,
+               row_number() OVER (PARTITION BY norm_url
+                 ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS rn
+        FROM batch
+      ) WHERE rn = 1
+    )
+    SELECT b.doc_id, b.norm_url
+    FROM batch b
+    JOIN winners w ON b.norm_url = w.norm_url AND b.doc_id = w.win_id
+    LEFT JOIN corpus c ON b.norm_url = c.norm_url
+    WHERE c.norm_url IS NULL
+    """,
+)
+def web_url_admission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental URL admission (operators/web.url_dedup_incremental):
+    docs < 300 are the accepted corpus, the rest arrive as a batch — a
+    batch row survives only as its canonical URL's within-batch winner
+    (n_chars quality, smallest-id tiebreak) AND when that URL is absent
+    from the corpus. The oracle replays normalization, the winner rule,
+    and the anti-join."""
+    from workbench_spark.operators.web import url_dedup_incremental
+
+    b = _web_base(spark, sf_dir)
+    corpus = b.filter(F.col("doc_id") < 300)
+    batch = b.filter(F.col("doc_id") >= 300)
+    out = url_dedup_incremental(
+        batch, corpus, url_col="url", id_col="doc_id", quality_col="n_chars"
+    )
+    return out.select("doc_id", "norm_url")
+
+
+@query(
+    "a13_model_performance",
+    """
+    WITH b AS (
+      SELECT l_quantity AS p1,
+             l_quantity * (1 + l_discount) AS p2,
+             -- the .001234567 shifts park every confidence MEAN away from
+             -- the .5e-6 rounding half-boundary (a mean of 0.01-step
+             -- decimals can land exactly on it, where ulp-order jitter
+             -- flips the floor between engines)
+             0.501234567 + l_tax AS c1, 1.001234567 - l_discount AS c2,
+             l_quantity + l_tax * 10 AS tgt
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT *,
+             rank() OVER (ORDER BY tgt) + (COUNT(*) OVER (PARTITION BY tgt) - 1) / 2.0 AS r_t,
+             rank() OVER (ORDER BY p1) + (COUNT(*) OVER (PARTITION BY p1) - 1) / 2.0 AS r_p1,
+             rank() OVER (ORDER BY p2) + (COUNT(*) OVER (PARTITION BY p2) - 1) / 2.0 AS r_p2
+      FROM b
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, avg(tgt) AS ybar, SUM(tgt * tgt) AS syy,
+             SUM(power(p1 - tgt, 2)) AS sse1, SUM(power(p2 - tgt, 2)) AS sse2,
+             avg(abs(p1 - tgt)) AS mae1, avg(abs(p2 - tgt)) AS mae2,
+             avg(c1) AS mc1, avg(c2) AS mc2,
+             COALESCE(corr(c1, abs(p1 - tgt)), 0) AS cec1,
+             COALESCE(corr(c2, abs(p2 - tgt)), 0) AS cec2,
+             corr(r_t, r_p1) AS sp1, corr(r_t, r_p2) AS sp2
+      FROM ranked
+    )
+    SELECT * FROM (
+      SELECT 'm1' AS model,
+             floor(sqrt(sse1 / n) * 1e6 + 0.5) / 1e6 AS rmse,
+             floor(mae1 * 1e6 + 0.5) / 1e6 AS mae,
+             floor((1 - sse1 / (syy - n * ybar * ybar)) * 1e5 + 0.5) / 1e5 AS r2,
+             floor(sp1 * 1e6 + 0.5) / 1e6 AS spearman,
+             floor(mc1 * 1e6 + 0.5) / 1e6 AS mean_conf,
+             floor(cec1 * 1e6 + 0.5) / 1e6 AS conf_err_corr
+      FROM stats
+      UNION ALL
+      SELECT 'm2',
+             floor(sqrt(sse2 / n) * 1e6 + 0.5) / 1e6,
+             floor(mae2 * 1e6 + 0.5) / 1e6,
+             floor((1 - sse2 / (syy - n * ybar * ybar)) * 1e5 + 0.5) / 1e5,
+             floor(sp2 * 1e6 + 0.5) / 1e6,
+             floor(mc2 * 1e6 + 0.5) / 1e6,
+             floor(cec2 * 1e6 + 0.5) / 1e6
+      FROM stats
+    )
+    """,
+)
+def a13_model_performance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EnsembleSimulator.model_performance (reference py:307-342;
+    api/ensemble_simulator.py) over two deterministic lineitem 'models':
+    per-model rmse/mae/r2/spearman/mean_conf/conf_err_corr. The oracle
+    recomputes everything including the average-rank Spearman (DuckDB
+    rank + tie-count windows replay metrics._avg_rank exactly)."""
+    from workbench_spark.api.ensemble_simulator import EnsembleSimulator
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.monotonically_increasing_id().alias("rid"),
+        (F.col("l_quantity") + F.col("l_tax") * 10).alias("y"),
+        F.col("l_quantity").alias("pp1"),
+        (F.col("l_quantity") * (1 + F.col("l_discount"))).alias("pp2"),
+        (F.lit(0.501234567) + F.col("l_tax")).alias("cc1"),
+        (F.lit(1.001234567) - F.col("l_discount")).alias("cc2"),
+    ).localCheckpoint(eager=True)
+    frames = {
+        "m1": base.select("rid", "y", F.col("pp1").alias("prediction"), F.col("cc1").alias("confidence")),
+        "m2": base.select("rid", "y", F.col("pp2").alias("prediction"), F.col("cc2").alias("confidence")),
+    }
+    sim = EnsembleSimulator(frames, id_column="rid", target_column="y")
+    perf = sim.model_performance()
+    sim.release()
+    return perf.select(
+        "model",
+        _fround(F.col("rmse")).alias("rmse"),
+        _fround(F.col("mae")).alias("mae"),
+        # r2 = 1 - sse/(syy - n*ybar²): the sst subtraction cancels ~7
+        # digits, leaving ~1e-7 cross-engine jitter — round to 5 decimals
+        _fround(F.col("r2"), 5).alias("r2"),
+        _fround(F.col("spearman")).alias("spearman"),
+        _fround(F.col("mean_conf")).alias("mean_conf"),
+        _fround(F.col("conf_err_corr")).alias("conf_err_corr"),
+    )
