@@ -354,3 +354,40 @@ def test_lm_score_unigram_joins_broadcast(spark):
     assert a.keys() == b.keys()
     for d in a:
         assert abs(a[d] - b[d]) < 1e-12, d
+
+
+def test_dedup_spans_sentence_mode(spark):
+    """unit='sentences': three-sentence spans (the C4 paper's literal
+    granularity), removal keeps the first (doc, pos) occurrence and
+    reconstruction restores the boundary spaces exactly."""
+    from workbench_spark.operators.text import dedup_spans
+
+    span = "First one. Second here! Third now?"
+    df = spark.createDataFrame(
+        [
+            (1, f"{span} Tail a. Tail b. Tail c."),
+            (2, f"{span} Different x. Different y. Different z."),
+            (3, span),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup_spans(df, unit="sentences", chunk_sents=3).collect()}
+    assert out[1]["text_deduped"] == (
+        "first one. second here! third now? tail a. tail b. tail c."
+    )
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["text_deduped"] == "different x. different y. different z."
+    assert out[2]["n_kept"] == 1
+    assert out[3]["text_deduped"] == "" and out[3]["n_kept"] == 0
+    # idempotence
+    again = dedup_spans(
+        spark.createDataFrame(
+            [(i, out[i]["text_deduped"]) for i in (1, 2)],
+            "doc_id int, text string",
+        ),
+        unit="sentences",
+        chunk_sents=3,
+    ).collect()
+    for r in again:
+        assert r["n_kept"] == r["n_spans"]

@@ -785,6 +785,8 @@ def dedup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_words: int = 8,
+    unit: str = "words",
+    chunk_sents: int = 3,
 ) -> DataFrame:
     """Cross-document span REMOVAL — the surgery half of the C4 span-dedup
     rule (Raffel 2020 deduplicates three-sentence spans corpus-wide;
@@ -805,18 +807,35 @@ def dedup_spans(
     firsts back onto the exploded spans, and one groupBy(doc) rebuilding
     the text via array_sort over (pos, span) structs. The shuffle keys
     are the span hash and the doc id — equi-shaped, no pairs, no window,
-    constant memory per key regardless of duplication level."""
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
-    )
+    constant memory per key regardless of duplication level.
+
+    ``unit='words'`` (default): spans are consecutive ``chunk_words``-word
+    windows. ``unit='sentences'``: spans are consecutive ``chunk_sents``
+    SENTENCES — the paper's literal three-sentence granularity. Sentence
+    boundaries = terminal punctuation [.!?] followed by a space, marked
+    via a replacement byte then split (RE2 has no lookbehind, so the
+    marker trick keeps the oracle in the Java∩RE2 regex subset); joining
+    surviving spans with ' ' restores the boundary space exactly."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    if unit == "words":
+        units = F.split(norm, " ")
+        g = chunk_words
+    elif unit == "sentences":
+        units = F.filter(
+            F.split(F.regexp_replace(norm, r"([.!?]) ", "$1\x01"), "\x01"),
+            lambda s: F.length(s) > 0,
+        )
+        g = chunk_sents
+    else:
+        raise ValueError(f"unit must be 'words' or 'sentences', got {unit!r}")
     chunks = F.expr(
         f"CASE WHEN size(__w) > 0 THEN "
-        f"transform(sequence(0, (size(__w) - 1) div {chunk_words}), "
-        f"i -> concat_ws(' ', slice(__w, i * {chunk_words} + 1, {chunk_words}))) "
+        f"transform(sequence(0, (size(__w) - 1) div {g}), "
+        f"i -> concat_ws(' ', slice(__w, i * {g} + 1, {g}))) "
         f"ELSE array() END"
     )
     exploded = (
-        df.withColumn("__w", words)
+        df.withColumn("__w", units)
         .withColumn("__c", chunks)
         .select(F.col(id_col), F.posexplode("__c").alias("pos", "span"))
         .withColumn("__h", F.md5(F.col("span")))

@@ -4237,3 +4237,58 @@ def a13_model_performance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fround(F.col("mean_conf")).alias("mean_conf"),
         _fround(F.col("conf_err_corr")).alias("conf_err_corr"),
     )
+
+
+@query(
+    "text_dedup_spans_sentences",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 regexp_replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                                '([.!?]) ', '\\1' || chr(1), 'g'),
+                 chr(1)),
+               s -> length(s) > 0) AS w
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             CASE WHEN len(w) > 0 THEN
+               [array_to_string(w[i*3+1 : i*3+3], ' ')
+                for i in generate_series(0, (len(w)-1)//3)]
+             ELSE [] END AS c
+      FROM base
+    ),
+    ex AS (
+      SELECT doc_id, UNNEST(generate_series(0, len(c)-1)) AS pos, UNNEST(c) AS span
+      FROM ch WHERE len(c) > 0
+    ),
+    marked AS (
+      SELECT doc_id, pos, span,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS occ
+      FROM ex
+    ),
+    reb AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS n_kept,
+             COALESCE(string_agg(CASE WHEN occ = 1 THEN span END, ' ' ORDER BY pos), '')
+               AS text_deduped
+      FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(reb.text_deduped, '') AS text_deduped,
+           CAST(COALESCE(reb.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+    """,
+)
+def text_dedup_spans_sentences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 span-dedup surgery at the paper's LITERAL granularity
+    (Raffel 2020 §2.2: three-sentence spans; text.dedup_spans
+    unit='sentences'). Sentence boundaries via the RE2-safe marker trick
+    (no lookbehind); the oracle rebuilds every surviving document
+    byte-for-byte like text_dedup_spans."""
+    from workbench_spark.operators.text import dedup_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_spans(d, unit="sentences", chunk_sents=3)
