@@ -382,3 +382,41 @@ def test_pq_knn_planted_twin_recall(spark, emb):
     assert all(r["id"] == r["neighbor_id"] for r in res)  # recall@1 = 1
     for r in res[:20]:
         assert r["cosine_sim"] > 0.99
+
+
+def test_ivf_pq_scan_path(spark, emb):
+    """IVF-PQ (quantized='pq'): the cell join carries m-byte PQ codes and
+    pairs score via SDC dot tables. On worst-case i.i.d. vectors the
+    double-quantized ranking is coarse, so (a) assert a floor on overlap
+    vs the fp IVF at the same parameters (the wide rescore recovers most
+    of it), and (b) assert the retrieval workload that matters: planted
+    twins at cosine ~0.9995 are mutual top-1 through the PQ scan."""
+    from workbench_spark.operators.similarity import ivf_cosine_knn
+
+    fp = {(r["id"], r["neighbor_id"]) for r in
+          ivf_cosine_knn(emb, k=5, n_cells=8, n_probe=4).collect()}
+    pq = {(r["id"], r["neighbor_id"]) for r in
+          ivf_cosine_knn(emb, k=5, n_cells=8, n_probe=4, quantized="pq").collect()}
+    overlap = len(fp & pq) / len(fp)
+    assert overlap >= 0.75, f"IVF-PQ overlap {overlap:.3f}"
+
+    # plant near-identical twins under new ids; self-KNN top-1 must pair them
+    twins = emb.filter(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> cast(element_at(embedding, i) as double)"
+            " + 0.03d * cast(element_at(embedding, 65 - i) as double))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    ).unionByName(twins)
+    top1 = {
+        r["id"]: r["neighbor_id"]
+        for r in ivf_cosine_knn(
+            corpus, k=1, n_cells=8, n_probe=6, quantized="pq"
+        ).collect()
+    }
+    hits = sum(1 for q in range(60) if top1.get(1_000_000 + q) == q)
+    assert hits >= 58, f"twin recall {hits}/60 through the PQ scan"

@@ -509,7 +509,7 @@ def ivf_cosine_knn(
     n_cells: int = 16,
     n_probe: int = 3,
     seed: int = 42,
-    quantized: bool = False,
+    quantized: bool | str = False,
     rescore_k: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate KNN — the other scale path besides
@@ -527,6 +527,15 @@ def ivf_cosine_knn(
     where the shuffle IO lives — carries ONLY int8 codes; the top
     ``rescore_k`` (default max(3k, k+8)) survivors per query are rescored
     at full precision. Output contract identical.
+
+    quantized='pq' is IVF-PQ (Jégou 2011): the cell join carries m-byte
+    PQ codes (8 bytes/vector at the defaults — 8× less than SQ8, 32×
+    less than float64) and pairs are scored symmetrically via the SDC
+    dot tables; the rescore default widens to max(20k, 100) — BOTH pair
+    sides are quantized (symmetric), so ranking is coarse, and the whole
+    point of m-lookup scoring is that a wide shortlist is nearly free
+    next to the scan savings (rescore cost stays k·20 rows/query).
+    Same output contract.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -562,6 +571,47 @@ def ivf_cosine_knn(
             F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe)["cell"]
         ),
     )
+    if quantized == "pq":
+        books = pq_train(vectors, id_col, vec_col, m=8, k=16, seed=seed)
+        scan = pq_sdc_frame(vectors, books, id_col, vec_col).withColumnRenamed(
+            id_col, "id"
+        )
+        left = probes.select(F.col("__probe").alias("cell"), "id").join(
+            scan, "id"
+        ).select(
+            "cell", "id", F.col("__pqc").alias("__la"), F.col("__pqn").alias("__lan")
+        )
+        right = assigned.select(
+            F.col("__cell").alias("cell"), F.col("id").alias("neighbor_id")
+        ).join(
+            scan.select(
+                F.col("id").alias("neighbor_id"),
+                F.col("__pqc").alias("__ra"), F.col("__pqn").alias("__ran"),
+            ),
+            "neighbor_id",
+        )
+        cands = (
+            left.join(right, "cell")
+            .filter(F.col("id") != F.col("neighbor_id"))
+            .dropDuplicates(["id", "neighbor_id"])
+        )
+        approx = cands.select(
+            "id",
+            "neighbor_id",
+            F.expr(
+                _pq_pair_cos_sql(books, "__la", "__ra", "__lan", "__ran")
+            ).alias("__approx"),
+        )
+        r_k = rescore_k if rescore_k is not None else max(20 * k, 100)
+        w8 = Window.partitionBy("id").orderBy(
+            F.col("__approx").desc(), F.col("neighbor_id").asc()
+        )
+        shortlist = (
+            approx.withColumn("__rk", F.row_number().over(w8))
+            .filter(F.col("__rk") <= r_k)
+            .select("id", "neighbor_id")
+        )
+        return _rescore_topk(shortlist, vectors, id_col, vec_col, k)
     if quantized:
         scan = _int8_scan_frame(vectors, id_col, vec_col)
         left = probes.select(F.col("__probe").alias("cell"), "id").join(
@@ -999,3 +1049,52 @@ def pq_knn(
         .select("id", "neighbor_id")
     )
     return _rescore_topk(shortlist, vectors, id_col, vec_col, k, queries=queries)
+
+
+def _pq_dot_table_sql(book_j: list[list[float]]) -> str:
+    """k×k literal table of centroid dot products for one subspace — the
+    symmetric-distance-computation (SDC) table of Jégou 2011 §III.A,
+    adapted to dot products so cosine can be assembled from code pairs."""
+    rows = []
+    for ca in book_j:
+        vals = ", ".join(
+            _dlit(sum(x * y for x, y in zip(ca, cb))) for cb in book_j
+        )
+        rows.append(f"array({vals})")
+    return "array(" + ", ".join(rows) + ")"
+
+
+def pq_sdc_frame(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, __pqc array<int>, __pqn double): PQ codes plus the code-space
+    norm ≈ |v̂| (from the per-subspace self dot products) — everything a
+    SYMMETRIC pair scoring needs, m+8 bytes per vector. The norm is
+    precomputed here so the pair expression references each dot table
+    once (the tables are 2048 literals; repeating them per norm term
+    would triple the plan size)."""
+    m = len(codebooks)
+    codes = pq_encode(vectors, codebooks, id_col, vec_col, out_col="__pqc")
+    norm_sq = " + ".join(
+        f"element_at(element_at({_pq_dot_table_sql(codebooks[j])},"
+        f" element_at(__pqc, {j + 1}) + 1), element_at(__pqc, {j + 1}) + 1)"
+        for j in range(m)
+    )
+    return codes.withColumn("__pqn", F.expr(f"sqrt({norm_sq})"))
+
+
+def _pq_pair_cos_sql(codebooks: list[list[list[float]]], a: str, b: str,
+                     an: str, bn: str) -> str:
+    """Approximate cosine between two PQ code arrays via the SDC dot
+    tables: Σ_j T_j[a_j][b_j] / (|â|·|b̂|) — m element_at lookups per
+    pair, each literal table referenced exactly once."""
+    m = len(codebooks)
+    dot = " + ".join(
+        f"element_at(element_at({_pq_dot_table_sql(codebooks[j])},"
+        f" element_at({a}, {j + 1}) + 1), element_at({b}, {j + 1}) + 1)"
+        for j in range(m)
+    )
+    return f"({dot}) / ({an} * {bn})"
