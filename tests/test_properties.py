@@ -577,3 +577,18 @@ def test_descriptive_stats_sampled_mode(spark):
     for k, p in (("q1", 0.25), ("median", 0.5), ("q3", 0.75)):
         rank = o.filter(F.col("o_totalprice") <= sm[k]).count() / n
         assert abs(rank - p) < 0.06, (k, rank, p)
+
+
+def test_outlier_bounds_sampled_mode(spark):
+    """sample_fraction bounds mode: same skip-gate behavior, bounds within
+    the IQR tolerance of exact (the margins absorb small quantile shifts)."""
+    from workbench_spark.operators.eda import outlier_bounds
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    ex = outlier_bounds(o, ["o_totalprice"], exact=True)
+    sm = outlier_bounds(o, ["o_totalprice"], exact=False, sample_fraction=0.5)
+    assert set(ex) == set(sm) == {"o_totalprice"}
+    (elo, ehi), (slo, shi) = ex["o_totalprice"], sm["o_totalprice"]
+    iqr_scale = ehi - elo
+    assert abs(slo - elo) / iqr_scale < 0.1
+    assert abs(shi - ehi) / iqr_scale < 0.1

@@ -348,11 +348,19 @@ def outlier_bounds(
     scale: float = 1.5,
     exact: bool = True,
     accuracy: int = 1000,
+    sample_fraction: float | None = None,
 ) -> dict[str, tuple[float, float]]:
     """IQR outlier bounds per numeric column (outliers.py:20-120):
     [q1 - scale*IQR, q3 + scale*IQR]. Columns with <3 distinct values are
     skipped (reference skips unary/binary columns, outliers.py:95-104).
     One aggregation pass for quantiles + one for distinct gate.
+
+    ``exact=False, sample_fraction=f``: q1/q3 come from EXACT percentiles
+    of a seeded f-sample instead of the GK sketch — same trade as
+    descriptive_stats(sample_fraction=): the sketch's per-row insert
+    dominates, the sample's rank error (~1/(2·sqrt(n·f))) is tighter at
+    f·n ≥ ~1e5, and IQR bounds tolerate tiny quantile shifts by
+    construction (scale·IQR margins). Distinct gate stays on full data.
     """
     cols = columns or numeric_columns(df)
     if not cols:
@@ -361,14 +369,26 @@ def outlier_bounds(
         pct_of = lambda c: f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.75))"  # noqa: E731
     else:
         pct_of = lambda c: f"percentile_approx(CAST({c} AS DOUBLE), array(0.25, 0.75), {accuracy})"  # noqa: E731
-    aggs = []
-    for c in cols:
-        aggs.append(F.expr(pct_of(c) + "[0]").alias(f"{c}___q1"))
-        aggs.append(F.expr(pct_of(c) + "[1]").alias(f"{c}___q3"))
-        # gate only asks "more than 2 distinct?" — HLL sketch is exact enough
-        # at tiny cardinalities and avoids an exact-distinct shuffle at scale
-        aggs.append(F.approx_count_distinct(c).alias(f"{c}___nd"))
-    row = df.agg(*aggs).first()
+    if not exact and sample_fraction:
+        pct_of = lambda c: f"percentile(CAST({c} AS DOUBLE), array(0.25, 0.75))"  # noqa: E731
+        qrow = df.sample(fraction=sample_fraction, seed=42).agg(
+            *[F.expr(pct_of(c) + "[0]").alias(f"{c}___q1") for c in cols],
+            *[F.expr(pct_of(c) + "[1]").alias(f"{c}___q3") for c in cols],
+        ).first()
+        nrow = df.agg(
+            *[F.approx_count_distinct(c).alias(f"{c}___nd") for c in cols]
+        ).first()
+        row = {**qrow.asDict(), **nrow.asDict()}
+    else:
+        aggs = []
+        for c in cols:
+            aggs.append(F.expr(pct_of(c) + "[0]").alias(f"{c}___q1"))
+            aggs.append(F.expr(pct_of(c) + "[1]").alias(f"{c}___q3"))
+            # gate only asks "more than 2 distinct?" — HLL sketch is exact
+            # enough at tiny cardinalities and avoids an exact-distinct
+            # shuffle at scale
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}___nd"))
+        row = df.agg(*aggs).first()
     bounds = {}
     for c in cols:
         if row[f"{c}___nd"] is None or row[f"{c}___nd"] <= 2:
@@ -389,6 +409,7 @@ def outliers(
     top_n_per_group: int = 10,
     order_cols: list[str] | None = None,
     exact: bool = True,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Outlier rows labelled ``outlier_group`` = '{col}_low'/'{col}_high'
     (outliers.py:128-216): predicate scan with OR'd bound conditions
@@ -399,7 +420,9 @@ def outliers(
     top-N is a per-group window over the (small, capped) scan result.
     ``order_cols`` pins a deterministic tiebreak for oracle matching.
     """
-    bounds = outlier_bounds(df, columns, scale, exact=exact)
+    bounds = outlier_bounds(
+        df, columns, scale, exact=exact, sample_fraction=sample_fraction
+    )
     if not bounds:
         return df.limit(0).withColumn("outlier_group", F.lit(""))
     conds = [
