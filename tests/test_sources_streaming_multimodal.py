@@ -478,3 +478,35 @@ def test_stream_url_dedup_composition(spark, tmp_path):
     out = run_stream_to_memory(stream, "url_dedup_out")
     assert out.count() == 50  # one survivor per canonical URL
     assert out.select("norm_url").distinct().count() == 50
+
+
+def test_stream_domain_cap(spark, tmp_path):
+    """Stateful streaming per-domain cap: first `cap` docs per domain are
+    admitted (with their admission rank), the rest dropped at ingestion;
+    under-cap domains pass through whole."""
+    from pyspark.sql import functions as F
+
+    from workbench_spark.streaming.monitor import (
+        run_stream_to_memory,
+        stream_domain_cap,
+    )
+
+    rows = [(i, f"https://hot.com/{i}") for i in range(20)]
+    rows += [(100 + i, f"https://cold.org/{i}") for i in range(3)]
+    src = spark.createDataFrame(rows, "doc_id long, url string")
+    d = str(tmp_path / "cap_src")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+
+    out = run_stream_to_memory(
+        stream_domain_cap(spark, d, src.schema, cap=5), "domain_cap_out"
+    )
+    by_dom = {
+        r["domain"]: r["count"]
+        for r in out.groupBy("domain").count().collect()
+    }
+    assert by_dom == {"hot.com": 5, "cold.org": 3}
+    ranks = sorted(
+        r["domain_rank"] for r in out.filter("domain = 'hot.com'").collect()
+    )
+    assert ranks == [1, 2, 3, 4, 5]
+    assert set(out.columns) == {"doc_id", "url", "domain", "domain_rank"}

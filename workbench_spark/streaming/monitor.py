@@ -159,6 +159,66 @@ def stream_sessionize_stateful(
     )
 
 
+def stream_domain_cap(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    url_col: str = "url",
+    cap: int = 1000,
+):
+    """Streaming per-domain admission cap — the ingestion-time twin of
+    web.domain_cap: each arriving document is admitted only while its
+    domain's running count is below ``cap``, everything after is dropped
+    AT INGESTION (batch domain_cap selects best-quality after the fact;
+    a stream must decide on arrival, so the policy is necessarily
+    first-come — documented divergence).
+
+    Custom stateful operator via applyInPandasWithState: state = ONE long
+    per domain (the admitted count), O(#domains) total — no per-document
+    state, no watermark needed (a cap never expires). Emits the admitted
+    rows plus their admission rank within the domain."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from workbench_spark.operators.web import extract_domain
+
+    field_names = [f.name for f in schema.fields]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        + ", domain string, domain_rank long"
+    )
+    state_schema = "n long"
+
+    def fn(key, pdfs, state: GroupState):
+        (domain,) = key
+        n = state.get[0] if state.exists else 0
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.drop(columns=["__domain"], errors="ignore")
+            room = cap - n
+            if room <= 0:
+                continue
+            take = pdf.head(room).copy()
+            take["domain"] = domain
+            take["domain_rank"] = range(n + 1, n + len(take) + 1)
+            n += len(take)
+            outs.append(take)
+        state.update((n,))
+        yield from outs or [
+            pd.DataFrame(columns=field_names + ["domain", "domain_rank"])
+        ]
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(source_dir)
+        .withColumn("__domain", extract_domain(F.col(url_col)))
+    )
+    return stream.groupBy("__domain").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_exact_dedup(
     spark: SparkSession,
     source_dir: str,
