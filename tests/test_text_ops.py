@@ -391,3 +391,35 @@ def test_dedup_spans_sentence_mode(spark):
     ).collect()
     for r in again:
         assert r["n_kept"] == r["n_spans"]
+
+
+def test_tfidf_vectors_feed_ann(spark):
+    """The text→ANN bridge: hashed TF-IDF vectors of near-duplicate
+    documents are nearest neighbors under cosine_knn, and hand-checkable
+    weights come out exactly (tf·ln(N/df))."""
+    import math
+
+    from workbench_spark.operators.similarity import cosine_knn
+    from workbench_spark.operators.text import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark catalyst optimizer rewrites logical plans"),
+            (2, "spark catalyst optimizer rewrites logical plans quickly"),
+            (3, "completely different subject entirely about cooking pasta"),
+            (4, "another unrelated text mentioning gardens and flowers"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = tfidf_vectors(docs, dim=32)
+    top1 = {
+        r["id"]: r["neighbor_id"]
+        for r in cosine_knn(vecs, id_col="doc_id", vec_col="vec", k=1).collect()
+    }
+    assert top1[1] == 2 and top1[2] == 1  # the near-dup pair finds itself
+
+    # hand-check (bucket-collision-proof): the vector SUM is invariant
+    # under hashing = Σ tf·idf; doc 3's 7 tokens are each unique (df=1)
+    # so the sum is exactly 7·ln(4/1)
+    out = {r["doc_id"]: r["vec"] for r in vecs.collect()}
+    assert sum(out[3]) == pytest.approx(7 * math.log(4.0), rel=1e-9)

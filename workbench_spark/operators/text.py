@@ -873,3 +873,75 @@ def dedup_spans(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    min_df: int = 1,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Hashed TF-IDF document vectors — the text→ANN bridge when no
+    external embedding model is available: vector[b] = Σ tf(t)·idf(t)
+    over tokens hashing to bucket b (the classic hashing-trick bag-of-
+    words embedding). The output (id, vec array<double>) feeds every ANN
+    operator in operators/similarity.py (cosine/LSH/IVF/PQ) directly.
+
+    The bucket hash is the ENGINE-PORTABLE polynomial family from
+    simhash_portable (base 31 mod 1e9+7 over code points), so DuckDB can
+    recompute identical vectors — the whole pipeline is value-oracled.
+
+    Plan shape: explode(tokens) → groupBy(id, token) term counts → join
+    the vocabulary-sized idf table (vocabulary() artifact; pass a
+    persisted one via ``vocab=``) → ONE groupBy(id) with map-collect →
+    dense array projection. Linear in token count; documents with no
+    surviving tokens get the zero vector."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    v = vocab if vocab is not None else vocabulary(df, text_col, id_col, min_df)
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    joined = tf.join(v.select("token", "idf"), "token")
+    poly = (
+        "aggregate(transform(sequence(1, length(token)),"
+        " i -> ascii(substring(token, i, 1))),"
+        " 0L, (a, c) -> (a * 31 + c) % 1000000007)"
+    )
+    weighted = joined.select(
+        F.col(id_col),
+        (F.expr(poly) % dim).cast("int").alias("__b"),
+        (F.col("__tf") * F.col("idf")).alias("__w"),
+    )
+    dense = (
+        weighted.groupBy(id_col, "__b")
+        .agg(F.sum("__w").alias("__w"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__b"), F.col("__w")))
+            ).alias("__m")
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}),"
+                f" i -> coalesce(element_at(__m, i), 0.0D))"
+            ).alias("vec"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(dense, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("vec"), F.expr(f"array_repeat(0.0D, {dim})")).alias("vec"),
+        )
+    )

@@ -4292,3 +4292,63 @@ def text_dedup_spans_sentences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return dedup_spans(d, unit="sentences", chunk_sents=3)
+
+
+def _tfidf_oracle_sql(dim: int = 16) -> str:
+    """DuckDB replay of text.tfidf_vectors at ``dim`` buckets: same
+    normalization, same idf = ln(N/df), same portable polynomial bucket
+    hash, dense vector assembled from ``dim`` conditional sums, each
+    element floor-rounded."""
+    poly = (
+        "list_reduce(list_prepend(0::BIGINT,"
+        " [ascii(substr(token, i, 1)) for i in generate_series(1, length(token))]),"
+        " (a, c) -> (a * 31 + c) % 1000000007)"
+    )
+    sums = ", ".join(
+        f"floor(COALESCE(SUM(CASE WHEN b = {i} THEN w END), 0) * 1e6 + 0.5) / 1e6"
+        for i in range(dim)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(list_filter(
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+        x -> length(x) > 0)) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    vocab AS (
+      SELECT token, ln(nd.n / COUNT(DISTINCT doc_id)) AS idf
+      FROM tok CROSS JOIN nd GROUP BY token, nd.n
+    ),
+    weighted AS (
+      SELECT tf.doc_id,
+             CAST({poly} % {dim} AS INT) AS b,
+             tf.tf * vocab.idf AS w
+      FROM tf JOIN vocab USING (token)
+    ),
+    dense AS (
+      SELECT doc_id, [{sums}] AS vec
+      FROM weighted GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(dense.vec, [CAST(0.0 AS DOUBLE) for i in generate_series(1, {dim})]) AS vec
+    FROM documents d LEFT JOIN dense ON d.doc_id = dense.doc_id
+    """
+
+
+@query("text_tfidf_vectors", _tfidf_oracle_sql(16))
+def text_tfidf_vectors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF document vectors (text.tfidf_vectors) — the
+    no-external-model text→ANN bridge, dim=16 for the sweep. The bucket
+    hash is the portable polynomial family (simhash_portable's), so the
+    oracle recomputes every vector element exactly: normalization, term
+    counts, idf, bucketing, and the dense assembly are all certified."""
+    from workbench_spark.operators.text import tfidf_vectors
+
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf_vectors(d, dim=16)
+    return out.select(
+        "doc_id",
+        F.expr("transform(vec, x -> floor(x * 1e6 + 0.5) / 1e6)").alias("vec"),
+    )
