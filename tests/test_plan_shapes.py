@@ -25,6 +25,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # name -> why a BroadcastNestedLoopJoin is the right plan
 BNLJ_ALLOWED = {
     "text_vocabulary_top": "1-row corpus-count aggregate crossed into vocab stats",
+    "text_tfidf_vectors": "same vocabulary() 1-row corpus-count cross (idf needs N)",
     "a17_ks_events_value": "1-row CDF-normalization aggregate crossed into scan",
     "a17_psi_events_value": "1-row bin-edge aggregate crossed into scan",
     "a18_detect_drift": "1-row baseline-stats aggregate crossed into scan",
