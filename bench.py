@@ -19,6 +19,22 @@ if _REPO not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Harness version tag emitted with every result so round-over-round deltas
+# are like-for-like. Bump ONLY when the measurement methodology changes
+# (timing rule, warm passes, or a query's computation mode) and note the
+# change here; the rule (r6 verdict #2) is that a methodology change ships
+# one round before the numbers it produces are compared.
+#   v2 (r6): min-of-2 timed passes; sf0.001 codegen warm pass; page-cache
+#            table warm; descriptive_stats in sampled-quantile mode
+#            (sample_fraction=0.02); outliers in fused-GK mode.
+#   v1 (r1-r5): single timed pass, same warm-up, exact stats modes.
+HARNESS = {
+    "version": "v2",
+    "timing": "min_of_2_passes",
+    "warm": ["jvm", "arrow_pool", "page_cache", "codegen_sf0.001"],
+    "stats_mode": "sampled_quantile_0.02",
+}
+
 # Headline queries: one per operator family, weighted toward the
 # scan/join/agg/window/dedup/similarity paths that dominate at scale.
 # Stats run in production mode (exact=False → sketch percentiles/HLL,
@@ -171,6 +187,30 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+    # Same-harness delta vs the previous recorded round (r6 ran what is now
+    # tagged v2, so r7+ comparisons are like-for-like). Best-effort: absent
+    # or unreadable prior BENCH files never fail the bench.
+    prev_delta = None
+    try:
+        import glob as _glob
+
+        prior = sorted(_glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
+        if prior:
+            prev = json.load(open(prior[-1]))
+            # driver wraps the bench line under "parsed"
+            prev = prev.get("parsed", prev)
+            prev_harness = prev.get("harness", {}).get(
+                "version", "v2" if "BENCH_r06" in prior[-1] else "v1"
+            )
+            prev_delta = {
+                "prev_file": os.path.basename(prior[-1]),
+                "prev_total_sec": prev.get("value"),
+                "delta_sec": round(total - float(prev.get("value") or 0.0), 4),
+                "same_harness": prev_harness == HARNESS["version"]
+                and prev.get("sf") == sf_val,
+            }
+    except Exception:
+        prev_delta = None
     print(
         json.dumps(
             {
@@ -179,6 +219,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "harness": HARNESS,
+                "same_harness_delta": prev_delta,
             }
         )
     )

@@ -173,3 +173,76 @@ def test_simulate_strategies_sweep_shape(spark):
     # confidence-aware strategy beat the simple mean overall
     overall = {r["strategy"]: r["mean_rank"] for r in arows}
     assert min(overall.values()) < overall["Simple Mean"]
+
+
+def test_exact_false_quartiles_match_exact_on_continuous_scores(spark):
+    """exact=False quartile tables (percentile_approx cuts + map-side
+    when-chain bucketing) must agree with exact ntile(4) on a frame with
+    continuous, tie-free scores — same counts per bucket, means within
+    noise. Also covers model_agreement's approx median_disagreement."""
+    from workbench_spark.api.ensemble_simulator import EnsembleSimulator
+
+    rng_rows = []
+    # deterministic pseudo-random without Date/random: LCG
+    x = 12345
+    for i in range(400):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        y = (x % 10000) / 100.0
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        noise = ((x % 2000) - 1000) / 500.0
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        conf = (x % 100000) / 100000.0 + i * 1e-7  # tie-free
+        rng_rows.append((i, y, y + noise, conf))
+    df = spark.createDataFrame(
+        rng_rows, "id int, y double, prediction double, confidence double"
+    )
+    df2 = df.select(
+        "id",
+        "y",
+        (F.col("prediction") + F.lit(0.5)).alias("prediction"),
+        (F.lit(1.0) - F.col("confidence")).alias("confidence"),
+    )
+    frames = {"m0": df, "m1": df2}
+    ex = EnsembleSimulator(frames, id_column="id", target_column="y", exact=True)
+    ap = EnsembleSimulator(frames, id_column="id", target_column="y", exact=False)
+    qe = ex.confidence_analysis()["m0"]["error_by_quartile"]
+    qa = ap.confidence_analysis()["m0"]["error_by_quartile"]
+    assert [r["quartile"] for r in qe] == [1, 2, 3, 4]
+    assert [r["quartile"] for r in qa] == [1, 2, 3, 4]
+    for e, a in zip(qe, qa):
+        assert abs(e["count"] - a["count"]) <= 2  # sketch boundary slack
+        assert a["mean"] == pytest.approx(e["mean"], rel=0.15)
+    ex.release()
+    ap.release()
+
+
+def test_exact_false_model_agreement_no_global_sort(spark):
+    """model_agreement under exact=False: 4 quartile rows, approx median
+    close to exact."""
+    from workbench_spark.api.ensemble_simulator import EnsembleSimulator
+
+    rows = []
+    x = 99
+    for i in range(300):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        y = (x % 1000) / 10.0
+        rows.append((i, y, y + (i % 7) - 3.0, 0.5, y + (i % 5) - 2.0, 0.5))
+    m0 = spark.createDataFrame(
+        [(i, y, p, c) for i, y, p, c, _p, _c in rows],
+        "id int, y double, prediction double, confidence double",
+    )
+    m1 = spark.createDataFrame(
+        [(i, y, p, c) for i, y, _p, _c, p, c in rows],
+        "id int, y double, prediction double, confidence double",
+    )
+    frames = {"m0": m0, "m1": m1}
+    ex = EnsembleSimulator(frames, id_column="id", target_column="y", exact=True)
+    ap = EnsembleSimulator(frames, id_column="id", target_column="y", exact=False)
+    ge, ga = ex.model_agreement(), ap.model_agreement()
+    assert len(ga["error_by_quartile"]) == 4
+    assert ga["median_disagreement"] == pytest.approx(
+        ge["median_disagreement"], rel=0.1, abs=0.1
+    )
+    assert sum(r["count"] for r in ga["error_by_quartile"]) == 300
+    ex.release()
+    ap.release()

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import pytest
 
@@ -133,3 +134,52 @@ def test_no_scale_killers_in_plan(spark, name, fn):
             f"{name}: unexpected BroadcastNestedLoopJoin — reshape into an "
             f"equi-join or add an explicit justification to BNLJ_ALLOWED"
         )
+
+
+def test_simulator_global_sorts_gated_behind_exact():
+    """Every global-sort window (``Window.orderBy`` with no ``partitionBy``)
+    in the EnsembleSimulator must sit inside an ``if self.exact:`` branch —
+    the class docstring promises ``exact=False`` is the 100 TB path with no
+    single-partition sorts, so none may be reachable under it (r6 verdict
+    finding #1)."""
+    import ast as _ast
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "workbench_spark", "api",
+        "ensemble_simulator.py",
+    )
+    tree = _ast.parse(open(path).read())
+
+    def _is_self_exact(test):
+        return (
+            isinstance(test, _ast.Attribute)
+            and test.attr == "exact"
+            and isinstance(test.value, _ast.Name)
+            and test.value.id == "self"
+        )
+
+    # line spans covered by the taken branch of `if self.exact:`
+    exact_spans = []
+    for node in _ast.walk(tree):
+        if isinstance(node, _ast.If) and _is_self_exact(node.test):
+            body = node.body
+            exact_spans.append((body[0].lineno, body[-1].end_lineno))
+        # ternary: X if self.exact else Y — the `body` side is exact-only
+        if isinstance(node, _ast.IfExp) and _is_self_exact(node.test):
+            exact_spans.append((node.body.lineno, node.body.end_lineno))
+
+    violations = []
+    for node in _ast.walk(tree):
+        if (
+            isinstance(node, _ast.Call)
+            and isinstance(node.func, _ast.Attribute)
+            and node.func.attr == "orderBy"
+            and isinstance(node.func.value, _ast.Name)
+            and node.func.value.id == "Window"
+        ):
+            if not any(a <= node.lineno <= b for a, b in exact_spans):
+                violations.append(f"line {node.lineno}")
+    assert not violations, (
+        "Window.orderBy (global sort) reachable under exact=False in "
+        f"ensemble_simulator.py at: {violations}"
+    )

@@ -26,6 +26,13 @@ Spark-first design:
   (operators.metrics._avg_rank); ``exact=False`` switches every Spearman
   to bucketed approximate ranks (the spearman_approx pattern) — the
   100 TB path, same exact/sketch convention as the library stats.
+- Error-by-quartile tables (confidence_analysis / model_agreement) honor
+  the same switch: exact mode uses the reference's equal-count ``ntile(4)``
+  global-sort window; ``exact=False`` derives cut points with
+  ``percentile_approx`` and buckets map-side (when-chain), with
+  ``percentile_approx`` per-bucket medians — under ``exact=False`` NO code
+  path contains a ``Window.orderBy`` without a ``partitionBy`` (AST-enforced
+  by tests/test_plan_shapes.py).
 - The scenario sweep (simulate_strategies) composes the
   SyntheticDataGenerator.ensemble_branch_data generator over a
   noise × error-correlation grid — the simulation half the reference
@@ -301,10 +308,32 @@ class EnsembleSimulator:
             recs, "model_a string, model_b string, pearson double, spearman double"
         )
 
+    @staticmethod
+    def _quartile_bucket(col: str, cuts: list) -> "F.Column":
+        """Map-side quartile assignment from three pre-computed cut points:
+        q = 1 + #cuts strictly below the value (sum-of-booleans, codegen'd,
+        no window). The scale twin of ``ntile(4)`` — equal-count bins become
+        value-quantile bins, identical for continuous scores, and ties at a
+        boundary land in one bin instead of being split by sort order."""
+        b = F.lit(1)
+        for cut in cuts:
+            b = b + (F.col(col) > F.lit(float(cut))).cast("int")
+        return b
+
     def confidence_analysis(self) -> dict[str, dict]:
         """Per-model confidence stats + Pearson/Spearman vs |residual| +
-        error-by-confidence-quartile table (py:192-233)."""
+        error-by-confidence-quartile table (py:192-233).
+
+        Quartile tables honor the ``exact=`` switch: exact mode keeps the
+        reference's equal-count ``ntile(4)`` (a global sort — the documented
+        calibration-frame path); ``exact=False`` derives the three cut points
+        with ``percentile_approx`` and buckets with a when-chain (the
+        operators.proba.confidence_profile scale pattern) — ONE stacked
+        partial-aggregable groupBy for all M models, no global sort, and the
+        per-bucket median switches to ``percentile_approx`` so no aggregation
+        buffer holds a bucket's full value list."""
         tgt = F.col("target")
+        m = len(self.model_names)
         row = self.combined.agg(
             *[
                 e
@@ -325,22 +354,61 @@ class EnsembleSimulator:
             ],
         )
         cec = self._base_params()["conf_error_corr"]
-        out = {}
-        for i, name in enumerate(self.model_names):
-            q = (
-                self.combined.select(
-                    F.ntile(4).over(Window.orderBy(F.col(self.conf_cols[i]))).alias("q"),
-                    F.abs(F.col(self.pred_cols[i]) - tgt).alias("ae"),
+        tables: dict[int, list] = {}
+        if self.exact:
+            for i in range(m):
+                tables[i] = (
+                    self.combined.select(
+                        F.ntile(4).over(Window.orderBy(F.col(self.conf_cols[i]))).alias("q"),
+                        F.abs(F.col(self.pred_cols[i]) - tgt).alias("ae"),
+                    )
+                    .groupBy("q")
+                    .agg(
+                        F.avg("ae").alias("mean"),
+                        F.median("ae").alias("median"),
+                        F.count(F.lit(1)).alias("count"),
+                    )
+                    .orderBy("q")
+                    .collect()
                 )
-                .groupBy("q")
+        else:
+            cuts_row = self.combined.agg(
+                *[
+                    F.percentile_approx(F.col(c), [0.25, 0.5, 0.75], 10000).alias(f"cut_{i}")
+                    for i, c in enumerate(self.conf_cols)
+                ]
+            ).collect()[0]
+            stacked = self.combined.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("mi"),
+                                self._quartile_bucket(
+                                    self.conf_cols[i], cuts_row[f"cut_{i}"]
+                                ).alias("q"),
+                                F.abs(F.col(self.pred_cols[i]) - tgt).alias("ae"),
+                            )
+                            for i in range(m)
+                        ]
+                    )
+                ).alias("s")
+            ).select("s.mi", "s.q", "s.ae")
+            qrows = (
+                stacked.groupBy("mi", "q")
                 .agg(
                     F.avg("ae").alias("mean"),
-                    F.median("ae").alias("median"),
+                    F.percentile_approx("ae", 0.5, 10000).alias("median"),
                     F.count(F.lit(1)).alias("count"),
                 )
-                .orderBy("q")
                 .collect()
             )
+            for r in qrows:
+                tables.setdefault(r["mi"], []).append(r)
+            for i in tables:
+                tables[i].sort(key=lambda r: r["q"])
+        out = {}
+        for i, name in enumerate(self.model_names):
             out[name] = {
                 "mean_conf": float(row[f"m_{i}"]),
                 "std_conf": float(row[f"s_{i}"]) if row[f"s_{i}"] is not None else 0.0,
@@ -350,7 +418,7 @@ class EnsembleSimulator:
                 "spearman_r": spear[i],
                 "error_by_quartile": [
                     {"quartile": r["q"], "mean": r["mean"], "median": r["median"], "count": r["count"]}
-                    for r in q
+                    for r in tables.get(i, [])
                 ],
             }
         return out
@@ -365,21 +433,36 @@ class EnsembleSimulator:
         frame = self.combined.select(
             std.alias("__std"), F.abs(mean - tgt).alias("__eae")
         ).persist()
-        row = frame.agg(
+        med_expr = (
+            F.median("__std")
+            if self.exact
+            else F.percentile_approx("__std", 0.5, 10000)
+        )
+        agg_exprs = [
             F.avg("__std").alias("mu"),
-            F.median("__std").alias("med"),
+            med_expr.alias("med"),
             F.max("__std").alias("mx"),
-        ).collect()[0]
-        corr = self._spearman_many(frame, [(F.col("__std"), F.col("__eae"))])[0]
-        quart = (
-            frame.select(
-                F.ntile(4).over(Window.orderBy(F.col("__std"))).alias("q"),
-                "__eae",
+        ]
+        if not self.exact:
+            # one extra sketch in the SAME pass: quartile cut points for the
+            # map-side bucket assignment below (no global ntile sort).
+            agg_exprs.append(
+                F.percentile_approx("__std", [0.25, 0.5, 0.75], 10000).alias("cuts")
             )
+        row = frame.agg(*agg_exprs).collect()[0]
+        corr = self._spearman_many(frame, [(F.col("__std"), F.col("__eae"))])[0]
+        if self.exact:
+            q_col = F.ntile(4).over(Window.orderBy(F.col("__std"))).alias("q")
+            med_ae = F.median("__eae")
+        else:
+            q_col = self._quartile_bucket("__std", row["cuts"]).alias("q")
+            med_ae = F.percentile_approx("__eae", 0.5, 10000)
+        quart = (
+            frame.select(q_col, "__eae")
             .groupBy("q")
             .agg(
                 F.avg("__eae").alias("mean"),
-                F.median("__eae").alias("median"),
+                med_ae.alias("median"),
                 F.count(F.lit(1)).alias("count"),
             )
             .orderBy("q")
