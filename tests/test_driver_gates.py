@@ -56,6 +56,12 @@ ALLOWED: dict[tuple[str, str], str] = {
         "nearest fitted calibrator instead",
     ("operators/text.py", "ngram_lm_counts"):
         "1-row total-token aggregate (the LM's normalization constant)",
+    ("operators/bpe.py", "bpe_train"):
+        "max_words-capped (word, freq) aggregate — driver-side merge-loop "
+        "training on a bounded table, the pq_train precedent",
+    ("operators/bpe.py", "_merge_list"):
+        "num_merges-bounded artifact table (the trained merges, not corpus "
+        "rows)",
     ("operators/windows.py", "stratified_split"):
         "O(distinct strata) fraction map for sampleBy",
     ("api/ensemble_simulator.py", "_spearman_many"):

@@ -945,3 +945,13 @@ def tfidf_vectors(
             F.coalesce(F.col("vec"), F.expr(f"array_repeat(0.0D, {dim})")).alias("vec"),
         )
     )
+
+
+# BPE tokenizer training/encoding lives in operators/bpe.py; re-exported
+# here because it is part of the text-operator surface (token accounting
+# for packing/mixture_weights runs on real BPE counts via these).
+from workbench_spark.operators.bpe import (  # noqa: E402,F401
+    bpe_token_count,
+    bpe_tokenize,
+    bpe_train,
+)

@@ -4352,3 +4352,70 @@ def text_tfidf_vectors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("transform(vec, x -> floor(x * 1e6 + 0.5) / 1e6)").alias("vec"),
     )
+
+
+def _bpe_oracle_sql(num_merges: int, min_count: int, max_words: int) -> str:
+    """DuckDB replay of operators/bpe.bpe_train — the exact merge
+    SEQUENCE, unrolled one MATERIALIZED CTE trio per merge step
+    (pair-count → argmax pick → list_reduce fold). MATERIALIZED matters:
+    each step is referenced twice (by its pair count and the next step),
+    and inlined CTEs would re-evaluate the chain 2^k times. The
+    ``list_reduce`` over single-element-list-wrapped symbols is the same
+    leftmost-nonoverlapping greedy fold as bpe.merge_fold (an
+    accumulator-typed fold: element type LIST<VARCHAR> lets the
+    accumulator be the symbol list); tie-breaks (count DESC, left ASC,
+    right ASC) and the word-table cap ordering are identical both sides
+    (ASCII collation = Python code-point order on this corpus)."""
+    parts = [f"""
+    WITH words AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT UNNEST(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'),
+          w -> length(w) > 0)) AS word
+        FROM documents
+      ) GROUP BY word HAVING COUNT(*) >= {min_count}
+      ORDER BY freq DESC, word ASC LIMIT {max_words}
+    ),
+    step0 AS MATERIALIZED (
+      SELECT string_split(word, '') || ['</w>'] AS syms, freq FROM words
+    )"""]
+    for k in range(num_merges):
+        parts.append(f""",
+    pairs{k} AS MATERIALIZED (
+      SELECT pr[1] AS l, pr[2] AS r, SUM(freq) AS cnt FROM (
+        SELECT UNNEST(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr, freq
+        FROM step{k} WHERE len(syms) > 1
+      ) GROUP BY pr[1], pr[2]
+    ),
+    pick{k} AS MATERIALIZED (
+      SELECT l, r, cnt FROM pairs{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    ),
+    step{k + 1} AS MATERIALIZED (
+      SELECT list_reduce(list_transform(s.syms, x -> [x]),
+               (acc, x) -> CASE WHEN acc[-1] = p.l AND x[1] = p.r
+                           THEN acc[:len(acc)-1] || [p.l || p.r]
+                           ELSE acc || x END) AS syms,
+             s.freq
+      FROM step{k} s, pick{k} p
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, l AS merge_left, r AS merge_right, "
+        f"l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM pick{k}"
+        for k in range(num_merges)
+    )
+    parts.append(f"""
+    SELECT * FROM ({unions}) ORDER BY merge_rank""")
+    return "".join(parts)
+
+
+@query("text_bpe_merges", _bpe_oracle_sql(24, 2, 5000))
+def text_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016; operators/bpe):
+    one corpus-scale word-count groupBy, then the deterministic merge
+    loop over the capped frequency table. The oracle replays all 24
+    merge selections exactly — order, tie-breaks, and weighted pair
+    counts certified, not just shapes."""
+    from workbench_spark.operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_train(d, num_merges=24, min_count=2, max_words=5000)
