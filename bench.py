@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -194,7 +195,14 @@ def main() -> None:
     try:
         import glob as _glob
 
-        prior = sorted(_glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
+        def _round_num(path):
+            # numeric round sort — lexicographic glob order misorders r100+
+            m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+            return int(m.group(1)) if m else -1
+
+        prior = sorted(
+            _glob.glob(os.path.join(_REPO, "BENCH_r*.json")), key=_round_num
+        )
         if prior:
             prev = json.load(open(prior[-1]))
             # driver wraps the bench line under "parsed"
@@ -202,13 +210,18 @@ def main() -> None:
             prev_harness = prev.get("harness", {}).get(
                 "version", "v2" if "BENCH_r06" in prior[-1] else "v1"
             )
-            prev_delta = {
-                "prev_file": os.path.basename(prior[-1]),
-                "prev_total_sec": prev.get("value"),
-                "delta_sec": round(total - float(prev.get("value") or 0.0), 4),
-                "same_harness": prev_harness == HARNESS["version"]
-                and prev.get("sf") == sf_val,
-            }
+            prev_val = prev.get("value")
+            if prev_val is None:
+                prev_delta = None  # no prior total — a 0.0 stand-in would
+                # report delta_sec == the whole run time
+            else:
+                prev_delta = {
+                    "prev_file": os.path.basename(prior[-1]),
+                    "prev_total_sec": prev_val,
+                    "delta_sec": round(total - float(prev_val), 4),
+                    "same_harness": prev_harness == HARNESS["version"]
+                    and prev.get("sf") == sf_val,
+                }
     except Exception:
         prev_delta = None
     print(

@@ -115,3 +115,44 @@ def test_bpe_token_count_packing_integration(spark):
     tot_in = counted.agg(F.sum("bpe_token_count")).collect()[0][0]
     tot_out = packed.agg(F.sum("n_tokens")).collect()[0][0]
     assert tot_in == tot_out
+
+
+def _naive_train(word_freqs, num_merges, end_of_word="</w>"):
+    """The pre-r8 O(vocab)-per-merge loop, kept as the semantics oracle
+    for the incremental (heap + delta-count) trainer."""
+    from workbench_spark.operators.bpe import merge_fold
+
+    vocab = [(list(w) + [end_of_word], f) for w, f in word_freqs]
+    merges = []
+    for rank in range(num_merges):
+        counts = {}
+        for syms, freq in vocab:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, left + right, cnt))
+        vocab = [(merge_fold(syms, left, right), f) for syms, f in vocab]
+    return merges
+
+
+def test_incremental_trainer_matches_naive():
+    """The incremental trainer must reproduce the naive loop's merge
+    SEQUENCE byte-for-byte — selection order, tie-breaks, and counts —
+    on a corpus engineered to exercise overlaps ('aaaa'), ties, and
+    words rewritten by many successive merges."""
+    from workbench_spark.operators.bpe import train_merges_from_counts
+
+    wf = [
+        ("aaaa", 7), ("aaab", 5), ("abab", 5), ("banana", 4),
+        ("bandana", 3), ("cabana", 3), ("the", 10), ("then", 6),
+        ("there", 4), ("other", 4), ("lowest", 2), ("lower", 3),
+        ("low", 7), ("newest", 2), ("newer", 3), ("new", 6),
+        ("zzz", 1), ("az", 2), ("za", 2),
+    ]
+    for n in (1, 5, 20, 60, 200):
+        assert train_merges_from_counts(wf, n) == _naive_train(wf, n), n

@@ -423,3 +423,86 @@ def test_tfidf_vectors_feed_ann(spark):
     # so the sum is exactly 7·ln(4/1)
     out = {r["doc_id"]: r["vec"] for r in vecs.collect()}
     assert sum(out[3]) == pytest.approx(7 * math.log(4.0), rel=1e-9)
+
+
+# ------------------------------------------------------------ language ID
+
+
+# Held-out phrases: none of these sentences (or their distinctive content
+# words) appear in the langid training corpus. Several are chosen to be
+# marker-word-poor (no "the"/"der"/"le"/"el" hits) so the marker heuristic
+# returns 'und' or misfires while char trigrams still carry the signal.
+_HELDOUT = [
+    ("en", "birds sing early when summer arrives slowly"),
+    ("en", "my neighbour bought three small wooden chairs yesterday"),
+    ("en", "reading quietly helps students remember difficult lessons"),
+    ("en", "our journey through rainy mountains felt endless"),
+    ("en", "fresh bread smells wonderful every single morning"),
+    ("de", "gestern abend haben wir zusammen gekocht"),
+    ("de", "meine schwester wohnt seit jahren in hamburg"),
+    ("de", "nächste woche fahren wir ans meer"),
+    ("de", "dieser zug hält leider nicht überall"),
+    ("de", "im winter trinke ich gerne heißen tee"),
+    ("fr", "nous avons marché longtemps sous la pluie"),
+    ("fr", "mon frère apprend à jouer du piano"),
+    ("fr", "cette ville possède plusieurs jardins magnifiques"),
+    ("fr", "demain soir nous irons voir nos amis"),
+    ("fr", "elle préfère voyager en train plutôt quen voiture"),
+    ("es", "mi abuela cocina siempre con mucho cariño"),
+    ("es", "aprender idiomas abre muchas puertas nuevas"),
+    ("es", "esta semana lloverá bastante según dicen"),
+    ("es", "nos encanta pasear junto al río"),
+    ("es", "tengo ganas de visitar otro país pronto"),
+]
+
+
+def test_langid_nb_beats_markers_on_heldout(spark):
+    """The trigram-NB model must beat the marker heuristic on held-out
+    phrases (none in the training corpus) and clear 90% accuracy."""
+    from workbench_spark.operators.text import detect_language
+
+    df = spark.createDataFrame(
+        [(i, t, lang) for i, (lang, t) in enumerate(_HELDOUT)],
+        "doc_id int, text string, truth string",
+    )
+    nb = {
+        r["doc_id"]: r["lang_pred"]
+        for r in detect_language(df, method="trigram_nb").collect()
+    }
+    mk = {
+        r["doc_id"]: r["lang_pred"]
+        for r in detect_language(df, method="markers").collect()
+    }
+    truth = {i: lang for i, (lang, _) in enumerate(_HELDOUT)}
+    nb_acc = sum(nb[i] == truth[i] for i in truth) / len(truth)
+    mk_acc = sum(mk[i] == truth[i] for i in truth) / len(truth)
+    assert nb_acc >= 0.9, f"NB held-out accuracy {nb_acc:.2f} < 0.9: {nb}"
+    assert nb_acc > mk_acc, f"NB {nb_acc:.2f} not better than markers {mk_acc:.2f}"
+
+
+def test_langid_engine_matches_python_twin(spark):
+    """Engine column expressions replay score_py/predict_py exactly
+    (integer micro-nat scores, bit-identical)."""
+    from workbench_spark.functions.langid import (
+        LANGS,
+        add_language_scores,
+        predict_py,
+        score_py,
+    )
+
+    rows = [(i, t) for i, (_, t) in enumerate(_HELDOUT)] + [
+        (100, ""),
+        (101, "12345 !!!"),
+        (102, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r
+        for r in add_language_scores(df, keep_scores=True).collect()
+    }
+    for i, t in rows:
+        assert got[i]["lang_pred"] == predict_py(t), (i, t)
+        if got[i]["lang_pred"] != "und":
+            exp = score_py(t)
+            for lang in LANGS:
+                assert got[i][f"score_{lang}"] == exp[lang], (i, t, lang)

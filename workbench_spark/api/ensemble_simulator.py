@@ -314,11 +314,33 @@ class EnsembleSimulator:
         q = 1 + #cuts strictly below the value (sum-of-booleans, codegen'd,
         no window). The scale twin of ``ntile(4)`` — equal-count bins become
         value-quantile bins, identical for continuous scores, and ties at a
-        boundary land in one bin instead of being split by sort order."""
+        boundary land in one bin instead of being split by sort order.
+
+        ``cuts`` may be None (percentile_approx over an all-null or empty
+        column) — then every row lands in bucket 1 and the quartile table
+        is padded to 4 zero-count rows downstream."""
         b = F.lit(1)
-        for cut in cuts:
+        for cut in cuts or []:
+            if cut is None:
+                continue
             b = b + (F.col(col) > F.lit(float(cut))).cast("int")
         return b
+
+    @staticmethod
+    def _pad_quartiles(rows: list) -> list:
+        """Both exact (ntile) and sketch (cut-point) modes can return fewer
+        than 4 quartile rows — ntile on <4 rows, tied cut points collapsing
+        buckets, or all-null cuts. Pad the missing quartiles with zero-count
+        rows so consumers always see the same 4-row shape in either mode."""
+        present = {r["q"] for r in rows}
+        pad = [
+            {"q": q, "mean": 0.0, "median": 0.0, "count": 0}
+            for q in range(1, 5)
+            if q not in present
+        ]
+        out = list(rows) + pad
+        out.sort(key=lambda r: r["q"])
+        return out
 
     def confidence_analysis(self) -> dict[str, dict]:
         """Per-model confidence stats + Pearson/Spearman vs |residual| +
@@ -418,7 +440,7 @@ class EnsembleSimulator:
                 "spearman_r": spear[i],
                 "error_by_quartile": [
                     {"quartile": r["q"], "mean": r["mean"], "median": r["median"], "count": r["count"]}
-                    for r in tables.get(i, [])
+                    for r in self._pad_quartiles(tables.get(i, []))
                 ],
             }
         return out
@@ -476,7 +498,7 @@ class EnsembleSimulator:
             "disagreement_error_corr": corr,
             "error_by_quartile": [
                 {"quartile": r["q"], "mean": r["mean"], "median": r["median"], "count": r["count"]}
-                for r in quart
+                for r in self._pad_quartiles(quart)
             ],
         }
 

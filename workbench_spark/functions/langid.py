@@ -9,18 +9,26 @@ log-probability constants, and scoring is pure column expressions —
 map-literal lookup inside a single ``aggregate`` fold per language, all
 constant-folded JVM-side, zero per-row Python, zero shuffle.
 
-Scoring: score_l(doc) = Σ_t log P(t | l) over the doc's char trigrams,
-with add-α smoothing; trigrams outside language l's top-K table get that
-language's smoothed miss constant. The predicted language is the argmax
-of the ROUNDED scores (floor-form, 4 decimals, identical in DuckDB) with
-alphabetical tie-break; documents with no trigrams (empty after
-normalization) get 'und'. Rounding before argmax makes the prediction
-robust to float addition-order differences between engines (the oracle
-sums join rows; the engine folds sequentially).
+Scoring: score_l(doc) = Σ_t W_l(t) over the doc's char trigrams, where
+W_l(t) is the add-α-smoothed log P(t | l) **quantized to integer
+micro-nats** (round(log_p · 1e6), stored as BIGINT). Trigrams outside
+language l's top-K table get that language's quantized miss constant.
+Integer sums are exact and associative, so the engine's sequential
+``aggregate`` fold and the oracle's join-then-SUM produce bit-identical
+scores regardless of addition order — no float rounding boundary can
+diverge between engines. The predicted language is the argmax of the
+integer scores with alphabetical tie-break; documents with no trigrams
+(empty after normalization) get 'und'.
 
 The DuckDB oracle (queries_pipeline._langid_oracle_sql) replays the
-identical model from the same weight dict: normalization regex, trigram
-extraction, per-language weight-or-miss, rounded sum, argmax chain.
+identical model from the same weight dict via :func:`oracle_values_rows`:
+normalization regex, trigram extraction, per-language weight-or-miss,
+integer sum, argmax chain.
+
+Reference parity: the reference ships no language-ID operator; this is
+part of the LLM-training-data pipeline surface (language filtering before
+mixing/packing), modeled on the public n-gram NB approach of langid.py
+(Lui & Baldwin 2012) at toy scale.
 """
 
 from __future__ import annotations
@@ -38,8 +46,8 @@ LANGS = ["de", "en", "es", "fr"]
 NORM_KEEP_RE = "[^a-zäöüßáéíóúñàèùâêîôûçœ ]+"
 
 _ALPHA = 0.5
-_TOP_K = 160
-_ROUND = 4  # decimals for the pre-argmax score rounding
+_TOP_K = 250
+_SCALE = 1_000_000  # micro-nats per nat: weights are round(log_p * _SCALE)
 
 # ---------------------------------------------------------------- corpus
 # UDHR Article 1 (public domain) + everyday sentences composed for this
@@ -63,7 +71,28 @@ _CORPUS: dict[str, str] = {
         "he works in an office in the city "
         "can you tell me the way to the museum "
         "i do not understand what you mean "
-        "the meeting starts at nine in the morning"
+        "the meeting starts at nine in the morning "
+        "people often travel by bus or by bicycle across town "
+        "science teaches us how plants grow from tiny seeds "
+        "music from the old radio filled every room of the house "
+        "after dinner they walked along the beach and watched boats "
+        "a good night of sleep makes hard work feel easier "
+        "winter brings snow while spring brings flowers and light rain "
+        "everyone agreed that the story had a surprising ending "
+        "learning new things keeps the mind young and curious "
+        "some questions have simple answers and some have none "
+        "their house stands near a quiet lake between two hills "
+        "it might seem strange but many answers change with time "
+        "friends who listen well are worth more than gold "
+        "nothing beats warm soup on a freezing evening "
+        "each language sounds different yet says similar things "
+        "the early light of day slowly crossed the empty street "
+        "walking and running through rough country is tiring though rewarding "
+        "she was thinking about visiting the young painters studio "
+        "they found enough mushrooms although the ground was slippery "
+        "our neighbours proudly brought round various housewarming gifts "
+        "carefully studying helps anyone remember surprisingly tricky spellings "
+        "without doubt the journey south sounds thoroughly exciting"
     ),
     "de": (
         "alle menschen sind frei und gleich an würde und rechten geboren "
@@ -83,7 +112,22 @@ _CORPUS: dict[str, str] = {
         "er arbeitet in einem büro in der stadt "
         "können sie mir den weg zum museum zeigen "
         "ich verstehe nicht was sie meinen "
-        "die besprechung beginnt um neun uhr morgens"
+        "die besprechung beginnt um neun uhr morgens "
+        "viele leute fahren mit dem bus oder mit dem fahrrad durch die stadt "
+        "die wissenschaft zeigt uns wie pflanzen aus kleinen samen wachsen "
+        "musik aus dem alten radio erfüllte jedes zimmer des hauses "
+        "nach dem essen gingen sie am strand entlang und sahen schiffe "
+        "ein guter schlaf macht schwere arbeit leichter "
+        "der winter bringt schnee während der frühling blumen bringt "
+        "alle waren sich einig dass die geschichte überraschend endete "
+        "neues zu lernen hält den kopf jung und neugierig "
+        "manche fragen haben einfache antworten und manche keine "
+        "ihr haus steht an einem ruhigen see zwischen zwei hügeln "
+        "es mag seltsam klingen aber viele antworten ändern sich "
+        "freunde die gut zuhören sind mehr wert als gold "
+        "nichts geht über warme suppe an einem kalten abend "
+        "jede sprache klingt anders und sagt doch ähnliches "
+        "das frühe licht des tages zog langsam über die leere straße"
     ),
     "fr": (
         "tous les êtres humains naissent libres et égaux en dignité et en "
@@ -103,7 +147,22 @@ _CORPUS: dict[str, str] = {
         "il travaille dans un bureau en ville "
         "pouvez vous me montrer le chemin du musée "
         "je ne comprends pas ce que vous voulez dire "
-        "la réunion commence à neuf heures du matin"
+        "la réunion commence à neuf heures du matin "
+        "beaucoup de gens se déplacent en bus ou à vélo dans la ville "
+        "la science nous montre comment les plantes poussent depuis de petites graines "
+        "la musique de la vieille radio remplissait chaque pièce de la maison "
+        "après le dîner ils ont marché le long de la plage en regardant les bateaux "
+        "une bonne nuit de sommeil rend le travail difficile plus facile "
+        "lhiver apporte la neige tandis que le printemps apporte des fleurs "
+        "tout le monde a trouvé que lhistoire finissait de façon surprenante "
+        "apprendre de nouvelles choses garde lesprit jeune et curieux "
+        "certaines questions ont des réponses simples et dautres aucune "
+        "leur maison se trouve près dun lac calme entre deux collines "
+        "cela peut sembler étrange mais beaucoup de réponses changent "
+        "les amis qui savent écouter valent plus que lor "
+        "rien ne vaut une soupe chaude par un soir glacial "
+        "chaque langue sonne autrement et dit pourtant des choses semblables "
+        "la première lumière du jour traversait lentement la rue vide"
     ),
     "es": (
         "todos los seres humanos nacen libres e iguales en dignidad y "
@@ -123,7 +182,22 @@ _CORPUS: dict[str, str] = {
         "él trabaja en una oficina en la ciudad "
         "puede decirme el camino al museo "
         "no entiendo lo que quiere decir "
-        "la reunión empieza a las nueve de la mañana"
+        "la reunión empieza a las nueve de la mañana "
+        "mucha gente se mueve en autobús o en bicicleta por la ciudad "
+        "la ciencia nos muestra cómo las plantas crecen desde pequeñas semillas "
+        "la música de la vieja radio llenaba cada habitación de la casa "
+        "después de cenar caminaron por la playa mirando los barcos "
+        "una buena noche de sueño hace más fácil el trabajo duro "
+        "el invierno trae nieve mientras la primavera trae flores "
+        "todos pensaron que la historia terminaba de forma sorprendente "
+        "aprender cosas nuevas mantiene la mente joven y curiosa "
+        "algunas preguntas tienen respuestas sencillas y otras ninguna "
+        "su casa está cerca de un lago tranquilo entre dos colinas "
+        "puede parecer extraño pero muchas respuestas cambian con el tiempo "
+        "los amigos que saben escuchar valen más que el oro "
+        "nada supera una sopa caliente en una noche helada "
+        "cada lengua suena distinto y sin embargo dice cosas parecidas "
+        "la primera luz del día cruzaba despacio la calle vacía"
     ),
 }
 
@@ -143,7 +217,7 @@ def trigrams_py(text: str) -> list[str]:
     return [x[i : i + 3] for i in range(len(x) - 2)] if len(x) >= 3 else []
 
 
-def _train() -> tuple[dict[str, dict[str, float]], dict[str, float]]:
+def _train() -> tuple[dict[str, dict[str, int]], dict[str, int]]:
     counts = {
         lang: Counter(
             normalize_py(corpus)[i : i + 3]
@@ -152,19 +226,39 @@ def _train() -> tuple[dict[str, dict[str, float]], dict[str, float]]:
         for lang, corpus in _CORPUS.items()
     }
     vocab_size = len(set().union(*counts.values()))
-    model: dict[str, dict[str, float]] = {}
-    miss: dict[str, float] = {}
+    model: dict[str, dict[str, int]] = {}
+    miss: dict[str, int] = {}
     for lang in LANGS:
         c = counts[lang]
         n = sum(c.values())
         denom = n + _ALPHA * vocab_size
         top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOP_K]
-        model[lang] = {t: math.log((k + _ALPHA) / denom) for t, k in top}
-        miss[lang] = math.log(_ALPHA / denom)
+        model[lang] = {
+            t: round(math.log((k + _ALPHA) / denom) * _SCALE) for t, k in top
+        }
+        miss[lang] = round(math.log(_ALPHA / denom) * _SCALE)
     return model, miss
 
 
 LANG_MODEL, LANG_MISS = _train()
+
+
+def score_py(text: str) -> dict[str, int]:
+    """Python twin of the engine scoring (micro-nat integer sums) for tests."""
+    tgs = trigrams_py(text)
+    return {
+        lang: sum(LANG_MODEL[lang].get(t, LANG_MISS[lang]) for t in tgs)
+        for lang in LANGS
+    }
+
+
+def predict_py(text: str) -> str:
+    tgs = trigrams_py(text)
+    if not tgs:
+        return "und"
+    s = score_py(text)
+    # argmax, alphabetical tie-break (LANGS is sorted)
+    return max(LANGS, key=lambda lang: (s[lang], -LANGS.index(lang)))
 
 
 # ------------------------------------------------------- engine exprs
@@ -183,13 +277,14 @@ def add_language_scores(
     keep_scores: bool = False,
 ) -> DataFrame:
     """Append ``out_col`` (predicted language) and, with ``keep_scores``,
-    the rounded per-language NB scores (score_de … score_fr).
+    the per-language integer micro-nat NB scores (score_de … score_fr).
 
     Plan shape: normalized text and the trigram array are projected ONCE
     as columns (never re-derived inside lambda bodies — the measured
     per-element re-evaluation cliff); each language score is a single
     ``aggregate`` fold over the trigram column with a constant-folded
-    map-literal lookup. No shuffle, no Python, no window."""
+    map-literal lookup. No shuffle, no Python, no window. BIGINT
+    accumulators keep engine and oracle sums bit-identical."""
     nt, tg = "__lid_nt", "__lid_tg"
     out = df.withColumn(nt, _norm_col(F.col(text_col)))
     out = out.withColumn(
@@ -203,17 +298,17 @@ def add_language_scores(
     for lang in LANGS:
         mcol = f"__lid_m_{lang}"
         entries = ", ".join(
-            f"'{t}', CAST({v!r} AS DOUBLE)"
-            for t, v in sorted(LANG_MODEL[lang].items())
+            f"'{t}', {v}L" for t, v in sorted(LANG_MODEL[lang].items())
         )
         out = out.withColumn(mcol, F.expr(f"map({entries})"))
-        raw = F.expr(
-            f"aggregate({tg}, CAST(0 AS DOUBLE), (a, t) -> "
-            f"a + coalesce(element_at({mcol}, t), CAST({LANG_MISS[lang]!r} AS DOUBLE)))"
-        )
         sc = f"score_{lang}"
-        scale = float(10**_ROUND)
-        out = out.withColumn(sc, F.floor(raw * F.lit(scale) + F.lit(0.5)) / F.lit(scale))
+        out = out.withColumn(
+            sc,
+            F.expr(
+                f"aggregate({tg}, CAST(0 AS BIGINT), (a, t) -> "
+                f"a + coalesce(element_at({mcol}, t), {LANG_MISS[lang]}L))"
+            ),
+        )
         score_cols[lang] = F.col(sc)
     s = score_cols
     pred = (
@@ -234,12 +329,13 @@ def add_language_scores(
 def oracle_values_rows() -> list[str]:
     """One VALUES row per inventory trigram: (tg, w_de, w_en, w_es, w_fr),
     each weight = the language's table entry or its miss constant —
-    exactly the engine's per-language map-or-miss semantics."""
+    exactly the engine's per-language map-or-miss semantics. Weights are
+    integer micro-nats, so the oracle's SUM is exact."""
     inv = sorted(set().union(*[set(LANG_MODEL[lang]) for lang in LANGS]))
     rows = []
     for t in inv:
         ws = ", ".join(
-            repr(LANG_MODEL[lang].get(t, LANG_MISS[lang])) for lang in LANGS
+            str(LANG_MODEL[lang].get(t, LANG_MISS[lang])) for lang in LANGS
         )
         rows.append(f"('{t}', {ws})")
     return rows

@@ -92,27 +92,80 @@ def train_merges_from_counts(
     end_of_word: str = END_OF_WORD,
 ) -> list[tuple[int, str, str, str, int]]:
     """The deterministic merge loop over an in-memory (word, freq) table:
-    per iteration, count adjacent symbol pairs weighted by word frequency
-    (overlapping occurrences count, matching the zip-based oracle), pick
-    (count DESC, left ASC, right ASC), fold the merge into every word.
-    Returns [(rank, left, right, merged, pair_count)]."""
+    per iteration pick the pair with the highest frequency-weighted
+    adjacent count (overlapping occurrences count, matching the zip-based
+    oracle), tie-broken (count DESC, left ASC, right ASC), and fold it
+    into every word containing it. Returns
+    [(rank, left, right, merged, pair_count)].
+
+    Incremental (the standard learn-BPE optimization, as in Sennrich's
+    reference implementation): pair counts and a pair → affected-word
+    index are maintained under deltas, so each merge re-folds ONLY the
+    words containing the merged pair instead of recounting all pairs over
+    all words — O(affected words) per merge instead of O(vocab). Selection
+    uses a lazy-deletion heap keyed (-count, left, right): stale entries
+    (count changed since push) are re-pushed with the current count and
+    skipped, so the pop order is identical to a full argmin per iteration
+    — the merge SEQUENCE is byte-identical to the naive loop (certified by
+    the text_bpe_merges oracle and the equivalence test in test_bpe.py)."""
+    import heapq
+
     vocab: list[tuple[list[str], int]] = [
         (list(w) + [end_of_word], f) for w, f in word_freqs
     ]
+    counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, freq) in enumerate(vocab):
+        for i in range(len(syms) - 1):
+            pair = (syms[i], syms[i + 1])
+            counts[pair] = counts.get(pair, 0) + freq
+            index.setdefault(pair, set()).add(wi)
+    heap = [(-c, p[0], p[1]) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(num_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, freq in vocab:
-            for i in range(len(syms) - 1):
-                pair = (syms[i], syms[i + 1])
-                counts[pair] = counts.get(pair, 0) + freq
-        if not counts:
+        best = None
+        while heap:
+            negc, left, right = heapq.heappop(heap)
+            cur = counts.get((left, right), 0)
+            if cur <= 0:
+                continue  # fully merged away — dead entry
+            if -negc != cur:
+                # stale: re-push at the current count and keep popping
+                heapq.heappush(heap, (-cur, left, right))
+                continue
+            best = (left, right, cur)
             break
-        (left, right), cnt = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
+        if best is None:
+            break
+        left, right, cnt = best
         merges.append((rank, left, right, left + right, cnt))
-        vocab = [(merge_fold(syms, left, right), f) for syms, f in vocab]
+        changed: set[tuple[str, str]] = set()
+        for wi in sorted(index.pop((left, right), ())):
+            syms, freq = vocab[wi]
+            new_syms = merge_fold(syms, left, right)
+            vocab[wi] = (new_syms, freq)
+            old_pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+            new_pairs = [
+                (new_syms[i], new_syms[i + 1]) for i in range(len(new_syms) - 1)
+            ]
+            for p in old_pairs:
+                counts[p] -= freq
+                changed.add(p)
+            for p in new_pairs:
+                counts[p] = counts.get(p, 0) + freq
+                changed.add(p)
+            for p in set(old_pairs) - set(new_pairs):
+                s = index.get(p)
+                if s is not None:
+                    s.discard(wi)
+            for p in set(new_pairs) - set(old_pairs):
+                index.setdefault(p, set()).add(wi)
+        changed.discard((left, right))
+        for p in changed:
+            c = counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
     return merges
 
 
@@ -192,11 +245,13 @@ def bpe_tokenize(
     pairs = _merge_list(merges)
     ranks = {p: i for i, p in enumerate(pairs)}
     splitter = re.compile(WORD_SPLIT_RE)
+    # Hoisted into the closure so it persists across Arrow batches within a
+    # Python worker (the closure is deserialized once per worker, not per
+    # batch) — Zipf makes the hit rate ≈ the corpus' type/token ratio.
+    memo: dict[str, list[str]] = {}
 
     @F.pandas_udf("array<string>")
     def _encode(texts: pd.Series) -> pd.Series:
-        memo: dict[str, list[str]] = {}
-
         def enc(text: str) -> list[str]:
             if text is None:
                 return []
@@ -206,6 +261,10 @@ def bpe_tokenize(
                     continue
                 toks = memo.get(w)
                 if toks is None:
+                    if len(memo) >= 1_000_000:
+                        memo.clear()  # bound worker-lifetime growth on
+                        # heavy-tailed corpora; Zipf means the head refills
+                        # almost immediately
                     toks = encode_word(w, ranks, end_of_word)
                     memo[w] = toks
                 out.extend(toks)

@@ -115,10 +115,30 @@ def lang_scores(col) -> dict[str, Column]:
     return scores
 
 
-def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Marker-word language ID: argmax of per-language marker hit counts,
-    'und' (undetermined) when all zero. Ties broken by language code order
-    for determinism."""
+def detect_language(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    method: str = "trigram_nb",
+) -> DataFrame:
+    """Language ID over a text column (en / de / fr / es, else 'und').
+
+    ``method="trigram_nb"`` (default): char-trigram multinomial Naive
+    Bayes — integer micro-nat log-prob sums via a constant-folded
+    map-literal ``aggregate`` fold per language; no shuffle, no Python
+    (see functions/langid.py for the model and its DuckDB oracle twin).
+
+    ``method="markers"``: the legacy marker-word heuristic — argmax of
+    per-language marker hit counts, 'und' when all zero. Kept for
+    comparison tests and as the cheaper scan when only coarse filtering
+    is needed.
+    """
+    if method == "trigram_nb":
+        from workbench_spark.functions.langid import add_language_scores
+
+        return add_language_scores(df, text_col=text_col, out_col=out_col)
+    if method != "markers":
+        raise ValueError(f"unknown language-ID method: {method!r}")
     scores = lang_scores(F.col(text_col))
     best_lang = F.lit("und")
     best_score = F.lit(0)

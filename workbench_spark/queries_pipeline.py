@@ -212,8 +212,76 @@ _LANG_SQL_SCORE = {
 }
 
 
+def _langid_oracle_sql() -> str:
+    """DuckDB twin of functions.langid.add_language_scores: identical
+    normalization regex, trigram extraction, per-language weight-or-miss
+    (LEFT JOIN against the model's VALUES table, COALESCE to the miss
+    constant), integer micro-nat SUM (exact — no float order sensitivity),
+    and the same argmax CASE chain with alphabetical tie-break. Docs whose
+    normalized text has no trigrams fall out of the unnest and come back
+    'und' via the outer LEFT JOIN."""
+    from workbench_spark.functions.langid import (
+        LANG_MISS,
+        NORM_KEEP_RE,
+        oracle_values_rows,
+    )
+
+    values = ",\n      ".join(oracle_values_rows())
+    return f"""
+    WITH norm AS (
+      SELECT doc_id,
+             CASE WHEN length(t) > 0 THEN ' ' || t || ' ' ELSE '' END AS nt
+      FROM (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '{NORM_KEEP_RE}', ' ', 'g'), ' +', ' ', 'g')) AS t
+        FROM documents
+      )
+    ),
+    w(tg, w_de, w_en, w_es, w_fr) AS (VALUES
+      {values}
+    ),
+    tgs AS (
+      SELECT doc_id,
+             unnest(CASE WHEN length(nt) >= 3
+                    THEN [substr(nt, i, 3) for i in generate_series(1, length(nt) - 2)]
+                    ELSE [] END) AS tg
+      FROM norm
+    ),
+    scores AS (
+      SELECT t.doc_id,
+             SUM(COALESCE(w.w_de, {LANG_MISS['de']})) AS s_de,
+             SUM(COALESCE(w.w_en, {LANG_MISS['en']})) AS s_en,
+             SUM(COALESCE(w.w_es, {LANG_MISS['es']})) AS s_es,
+             SUM(COALESCE(w.w_fr, {LANG_MISS['fr']})) AS s_fr
+      FROM tgs t LEFT JOIN w ON t.tg = w.tg
+      GROUP BY t.doc_id
+    )
+    SELECT n.doc_id,
+           CASE
+             WHEN s.doc_id IS NULL THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr'
+           END AS lang_pred
+    FROM norm n LEFT JOIN scores s ON n.doc_id = s.doc_id
+    """
+
+
+@query("text_lang_detect", _langid_oracle_sql())
+def text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram NB language ID (functions/langid.py): integer
+    micro-nat log-prob sums via constant-folded map-literal aggregate
+    folds, argmax with alphabetical tiebreak, 'und' for empty text."""
+    from workbench_spark.operators.text import detect_language
+
+    d = _t(spark, sf_dir, "documents")
+    return detect_language(d, method="trigram_nb").select("doc_id", "lang_pred")
+
+
 @query(
-    "text_lang_detect",
+    "text_lang_markers",
     """
     WITH scores AS (
       SELECT doc_id,
@@ -236,13 +304,14 @@ _LANG_SQL_SCORE = {
         )
     ),
 )
-def text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID (argmax over per-language hit counts,
-    alphabetical tiebreak, 'und' when nothing matches)."""
+def text_lang_markers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy marker-word language ID (argmax over per-language hit
+    counts, alphabetical tiebreak, 'und' when nothing matches) — kept as
+    the cheap coarse-filter scan alongside the NB default."""
     from workbench_spark.operators.text import detect_language
 
     d = _t(spark, sf_dir, "documents")
-    return detect_language(d).select("doc_id", "lang_pred")
+    return detect_language(d, method="markers").select("doc_id", "lang_pred")
 
 
 @query(
