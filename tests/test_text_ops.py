@@ -506,3 +506,55 @@ def test_langid_engine_matches_python_twin(spark):
             exp = score_py(t)
             for lang in LANGS:
                 assert got[i][f"score_{lang}"] == exp[lang], (i, t, lang)
+
+
+# ------------------------------------------------- exact-substring dedup
+
+
+def test_exact_substr_hand_computed(spark):
+    """Duplicated 4-token window: doc 1 keeps the first occurrence, doc 2's
+    copy is excised; overlapping duplicate windows merge into one cut."""
+    from workbench_spark.operators.text import dedup_exact_substrings
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x y"),            # first occurrence of 'a b c d'
+            (2, "p q a b c d r s"),        # later occurrence -> cut 4 tokens
+            (3, "short doc"),              # shorter than L -> untouched
+            (4, "a b c d"),                # exactly the window -> fully cut
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_exact_substrings(df, min_length=4).collect()
+    }
+    assert out[1]["text_deduped"] == "a b c d x y"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_deduped"] == "p q r s"
+    assert out[2]["n_removed"] == 4
+    assert out[3]["text_deduped"] == "short doc"
+    assert out[4]["text_deduped"] == ""
+    assert out[4]["n_removed"] == 4
+
+
+def test_exact_substr_long_duplicate_region_excised_wholesale(spark):
+    """A duplicated region longer than L produces a run of overlapping
+    duplicate windows whose cuts must merge into ONE contiguous removal —
+    the whole region disappears, not an L-token prefix."""
+    from workbench_spark.operators.text import dedup_exact_substrings
+
+    region = " ".join(f"w{i}" for i in range(10))  # 10-token shared region
+    df = spark.createDataFrame(
+        [(1, f"{region} tail1"), (2, f"head2 {region} tail2")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_exact_substrings(df, min_length=4).collect()
+    }
+    assert out[1]["text_deduped"] == f"{region} tail1"
+    # doc 2: every stride-1 window inside the region is a non-first
+    # occurrence; merged cut = the full 10 tokens
+    assert out[2]["text_deduped"] == "head2 tail2"
+    assert out[2]["n_removed"] == 10

@@ -468,6 +468,7 @@ def mixture_weights(
     target: dict[str, float],
     source_col: str = "source",
     text_col: str = "text",
+    tokenizer=None,
 ) -> DataFrame:
     """Per-source sampling weights that reshape the corpus token
     distribution into a target mixture (the domain-reweighting step of
@@ -480,6 +481,12 @@ def mixture_weights(
     target source absent from the corpus is simply not emitted — check
     ``target_frac`` coverage downstream if that must be an error.
 
+    ``tokenizer``: None (default) budgets whitespace tokens — the cheap
+    scan. Pass a BPE merges table/list (operators/bpe.bpe_train output)
+    to budget REAL tokenizer tokens instead, so the mixture accounting
+    matches what the training run will actually consume (the counts flow
+    through bpe_token_count's Arrow-batched encode).
+
     Output per source: n_docs, n_tokens, current_frac, target_frac,
     sampling_weight.
     """
@@ -487,9 +494,19 @@ def mixture_weights(
     if total <= 0:
         raise ValueError("mixture_weights: target fractions must sum > 0")
     norm_target = {k: v / total for k, v in target.items()}
-    per_source = docs.groupBy(source_col).agg(
+    if tokenizer is None:
+        counted = docs.select(
+            F.col(source_col), token_count(F.col(text_col)).alias("__tc")
+        )
+    else:
+        from workbench_spark.operators.bpe import bpe_token_count
+
+        counted = bpe_token_count(docs, tokenizer, text_col, "__tc").select(
+            F.col(source_col), F.col("__tc")
+        )
+    per_source = counted.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+        F.sum("__tc").alias("n_tokens"),
     )
     tgt = F.create_map(
         *[F.lit(x) for kv in norm_target.items() for x in kv]
@@ -892,6 +909,111 @@ def dedup_spans(
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
+    )
+
+
+def dedup_exact_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_length: int = 50,
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr) — bounded-
+    length variant: any ``min_length``-token window that occurs more than
+    once corpus-wide keeps exactly its FIRST occurrence in (doc, position)
+    order; every later occurrence's L tokens are cut from their document,
+    and overlapping cuts merge into one removal span (so a duplicated
+    region of any length ≥ L is excised wholesale, exactly like the
+    paper's suffix-array spans, for duplicates ≥ L tokens). Documents are
+    rebuilt from the surviving token ranges. The paper's default is 50
+    tokens; the suffix-array generalization to unbounded-length duplicate
+    detection is what this variant bounds.
+
+    Plan shape (the dedup_spans firsts machinery over stride-1 windows):
+    one posexplode of the L-gram hashes (linear ×1 in corpus tokens), one
+    groupBy over the window hash computing min(struct(doc, pos)) — partial-
+    aggregable, so corpus-sized duplication clusters combine map-side — one
+    equi-join marking non-first windows, then one groupBy(doc) that sorts
+    the duplicate window starts and does the interval arithmetic (merge
+    removal intervals → complement → slice-and-concat the token array)
+    entirely in per-row higher-order functions: no range join, no window
+    function, no per-token rescan of the starts list.
+
+    Output: (id, text_deduped, n_tokens, n_removed) — one row per input
+    document; n_removed counts excised tokens."""
+    L = int(min_length)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(F.col(id_col), F.split(norm, " ").alias("__w"))
+    grams = base.withColumn(
+        "__g",
+        F.expr(
+            f"CASE WHEN size(__w) >= {L} THEN "
+            f"transform(sequence(0, size(__w) - {L}), "
+            f"i -> md5(concat_ws(' ', slice(__w, i + 1, {L})))) "
+            f"ELSE cast(array() as array<string>) END"
+        ),
+    )
+    exploded = grams.select(
+        F.col(id_col), F.posexplode("__g").alias("pos", "__h")
+    )
+    firsts = exploded.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("fid"), F.col("pos").alias("fpos"))).alias(
+            "__first"
+        )
+    )
+    dup_starts = (
+        exploded.join(firsts, "__h")
+        .filter(
+            (F.col("__first.fid") != F.col(id_col))
+            | (F.col("__first.fpos") != F.col("pos"))
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__ds"))
+    )
+    joined = base.join(dup_starts, id_col, "left").withColumn(
+        "__ds", F.coalesce(F.col("__ds"), F.expr("cast(array() as array<int>)"))
+    )
+    # merge sorted removal starts into disjoint [s, e) intervals: starts are
+    # ascending, so interval i overlaps/touches the running last interval
+    # iff start <= last.e — then the merged end is simply start + L
+    merged = (
+        f"aggregate(__ds, cast(array() as array<struct<s:int,e:int>>), "
+        f"(acc, p) -> CASE WHEN size(acc) > 0 AND p <= element_at(acc, -1).e "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array(named_struct('s', element_at(acc, -1).s, 'e', p + {L}))) "
+        f"ELSE concat(acc, array(named_struct('s', p, 'e', p + {L}))) END)"
+    )
+    out = joined.withColumn("__m", F.expr(merged))
+    # complement within [0, size(__w)): kept ranges interleave the removals
+    out = (
+        out.withColumn("__n", F.size("__w"))
+        .withColumn(
+            "__kept",
+            F.expr(
+                "filter(zip_with("
+                "concat(array(0), transform(__m, x -> x.e)), "
+                "concat(transform(__m, x -> x.s), array(__n)), "
+                "(s, e) -> named_struct('s', s, 'e', e)), x -> x.e > x.s)"
+            ),
+        )
+        .withColumn(
+            "text_deduped",
+            F.expr(
+                "concat_ws(' ', flatten(transform(__kept, "
+                "x -> slice(__w, x.s + 1, x.e - x.s))))"
+            ),
+        )
+        .withColumn(
+            "n_removed",
+            F.expr("aggregate(__m, 0, (a, x) -> a + x.e - x.s)").cast("long"),
+        )
+    )
+    return out.select(
+        id_col,
+        "text_deduped",
+        F.col("__n").cast("long").alias("n_tokens"),
+        "n_removed",
     )
 
 

@@ -428,6 +428,99 @@ def text_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+# Fixed, corpus-independent merge list for the BPE-budgeted mixture entry:
+# common-English pair chain (each later merge only consumes symbols earlier
+# merges produce, the apply-BPE well-formedness property). The merge
+# LEARNING loop is certified separately by text_bpe_merges; this entry
+# certifies tokenize-and-count + the weighting math under a known vocab.
+_MIX_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"), ("s", "</w>"), ("t", "h"), ("th", "e</w>"),
+    ("i", "n"), ("a", "n"), ("o", "n"), ("e", "r"), ("r", "e"),
+    ("o", "r"), ("a", "t"), ("d", "</w>"), ("an", "d</w>"),
+    ("t", "o"), ("in", "g"), ("o", "f"),
+]
+
+
+def _mix_bpe_oracle_sql() -> str:
+    """DuckDB twin of mixture_weights(tokenizer=_MIX_BPE_MERGES): tokenize
+    each DISTINCT word once through the fixed merges — one MATERIALIZED
+    fold step per merge, the same leftmost-nonoverlapping ``list_reduce``
+    as the bpe_train oracle (sequential rank-order application ≡
+    encode_word's lowest-rank-first loop: a merged pair can never be
+    re-created by later merges, so both orders eliminate the same
+    occurrences) — then weight word occurrences per source by the word's
+    token length and replay the mixture math."""
+    parts = ["""
+    WITH occ AS MATERIALIZED (
+      SELECT source, UNNEST(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'),
+        w -> length(w) > 0)) AS word
+      FROM documents
+    ),
+    s0 AS MATERIALIZED (
+      SELECT word, string_split(word, '') || ['</w>'] AS syms
+      FROM (SELECT DISTINCT word FROM occ)
+    )"""]
+    for k, (l, r) in enumerate(_MIX_BPE_MERGES):
+        parts.append(f""",
+    s{k + 1} AS MATERIALIZED (
+      SELECT word, list_reduce(list_transform(syms, x -> [x]),
+               (acc, x) -> CASE WHEN acc[-1] = '{l}' AND x[1] = '{r}'
+                           THEN acc[:len(acc)-1] || ['{l}{r}']
+                           ELSE acc || x END) AS syms
+      FROM s{k}
+    )""")
+    n = len(_MIX_BPE_MERGES)
+    parts.append(f""",
+    per_source AS (
+      SELECT o.source, SUM(len(t.syms)) AS n_tokens
+      FROM occ o JOIN s{n} t ON o.word = t.word
+      GROUP BY o.source
+    ),
+    per_docs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per_source)
+    SELECT d.source,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(p.n_tokens, 0) / CAST(t AS DOUBLE), 6) AS current_frac,
+           CASE WHEN d.source IN ('src0','src1','src2','src3')
+                THEN ROUND(0.25/1.0, 6) ELSE 0.0 END AS target_frac,
+           ROUND(CASE WHEN COALESCE(p.n_tokens, 0) > 0 THEN
+                   (CASE WHEN d.source IN ('src0','src1','src2','src3')
+                         THEN 0.25/1.0 ELSE 0.0 END)
+                   / (p.n_tokens / CAST(t AS DOUBLE))
+                 ELSE 0.0 END, 6) AS sampling_weight
+    FROM per_docs d LEFT JOIN per_source p ON d.source = p.source
+    CROSS JOIN tot ORDER BY d.source""")
+    return "".join(parts)
+
+
+@query("text_mixture_weights_bpe", _mix_bpe_oracle_sql())
+def text_mixture_weights_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture reweighting budgeted in REAL tokenizer tokens
+    (mixture_weights(tokenizer=merges) → bpe_token_count): the LLM-
+    pipeline accounting chain runs end-to-end on BPE tokens instead of
+    whitespace words. The oracle re-tokenizes every distinct word through
+    the same fixed merges and replays the weight math, so the Arrow-
+    batched encode path's counts are value-certified."""
+    from workbench_spark.operators.text import mixture_weights
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_weights(
+        d,
+        {"src0": 0.25, "src1": 0.25, "src2": 0.25, "src3": 0.25},
+        tokenizer=list(_MIX_BPE_MERGES),
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("current_frac", 6).alias("current_frac"),
+        F.round("target_frac", 6).alias("target_frac"),
+        F.round("sampling_weight", 6).alias("sampling_weight"),
+    ).orderBy("source")
+
+
 # =====================================================================
 # Deduplication
 # =====================================================================
@@ -4361,6 +4454,73 @@ def text_dedup_spans_sentences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return dedup_spans(d, unit="sentences", chunk_sents=3)
+
+
+@query(
+    "text_dedup_exact_substr",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    lg AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 20 THEN
+               [md5(array_to_string(w[i+1 : i+20], ' '))
+                for i in generate_series(0, len(w)-20)]
+             ELSE [] END AS c
+      FROM base
+    ),
+    ex AS (
+      SELECT doc_id, UNNEST(generate_series(0, len(c)-1)) AS pos, UNNEST(c) AS h
+      FROM lg WHERE len(c) > 0
+    ),
+    occ AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS occ
+      FROM ex
+    ),
+    dups AS (SELECT doc_id, pos FROM occ WHERE occ > 1),
+    tok AS (
+      SELECT doc_id, UNNEST(generate_series(0, len(w)-1)) AS i, UNNEST(w) AS t
+      FROM base
+    ),
+    rem AS (
+      SELECT DISTINCT t.doc_id, t.i
+      FROM tok t JOIN dups d ON t.doc_id = d.doc_id
+                            AND t.i >= d.pos AND t.i < d.pos + 20
+    ),
+    reb AS (
+      SELECT t.doc_id,
+             COALESCE(string_agg(CASE WHEN r.i IS NULL THEN t.t END,
+                                 ' ' ORDER BY t.i), '') AS text_deduped,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN r.i IS NOT NULL THEN 1 ELSE 0 END) AS n_removed
+      FROM tok t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.i = r.i
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, text_deduped,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_removed AS BIGINT) AS n_removed
+    FROM reb
+    """,
+)
+def text_dedup_exact_substr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021 ExactSubstr, bounded-length
+    variant; text.dedup_exact_substrings): every duplicated 20-token
+    window keeps only its first (doc, pos) occurrence; later occurrences'
+    tokens are excised with overlapping cuts merged, and documents are
+    rebuilt from the surviving ranges. The engine does interval-merge +
+    complement in per-row HOFs; the oracle marks covered token indices
+    with a bounded range join and rebuilds via ordered string_agg — the
+    hash match certifies the reconstructed STRINGS byte-for-byte (20 <
+    the paper's 50 so the rule actually fires on the test corpus's
+    10-99-token documents)."""
+    from workbench_spark.operators.text import dedup_exact_substrings
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_exact_substrings(d, min_length=20)
 
 
 def _tfidf_oracle_sql(dim: int = 16) -> str:
