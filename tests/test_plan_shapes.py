@@ -42,6 +42,12 @@ BNLJ_ALLOWED = {
     "m4_uq_applicability": "exact-KNN UQ scoring over broadcast queries",
     "q22_dormant_accounts": "1-row global-mean-balance aggregate crossed into scan",
     "text_mixture_weights": "1-row grand-total-tokens aggregate crossed into the per-source frame",
+    "text_mixture_weights_bpe": "same 1-row grand-total cross (mixture_weights "
+                                "with BPE token counts)",
+    "text_dsir_weights": "two 1-row corpus-total aggregates crossed into the "
+                         "fixed 256-row DSIR λ model table",
+    "text_dsir_resample": "same DSIR λ-model 1-row totals cross (weights feed "
+                          "the Gumbel top-k)",
 }
 
 

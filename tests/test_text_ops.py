@@ -558,3 +558,51 @@ def test_exact_substr_long_duplicate_region_excised_wholesale(spark):
     # occurrence; merged cut = the full 10 tokens
     assert out[2]["text_deduped"] == "head2 tail2"
     assert out[2]["n_removed"] == 10
+
+
+def test_sample_to_mixture_modes_and_determinism(spark):
+    """sample_to_mixture: downsample never repeats and keeps with
+    p=min(1,w); resample emits floor(w)+Bernoulli(frac) copies with
+    expected count = w; both deterministic across partitionings."""
+    from workbench_spark.operators.text import mixture_weights, sample_to_mixture
+
+    rows = [(i, "src_a" if i < 80 else "src_b", "word " * (5 if i < 80 else 50)) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    # src_b has 20 docs x 50 tokens = 1000 tokens, src_a 80 x 5 = 400
+    target = {"src_a": 0.5, "src_b": 0.5}
+    w = {r["source"]: r["sampling_weight"] for r in mixture_weights(docs, target).collect()}
+    assert w["src_a"] > 1.0 and w["src_b"] < 1.0  # up- and down-weighted
+
+    down = sample_to_mixture(docs, target, mode="downsample").collect()
+    ids = [r["doc_id"] for r in down]
+    assert len(ids) == len(set(ids))  # never repeats
+    # all src_a docs survive (w > 1 -> p = 1)
+    assert sum(1 for r in down if r["source"] == "src_a") == 80
+    assert 0 < sum(1 for r in down if r["source"] == "src_b") < 20
+
+    res = sample_to_mixture(docs, target).collect()
+    per_doc = {}
+    for r in res:
+        per_doc[r["doc_id"]] = max(per_doc.get(r["doc_id"], 0), r["copy_idx"] + 1)
+    n_a = sum(v for d, v in per_doc.items() if d < 80)
+    import math
+    # every src_a doc appears at least floor(w) times
+    assert all(v >= math.floor(w["src_a"]) for d, v in per_doc.items() if d < 80)
+    # total src_a copies within 1 of expected either side per-doc bound
+    assert 80 * math.floor(w["src_a"]) <= n_a <= 80 * math.ceil(w["src_a"])
+
+    again = sample_to_mixture(docs.repartition(7), target).collect()
+    assert sorted((r["doc_id"], r["copy_idx"]) for r in res) == sorted(
+        (r["doc_id"], r["copy_idx"]) for r in again
+    )
+
+
+def test_sample_to_mixture_drops_untargeted_sources(spark):
+    from workbench_spark.operators.text import sample_to_mixture
+
+    docs = spark.createDataFrame(
+        [(1, "keep", "a b c"), (2, "drop", "d e f")],
+        "doc_id int, source string, text string",
+    )
+    out = sample_to_mixture(docs, {"keep": 1.0}).collect()
+    assert {r["source"] for r in out} == {"keep"}

@@ -1,0 +1,234 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): score every raw-pool document by how target-like its
+hashed n-gram distribution is, then sample k documents ∝ exp(weight)
+without replacement via Gumbel-top-k.
+
+The reference (SuperCowPowers/workbench) has no counterpart — this is
+part of the LLM training-data-pipeline mandate (quality-driven data
+selection, the published alternative to classifier filtering).
+
+Design for 100 TB:
+- Features are hashed (unigram + bigram word) buckets — the model is a
+  fixed ``n_buckets``-row table regardless of corpus size, broadcast to
+  every scoring task. No vocabulary shuffle, no hot-key join (bucket
+  counts partial-aggregate map-side).
+- Per-document scoring is one explode → broadcast-join → groupBy(doc):
+  linear in token count, equi-join shaped.
+- λ weights are quantized to integer micro-nats (BIGINT): per-doc sums
+  are exact and associative, so partial aggregation order can never
+  change a result, and a DuckDB oracle replaying the same
+  floor(ln(·)·1e6 + 0.5) per bucket reproduces every document weight
+  bit-for-bit (same trick as functions/langid.py).
+- Gumbel keys for the resample are derived from the engine-portable
+  polynomial hash of the document id (no rand()), so selection is
+  deterministic, reproducible across runs/partitionings, and
+  oracle-checkable. Top-k is TakeOrdered (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Engine-portable polynomial hash (base 31 mod 1e9+7 over code points) —
+#: the same family as simhash_portable / tfidf_vectors, replayable in
+#: DuckDB via list_reduce. ``{c}`` is the column name to hash.
+_POLY = (
+    "aggregate(transform(sequence(1, length({c}), 1),"
+    " i -> ascii(substring({c}, i, 1))),"
+    " 0L, (a, ch) -> (a * 31 + ch) % 1000000007)"
+)
+
+#: Nonlinear finalizer for when the polynomial hash is used as a UNIFORM
+#: draw (not just a bucket id): consecutive ids share a string prefix, so
+#: their raw polynomial values are nearly consecutive integers — useless
+#: as an RNG. (p² + p·2654435761) mod (1e9+7) decorrelates them (measured
+#: frac(u < 0.7) = 0.70028 over 100k consecutive ids); every product fits
+#: int64 in both Spark and DuckDB, so the oracle replays it exactly.
+_MIX = (
+    "((({p}) * ({p})) % 1000000007 + (({p}) * 2654435761) % 1000000007)"
+    " % 1000000007"
+)
+
+
+def _gram_frame(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, g) rows: one per word unigram AND word bigram ("w1 w2") after
+    the standard normalize-lower-collapse tokenization."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    with_t = df.select(F.col(id_col), toks.alias("__toks"))
+    bigrams = F.zip_with(
+        F.slice("__toks", 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+        F.slice("__toks", 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return with_t.select(
+        F.col(id_col), F.explode(F.concat(F.col("__toks"), bigrams)).alias("g")
+    )
+
+
+def _bucket_frame(df: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
+    """(id, bucket) rows — hashed-n-gram feature occurrences."""
+    poly = _POLY.format(c="g")
+    return _gram_frame(df, text_col, id_col).select(
+        F.col(id_col), (F.expr(poly) % F.lit(n_buckets)).cast("int").alias("bucket")
+    )
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-bucket hashed-n-gram occurrence counts — the persistable DSIR
+    corpus model: (bucket int, cnt long), at most ``n_buckets`` rows.
+    One explode → one groupBy (map-side combinable)."""
+    return (
+        _bucket_frame(df, text_col, id_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_lambda_table(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket importance log-ratio, quantized to integer micro-nats:
+
+        λ_b = ln((c_target_b + α) / (T_target + α·B))
+            − ln((c_raw_b    + α) / (T_raw    + α·B))
+        lam_micro_b = floor(λ_b · 1e6 + 0.5)   (BIGINT)
+
+    Laplace-smoothed multinomial models on both sides, so buckets unseen
+    in either corpus still get a finite, well-defined weight. The output
+    is a full ``n_buckets``-row table (broadcastable model artifact).
+    Totals ride along as a 1-row broadcast cross join — no driver pull."""
+    spark = target_counts.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    tt = target_counts.agg(F.sum("cnt").alias("__tt"))
+    rt = raw_counts.agg(F.sum("cnt").alias("__rt"))
+    ab = float(alpha) * n_buckets
+    lam = (
+        buckets.join(
+            F.broadcast(target_counts.withColumnRenamed("cnt", "__tc")), "bucket", "left"
+        )
+        .join(F.broadcast(raw_counts.withColumnRenamed("cnt", "__rc")), "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "bucket",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(float(alpha)))
+                        / (F.col("__tt") + F.lit(ab))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("__rc"), F.lit(0)) + F.lit(float(alpha)))
+                        / (F.col("__rt") + F.lit(ab))
+                    )
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    return lam
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    lam: DataFrame | None = None,
+) -> DataFrame:
+    """Per-raw-document DSIR importance weight.
+
+    Output: (id, n_grams long, log_w_micro long, log_importance double)
+    where log_w_micro = Σ_{g ∈ doc} lam_micro[bucket(g)] (exact integer
+    sum — associative, engine-portable) and log_importance is the
+    convenience double log_w_micro / 1e6.
+
+    Pass a precomputed ``lam`` table (dsir_lambda_table output) to reuse
+    a persisted model; otherwise both corpus models are fit here. Every
+    raw document appears in the output (gram-less docs get weight 0)."""
+    if lam is None:
+        tc = dsir_bucket_counts(target, text_col, id_col, n_buckets)
+        rc = dsir_bucket_counts(raw, text_col, id_col, n_buckets)
+        lam = dsir_lambda_table(tc, rc, n_buckets, alpha)
+    scored = (
+        _bucket_frame(raw, text_col, id_col, n_buckets)
+        .join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lam_micro").alias("log_w_micro"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("log_w_micro"), F.lit(0)).cast("long").alias("log_w_micro"),
+            (F.coalesce(F.col("log_w_micro"), F.lit(0)) / F.lit(1e6)).alias(
+                "log_importance"
+            ),
+        )
+    )
+
+
+def dsir_resample(
+    weighted: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_w_micro",
+    seed: int = 7,
+) -> DataFrame:
+    """Gumbel-top-k resample: k documents sampled without replacement with
+    P(doc) ∝ exp(log weight) — the exact DSIR selection rule (Xie 2023 §2;
+    Gumbel-max equivalence). The Gumbel noise is derived from the
+    engine-portable polynomial hash of (seed, id), passed through the
+    nonlinear finalizer _MIX (consecutive ids share a string prefix, so
+    raw polynomial values are nearly consecutive — correlated noise):
+
+        m = mix(poly("g{seed}:" || id))
+        u = (m % 999983 + 1) / 999985.0                        ∈ (0, 1)
+        gumbel_micro = floor(−ln(−ln(u)) · 1e6 + 0.5)
+        key_micro    = log_w_micro + gumbel_micro              (BIGINT)
+
+    so the draw is deterministic, partitioning-independent, and DuckDB
+    can replay the selection exactly. Top-k is orderBy(...).limit(k) —
+    Spark's TakeOrdered (per-partition heaps + driver merge of k·P rows),
+    never a global sort. Deterministic id tiebreak."""
+    s = F.concat(F.lit(f"g{seed}:"), F.col(id_col).cast("string"))
+    with_u = (
+        weighted.withColumn("__s", s)
+        .withColumn("__p", F.expr(_POLY.format(c="__s")))
+        .withColumn(
+            "__u",
+            ((F.expr(_MIX.format(p="__p")) % 999983) + 1) / F.lit(999985.0),
+        )
+    )
+    keyed = with_u.select(
+        *[F.col(c) for c in weighted.columns],
+        (
+            F.col(weight_col)
+            + F.floor(-F.log(-F.log(F.col("__u"))) * F.lit(1e6) + F.lit(0.5)).cast(
+                "long"
+            )
+        ).alias("key_micro"),
+    )
+    return keyed.orderBy(F.col("key_micro").desc(), F.col(id_col).asc()).limit(k)

@@ -531,6 +531,84 @@ def mixture_weights(
     )
 
 
+def sample_to_mixture(
+    docs: DataFrame,
+    target: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 13,
+    mode: str = "resample",
+    tokenizer=None,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """MATERIALIZE the domain mixture that ``mixture_weights`` plans:
+    emit the actual training rows, with every sampling decision a
+    deterministic pure function of (seed, doc id) — reproducible across
+    runs, partitionings, and engines (no rand(); the uniform draw is the
+    engine-portable polynomial hash mod 1e6, so a DuckDB oracle replays
+    the exact survivor set bit-for-bit).
+
+    For each document with per-source sampling weight w:
+      - ``mode='downsample'``: keep with p = min(1, w) — never repeats a
+        document (the conservative setting when upsampling is unwanted).
+      - ``mode='resample'`` (default): emit floor(w) full copies plus one
+        more with probability frac(w) — expected copies = w exactly, so
+        expected token counts hit the target mixture (the DoReMi-style
+        epoch-repeat semantics for under-represented domains). Copies are
+        distinguished by ``copy_idx`` (0-based).
+
+    Plan shape: one broadcast join of the tiny per-source weight table,
+    one codegen'd projection, and (resample only) an explode of
+    sequence(0, n_copies-1) — no shuffle beyond the weight aggregation.
+    Pass a precomputed ``weights`` frame (mixture_weights output) to
+    reuse a persisted plan; ``tokenizer`` is forwarded otherwise."""
+    if mode not in ("downsample", "resample"):
+        raise ValueError(f"sample_to_mixture: unknown mode {mode!r}")
+    w = (
+        weights
+        if weights is not None
+        else mixture_weights(docs, target, source_col, text_col, tokenizer)
+    )
+    wt = F.broadcast(w.select(source_col, "sampling_weight"))
+    joined = docs.join(wt, source_col)
+    # deterministic uniform integer in [0, 1e6): portable polynomial hash
+    # of "mix{seed}:{id}" through the nonlinear finalizer (consecutive ids
+    # share a prefix, so RAW polynomial values are nearly consecutive —
+    # the finalizer decorrelates them; see operators/dsir._MIX)
+    from workbench_spark.operators.dsir import _MIX, _POLY
+
+    with_u = (
+        joined.withColumn(
+            "__s", F.concat(F.lit(f"mix{seed}:"), F.col(id_col).cast("string"))
+        )
+        .withColumn("__p", F.expr(_POLY.format(c="__s")))
+        .withColumn(
+            "__u", (F.expr(_MIX.format(p="__p")) % F.lit(1000000)).cast("long")
+        )
+    )
+    if mode == "downsample":
+        p = F.least(F.lit(1.0), F.col("sampling_weight"))
+        thr = F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return (
+            with_u.filter(F.col("__u") < thr)
+            .drop("__s", "__u", "sampling_weight")
+        )
+    base = F.floor(F.col("sampling_weight")).cast("int")
+    frac = F.col("sampling_weight") - F.floor(F.col("sampling_weight"))
+    thr = F.floor(frac * F.lit(1e6) + F.lit(0.5)).cast("long")
+    n_copies = base + F.when(F.col("__u") < thr, F.lit(1)).otherwise(F.lit(0))
+    return (
+        with_u.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)),
+        )
+        .drop("__s", "__u", "__n", "sampling_weight")
+    )
+
+
 def vocabulary(
     df: DataFrame,
     text_col: str = "text",

@@ -4648,3 +4648,200 @@ def text_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_train(d, num_merges=24, min_count=2, max_words=5000)
+
+
+# =====================================================================
+# DSIR — importance-resampling data selection (Xie et al. 2023)
+# =====================================================================
+
+_DSIR_B = 256  # registry-entry bucket count (production default is 4096)
+
+_DSIR_POLY_G = (
+    "list_reduce(list_prepend(0::BIGINT,"
+    " [ascii(substr(g, i, 1)) for i in generate_series(1, length(g))]),"
+    " (a, c) -> (a * 31 + c) % 1000000007)"
+)
+
+
+def _dsir_weights_oracle_sql(b: int = _DSIR_B) -> str:
+    """DuckDB replay of operators/dsir.dsir_weights with target = English
+    documents and raw pool = everything else: same tokenization, same
+    unigram+bigram hashed features (portable polynomial bucket hash),
+    same Laplace-smoothed log-ratio quantized to integer micro-nats
+    (floor(λ·1e6 + 0.5) — the langid integer-weight trick, so per-doc
+    sums are exact in both engines and the hash match is bit-level)."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, list_filter(
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+        x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, UNNEST(list_concat(toks,
+        [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)])) AS g
+      FROM base
+    ),
+    gb AS (SELECT doc_id, lang, CAST({_DSIR_POLY_G} % {b} AS INT) AS bucket FROM grams),
+    tcnt AS (SELECT bucket, COUNT(*) AS c FROM gb WHERE lang = 'en' GROUP BY bucket),
+    rcnt AS (SELECT bucket, COUNT(*) AS c FROM gb WHERE lang <> 'en' GROUP BY bucket),
+    tt AS (SELECT COUNT(*) AS t FROM gb WHERE lang = 'en'),
+    rt AS (SELECT COUNT(*) AS t FROM gb WHERE lang <> 'en'),
+    lam AS (
+      SELECT i.b AS bucket,
+             CAST(floor((ln((COALESCE(tc.c, 0) + 1.0) / (tt.t + {b}.0))
+                       - ln((COALESCE(rc.c, 0) + 1.0) / (rt.t + {b}.0))) * 1e6 + 0.5)
+                  AS BIGINT) AS lam_micro
+      FROM (SELECT UNNEST(generate_series(0, {b - 1})) AS b) i
+      LEFT JOIN tcnt tc ON i.b = tc.bucket
+      LEFT JOIN rcnt rc ON i.b = rc.bucket
+      CROSS JOIN tt CROSS JOIN rt
+    ),
+    scored AS (
+      SELECT gb.doc_id, COUNT(*) AS n_grams, SUM(lam.lam_micro) AS lw
+      FROM gb JOIN lam USING (bucket) WHERE gb.lang <> 'en' GROUP BY gb.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(s.lw, 0) AS BIGINT) AS log_w_micro,
+           COALESCE(s.lw, 0) / 1e6 AS log_importance
+    FROM (SELECT doc_id FROM documents WHERE lang <> 'en') d
+    LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """
+
+
+@query("text_dsir_weights", _dsir_weights_oracle_sql())
+def text_dsir_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023; operators/dsir): target =
+    English docs, raw pool = the rest; hashed unigram+bigram features →
+    Laplace-smoothed log-likelihood-ratio per bucket, quantized to
+    integer micro-nats (exact associative sums). The model is one
+    256-row broadcast table; scoring is explode → broadcast join →
+    groupBy(doc) — linear, equi-join shaped, no vocabulary shuffle."""
+    from workbench_spark.operators.dsir import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_weights(
+        d.filter(F.col("lang") != "en"),
+        d.filter(F.col("lang") == "en"),
+        n_buckets=_DSIR_B,
+    )
+    return out.select(
+        "doc_id", "n_grams", "log_w_micro", F.col("log_importance")
+    )
+
+
+def _dsir_resample_oracle_sql(b: int = _DSIR_B, k: int = 50) -> str:
+    """Gumbel-top-k selection replay: u from the portable polynomial hash
+    of 'g7:<doc_id>' through the nonlinear finalizer (p² + p·2654435761
+    mod 1e9+7 — raw polynomials of consecutive ids are nearly consecutive,
+    so without it the noise is correlated), gumbel quantized to
+    micro-nats, key = weight + gumbel (all BIGINT — selection and
+    ordering are engine-exact)."""
+    poly_s = (
+        "list_reduce(list_prepend(0::BIGINT,"
+        " [ascii(substr(s, i, 1)) for i in generate_series(1, length(s))]),"
+        " (a, c) -> (a * 31 + c) % 1000000007)"
+    )
+    return f"""
+    WITH w AS ({_dsir_weights_oracle_sql(b)}),
+    mixed AS (
+      SELECT doc_id, n_grams, log_w_micro,
+             ((p * p) % 1000000007 + (p * 2654435761) % 1000000007)
+               % 1000000007 AS m
+      FROM (SELECT *, {poly_s} AS p
+            FROM (SELECT *, 'g7:' || CAST(doc_id AS VARCHAR) AS s FROM w))
+    ),
+    keyed AS (
+      SELECT doc_id, n_grams, log_w_micro,
+             log_w_micro + CAST(floor(-ln(-ln((m % 999983 + 1) / 999985.0))
+                                      * 1e6 + 0.5) AS BIGINT) AS key_micro
+      FROM mixed
+    )
+    SELECT doc_id, log_w_micro, key_micro
+    FROM keyed ORDER BY key_micro DESC, doc_id LIMIT {k}
+    """
+
+
+@query("text_dsir_resample", _dsir_resample_oracle_sql())
+def text_dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resample: 50 raw-pool docs sampled without
+    replacement ∝ exp(importance weight), noise derived from the
+    portable hash (deterministic, partitioning-independent, replayed
+    bit-for-bit by the oracle). Engine top-k is TakeOrdered — never a
+    global sort."""
+    from workbench_spark.operators.dsir import dsir_resample, dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = dsir_weights(
+        d.filter(F.col("lang") != "en"),
+        d.filter(F.col("lang") == "en"),
+        n_buckets=_DSIR_B,
+    )
+    out = dsir_resample(w, 50)
+    return out.select("doc_id", "log_w_micro", "key_micro")
+
+
+def _sample_to_mixture_oracle_sql() -> str:
+    """DuckDB replay of text.sample_to_mixture(mode='resample'): same
+    mixture_weights arithmetic (every step a single IEEE op in both
+    engines), same portable-hash uniform draw (poly('mix13:'||id) % 1e6),
+    same floor(w) + Bernoulli(frac(w)) copy count, copies via
+    generate_series — the survivor multiset matches bit-for-bit."""
+    poly = (
+        "list_reduce(list_prepend(0::BIGINT,"
+        " [ascii(substr(s, i, 1)) for i in generate_series(1, length(s))]),"
+        " (a, c) -> (a * 31 + c) % 1000000007)"
+    )
+    return f"""
+    WITH per_source AS (
+      SELECT source, SUM(len(regexp_extract_all(text, '\\S+'))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per_source),
+    w AS (
+      SELECT source,
+             CASE WHEN (n_tokens / CAST(t AS DOUBLE)) > 0 THEN
+               (CASE WHEN source = 'src0' THEN 0.5
+                     WHEN source IN ('src1', 'src2') THEN 0.25
+                     ELSE 0.0 END) / (n_tokens / CAST(t AS DOUBLE))
+             ELSE 0.0 END AS sw
+      FROM per_source CROSS JOIN tot
+    ),
+    docs AS (
+      SELECT doc_id, source, sw,
+             (((p * p) % 1000000007 + (p * 2654435761) % 1000000007)
+              % 1000000007) % 1000000 AS u
+      FROM (SELECT doc_id, source, sw, ({poly}) AS p
+            FROM (SELECT d.doc_id, d.source, w.sw,
+                         'mix13:' || CAST(d.doc_id AS VARCHAR) AS s
+                  FROM documents d JOIN w USING (source)))
+    ),
+    n AS (
+      SELECT doc_id, source,
+             CAST(floor(sw) AS INT)
+             + CASE WHEN u < floor((sw - floor(sw)) * 1e6 + 0.5)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM docs
+    )
+    SELECT doc_id, source,
+           CAST(UNNEST(generate_series(0, n_copies - 1)) AS INT) AS copy_idx
+    FROM n WHERE n_copies > 0
+    """
+
+
+@query("text_sample_to_mixture", _sample_to_mixture_oracle_sql())
+def text_sample_to_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture MATERIALIZATION (text.sample_to_mixture, resample mode):
+    three target domains at 50/25/25, the rest dropped; under-represented
+    domains are epoch-repeated (floor(w) copies + Bernoulli(frac(w)) via
+    the deterministic portable-hash draw — no rand()), so expected token
+    counts hit the target exactly. One broadcast join + one projection +
+    one explode; the oracle replays the survivor multiset bit-for-bit."""
+    from workbench_spark.operators.text import sample_to_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_to_mixture(d, {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+    return out.select(
+        "doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx")
+    )
