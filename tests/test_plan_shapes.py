@@ -44,6 +44,8 @@ BNLJ_ALLOWED = {
     "text_mixture_weights": "1-row grand-total-tokens aggregate crossed into the per-source frame",
     "text_mixture_weights_bpe": "same 1-row grand-total cross (mixture_weights "
                                 "with BPE token counts)",
+    "text_sample_to_mixture": "same 1-row grand-total cross inside "
+                              "mixture_weights (the weight plan it materializes)",
     "text_dsir_weights": "two 1-row corpus-total aggregates crossed into the "
                          "fixed 256-row DSIR λ model table",
     "text_dsir_resample": "same DSIR λ-model 1-row totals cross (weights feed "

@@ -4845,3 +4845,188 @@ def text_sample_to_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx")
     )
+
+
+# =====================================================================
+# Sketches — Count-Min + Bloom (operators/sketches.py)
+# =====================================================================
+
+_SK_TOK_SQL = """
+  SELECT doc_id, UNNEST(list_filter(
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+    x -> length(x) > 0)) AS token
+  FROM documents
+"""
+
+_SK_POLY = (
+    "list_reduce(list_prepend(0::BIGINT,"
+    " [ascii(substr(token, i, 1)) for i in generate_series(1, length(token))]),"
+    " (a, c) -> (a * 31 + c) % 1000000007)"
+)
+
+
+def _cms_build_oracle_sql(depth: int = 4, width: int = 64) -> str:
+    """DuckDB replay of sketches.cms_build over the corpus token stream:
+    identical portable hash + per-depth affine diversifiers, identical
+    (j, bucket, cnt) table — the hash match certifies the sketch
+    CONTENTS bit-for-bit."""
+    from workbench_spark.operators.sketches import _A, _B
+
+    unions = " UNION ALL ".join(
+        f"SELECT {j} AS j, CAST((p * {_A[j]} + {_B[j]}) % 1000000007 % {width}"
+        f" AS INT) AS bucket FROM hp"
+        for j in range(depth)
+    )
+    return f"""
+    WITH tok AS ({_SK_TOK_SQL}),
+    hp AS (SELECT ({_SK_POLY}) AS p FROM tok),
+    b AS ({unions})
+    SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM b GROUP BY j, bucket
+    """
+
+
+@query("sketch_cms_token_counts", _cms_build_oracle_sql())
+def sketch_cms_build_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch build (Cormode 2005; operators/sketches): the
+    corpus token stream folded into a fixed 4×64 count table — one
+    posexplode + one map-side-combinable groupBy at any corpus size.
+    Mergeable by addition (per-batch artifacts)."""
+    from workbench_spark.operators.dedup import normalize_text
+    from workbench_spark.operators.sketches import cms_build
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token")
+    )
+    return cms_build(toks, "token", depth=4, width=64)
+
+
+def _cms_estimates_oracle_sql(depth: int = 4, width: int = 64) -> str:
+    """Replay of cms_query against the cms_build sketch, plus the exact
+    per-token truth — certifying estimates AND exposing the ≥-true
+    overestimate property in the matched values."""
+    from workbench_spark.operators.sketches import _A, _B
+
+    all_b = " UNION ALL ".join(
+        f"SELECT {j} AS j, CAST((p * {_A[j]} + {_B[j]}) % 1000000007 % {width}"
+        f" AS INT) AS bucket FROM hpall"
+        for j in range(depth)
+    )
+    probe_b = " UNION ALL ".join(
+        f"SELECT token, {j} AS j, CAST((p * {_A[j]} + {_B[j]}) % 1000000007 % {width}"
+        f" AS INT) AS bucket FROM hp"
+        for j in range(depth)
+    )
+    return f"""
+    WITH tok AS ({_SK_TOK_SQL}),
+    hpall AS (SELECT ({_SK_POLY}) AS p FROM tok),
+    ball AS ({all_b}),
+    sk AS (SELECT j, bucket, COUNT(*) AS cnt FROM ball GROUP BY j, bucket),
+    truth AS (SELECT token, COUNT(*) AS tc FROM tok GROUP BY token),
+    pr AS (SELECT DISTINCT token FROM tok WHERE token < 'e'),
+    hp AS (SELECT token, ({_SK_POLY}) AS p FROM pr),
+    pb AS ({probe_b}),
+    est AS (
+      SELECT pb.token, MIN(COALESCE(sk.cnt, 0)) AS e
+      FROM pb LEFT JOIN sk USING (j, bucket) GROUP BY pb.token
+    )
+    SELECT est.token, CAST(est.e AS BIGINT) AS cms_estimate,
+           CAST(truth.tc AS BIGINT) AS true_count
+    FROM est JOIN truth USING (token)
+    """
+
+
+@query("sketch_cms_estimates", _cms_estimates_oracle_sql())
+def sketch_cms_estimates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point queries (probes = distinct tokens < 'e') joined with the
+    exact truth: the matched values certify every estimate bit-for-bit
+    and demonstrate cms_estimate ≥ true_count in real data. Query is
+    probes × depth → LEFT broadcast equi-join → min over depths."""
+    from workbench_spark.operators.dedup import normalize_text
+    from workbench_spark.operators.sketches import cms_build, cms_query
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token")
+    )
+    sk = cms_build(toks, "token", depth=4, width=64)
+    probes = toks.filter(F.col("token") < "e").distinct()
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    est = cms_query(sk, probes, "token", depth=4, width=64)
+    return est.join(truth, "token").select(
+        "token",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        F.col("true_count").cast("long").alias("true_count"),
+    )
+
+
+def _bloom_oracle_sql(m_bits: int = 1024, k: int = 5) -> str:
+    """Replay of bloom_build over even-doc tokens + bloom_contains over
+    distinct odd-doc tokens: identical positions, 62-bit word packing,
+    bit_or words, and all-bits-set membership test."""
+    from workbench_spark.operators.sketches import _A, _B
+
+    pos_b = " UNION ALL ".join(
+        f"SELECT CAST((p * {_A[j]} + {_B[j]}) % 1000000007 % {m_bits} AS INT)"
+        f" AS pos FROM hpall"
+        for j in range(k)
+    )
+    probe_b = " UNION ALL ".join(
+        f"SELECT token, CAST((p * {_A[j]} + {_B[j]}) % 1000000007 % {m_bits}"
+        f" AS INT) AS pos FROM hp"
+        for j in range(k)
+    )
+    return f"""
+    WITH tok AS ({_SK_TOK_SQL}),
+    hpall AS (SELECT ({_SK_POLY}) AS p FROM tok WHERE doc_id % 2 = 0),
+    posall AS ({pos_b}),
+    bl AS (SELECT CAST(pos // 62 AS INT) AS word,
+                  bit_or(1::BIGINT << (pos % 62)) AS bits
+           FROM posall GROUP BY word),
+    pr AS (SELECT DISTINCT token FROM tok WHERE doc_id % 2 = 1),
+    hp AS (SELECT token, ({_SK_POLY}) AS p FROM pr),
+    pb AS (SELECT token, CAST(pos // 62 AS INT) AS word,
+                  1::BIGINT << (pos % 62) AS mask
+           FROM ({probe_b})),
+    hits AS (SELECT pb.token,
+                    CASE WHEN (COALESCE(bl.bits, 0) & pb.mask) = pb.mask
+                         THEN 1 ELSE 0 END AS hit
+             FROM pb LEFT JOIN bl USING (word))
+    SELECT token, MIN(hit) = 1 AS maybe_present FROM hits GROUP BY token
+    """
+
+
+@query("sketch_bloom_membership", _bloom_oracle_sql())
+def sketch_bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (Bloom 1970; operators/sketches): filter
+    built over even-doc tokens (⌈1024/62⌉ BIGINT words — a broadcastable
+    admission artifact), probed with every distinct odd-doc token. No
+    false negatives by construction; the oracle replays words, masks,
+    and the all-bits-set test exactly."""
+    from workbench_spark.operators.dedup import normalize_text
+    from workbench_spark.operators.sketches import bloom_build, bloom_contains
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token"),
+    )
+    bl = bloom_build(toks.filter(F.col("doc_id") % 2 == 0), "token", m_bits=1024, k=5)
+    probes = toks.filter(F.col("doc_id") % 2 == 1).select("token").distinct()
+    return bloom_contains(bl, probes, "token", m_bits=1024, k=5)
