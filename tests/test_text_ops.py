@@ -606,3 +606,57 @@ def test_sample_to_mixture_drops_untargeted_sources(spark):
     )
     out = sample_to_mixture(docs, {"keep": 1.0}).collect()
     assert {r["source"] for r in out} == {"keep"}
+
+
+def test_time_rollup_hierarchy_and_single_shuffle(spark):
+    """time_rollup: hand-checked grain tables on a tiny frame, per-group
+    variant drops the all-groups slice, and the plan pays ONE Exchange
+    for every grain at once (Expand + partial agg, not per-grain scans)."""
+    import contextlib
+    import datetime as dt
+    import io
+
+    from pyspark.sql import functions as F
+    from workbench_spark.operators.windows import time_rollup
+
+    rows = [
+        (dt.datetime(2026, 1, 1, 0, 10), "a", 1.0),
+        (dt.datetime(2026, 1, 1, 0, 50), "a", 2.0),
+        (dt.datetime(2026, 1, 1, 5, 0), "b", 4.0),
+        (dt.datetime(2026, 2, 3, 7, 0), "a", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, value double")
+    out = time_rollup(df, "ts", "value", grains=("month", "day", "hour"))
+    rows_out = {(r["grain"], r["bucket_ts"]): r for r in out.collect()}
+    # totals
+    tot = rows_out[("total", None)]
+    assert tot["n_rows"] == 4 and tot["value_sum"] == 15.0
+    # month grain: Jan has 3 rows sum 7, Feb 1 row sum 8
+    jan = rows_out[("month", dt.datetime(2026, 1, 1))]
+    feb = rows_out[("month", dt.datetime(2026, 2, 1))]
+    assert (jan["n_rows"], jan["value_sum"]) == (3, 7.0)
+    assert (feb["n_rows"], feb["value_sum"]) == (1, 8.0)
+    # hour grain: the 00:00 hour has both a-rows
+    h0 = rows_out[("hour", dt.datetime(2026, 1, 1, 0))]
+    assert (h0["n_rows"], h0["value_min"], h0["value_max"]) == (2, 1.0, 2.0)
+    # grain counts: 1 total + 2 months + 2 days + 3 hours
+    assert len(rows_out) == 8
+
+    # single Exchange in the physical plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    # count Exchanges in the AQE FINAL plan tree only (the detail and
+    # Initial Plan sections repeat every node)
+    tree = buf.getvalue().split("== Initial Plan ==")[0]
+    n_exchanges = sum(1 for line in tree.splitlines() if "Exchange (" in line)
+    assert n_exchanges == 1, tree
+    assert "Expand" in tree
+
+    # grouped variant: all-groups slice dropped, per-group totals present
+    g = time_rollup(df, "ts", "value", grains=("month",), group_col="k")
+    got = {(r["grain"], r["k"], r["bucket_ts"]): r["value_sum"] for r in g.collect()}
+    assert got[("total", "a", None)] == 11.0
+    assert got[("total", "b", None)] == 4.0
+    assert got[("month", "a", dt.datetime(2026, 1, 1))] == 3.0
+    assert all(k[1] is not None for k in got)

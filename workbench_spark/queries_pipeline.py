@@ -5030,3 +5030,48 @@ def sketch_bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = bloom_build(toks.filter(F.col("doc_id") % 2 == 0), "token", m_bits=1024, k=5)
     probes = toks.filter(F.col("doc_id") % 2 == 1).select("token").distinct()
     return bloom_contains(bl, probes, "token", m_bits=1024, k=5)
+
+
+@query(
+    "w_time_rollup_events",
+    """
+    WITH base AS (
+      SELECT date_trunc('month', ts) AS m, date_trunc('day', ts) AS d,
+             date_trunc('hour', ts) AS h, value
+      FROM events
+    ),
+    r AS (
+      SELECT m, d, h, COUNT(*) AS n_rows, SUM(value) AS vs,
+             MIN(value) AS vmin, MAX(value) AS vmax,
+             GROUPING(m) AS gm, GROUPING(d) AS gd, GROUPING(h) AS gh
+      FROM base GROUP BY ROLLUP(m, d, h)
+    )
+    SELECT CASE WHEN gh = 0 THEN 'hour' WHEN gd = 0 THEN 'day'
+                WHEN gm = 0 THEN 'month' ELSE 'total' END AS grain,
+           COALESCE(h, d, m) AS bucket_ts,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(vs, 4) AS value_sum,
+           ROUND(vmin, 6) AS value_min,
+           ROUND(vmax, 6) AS value_max
+    FROM r
+    """,
+)
+def w_time_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (windows.time_rollup): hour,
+    day, month AND grand-total rollups of the event stream in ONE shuffle
+    (Spark plans hierarchical ROLLUP as a single Expand + partial
+    HashAggregate — one scan for all grains, vs len(grains)+1 scans for
+    self-unions). Oracle is DuckDB's native GROUP BY ROLLUP with
+    GROUPING() grain labels."""
+    from workbench_spark.operators.windows import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_rollup(ev, "ts", "value", grains=("month", "day", "hour"))
+    return out.select(
+        "grain",
+        "bucket_ts",
+        "n_rows",
+        F.round("value_sum", 4).alias("value_sum"),
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_max", 6).alias("value_max"),
+    )
