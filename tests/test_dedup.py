@@ -280,3 +280,43 @@ def test_cluster_representatives_hand_computed(spark):
     assert out[10]["keep"] and not out[11]["keep"]
     assert out[99]["keep"] and out[99]["component"] == 99
     assert out[1]["component"] == out[2]["component"] == out[3]["component"] == 1
+
+
+def test_semdedup_planted_groups(spark):
+    """SemDeDup keep-rule on planted duplicate groups: one survivor per
+    group (the member farthest from its centroid), singletons untouched,
+    deterministic across partitionings."""
+    import math
+
+    from pyspark.sql import functions as F
+    from workbench_spark.operators.dedup import semdedup
+
+    def unit(theta):
+        # 4-dim vectors on a circle in dims (0,1) + noise dims zero
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = []
+    # group A: three near-identical vectors (cos >= ~0.9999)
+    for i, t in enumerate([0.00, 0.005, 0.010]):
+        rows.append((i, unit(t)))
+    # group B: two near-identical vectors far from A
+    for i, t in enumerate([2.0, 2.004], start=10):
+        rows.append((i, unit(t)))
+    # singletons scattered
+    for i, t in enumerate([0.7, 1.3, 2.9], start=20):
+        rows.append((i, unit(t)))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = semdedup(df, n_clusters=3, eps=0.001, seed=7)
+    got = {r["id"]: r for r in out.collect()}
+    assert len(got) == len(rows)
+    # one survivor per planted group
+    assert sum(got[i]["kept"] for i in (0, 1, 2)) == 1
+    assert sum(got[i]["kept"] for i in (10, 11)) == 1
+    # all singletons kept
+    assert all(got[i]["kept"] for i in (20, 21, 22))
+    # determinism under repartition
+    again = {
+        r["id"]: r["kept"]
+        for r in semdedup(df.repartition(5), n_clusters=3, eps=0.001, seed=7).collect()
+    }
+    assert again == {i: r["kept"] for i, r in got.items()}

@@ -956,3 +956,111 @@ def cluster_representatives(
             (F.col(id_col) == F.col("__win_id")).alias("keep"),
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    eps: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via cluster-scoped embedding similarity. K-means
+    partitions the embedding space; near-duplicate pairs (cosine ≥ 1−eps)
+    are enumerated ONLY within clusters (the paper's trick that makes the
+    pair search tractable at web scale); duplicate groups = connected
+    components of those pairs; each group keeps exactly one example — the
+    member with the LOWEST cosine similarity to its cluster centroid
+    (the paper's keep-rule: retain the most marginal/diverse point).
+
+    Output: (id, cluster int, centroid_sim double, kept boolean) for every
+    input row — filter on ``kept`` for the surviving corpus.
+
+    Scale shape: k-means assignment is a map-side MLlib transform;
+    centroid similarity is one broadcast equi-join on cluster id (the
+    centroid table is n_clusters rows); candidate pairs form on a cell
+    equi-join (never a global cross product — O(Σ cell²) pairs, the
+    paper's own cost model); components come from the label-propagation
+    CC (tiny diameters here); the keep-rule is one min(struct) per
+    component. Seeded k-means ⇒ rows-only correctness gate + invariant
+    companions (same convention as knn_cosine_ivf).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from workbench_spark.operators.graph import connected_components
+    from workbench_spark.operators.similarity import _dot, _norm
+
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("__n"),
+    ).withColumn(
+        "__mlvec", array_to_vector(F.transform("v", lambda x: x.cast("double")))
+    )
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__mlvec", predictionCol="cluster"
+    ).fit(vecs)
+    assigned = km.transform(vecs).drop("__mlvec")
+
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "cluster int, __c array<double>",
+    ).withColumn(
+        "__cn",
+        F.sqrt(F.aggregate("__c", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    with_sim = assigned.join(F.broadcast(cents), "cluster").select(
+        "cluster",
+        "id",
+        "v",
+        "__n",
+        (_dot(F.col("v"), F.col("__c")) / (F.col("__n") * F.col("__cn"))).alias(
+            "centroid_sim"
+        ),
+    )
+
+    a = with_sim.select(
+        "cluster", F.col("id").alias("src"), F.col("v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = with_sim.select(
+        "cluster", F.col("id").alias("dst"), F.col("v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("__sim"),
+        )
+        .filter(F.col("__sim") >= 1.0 - eps)
+        .select("src", "dst")
+    )
+    comp = connected_components(pairs)
+    members = with_sim.join(comp, with_sim["id"] == comp["node"], "left").select(
+        "cluster",
+        "id",
+        "centroid_sim",
+        F.coalesce(F.col("component"), F.col("id")).alias("__comp"),
+    )
+    winners = members.groupBy("__comp").agg(
+        F.min(F.struct(F.col("centroid_sim"), F.col("id"))).alias("__w")
+    )
+    return (
+        members.join(winners, "__comp")
+        .select(
+            "id",
+            "cluster",
+            "centroid_sim",
+            (F.col("id") == F.col("__w.id")).alias("kept"),
+        )
+    )

@@ -5075,3 +5075,82 @@ def w_time_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_min", 6).alias("value_min"),
         F.round("value_max", 6).alias("value_max"),
     )
+
+
+@query("dedup_semdedup")  # rows-only: seeded k-means (same convention as knn_cosine_ivf)
+def dedup_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas 2023; dedup.semdedup): cluster-scoped embedding
+    dedup, keep-most-marginal-per-group. Seeded k-means makes the cluster
+    ids non-SQL-reproducible → rows-only gate; the semantic guarantees are
+    hash-certified by dedup_semdedup_invariants and the planted-twin
+    tests."""
+    from workbench_spark.operators.dedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = semdedup(e, "vec_id", "embedding", n_clusters=8, eps=0.08)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "cluster",
+        _fround(F.col("centroid_sim")).alias("centroid_sim"),
+        "kept",
+    )
+
+
+@query(
+    "dedup_semdedup_invariants",
+    """
+    SELECT true AS all_rows_once, true AS no_kept_near_pair,
+           true AS one_kept_per_group
+    """,
+)
+def dedup_semdedup_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified SemDeDup guarantees (the oracle is the constant
+    truth vector — the ENGINE computes the booleans):
+    - all_rows_once: the verdict covers every embedding exactly once;
+    - no_kept_near_pair: among kept examples, NO within-cluster pair has
+      cosine ≥ 1−eps (deduplication actually happened — recomputed
+      exactly from the raw embeddings);
+    - one_kept_per_group: every dropped example has a kept example with
+      cosine ≥ 1−eps in its cluster (nothing was dropped without a
+      surviving representative)."""
+    from workbench_spark.operators.dedup import semdedup
+    from workbench_spark.operators.similarity import _dot, _norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = semdedup(e, "vec_id", "embedding", n_clusters=8, eps=0.08).cache()
+    n = e.count()
+    ids_once = out.count() == n and out.select("id").distinct().count() == n
+
+    scored = out.join(
+        e.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    ).select("id", "cluster", "kept", F.col("embedding").alias("v"),
+             _norm(F.col("embedding")).alias("__n"))
+    a = scored.select("cluster", F.col("id").alias("ia"), F.col("kept").alias("ka"),
+                      F.col("v").alias("va"), F.col("__n").alias("na"))
+    b = scored.select("cluster", F.col("id").alias("ib"), F.col("kept").alias("kb"),
+                      F.col("v").alias("vb"), F.col("__n").alias("nb"))
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ia", "ib", "ka", "kb",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("s"),
+        )
+        .filter(F.col("s") >= 1.0 - 0.08)
+        .cache()
+    )
+    no_kept_pair = pairs.filter(F.col("ka") & F.col("kb")).count() == 0
+    dropped = scored.filter(~F.col("kept")).select(F.col("id").alias("d"))
+    covered = (
+        dropped.join(
+            pairs.filter(F.col("kb")).select(F.col("ia").alias("d")).unionByName(
+                pairs.filter(F.col("ka")).select(F.col("ib").alias("d"))
+            ).distinct(),
+            "d",
+        ).count()
+        == dropped.count()
+    )
+    return spark.createDataFrame(
+        [(bool(ids_once), bool(no_kept_pair), bool(covered))],
+        "all_rows_once boolean, no_kept_near_pair boolean, one_kept_per_group boolean",
+    )
