@@ -510,3 +510,49 @@ def test_stream_domain_cap(spark, tmp_path):
     )
     assert ranks == [1, 2, 3, 4, 5]
     assert set(out.columns) == {"doc_id", "url", "domain", "domain_rank"}
+
+
+def test_stream_bloom_admit_matches_batch(spark, tmp_path):
+    """foreachBatch Bloom admission == batch bloom_contains on the same
+    data: corpus keys rejected (no false negatives ever), novel keys
+    admitted (fp-free at this m/n), and the filter artifact is the only
+    corpus state consulted."""
+    from pyspark.sql import functions as F
+    from workbench_spark.operators.sketches import bloom_build, bloom_contains
+    from workbench_spark.streaming.monitor import stream_bloom_admit
+
+    corpus = spark.createDataFrame(
+        [(i, f"seen-{i}") for i in range(200)], "doc_id long, text string"
+    )
+    bloom = bloom_build(corpus, "doc_id", m_bits=4096, k=5).localCheckpoint(
+        eager=True
+    )
+    replays = spark.createDataFrame(
+        [(i, f"seen-{i} again") for i in range(0, 40, 2)], "doc_id long, text string"
+    )
+    novel = spark.createDataFrame(
+        [(10_000 + i, f"new-{i}") for i in range(20)], "doc_id long, text string"
+    )
+    batch = replays.unionByName(novel)
+    src = str(tmp_path / "bloom_src")
+    sink = str(tmp_path / "bloom_sink")
+    ckpt = str(tmp_path / "bloom_ckpt")
+    batch.write.mode("overwrite").parquet(src)
+
+    q = stream_bloom_admit(
+        spark, src, batch.schema, bloom, sink, ckpt, key_col="doc_id"
+    )
+    q.awaitTermination(120)
+    streamed = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    batch_verdict = bloom_contains(
+        bloom, spark.read.parquet(src), "doc_id", m_bits=4096, k=5
+    )
+    expected = {
+        r["doc_id"]
+        for r in batch_verdict.filter(~F.col("maybe_present")).collect()
+    }
+    assert streamed == expected
+    # corpus replays can NEVER be admitted (one-sided error)
+    assert all(d >= 10_000 for d in streamed)
+    # at m=4096/n=200 the fp rate is ~1e-6 — all novel keys admitted
+    assert streamed == {10_000 + i for i in range(20)}

@@ -416,3 +416,52 @@ def stream_quality_monitor(
             "mean_words",
         )
     )
+
+def stream_bloom_admit(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    bloom: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    m_bits: int = 4096,
+    k: int = 5,
+):
+    """Streaming EXACT-key admission against a corpus Bloom filter: drop
+    incoming rows whose key is (probably) already in the ingested corpus
+    — the sketch-backed twin of ``stream_admit_against_corpus`` for
+    exact identities (URLs, content hashes, doc ids) instead of
+    near-duplicate text.
+
+    Why a Bloom artifact and not the corpus key set: the filter is
+    ⌈m_bits/62⌉ BIGINT rows whatever the corpus size — it broadcasts to
+    every micro-batch task, so admission is a map-side check with ZERO
+    shuffle of corpus data per batch (the anti-join against the raw key
+    set would shuffle or rebroadcast the full corpus every batch).
+    One-sided error only: a false positive REJECTS a genuinely new row
+    (rate ≈ (1−e^{−kn/m})^k — size m for the corpus); it never admits a
+    duplicate. Corpus refresh = bloom_merge new batches' filters and
+    restart on the snapshot (same convention as the banded-minhash
+    corpus artifact).
+
+    Shape: foreachBatch applying sketches.bloom_contains per micro-batch
+    (bounded frames), keeping maybe_present = false. Returns the started
+    StreamingQuery writing admitted rows to ``sink_dir`` as parquet."""
+    from workbench_spark.operators.sketches import bloom_contains
+
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        verdict = bloom_contains(bloom, batch_df, key_col, m_bits, k)
+        admitted = batch_df.join(
+            verdict.filter(~F.col("maybe_present")).select(key_col), key_col
+        )
+        admitted.write.mode("append").parquet(sink_dir)
+
+    return (
+        stream.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
