@@ -660,3 +660,59 @@ def test_time_rollup_hierarchy_and_single_shuffle(spark):
     assert got[("total", "b", None)] == 4.0
     assert got[("month", "a", dt.datetime(2026, 1, 1))] == 3.0
     assert all(k[1] is not None for k in got)
+
+
+def test_range_join_semantics_and_plan(spark):
+    """range_join: [start, end) boundaries, multi-match fan-out, left mode
+    NULL padding, and the plan is an EQUI-join (no BNLJ/Cartesian)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+    from workbench_spark.operators.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 25.0), (4, 99.0)], "pid int, x double"
+    )
+    ivs = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 5.0, 15.0), (300, 20.0, 30.0)],
+        "iid int, lo double, hi double",
+    )
+    out = range_join(pts, ivs, "x", "lo", "hi", bin_width=7.0)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    # x=5 in [0,10) and [5,15); x=10 NOT in [0,10) (exclusive end) but in
+    # [5,15); x=25 in [20,30); x=99 nowhere
+    assert got == [(1, 100), (1, 200), (2, 200), (3, 300)]
+
+    left = range_join(pts, ivs, "x", "lo", "hi", bin_width=7.0, how="left")
+    lg = {(r["pid"], r["iid"]) for r in left.collect()}
+    assert (4, None) in lg and len(lg) == 5
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_keyed_and_timestamps(spark):
+    import datetime as dt
+
+    from workbench_spark.operators.joins import range_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    pts = spark.createDataFrame(
+        [("u1", t0 + dt.timedelta(hours=1)), ("u2", t0 + dt.timedelta(hours=1))],
+        "uid string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [("u1", t0, t0 + dt.timedelta(hours=2), "w1"),
+         ("u2", t0 + dt.timedelta(hours=3), t0 + dt.timedelta(hours=4), "w2")],
+        "uid string, s timestamp, e timestamp, label string",
+    )
+    out = range_join(pts, ivs, "ts", "s", "e", bin_width=3600, on="uid")
+    got = [(r["uid"], r["label"]) for r in out.collect()]
+    # u2's event is OUTSIDE u2's window; without the uid key it would
+    # match u1's window — the equality key must scope the containment
+    assert got == [("u1", "w1")]

@@ -5154,3 +5154,45 @@ def dedup_semdedup_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(bool(ids_once), bool(no_kept_pair), bool(covered))],
         "all_rows_once boolean, no_kept_near_pair boolean, one_kept_per_group boolean",
     )
+
+
+@query(
+    "j_range_join_promo_windows",
+    """
+    WITH win AS (
+      SELECT i AS win_id,
+             TIMESTAMP '1995-01-01' + INTERVAL (i * 45) DAY AS win_start,
+             TIMESTAMP '1995-01-01' + INTERVAL (i * 45 + 90) DAY AS win_end
+      FROM (SELECT UNNEST(generate_series(0, 39)) AS i)
+    )
+    SELECT o.o_orderkey, w.win_id,
+           ROUND(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o JOIN win w
+      ON w.win_start <= o.o_orderdate AND o.o_orderdate < w.win_end
+    """,
+)
+def j_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (joins.range_join): order dates into 40 OVERLAPPING
+    90-day promotion windows (45-day stride — each date hits up to 2).
+    The engine takes the bin-bucketed equi-join path (bin = 45 days;
+    CartesianProduct/BNLJ banned by the plan gate); the oracle is
+    DuckDB's native inequality join — candidate generation strategy
+    differs, result set provably identical."""
+    import datetime as dt
+
+    from workbench_spark.operators.joins import range_join
+
+    base = int(dt.datetime(1995, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    day = 86400
+    win = spark.range(40).select(
+        F.col("id").cast("int").alias("win_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * (45 * day)).alias("win_start"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * (45 * day) + 90 * day).alias(
+            "win_end"
+        ),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    out = range_join(o, win, "o_orderdate", "win_start", "win_end", bin_width=45 * day)
+    return out.select(
+        "o_orderkey", "win_id", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
