@@ -46,6 +46,8 @@ BNLJ_ALLOWED = {
                                 "with BPE token counts)",
     "text_sample_to_mixture": "same 1-row grand-total cross inside "
                               "mixture_weights (the weight plan it materializes)",
+    "text_bm25_topk": "two 1-row aggregates (corpus count for idf, avgdl) "
+                      "crossed into the posting join",
     "text_dsir_weights": "two 1-row corpus-total aggregates crossed into the "
                          "fixed 256-row DSIR λ model table",
     "text_dsir_resample": "same DSIR λ-model 1-row totals cross (weights feed "

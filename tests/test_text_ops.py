@@ -716,3 +716,37 @@ def test_range_join_keyed_and_timestamps(spark):
     # u2's event is OUTSIDE u2's window; without the uid key it would
     # match u1's window — the equality key must scope the containment
     assert got == [("u1", "w1")]
+
+
+def test_bm25_self_retrieval_and_idf(spark):
+    """BM25: a query made from a doc's own rare terms retrieves that doc
+    first; repeated query words don't double-count (set semantics); rare
+    terms outweigh common ones."""
+    from workbench_spark.operators.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zephyr quartz nebula unique words " + "common " * 20),
+            (2, "common words appear here " + "common " * 30),
+            (3, "another document about spark plans and common things"),
+        ],
+        "doc_id int, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "zephyr quartz"), (200, "common common common")],
+        "query_id int, query string",
+    )
+    out = bm25_search(docs, queries, k=3)
+    rows = [(r["query_id"], r["doc_id"], r["rank"]) for r in out.collect()]
+    by_q = {}
+    for qid, did, rank in rows:
+        by_q.setdefault(qid, []).append((rank, did))
+    # rare-term query: doc 1 wins
+    assert sorted(by_q[100])[0] == (1, 1)
+    # only doc 1 contains the rare terms
+    assert len(by_q[100]) == 1
+    # 'common' query matches all three docs; repeated word counted once
+    assert len(by_q[200]) == 3
+    sc = {r["doc_id"]: r["score"] for r in out.filter(F.col("query_id") == 200).collect()}
+    # same single-term query: higher tf with shorter length wins BM25
+    assert sc[2] == max(sc.values())

@@ -1175,3 +1175,119 @@ from workbench_spark.operators.bpe import (  # noqa: E402,F401
     bpe_tokenize,
     bpe_train,
 )
+
+
+def bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Build the BM25 retrieval artifacts: postings (token, id, tf, dl)
+    and token stats (token, df, idf) with the Robertson/Sparck-Jones
+    positive idf = ln(1 + (N − df + 0.5)/(df + 0.5)). Two groupBys over
+    one explode; both outputs are persistable (the inverted index and its
+    vocabulary), and scoring against them is a token equi-join —
+    retrieval cost at 100 TB is bounded by posting-list sizes, never a
+    corpus scan."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    postings = (
+        base.select("id", F.size("__toks").alias("dl"), F.explode("__toks").alias("token"))
+        .groupBy("token", "id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    stats = (
+        postings.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    return postings, stats
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_col: str = "query",
+    qid_col: str = "query_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson & Zaragoza 2009) — the no-model
+    search bridge for curation workflows (find near-matches of a
+    benchmark prompt, pull topical slices, audit dedup misses):
+
+        score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) /
+                                   (tf + k1·(1 − b + b·dl/avgdl))
+
+    Query tokens are DEDUPED per query (set semantics — repeated words
+    in a query don't double-count; the classic Okapi formulation).
+
+    Plan: query tokens ⋈ postings on token (inverted-index equi-join —
+    candidates bounded by posting lists), one groupBy(query, doc) sum,
+    row_number top-k per query with (rounded score desc, id) determinism.
+    avgdl rides along as a 1-row broadcast cross. Pass ``index=`` to
+    reuse persisted bm25_index artifacts."""
+    from pyspark.sql import Window
+
+    from workbench_spark.operators.dedup import normalize_text
+
+    postings, stats = index if index is not None else bm25_index(docs, text_col, id_col)
+    avgdl = postings.select("id", "dl").distinct().agg(
+        F.avg("dl").alias("__avgdl")
+    )
+    qtoks = F.filter(
+        F.split(normalize_text(F.col(query_col)), " "), lambda t: F.length(t) > 0
+    )
+    qt = (
+        queries.select(F.col(qid_col).alias("qid"), F.explode(qtoks).alias("token"))
+        .distinct()
+    )
+    scored = (
+        qt.join(postings, "token")
+        .join(F.broadcast(stats.select("token", "idf")), "token")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "qid",
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+        .groupBy("qid", "id")
+        .agg(F.sum("__s").alias("score"))
+    )
+    rounded = scored.withColumn(
+        "__r", F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("__r").desc(), F.col("id").asc())
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            F.col("id").alias(id_col),
+            F.col("rank"),
+            F.col("__r").alias("score"),
+        )
+    )

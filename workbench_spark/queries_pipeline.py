@@ -5196,3 +5196,71 @@ def j_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "win_id", F.round("o_totalprice", 2).alias("o_totalprice")
     )
+
+
+@query(
+    "text_bm25_topk",
+    """
+    WITH base AS (
+      SELECT doc_id, list_filter(
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+        x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id AS id, len(toks) AS dl, UNNEST(toks) AS token FROM base),
+    post AS (SELECT token, id, dl, COUNT(*) AS tf FROM tok GROUP BY token, id, dl),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    stats AS (
+      SELECT token, ln(1.0 + (nd.n - COUNT(*) + 0.5) / (COUNT(*) + 0.5)) AS idf
+      FROM post CROSS JOIN nd GROUP BY token, nd.n
+    ),
+    avgdl AS (SELECT AVG(dl) AS a FROM (SELECT DISTINCT id, dl FROM post)),
+    q AS (
+      SELECT doc_id AS qid, toks[1:5] AS qtoks FROM base
+      WHERE doc_id % 100 = 0 AND len(toks) >= 5
+    ),
+    qt AS (SELECT DISTINCT qid, UNNEST(qtoks) AS token FROM q),
+    scored AS (
+      SELECT qt.qid, post.id,
+             SUM(stats.idf * (post.tf * 2.2)
+                 / (post.tf + 1.2 * (0.25 + 0.75 * post.dl / avgdl.a))) AS s
+      FROM qt JOIN post USING (token) JOIN stats USING (token) CROSS JOIN avgdl
+      GROUP BY qt.qid, post.id
+    ),
+    rounded AS (
+      SELECT qid, id, floor(s * 1e6 + 0.5) / 1e6 AS r FROM scored
+    )
+    SELECT qid AS query_id, id AS doc_id,
+           CAST(rank AS INT) AS rank, r AS score
+    FROM (SELECT qid, id, r,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY r DESC, id) AS rank
+          FROM rounded)
+    WHERE rank <= 10
+    """,
+)
+def text_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (text.bm25_search): queries are the first 5
+    tokens of every doc_id % 100 == 0 document (so each query has a
+    guaranteed strong match — itself — plus topical competitors). The
+    inverted index, idf table, avgdl, Okapi scoring, and the top-k window
+    are all replayed in DuckDB; scores use the _fround form with a
+    deterministic doc-id tiebreak on BOTH sides."""
+    from workbench_spark.operators.dedup import normalize_text
+    from workbench_spark.operators.text import bm25_search
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda t: F.length(t) > 0
+    )
+    qsrc = (
+        d.select("doc_id", toks.alias("__toks"))
+        .filter((F.col("doc_id") % 100 == 0) & (F.size("__toks") >= 5))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice("__toks", 1, 5)).alias("query"),
+        )
+    )
+    out = bm25_search(d, qsrc, k=10)
+    return out.select(
+        "query_id", "doc_id", F.col("rank").cast("int").alias("rank"), "score"
+    )
