@@ -592,3 +592,77 @@ def test_outlier_bounds_sampled_mode(spark):
     iqr_scale = ehi - elo
     assert abs(slo - elo) / iqr_scale < 0.1
     assert abs(shi - ehi) / iqr_scale < 0.1
+
+
+_ivs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-20, max_value=40),   # start
+        st.integers(min_value=0, max_value=15),     # length
+    ),
+    min_size=0,
+    max_size=12,
+)
+_pts_strategy = st.lists(
+    st.integers(min_value=-25, max_value=60), min_size=1, max_size=15
+)
+
+
+@given(
+    ivs=_ivs_strategy,
+    pts=_pts_strategy,
+    bw=st.sampled_from([1.0, 3.0, 7.5, 20.0]),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_brute_force(spark, ivs, pts, bw):
+    """range_join's binned equi-join must equal the O(P·I) brute force for
+    ANY bin width: [start, end) semantics, zero-length intervals empty,
+    duplicate points kept."""
+    from workbench_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(pts)], "pid int, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(j, float(s), float(s + ln)) for j, (s, ln) in enumerate(ivs)],
+        "iid int, lo double, hi double",
+    ) if ivs else spark.createDataFrame([], "iid int, lo double, hi double")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "x", "lo", "hi", bin_width=bw).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, x in enumerate(pts)
+        for j, (s, ln) in enumerate(ivs)
+        if s <= x < s + ln
+    )
+    assert got == want
+
+
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=1, max_size=30
+    ),
+    width=st.sampled_from([4, 16, 256]),
+)
+@settings(**SETTINGS)
+def test_cms_estimate_bounds(spark, keys, width):
+    """CMS contract on arbitrary key multisets: estimate >= true count for
+    EVERY key, and estimate <= true + (total - true) (a bucket can never
+    hold more than everything else hashed into it)."""
+    from collections import Counter
+
+    from workbench_spark.operators.sketches import cms_build, cms_query
+
+    truth = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    probes = spark.createDataFrame([(k,) for k in truth], "key string")
+    sk = cms_build(df, "key", depth=3, width=width)
+    est = {
+        r["key"]: r["cms_estimate"]
+        for r in cms_query(sk, probes, "key", depth=3, width=width).collect()
+    }
+    total = len(keys)
+    for k, true in truth.items():
+        assert est[k] >= true, (k, est[k], true)
+        assert est[k] <= total, (k, est[k], total)
