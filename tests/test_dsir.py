@@ -151,3 +151,30 @@ def test_dsir_resample_prefers_heavy_weights(spark):
     )
     top = dsir_resample(w, 1).collect()
     assert top[0]["doc_id"] == 1
+
+
+def test_nb_classifier_separable_and_priors(spark):
+    """nb_train/nb_score: perfectly separable vocabularies classify 100%
+    on held-out docs; gram-less docs fall back to the prior argmax
+    (majority class); model shape is dense k x B."""
+    from workbench_spark.operators.dsir import nb_score, nb_train
+
+    spam = [f"buy cheap pills now offer {i}" for i in range(8)]
+    ham = [f"meeting notes quarterly report agenda {i}" for i in range(4)]
+    train = spark.createDataFrame(
+        [(i, "spam", t) for i, t in enumerate(spam)]
+        + [(100 + i, "ham", t) for i, t in enumerate(ham)],
+        "doc_id int, label string, text string",
+    )
+    model = nb_train(train, "label", n_buckets=64)
+    assert model.count() == 2 * 64
+    test = spark.createDataFrame(
+        [(1000, "cheap pills offer"), (1001, "quarterly agenda report"),
+         (1002, "")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["label_pred"] for r in nb_score(test, model, n_buckets=64).collect()}
+    assert got[1000] == "spam"
+    assert got[1001] == "ham"
+    # empty doc: prior argmax = majority class (8 spam vs 4 ham)
+    assert got[1002] == "spam"

@@ -48,6 +48,8 @@ BNLJ_ALLOWED = {
                               "mixture_weights (the weight plan it materializes)",
     "text_bm25_topk": "two 1-row aggregates (corpus count for idf, avgdl) "
                       "crossed into the posting join",
+    "text_nb_classifier": "model construction: labels x buckets dense cross "
+                          "(k·B rows) + 1-row grand-count cross",
     "text_dsir_weights": "two 1-row corpus-total aggregates crossed into the "
                          "fixed 256-row DSIR λ model table",
     "text_dsir_resample": "same DSIR λ-model 1-row totals cross (weights feed "

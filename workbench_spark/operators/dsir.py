@@ -232,3 +232,124 @@ def dsir_resample(
         ).alias("key_micro"),
     )
     return keyed.orderBy(F.col("key_micro").desc(), F.col(id_col).asc()).limit(k)
+
+
+def nb_train(
+    labeled: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train a multinomial Naive-Bayes text classifier over hashed
+    unigram+bigram buckets — the closed-form stand-in for the logistic
+    'quality classifier' of GPT-3/LLaMA-style pipelines (train on a
+    labeled slice: curated-vs-crawl, domain labels, spam flags; score
+    the whole corpus). Unlike those, every weight is an integer
+    micro-nat, so scoring is exactly engine-portable (langid/DSIR trick).
+
+    Model = (label, bucket, w_micro, prior_micro): the DENSE k·B-row
+    table with
+        w_micro     = floor(ln((c_{l,b} + α)/(T_l + α·B))·1e6 + 0.5)
+        prior_micro = floor(ln(N_l / N)·1e6 + 0.5)
+    Broadcastable at any corpus size (k·B rows). One explode + one
+    groupBy((label, bucket)) over the training slice."""
+    spark = labeled.sparkSession
+    lab = labeled.select(F.col(label_col).alias("label"), F.col(id_col), F.col(text_col))
+    # like _bucket_frame, but keyed by the LABEL instead of the doc id
+    from workbench_spark.operators.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    with_t = lab.select("label", toks.alias("__toks"))
+    bigrams = F.zip_with(
+        F.slice("__toks", 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+        F.slice("__toks", 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    gb = (
+        with_t.select("label", F.explode(F.concat(F.col("__toks"), bigrams)).alias("g"))
+        .select("label", (F.expr(_POLY.format(c="g")) % F.lit(n_buckets)).cast("int").alias("bucket"))
+        .groupBy("label", "bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = gb.groupBy("label").agg(F.sum("__c").alias("__t"))
+    ndocs = lab.groupBy("label").agg(F.count(F.lit(1)).alias("__nl"))
+    grand = lab.agg(F.count(F.lit(1)).alias("__n"))
+    labels = totals.select("label")
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    ab = float(alpha) * n_buckets
+    dense = (
+        labels.crossJoin(buckets)
+        .join(gb, ["label", "bucket"], "left")
+        .join(F.broadcast(totals), "label")
+        .join(F.broadcast(ndocs), "label")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "label",
+            "bucket",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(float(alpha)))
+                    / (F.col("__t") + F.lit(ab))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w_micro"),
+            F.floor(
+                F.log(F.col("__nl") / F.col("__n")) * F.lit(1e6) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("prior_micro"),
+        )
+    )
+    return dense
+
+
+def nb_score(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Score documents with an nb_train model: per (doc, label) score =
+    prior_micro + Σ_grams w_micro[bucket(g)] (exact BIGINT sums), argmax
+    with (score desc, label asc) determinism. Documents with no grams
+    get prior-only scores (the label-frequency argmax).
+
+    Plan: explode grams → broadcast-join the k·B model on bucket (k rows
+    per gram — the fan-out IS the k-class scoring) → one
+    groupBy(id, label) → per-id row_number. Output: (id, label_pred,
+    score_micro)."""
+    from pyspark.sql import Window
+
+    gb = _bucket_frame(docs, text_col, id_col, n_buckets)
+    per_label = (
+        gb.join(F.broadcast(model), "bucket")
+        .groupBy(id_col, "label")
+        .agg(
+            (F.sum("w_micro") + F.first("prior_micro")).alias("score_micro")
+        )
+    )
+    # gram-less docs: prior-only scores for every label
+    priors = model.select("label", "prior_micro").distinct()
+    empty = (
+        docs.select(F.col(id_col))
+        .join(per_label.select(id_col).distinct(), id_col, "left_anti")
+        .crossJoin(F.broadcast(priors))
+        .select(id_col, "label", F.col("prior_micro").alias("score_micro"))
+    )
+    allscores = per_label.unionByName(empty)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("label").asc()
+    )
+    return (
+        allscores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("label").alias("label_pred"), "score_micro")
+    )

@@ -5264,3 +5264,73 @@ def text_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "doc_id", F.col("rank").cast("int").alias("rank"), "score"
     )
+
+
+_NB_B = 128
+
+
+def _nb_oracle_sql(b: int = _NB_B) -> str:
+    """DuckDB replay of dsir.nb_train + nb_score: same hashed features,
+    Laplace arithmetic, integer micro-nat weights/priors, and the
+    (score desc, label asc) argmax — predictions certified bit-for-bit."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, list_filter(
+        string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+        x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, UNNEST(list_concat(toks,
+        [toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)])) AS g
+      FROM base
+    ),
+    gb AS (SELECT doc_id, lang, CAST({_DSIR_POLY_G} % {b} AS INT) AS bucket FROM grams),
+    cnt AS (SELECT lang AS label, bucket, COUNT(*) AS c
+            FROM gb WHERE doc_id < 250 GROUP BY 1, 2),
+    tot AS (SELECT label, SUM(c) AS t FROM cnt GROUP BY label),
+    nl AS (SELECT lang AS label, COUNT(*) AS nl
+           FROM documents WHERE doc_id < 250 GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 250),
+    model AS (
+      SELECT l.label, b.b AS bucket,
+             CAST(floor(ln((COALESCE(cnt.c, 0) + 1.0) / (tot.t + {b}.0))
+                        * 1e6 + 0.5) AS BIGINT) AS w,
+             CAST(floor(ln(CAST(nl.nl AS DOUBLE) / nn.n) * 1e6 + 0.5)
+                  AS BIGINT) AS prior
+      FROM (SELECT label FROM tot) l
+      CROSS JOIN (SELECT UNNEST(generate_series(0, {b - 1})) AS b) b
+      LEFT JOIN cnt ON cnt.label = l.label AND cnt.bucket = b.b
+      JOIN tot ON tot.label = l.label
+      JOIN nl ON nl.label = l.label
+      CROSS JOIN nn
+    ),
+    scores AS (
+      SELECT gb.doc_id, m.label, SUM(m.w) + ANY_VALUE(m.prior) AS s
+      FROM gb JOIN model m USING (bucket)
+      WHERE gb.doc_id >= 250
+      GROUP BY gb.doc_id, m.label
+    )
+    SELECT doc_id, label AS label_pred, CAST(s AS BIGINT) AS score_micro
+    FROM (SELECT doc_id, label, s,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, label) AS rn
+          FROM scores)
+    WHERE rn = 1
+    """
+
+
+@query("text_nb_classifier", _nb_oracle_sql())
+def text_nb_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised hashed-n-gram Naive-Bayes classifier (dsir.nb_train /
+    nb_score) — the closed-form stand-in for GPT-3/LLaMA-style quality
+    classifiers, with every weight an integer micro-nat so scoring is
+    engine-exact. Trained on the doc_id < 250 slice's ``lang`` labels,
+    scoring the held-out half; the oracle retrains AND rescores the whole
+    model in DuckDB (counts, smoothing, priors, argmax tiebreak)."""
+    from workbench_spark.operators.dsir import nb_score, nb_train
+
+    d = _t(spark, sf_dir, "documents")
+    model = nb_train(d.filter(F.col("doc_id") < 250), "lang", n_buckets=_NB_B)
+    out = nb_score(d.filter(F.col("doc_id") >= 250), model, n_buckets=_NB_B)
+    return out.select("doc_id", "label_pred", "score_micro")
