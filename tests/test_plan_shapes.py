@@ -50,6 +50,8 @@ BNLJ_ALLOWED = {
                       "crossed into the posting join",
     "text_nb_classifier": "model construction: labels x buckets dense cross "
                           "(k·B rows) + 1-row grand-count cross",
+    "pipeline_select_pack": "sample_to_mixture's 1-row grand-total cross "
+                            "(upstream stage of the composition)",
     "text_dsir_weights": "two 1-row corpus-total aggregates crossed into the "
                          "fixed 256-row DSIR λ model table",
     "text_dsir_resample": "same DSIR λ-model 1-row totals cross (weights feed "

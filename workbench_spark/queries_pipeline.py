@@ -5334,3 +5334,60 @@ def text_nb_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = nb_train(d.filter(F.col("doc_id") < 250), "lang", n_buckets=_NB_B)
     out = nb_score(d.filter(F.col("doc_id") >= 250), model, n_buckets=_NB_B)
     return out.select("doc_id", "label_pred", "score_micro")
+
+
+@query(
+    "pipeline_select_pack",
+    f"""
+    WITH sel AS ({_sample_to_mixture_oracle_sql()}),
+    rows_sel AS (
+      SELECT sel.doc_id * 100 + sel.copy_idx AS rid,
+             sel.doc_id, sel.copy_idx, sel.source,
+             CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens
+      FROM sel JOIN documents d USING (doc_id)
+    ),
+    c AS (
+      SELECT rid, doc_id, copy_idx, source, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY rid ROWS UNBOUNDED PRECEDING) AS cum_end
+      FROM rows_sel
+    )
+    SELECT rid, doc_id, copy_idx, source, n_tokens,
+           CAST((cum_end - n_tokens) // 512 AS BIGINT) AS start_seq,
+           CAST((CASE WHEN n_tokens > 0 THEN cum_end - 1
+                      ELSE cum_end - n_tokens END) // 512 AS BIGINT) AS end_seq
+    FROM c
+    """,
+)
+def pipeline_select_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SELECT → PACK pipeline: materialize the 50/25/25 domain
+    mixture (sample_to_mixture, resample mode — epoch-repeated copies are
+    real training rows with their own (doc, copy) identity) and pack the
+    surviving stream into 512-token sequences via the two-phase
+    distributed prefix sum. The oracle chains both stages' exact replays
+    — the hash match certifies the COMPOSITION: selection multiset,
+    deterministic (doc, copy) ordering, and every sequence assignment."""
+    from workbench_spark.operators.packing import pack_sequences
+    from workbench_spark.operators.text import sample_to_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    sel = sample_to_mixture(d, {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+    rows = sel.select(
+        (F.col("doc_id") * 100 + F.col("copy_idx")).alias("rid"),
+        "doc_id",
+        "copy_idx",
+        "source",
+        "text",
+    )
+    packed = pack_sequences(rows, budget=512, id_col="rid")
+    return (
+        packed.join(rows.select("rid", "doc_id", "copy_idx", "source"), "rid")
+        .select(
+            "rid",
+            "doc_id",
+            F.col("copy_idx").cast("int").alias("copy_idx"),
+            "source",
+            "n_tokens",
+            "start_seq",
+            "end_seq",
+        )
+    )
