@@ -750,3 +750,30 @@ def test_bm25_self_retrieval_and_idf(spark):
     sc = {r["doc_id"]: r["score"] for r in out.filter(F.col("query_id") == 200).collect()}
     # same single-term query: higher tf with shorter length wins BM25
     assert sc[2] == max(sc.values())
+
+
+def test_decontaminate_bloom_prefilter_identical(spark):
+    """The Bloom prefilter path must return EXACTLY the unfiltered result
+    (no false negatives by construction), including fp-heavy tiny-m
+    settings where many clean grams survive the prefilter — the exact
+    join still rejects them."""
+    from workbench_spark.operators.text import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "bid int, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro alpha beta gamma delta epsilon zeta eta theta outro"),
+            (2, "totally unrelated content with many different words here"),
+            (3, "alpha beta gamma delta"),  # shorter than n -> clean
+        ],
+        "doc_id int, text string",
+    )
+    base = sorted(map(tuple, decontaminate(docs, bench, n=8).collect()))
+    for m in (64, 4096):  # m=64: high fp rate; m=4096: near-exact filter
+        pre = sorted(
+            map(tuple, decontaminate(docs, bench, n=8, prefilter_m_bits=m).collect())
+        )
+        assert pre == base, m

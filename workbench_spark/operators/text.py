@@ -421,6 +421,8 @@ def decontaminate(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     n: int = 13,
+    prefilter_m_bits: int | None = None,
+    prefilter_k: int = 3,
 ) -> DataFrame:
     """Benchmark decontamination by word-n-gram overlap (the GPT-3
     appendix-C procedure: a training document is contaminated when it
@@ -432,6 +434,19 @@ def decontaminate(
     per document n-gram — linear in corpus n-grams, no fan-out even for
     stop-phrase n-grams, no cross product at any scale. One shuffle on
     the n-gram key.
+
+    ``prefilter_m_bits``: the 100 TB lever. When the bench n-gram SET is
+    too big to broadcast (~100 MB at 1e6 13-grams), the exact join must
+    shuffle EVERY corpus n-gram. A Bloom filter of the bench grams at
+    m = 10·n bits is ~100× smaller (sketches.bloom_build), so it always
+    broadcasts; the prefilter is ``prefilter_k`` map-side broadcast
+    word-joins + one bitmask test per doc gram (NO row inflation, no
+    extra shuffle), and only surviving grams (true matches + ~1% false
+    positives at m/n = 10) enter the exact join — shuffle volume drops by
+    roughly the corpus contamination rate. Bloom filters have NO false
+    negatives, so the result is bit-identical with or without the
+    prefilter (the oracle entry runs WITH it against the unchanged exact
+    SQL).
 
     Output: every input doc id with ``n_contaminated_ngrams`` and the
     ``contaminated`` flag (left join — clean docs report 0/false).
@@ -447,6 +462,36 @@ def decontaminate(
         .select(F.explode("__ngrams").alias("__g"))
         .distinct()
     )
+    if prefilter_m_bits:
+        from workbench_spark.operators.sketches import _A, _B, _P, bloom_build
+
+        m = int(prefilter_m_bits)
+        bloom = bloom_build(bench_grams, "__g", m_bits=m, k=prefilter_k)
+        poly = (
+            "aggregate(transform(sequence(1, length(__g), 1),"
+            " i -> ascii(substring(__g, i, 1))),"
+            " 0L, (a, ch) -> (a * 31 + ch) % 1000000007)"
+        )
+        g = doc_grams.withColumn("__p", F.expr(poly))
+        checks = []
+        for j in range(prefilter_k):
+            g = g.withColumn(
+                "__pos", ((F.col("__p") * _A[j] + _B[j]) % _P % m).cast("long")
+            ).withColumn(f"__w{j}", (F.col("__pos") / 62).cast("int")).withColumn(
+                f"__m{j}", F.expr("shiftleft(1L, cast(__pos % 62 as int))")
+            ).drop("__pos")
+            bj = bloom.select(
+                F.col("word").alias(f"__w{j}"), F.col("bits").alias(f"__b{j}")
+            )
+            g = g.join(F.broadcast(bj), f"__w{j}", "left")
+            checks.append(
+                F.coalesce(F.col(f"__b{j}"), F.lit(0)).bitwiseAND(F.col(f"__m{j}"))
+                == F.col(f"__m{j}")
+            )
+        keep = checks[0]
+        for c in checks[1:]:
+            keep = keep & c
+        doc_grams = g.filter(keep).select(id_col, "__g")
     hits = (
         doc_grams.join(bench_grams, "__g")
         .groupBy(id_col)

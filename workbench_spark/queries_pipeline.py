@@ -377,7 +377,9 @@ def text_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 17 == 0)
-    out = decontaminate(d, bench, n=8)
+    # prefilter ON, oracle unchanged: the hash match certifies that the
+    # Bloom scale path is bit-identical to the exact join (r8)
+    out = decontaminate(d, bench, n=8, prefilter_m_bits=65536)
     return out.select(
         "doc_id",
         F.col("n_contaminated_ngrams").cast("long").alias("n_contaminated_ngrams"),
