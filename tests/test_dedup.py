@@ -320,3 +320,27 @@ def test_semdedup_planted_groups(spark):
         for r in semdedup(df.repartition(5), n_clusters=3, eps=0.001, seed=7).collect()
     }
     assert again == {i: r["kept"] for i, r in got.items()}
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every pair-connected group lands in ONE split; proportions are
+    roughly honored over many singleton components; deterministic."""
+    from pyspark.sql import functions as F
+    from workbench_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id int")
+    # chains {0,1,2}, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a int, id_b int"
+    )
+    out = leakage_safe_split(docs, pairs)
+    got = {r["doc_id"]: (r["component"], r["split"]) for r in out.collect()}
+    assert len(got) == 300
+    assert got[0] == got[1] == got[2]      # whole chain, one split
+    assert got[10] == got[11]
+    splits = [s for _, s in got.values()]
+    frac_train = splits.count("train") / len(splits)
+    assert 0.7 < frac_train < 0.9          # hash draw honors ~80%
+    assert set(splits) == {"train", "val", "test"}
+    again = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs.repartition(7), pairs).collect()}
+    assert again == {i: s for i, (_, s) in got.items()}

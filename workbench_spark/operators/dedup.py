@@ -1064,3 +1064,63 @@ def semdedup(
             (F.col("id") == F.col("__w.id")).alias("kept"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 101,
+) -> DataFrame:
+    """Train/val/test assignment with NO near-duplicate leakage across
+    splits: documents connected by the near-dup ``pairs`` graph (any
+    generator: minhash/simhash/embedding/ngram) land in the SAME split,
+    because the split decision hashes the CONNECTED-COMPONENT label, not
+    the document id. Splitting on raw ids lets a train document's clone
+    sit in test — the classic eval-inflation bug this operator exists to
+    prevent.
+
+    Deterministic: u = mix(poly("sp{seed}:" || component)) % 1e6 against
+    cumulative weight thresholds (the portable-hash draw — reproducible
+    across runs/partitionings/engines, DuckDB-oracle-able with the
+    recursive-CTE closure). Singletons are their own component. Output:
+    every input id + (component, split)."""
+    from workbench_spark.operators.dsir import _MIX, _POLY
+    from workbench_spark.operators.graph import connected_components
+
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum > 0")
+    comp = connected_components(
+        pairs.selectExpr("id_a as src", "id_b as dst")
+        if "id_a" in pairs.columns
+        else pairs
+    )
+    members = df.select(F.col(id_col)).join(
+        comp, df[id_col] == comp["node"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+    with_u = (
+        members.withColumn(
+            "__s", F.concat(F.lit(f"sp{seed}:"), F.col("component").cast("string"))
+        )
+        .withColumn("__p", F.expr(_POLY.format(c="__s")))
+        .withColumn("__u", F.expr(_MIX.format(p="__p")) % F.lit(1000000))
+    )
+    acc = 0.0
+    expr = F.lit(names[-1])
+    cuts = []
+    for w in weights[:-1]:
+        acc += w / total
+        cuts.append(int(acc * 1000000 + 0.5))
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        expr = F.when(F.col("__u") < cut, F.lit(name)).otherwise(expr)
+    # the when-chain above assigns names[0] to u < cut0, names[1] to
+    # cut0 <= u < cut1, ... (built innermost-last so earlier cuts win)
+    return with_u.select(id_col, "component", expr.alias("split"))

@@ -5393,3 +5393,72 @@ def pipeline_select_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "end_seq",
         )
     )
+
+
+@query(
+    "dedup_leakage_safe_split",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_filter([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))],
+                  s -> length(s) = 5)) AS g
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id < 500)
+    ),
+    ex AS (SELECT id, UNNEST(g) AS g, len(g) AS sz FROM sh),
+    jp AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING CAST(COUNT(*) AS DOUBLE)
+             / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.25
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM jp
+              UNION SELECT id_b, id_a FROM jp),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    mem AS (
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+      LEFT JOIN comp ON d.doc_id = comp.id
+    ),
+    keyed AS (
+      SELECT doc_id, component,
+             ((p * p) % 1000000007 + (p * 2654435761) % 1000000007)
+               % 1000000007 % 1000000 AS u
+      FROM (SELECT doc_id, component,
+                   list_reduce(list_prepend(0::BIGINT,
+                     [ascii(substr(s, i, 1)) for i in generate_series(1, length(s))]),
+                     (a, c) -> (a * 31 + c) % 1000000007) AS p
+            FROM (SELECT doc_id, component,
+                         'sp101:' || CAST(component AS VARCHAR) AS s FROM mem))
+    )
+    SELECT doc_id, component,
+           CASE WHEN u < 800000 THEN 'train'
+                WHEN u < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    """,
+)
+def dedup_leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting (dedup.leakage_safe_split): the 80/10/10
+    split decision hashes the near-dup CONNECTED-COMPONENT label (5-gram
+    Jaccard ≥ 0.25 pair graph — same deterministic generator as
+    dedup_cc_membership), so a document's clone can never sit across the
+    train/test boundary. The oracle chains the recursive-CTE closure with
+    the portable-hash draw — component labels AND split assignments
+    certified."""
+    from workbench_spark.operators.dedup import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.25)
+    out = leakage_safe_split(d, pairs.select("id_a", "id_b"))
+    return out.select("doc_id", "component", "split")
