@@ -140,6 +140,8 @@ EXTRA = [
     "j_range_join_promo_windows", # r8: binned range join
     "text_nb_classifier",         # r8: NB train + score
     "pipeline_select_pack",       # r8: select->pack composition
+    "text_unigram_scores",        # r8: pandas_udf Viterbi tokenize
+    "dedup_leakage_safe_split",   # r8: CC + hash split
 ]
 
 

@@ -38,6 +38,13 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/packing.py", "_ranged_cumsum"):
         "per-partition totals (#partitions rows) for the two-phase "
         "distributed prefix sum — never a global window",
+    ("operators/unigram.py", "unigram_train"):
+        "bounded driver pulls for the EM loop: capped word table "
+        "(<= max_words rows) + seed pieces (<= seed_size + alphabet) — "
+        "the bpe_train precedent",
+    ("operators/unigram.py", "_pieces_dict"):
+        "piece-inventory artifact (<= vocab_size rows) materialized to "
+        "build the tokenizer's broadcast dict",
     ("operators/proba.py", "binary_accuracy"):
         "1-row accuracy aggregate",
     ("operators/shap.py", "shap_importance"):

@@ -5462,3 +5462,88 @@ def dedup_leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(d, n=5, threshold=0.25)
     out = leakage_safe_split(d, pairs.select("id_a", "id_b"))
     return out.select("doc_id", "component", "split")
+
+
+# Fixed piece inventory for the unigram-scores entry: singles cover the
+# full [a-z0-9] alphabet WORD_SPLIT_RE can emit (so the UNK fallback is
+# never data-dependent), multi-char pieces are common English chunks with
+# distinct micro-nat scores that beat their single-char spellings — the
+# Viterbi DP has real choices to make. TRAINING is certified separately
+# (deterministic hard-EM, Python-twin tests); this entry certifies that
+# the pandas_udf tokenizer's segmentations are OPTIMAL under a known
+# model: engine score = DuckDB's integer DP optimum, word by word.
+_UNI_PIECES: list[tuple[str, int]] = (
+    [(c, -2_000_000 - 1000 * i) for i, c in enumerate("abcdefghijklmnopqrstuvwxyz0123456789")]
+    + [
+        (p, -1_500_000 - 7000 * i)
+        for i, p in enumerate(
+            ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+             "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+             "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+             "the", "ing", "and", "ion", "ent", "for", "tio", "ere", "her",
+             "ate", "ver", "ter", "tha", "ati", "con"]
+        )
+    ]
+)
+
+
+def _unigram_scores_oracle_sql() -> str:
+    """DuckDB replay of unigram_tokenize's per-document score: the exact
+    integer Viterbi optimum per word (list_reduce DP fold over positions,
+    8-char piece window, MAP-literal inventory), summed per document.
+    The engine reports the score its actual segmentation attains — the
+    hash match therefore certifies segmentation OPTIMALITY."""
+    entries = ", ".join(f"'{p}': {v}" for p, v in _UNI_PIECES)
+    return f"""
+    WITH pieces AS (SELECT MAP {{{entries}}} AS m),
+    words AS (
+      SELECT doc_id, UNNEST(list_filter(
+        string_split_regex(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)) AS w
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend([0::BIGINT], [[i::BIGINT] for i in generate_series(1, length(w))]),
+          (acc, x) -> acc || [list_max(
+              [acc[j+1] + COALESCE(map_extract(pieces.m, substr(w, j+1, len(acc)-j))[1],
+                                   CASE WHEN len(acc)-j = 1 THEN -10000000 ELSE NULL END)
+               for j in generate_series(GREATEST(len(acc)-8, 0), len(acc)-1)]
+          )]
+        )[-1] AS s
+      FROM words, pieces
+    ),
+    per_doc AS (SELECT doc_id, SUM(s) AS total FROM scored GROUP BY doc_id)
+    SELECT d.doc_id, CAST(COALESCE(p.total, 0) AS BIGINT) AS score_micro
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """
+
+
+@query("text_unigram_scores", _unigram_scores_oracle_sql())
+def text_unigram_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer segmentation optimality (operators/unigram):
+    Viterbi-tokenize every document under the fixed _UNI_PIECES model and
+    report the attained integer score; the oracle computes each word's DP
+    OPTIMUM independently in DuckDB. Equality ⟺ the tokenizer's
+    segmentations are optimal (and the integer quantization means there
+    is no float wiggle room)."""
+    from workbench_spark.operators.unigram import unigram_tokenize
+
+    d = _t(spark, sf_dir, "documents")
+    out = unigram_tokenize(d, _UNI_PIECES, score_col="score_micro")
+    return out.select("doc_id", "score_micro")
+
+
+@query("text_unigram_vocab")  # rows-only: EM loop not SQL-replayable (no RNG; stable across runs)
+def text_unigram_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained unigram piece inventory (unigram_train): deterministic
+    hard-EM (no RNG anywhere — seeding, E-step, and pruning all have
+    total deterministic orders), so the row set is stable run-over-run;
+    the EM itself is certified by the Python-twin tests and the
+    SEGMENTATION path by text_unigram_scores' optimality oracle."""
+    from workbench_spark.operators.unigram import unigram_train
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_train(
+        d, vocab_size=300, seed_size=1000, max_words=3000, num_iters=3
+    ).orderBy("piece")
