@@ -556,3 +556,38 @@ def test_stream_bloom_admit_matches_batch(spark, tmp_path):
     assert all(d >= 10_000 for d in streamed)
     # at m=4096/n=200 the fp rate is ~1e-6 — all novel keys admitted
     assert streamed == {10_000 + i for i in range(20)}
+
+
+def test_stream_cms_counts_matches_batch(spark, tmp_path):
+    """The streamed CMS artifact (folded across micro-batches) equals the
+    batch sketch of all the data — the additive-merge guarantee — and
+    point queries over it are >= true counts."""
+    from pyspark.sql import functions as F
+    from workbench_spark.operators.sketches import cms_build, cms_query
+    from workbench_spark.streaming.monitor import stream_cms_counts
+
+    rows = [(i, ["alpha", "beta", "gamma", "alpha", "alpha"][i % 5]) for i in range(500)]
+    batch = spark.createDataFrame(rows, "event_id long, event_type string")
+    src = str(tmp_path / "cms_src")
+    skd = str(tmp_path / "cms_sketch")
+    ckpt = str(tmp_path / "cms_ckpt")
+    # several files -> several (or at least one) micro-batches
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+
+    q = stream_cms_counts(spark, src, batch.schema, skd, ckpt, depth=3, width=64)
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.read.parquet(skd).collect()))
+    direct = sorted(map(tuple, cms_build(batch, "event_type", 3, 64).collect()))
+    assert streamed == direct
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("nope",)], "event_type string"
+    )
+    est = {
+        r["event_type"]: r["cms_estimate"]
+        for r in cms_query(
+            spark.read.parquet(skd), probes, "event_type", 3, 64
+        ).collect()
+    }
+    truth = {"alpha": 300, "beta": 100, "nope": 0}
+    for k, t in truth.items():
+        assert est[k] >= t

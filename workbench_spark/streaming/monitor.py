@@ -465,3 +465,54 @@ def stream_bloom_admit(
         .trigger(availableNow=True)
         .start()
     )
+
+def stream_cms_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Streaming frequency sketch: maintain ONE Count-Min artifact over
+    an unbounded key stream — the O(depth·width) answer to "what are the
+    hot keys so far?" when the distinct-key space (URLs, tokens, user
+    ids) can't be held exactly.
+
+    Shape: foreachBatch builds the micro-batch's CMS (bounded) and
+    additively merges it into the persisted artifact (read → cms_merge →
+    atomic overwrite via temp-dir swap). The artifact is a plain parquet
+    table (j, bucket, cnt): downstream point queries are
+    sketches.cms_query against a broadcastable ≤ depth·width-row frame,
+    and two independently-maintained stream sketches merge by the same
+    cms_merge — the additivity that makes per-day/per-source artifacts
+    composable. State lives in the artifact, not executor memory: no
+    watermark needed, restarts resume from the checkpoint."""
+    import os
+
+    from workbench_spark.operators.sketches import cms_build, cms_merge
+
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sketch = cms_build(batch_df, key_col, depth, width)
+        if os.path.isdir(sketch_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(sketch_dir)
+        ):
+            prior = spark.read.parquet(sketch_dir)
+            merged = cms_merge(prior, batch_sketch)
+        else:
+            merged = batch_sketch
+        tmp = sketch_dir.rstrip("/") + f"__tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(sketch_dir)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
