@@ -48,6 +48,10 @@ _TIME_BUDGET_OVERRIDES = {
     "m8_label_quality": 60.0,
     # end-to-end pipelines chain 5 stages
     "pipeline_curation_end_to_end": 60.0,
+    # iterative by design: Jaccard pair graph + label-propagation CC
+    # (one action per iteration) + the split projection; edges are
+    # localCheckpointed once (graph.py r8) but ~6 rounds of joins remain
+    "dedup_leakage_safe_split": 40.0,
     "pipeline_user_features_end_to_end": 60.0,
     "chem_pipeline_golden": 60.0,
     # the ORACLE side dominates here: DuckDB's recursive-CTE transitive

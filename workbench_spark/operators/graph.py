@@ -97,7 +97,14 @@ def connected_components(
     """
     if method == "star":
         return _connected_components_star(edges, src, dst, max_iter)
-    und = _undirected(edges, src, dst)
+    # materialize the symmetric edge list ONCE: the caller's edge lineage
+    # is typically an expensive candidate-pair plan (n-gram Jaccard
+    # inverted-index self-join, LSH banding), and every label-propagation
+    # iteration joins the edges — without this, that plan re-executes
+    # per iteration (measured 30-40s -> 9s on dedup_leakage_safe_split
+    # at sf0.001). localCheckpoint = executor-local materialization, the
+    # standard shape for iterative algorithms at any scale.
+    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()

@@ -5404,7 +5404,7 @@ def pipeline_select_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   generate_series(1, GREATEST(length(t) - 4, 1))],
                   s -> length(s) = 5)) AS g
       FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-            FROM documents WHERE doc_id < 500)
+            FROM documents WHERE doc_id < 300)
     ),
     ex AS (SELECT id, UNNEST(g) AS g, len(g) AS sz FROM sh),
     jp AS (
@@ -5424,7 +5424,7 @@ def pipeline_select_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
     mem AS (
       SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS component
-      FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
       LEFT JOIN comp ON d.doc_id = comp.id
     ),
     keyed AS (
@@ -5458,7 +5458,7 @@ def dedup_leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     pairs = ngram_jaccard_pairs(d, n=5, threshold=0.25)
     out = leakage_safe_split(d, pairs.select("id_a", "id_b"))
     return out.select("doc_id", "component", "split")
