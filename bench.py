@@ -142,6 +142,10 @@ EXTRA = [
     "pipeline_select_pack",       # r8: select->pack composition
     "text_unigram_scores",        # r8: pandas_udf Viterbi tokenize
     "dedup_leakage_safe_split",   # r8: CC + hash split
+    "sketch_hll_registers",       # r8: HLL register build over pair keys
+    "graph_pagerank_authority",   # r8: 10 integer power iterations
+    "dedup_jaccard_prefix_pairs", # r8: PPJoin prefix-filtered exact join
+    "text_source_divergence",     # r8: per-source KL/JS mixture audit
 ]
 
 

@@ -61,6 +61,12 @@ _TIME_BUDGET_OVERRIDES = {
     # encode projection is expected; one-time index-build cost)
     "knn_cosine_pq": 40.0,
     "dedup_cluster_representatives": 90.0,
+    # iterative by design: 10 power-iteration rounds, each localCheckpointed
+    # (one action per round) — ~13s cold at sf0.001, load-sensitive
+    "graph_pagerank_authority": 40.0,
+    # df-rank + collect_list + prefix self-join + verify = 4 shuffle stages
+    # of cold plan compile; ~14s cold under load at sf0.001
+    "dedup_jaccard_prefix_pairs": 40.0,
 }
 
 

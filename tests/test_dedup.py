@@ -344,3 +344,40 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     assert set(splits) == {"train", "val", "test"}
     again = {r["doc_id"]: r["split"] for r in leakage_safe_split(docs.repartition(7), pairs).collect()}
     assert again == {i: s for i, (_, s) in got.items()}
+
+
+def test_jaccard_prefix_pairs_equals_brute_force(spark):
+    """The prefix+length filters must lose ZERO pairs (PPJoin theorem):
+    same pair set as the full-inverted-index ngram_jaccard_pairs, with
+    exact integer intersection/union sizes."""
+    from workbench_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pp = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["union_sz"])
+        for r in jaccard_prefix_pairs(d, threshold=(1, 4)).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(d, threshold=0.25).collect()
+    }
+    assert set(pp) == set(brute)
+    for k, (inter, union) in pp.items():
+        assert abs(inter / union - brute[k]) < 1e-12
+
+
+def test_jaccard_prefix_pairs_planted_twin(spark):
+    from workbench_spark.operators.dedup import jaccard_prefix_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy dog tonight!"),  # twin
+        (2, "entirely different content about distributed sketches"),
+        (3, "short"),  # shorter than one shingle after normalization
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in jaccard_prefix_pairs(d, threshold=(4, 5)).collect()}
+    assert got == {(0, 1)}

@@ -122,3 +122,62 @@ def test_connected_components_star_long_chain(spark):
     got = connected_components(df, method="star", max_iter=10)
     assert {r["component"] for r in got.collect()} == {0}
     assert got.count() == 64
+
+
+def _pagerank_py(edges, iters=10, d_num=85, d_den=100, scale=10**12):
+    """Pure-Python twin of graph.pagerank's fixed-point iteration."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = ((d_den - d_num) * scale // d_den) // n
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += r[s] // deg[s]
+        dang = sum(r[v] for v in nodes if deg.get(v, 0) == 0)
+        r = {v: base + (d_num * (contrib[v] + dang // n)) // d_den for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_replay_exactly(spark):
+    """Fixed-point integer arithmetic means the distributed result is
+    BIT-IDENTICAL to a sequential replay — no float-order tolerance."""
+    from workbench_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 4)]  # 4 = dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(df, iters=10).collect()}
+    assert got == _pagerank_py(edges)
+
+
+def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
+    from workbench_spark.operators.graph import pagerank
+
+    # star: every spoke points at the hub; hub points at spoke 1
+    edges = [(i, 99) for i in range(1, 20)] + [(99, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pagerank(df, iters=10).collect()
+    ranks = {r["node"]: r["rank_scaled"] for r in rows}
+    # the hub and its sole out-target trade the bulk of the mass each
+    # iteration (hub dumps everything to spoke 1) — both must dominate
+    # every other spoke
+    top2 = sorted(ranks, key=ranks.get)[-2:]
+    assert set(top2) == {99, 1}
+    other = max(v for k, v in ranks.items() if k not in (99, 1))
+    assert min(ranks[99], ranks[1]) > 3 * other
+    # total mass stays ~ scale (floor-division leakage < n*iters ulps)
+    assert abs(sum(ranks.values()) - 10**12) < 10**6
+
+
+def test_pagerank_partition_invariance(spark):
+    """Shuffle layout must not change a single bit of the result."""
+    from workbench_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40)] + [(5, 11), (11, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, pagerank(df, iters=6).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(13), iters=6).collect()))
+    assert a == b

@@ -56,6 +56,12 @@ BNLJ_ALLOWED = {
                          "fixed 256-row DSIR λ model table",
     "text_dsir_resample": "same DSIR λ-model 1-row totals cross (weights feed "
                           "the Gumbel top-k)",
+    "sketch_hll_estimate": "1-row estimate x 1-row exact-distinct truth cross "
+                           "(demonstrative join, both sides single aggregates)",
+    "graph_pagerank_authority": "1-row dangling-mass aggregate crossed into "
+                                "the rank frame once per power iteration",
+    "text_source_divergence": "1-row corpus-total-tokens aggregate crossed "
+                              "into the per-(source, token) frame",
 }
 
 

@@ -99,3 +99,75 @@ def test_bloom_merge_and_partition_invariance(spark):
         for r in bloom_contains(merged, _keys(spark, ["x", "y", "z", "w"]), "key", 512, 4).collect()
     }
     assert mem["x"] and mem["y"] and mem["z"]
+
+
+def test_hll_duplicates_absorbed_and_merge_equals_union_build(spark):
+    from workbench_spark.operators.sketches import hll_build, hll_merge
+
+    uniq = [f"key{i}" for i in range(200)]
+    # the same 200 distinct keys, each repeated 5x: registers must be
+    # bit-identical (max is idempotent) — HLL counts DISTINCTs
+    direct = sorted(map(tuple, hll_build(_keys(spark, uniq), "key").collect()))
+    dup = sorted(map(tuple, hll_build(_keys(spark, uniq * 5), "key").collect()))
+    assert direct == dup
+    # merge of two half-sketches == one full build, bit-for-bit
+    merged = hll_merge(
+        hll_build(_keys(spark, uniq[:120]), "key"),
+        hll_build(_keys(spark, uniq[100:]), "key"),
+    )
+    assert sorted(map(tuple, merged.collect())) == direct
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    from workbench_spark.operators.sketches import hll_build, hll_estimate
+
+    # 3 sigma at m=64: 3 * 1.04/sqrt(64) = 39% (deterministic hashes, so
+    # this is a fixed property of the family, not a flaky bound)
+    for n in (40, 500, 3000):
+        keys = _keys(spark, [f"u{i}:{i * i}" for i in range(n)])
+        row = hll_estimate(hll_build(keys, "key")).collect()[0]
+        assert abs(row["hll_estimate"] - n) / n < 0.39, (n, row["hll_estimate"])
+        assert row["present_buckets"] + row["zero_registers"] == 64
+
+
+def test_hll_grouped_by_equals_per_group_builds(spark):
+    """hll_build(by=[g]) must produce, per group, exactly the registers
+    of a standalone build over that group's rows — and grouped estimates
+    must match the per-group hll_estimate outputs."""
+    from workbench_spark.operators.sketches import hll_build, hll_estimate
+
+    rows = [("a", f"k{i}") for i in range(300)] + [("b", f"k{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, key string")
+    grouped = hll_build(df, "key", by=["g"])
+    got = {
+        gname: sorted(
+            (r["bucket"], r["rho"]) for r in grouped.collect() if r["g"] == gname
+        )
+        for gname in ("a", "b")
+    }
+    for gname in ("a", "b"):
+        solo = sorted(
+            map(tuple, hll_build(df.filter(F.col("g") == gname), "key").collect())
+        )
+        assert got[gname] == solo
+    est = {r["g"]: r["hll_estimate"] for r in hll_estimate(grouped, by=["g"]).collect()}
+    for gname, n in (("a", 300), ("b", 40)):
+        solo_est = hll_estimate(
+            hll_build(df.filter(F.col("g") == gname), "key")
+        ).collect()[0]["hll_estimate"]
+        assert est[gname] == solo_est
+        assert abs(est[gname] - n) / n < 0.39
+
+
+def test_hll_small_range_linear_counting(spark):
+    from workbench_spark.operators.sketches import hll_build, hll_estimate
+
+    # 5 distinct keys in 64 buckets: the linear-counting branch fires and
+    # is near-exact
+    row = hll_estimate(hll_build(_keys(spark, ["a", "b", "c", "d", "e"]), "key")).collect()[0]
+    assert row["zero_registers"] >= 59
+    assert abs(row["hll_estimate"] - 5) < 1.5
+    # empty input: 0 registers -> ln(m/m) = 0
+    empty = _keys(spark, []).filter(F.lit(False))
+    row0 = hll_estimate(hll_build(empty, "key")).collect()[0]
+    assert row0["hll_estimate"] == 0.0 and row0["zero_registers"] == 64

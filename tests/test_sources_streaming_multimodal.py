@@ -591,3 +591,40 @@ def test_stream_cms_counts_matches_batch(spark, tmp_path):
     truth = {"alpha": 300, "beta": 100, "nope": 0}
     for k, t in truth.items():
         assert est[k] >= t
+
+
+def test_stream_hll_counts_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The streamed HLL artifact equals the batch registers (MAX-merge
+    guarantee), grouped registers track per-group distincts, and a full
+    REPLAY of the stream leaves the artifact unchanged — the idempotence
+    that distinguishes the distinct counter from the CMS row counter."""
+    from workbench_spark.operators.sketches import hll_build, hll_estimate
+    from workbench_spark.streaming.monitor import stream_hll_counts
+
+    rows = [(i, f"user{i % 73}", ["a", "b"][i % 2]) for i in range(400)]
+    batch = spark.createDataFrame(rows, "event_id long, user string, g string")
+    src = str(tmp_path / "hll_src")
+    skd = str(tmp_path / "hll_sketch")
+    ckpt = str(tmp_path / "hll_ckpt")
+    batch.repartition(4).write.mode("overwrite").parquet(src)
+
+    q = stream_hll_counts(spark, src, batch.schema, skd, ckpt, key_col="user", by=["g"])
+    q.awaitTermination(120)
+    streamed = sorted(map(tuple, spark.read.parquet(skd).collect()))
+    direct = sorted(map(tuple, hll_build(batch, "user", by=["g"]).collect()))
+    assert streamed == direct
+    # replay the same source against the SAME artifact (fresh checkpoint
+    # simulates at-least-once redelivery): registers must not move
+    q2 = stream_hll_counts(
+        spark, src, batch.schema, skd, str(tmp_path / "hll_ckpt2"),
+        key_col="user", by=["g"],
+    )
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(skd).collect())) == streamed
+    # both groups saw all 73 distinct users; estimates near truth
+    est = {
+        r["g"]: r["hll_estimate"]
+        for r in hll_estimate(spark.read.parquet(skd), by=["g"]).collect()
+    }
+    for g in ("a", "b"):
+        assert abs(est[g] - 73) / 73 < 0.39

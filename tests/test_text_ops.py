@@ -777,3 +777,60 @@ def test_decontaminate_bloom_prefilter_identical(spark):
             map(tuple, decontaminate(docs, bench, n=8, prefilter_m_bits=m).collect())
         )
         assert pre == base, m
+
+
+def test_source_token_divergence_hand_computed(spark):
+    """Tiny two-source corpus checked against a literal Python replay of
+    the definition (same picounat quantization), plus the invariants:
+    KL >= 0, JS in [0, ln2], and a source matching the corpus mixture
+    exactly diverges by ~0."""
+    import math
+
+    from workbench_spark.operators.text import source_token_divergence
+
+    rows = [
+        (0, "a a a b", "s1"),
+        (1, "a b b b c", "s2"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_token_divergence(d).collect()}
+
+    counts = {"s1": {"a": 3, "b": 1}, "s2": {"a": 1, "b": 3, "c": 1}}
+    corpus = {"a": 4, "b": 4, "c": 1}
+    ctot = 9
+
+    def panel(src):
+        stot = sum(counts[src].values())
+        klq = jsq = 0
+        qmass = 0
+        for t, c in counts[src].items():
+            p = c / stot
+            q = corpus[t] / ctot
+            m = (p + q) / 2
+            klq += math.floor(p * math.log(p / q) * 1e12 + 0.5)
+            jsq += math.floor(
+                (p * math.log(p / m) + q * math.log(q / m)) * 1e12 + 0.5
+            )
+            qmass += corpus[t]
+        kl = math.floor((klq / 1e12) * 1e6 + 0.5) / 1e6
+        js = (
+            math.floor(
+                ((jsq / 1e12 + math.log(2.0) * (1.0 - qmass / ctot)) / 2) * 1e6
+                + 0.5
+            )
+            / 1e6
+        )
+        return stot, len(counts[src]), kl, js
+
+    for src in ("s1", "s2"):
+        stot, ntypes, kl, js = panel(src)
+        r = got[src]
+        assert (r["n_tokens"], r["n_types"]) == (stot, ntypes)
+        assert r["kl_to_corpus"] == kl and r["js_to_corpus"] == js
+        assert 0 <= r["kl_to_corpus"] and 0 <= r["js_to_corpus"] <= math.log(2)
+
+    # a source that IS the corpus mixture: single source -> KL = JS = 0
+    solo = source_token_divergence(
+        spark.createDataFrame([(0, "x y z", "only")], "doc_id long, text string, source string")
+    ).collect()[0]
+    assert solo["kl_to_corpus"] == 0.0 and solo["js_to_corpus"] == 0.0

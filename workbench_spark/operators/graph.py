@@ -234,3 +234,100 @@ def dedup_clusters_exact(
     output): connected components over the pair graph. Output:
     (node, component); survivors = rows where node == component."""
     return connected_components(pairs, id_a, id_b)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank (Brin & Page 1998) over a directed edge DataFrame, in
+    FIXED-POINT integer arithmetic. Output: (node, rank_scaled BIGINT)
+    where rank_scaled ≈ rank · scale; nodes = every distinct endpoint.
+
+    Web-corpus curation use: rank domains/URLs by link authority so the
+    admission pipeline (web.domain_cap, url_dedup_incremental) can prefer
+    authoritative sources — the classic quality prior for crawl data.
+
+    Why integers: per-edge contributions are r(u) div deg(u) (floor) and
+    every update is integer ops, so the shuffled SUMs are associative and
+    order-independent — a DuckDB oracle replays the whole iteration
+    bit-for-bit (float PageRank can't hash-match across engines: partial
+    aggregation order perturbs the low bits). floor-division mass leakage
+    per node per iteration is < deg(u)/scale ≈ 1e-12 — far below the
+    estimator's own damped-iteration truncation error at iters=10.
+
+    Update (all integer):
+        share(u)   = r_t(u) div deg(u)                (per-node, once)
+        contrib(v) = Σ_{u→v} share(u)                 (edge join + groupBy)
+        D          = Σ_{deg(u)=0} r_t(u)              (dangling mass)
+        r_{t+1}(v) = base + d_num·(contrib(v) + D div N) div d_den
+        base       = ((d_den − d_num)·scale div d_den) div N
+
+    Plan shape at 100 TB: the edge list and out-degrees are materialized
+    ONCE (localCheckpoint, the iterative-algorithm shape shared with
+    connected_components); each iteration is ONE co-keyed join of the
+    N-row rank frame with the degree table, ONE equi-join onto edges,
+    ONE map-side-combinable groupBy(dst) sum, and a 1-row dangling
+    aggregate — no windows, no cross products. Rank lineage is truncated
+    per iteration. Skewed in-degree (hub pages) is a groupBy-sum, which
+    AQE + partial aggregation absorb (combiner shrinks hot keys
+    map-side). iters is fixed (no convergence action): PageRank error
+    decays as d^t, so t=10 at d=0.85 gives ~0.2% — the usual production
+    setting."""
+    d_num, d_den = damping
+    if not (0 < d_num < d_den):
+        raise ValueError(f"damping must be a proper fraction, got {damping}")
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        fwd.select(F.col("s").alias("node"))
+        .unionAll(fwd.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = fwd.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
+    # node frame with out-degree (0 = dangling), reused every iteration
+    nd = nodes.join(deg, "node", "left").select(
+        "node", F.coalesce("__deg", F.lit(0)).cast("long").alias("__deg")
+    ).localCheckpoint(eager=True)
+    n = nd.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_scaled"))
+    base = ((d_den - d_num) * scale // d_den) // n
+    ranks = nd.select("node", F.lit(scale // n).cast("long").alias("rank_scaled"))
+    for _ in range(iters):
+        r = ranks.join(nd, "node")
+        shares = r.filter(F.col("__deg") > 0).select(
+            "node", F.expr("rank_scaled div __deg").alias("__share")
+        )
+        contrib = (
+            fwd.join(shares.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("__share").alias("__contrib"))
+        )
+        dang = (
+            r.filter(F.col("__deg") == 0)
+            .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("__d"))
+            .select(F.expr(f"__d div {n}").alias("__dang_share"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({d_num} * (coalesce(__contrib, 0L) + __dang_share))"
+                        f" div {d_den}"
+                    )
+                ).cast("long").alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1,6 +1,6 @@
-"""Mergeable frequency/membership sketches: Count-Min (Cormode &
-Muthukrishnan 2005) and Bloom filter (Bloom 1970) as plain DataFrame
-aggregates.
+"""Mergeable frequency/membership/cardinality sketches: Count-Min
+(Cormode & Muthukrishnan 2005), Bloom filter (Bloom 1970), and
+HyperLogLog (Flajolet et al. 2007) as plain DataFrame aggregates.
 
 Why sketch TABLES and not exact groupBys: at 100 TB the distinct-key
 space (URLs, shingles, tokens) can be larger than any single reducer's
@@ -206,4 +206,143 @@ def bloom_contains(
         joined.groupBy(key_col)
         .agg(F.min(hit.cast("int")).alias("__all"))
         .select(F.col(key_col), (F.col("__all") == 1).alias("maybe_present"))
+    )
+
+
+# ------------------------------------------------------------------ HLL
+#: Remaining-entropy bits after the bucket split: the portable hash lives
+#: in [0, 1e9+7) ≈ 2^30; v = mix // m keeps ~24 bits at m=64. rho(v) is
+#: the 1-based index of v's lowest set bit, capped at _HLL_RHO_CAP for
+#: v == 0 (every key in the domain has rho ≤ 24 at m ≤ 64).
+_HLL_RHO_CAP = 25
+
+#: alpha_m bias constants from Flajolet et al. 2007 §4 (m = 2^b).
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_mix(col: str) -> str:
+    """The nonlinear finalizer over the polynomial hash (dsir._MIX): HLL
+    treats hash bits as uniform draws, and the raw base-31 chain gives
+    CONSECUTIVE integers for sequential keys — the measured perf-cliff /
+    uniform-draw bug. Bucket ids alone tolerate it; rho does not."""
+    return f"((({col} * {col}) % {_P} + ({col} * 2654435761) % {_P}) % {_P})"
+
+
+def _hll_rho_case(v: str) -> str:
+    """SQL CASE computing rho(v) = 1 + trailing zeros of v (lowest-set-bit
+    index + 1), _HLL_RHO_CAP when v = 0. Identical text runs in Spark SQL
+    and DuckDB — pure integer modulo arithmetic, no bit intrinsics."""
+    branches = " ".join(
+        f"WHEN {v} % {1 << r} = {1 << (r - 1)} THEN {r}"
+        for r in range(1, _HLL_RHO_CAP)
+    )
+    return f"(CASE WHEN {v} = 0 THEN {_HLL_RHO_CAP} {branches} ELSE {_HLL_RHO_CAP} END)"
+
+
+def _check_hll_m(m: int) -> None:
+    if m not in _HLL_ALPHA:
+        raise ValueError(f"m must be one of {sorted(_HLL_ALPHA)}, got {m}")
+
+
+def hll_build(
+    df: DataFrame, key_col: str, m: int = 64, by: list[str] | None = None
+) -> DataFrame:
+    """HyperLogLog register table of a key column: (bucket int, rho int)
+    rows, at most m of them (absent buckets are implicit zero registers).
+    Relative error ≈ 1.04/√m on the distinct count.
+
+    bucket = mix(poly(key)) mod m, register = max over the bucket's keys
+    of rho(mix // m) — one projection + one map-side-combinable
+    groupBy(bucket).max. The MAX-merge property makes the register table
+    a per-batch/per-day artifact: union + groupBy-max re-merges any
+    number of sketches, and duplicates are absorbed for free (max is
+    idempotent), which is what makes HLL a DISTINCT counter rather than
+    a row counter. Everything is integer arithmetic on the portable
+    hash, so the DuckDB oracle replays the register CONTENTS
+    bit-for-bit.
+
+    ``by``: grouping columns for per-group distinct counting (distinct
+    URLs per domain, vocabulary per source) — output gains those columns
+    and holds ≤ m rows PER GROUP, still one combinable groupBy; merge
+    stays union + max on (by..., bucket). At 100 TB this replaces a
+    countDistinct-per-group (whose exact dedup state is unbounded) with
+    a fixed m-register artifact per group."""
+    _check_hll_m(m)
+    by = list(by or [])
+    return (
+        _with_poly(df, key_col)
+        .withColumn("__m", F.expr(_hll_mix("__p")))
+        .select(
+            *by,
+            (F.col("__m") % m).cast("int").alias("bucket"),
+            F.expr(f"__m div {m}").alias("__v"),
+        )
+        .select(
+            *by,
+            "bucket",
+            F.expr(_hll_rho_case("__v")).cast("int").alias("__r"),
+        )
+        .groupBy(*by, "bucket")
+        .agg(F.max("__r").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge HLL register tables built with the same m: union + max —
+    exactly the build's own aggregation, so merge(build(A), build(B)) is
+    bit-identical to build(A ∪ B)."""
+    if not sketches:
+        raise ValueError("hll_merge: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    sketch: DataFrame, m: int = 64, by: list[str] | None = None
+) -> DataFrame:
+    """Cardinality estimate from a register table — one row (or one row
+    per ``by`` group for sketches built with hll_build(by=...)):
+    (present_buckets, zero_registers, s_scaled, hll_estimate).
+
+    The harmonic-mean denominator Σ_j 2^(−M_j) is computed EXACTLY as the
+    integer s_scaled = Σ_j 2^(_HLL_RHO_CAP − M_j) (zero registers
+    contribute 2^_HLL_RHO_CAP each; max total m·2^25 < 2^63) — integer
+    sums are order-independent, so engine and oracle agree bit-for-bit
+    and the single float division alpha·m²·2^25 / s_scaled is the only
+    floating-point step. Small-range correction (Flajolet §4): when the
+    raw estimate ≤ 2.5m and zero registers exist, linear counting
+    m·ln(m/V) replaces it. Result rounded with the cross-engine floor
+    form (see queries_pipeline._fround)."""
+    _check_hll_m(m)
+    by = list(by or [])
+    alpha = _HLL_ALPHA[m]
+    pow_cap = 1 << _HLL_RHO_CAP
+    agg = sketch.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("present_buckets"),
+        (
+            F.coalesce(F.sum(F.expr(f"shiftleft(1L, {_HLL_RHO_CAP} - rho)")), F.lit(0))
+            + (m - F.count(F.lit(1))) * F.lit(pow_cap)
+        ).alias("s_scaled"),
+    ).select(
+        *by,
+        "present_buckets",
+        (F.lit(m) - F.col("present_buckets")).alias("zero_registers"),
+        "s_scaled",
+    )
+    raw = F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(pow_cap)) / F.col(
+        "s_scaled"
+    ).cast("double")
+    corrected = F.when(
+        (raw <= 2.5 * m) & (F.col("zero_registers") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_registers").cast("double")),
+    ).otherwise(raw)
+    est = F.floor(corrected * 1e6 + F.lit(0.5)) / 1e6
+    return agg.select(
+        *by,
+        F.col("present_buckets").cast("long").alias("present_buckets"),
+        F.col("zero_registers").cast("long").alias("zero_registers"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+        est.alias("hll_estimate"),
     )

@@ -508,6 +508,80 @@ def decontaminate(
     )
 
 
+def source_token_divergence(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token-distribution divergence from the corpus mixture:
+    (source, n_tokens, n_types, kl_to_corpus, js_to_corpus) — the text
+    twin of the numeric drift panel (operators/drift.js_divergence works
+    on binned numeric histograms; this works on unigram distributions).
+    Mixture diagnostics: a source with high KL/JS is the one whose
+    up/down-weighting moves the corpus distribution most — the signal
+    DoReMi-style reweighting and mixture audits read.
+
+    Math: P = source unigram distribution, Q = corpus distribution
+    (P's support ⊆ Q's, so KL(P||Q) is finite by construction).
+    JS needs the tokens ABSENT from the source too; their total
+    contribution has the closed form ½·ln2·(1 − Σ_{t∈source} q_t), so
+    the whole panel is computable from the source-token join alone —
+    no per-source scan of the full vocabulary, no outer join.
+
+    Exactness: each summand (an irrational ln-product) is quantized to
+    an integer picounat (floor(x·1e12 + 0.5)) BEFORE the SUM, so the
+    shuffled sums are order-independent and the DuckDB oracle matches
+    bit-for-bit; the absent-mass Σ q_t is summed as exact integer counts
+    and divided once. Plan: one explode + one groupBy(source, token),
+    then only (source)- and (token)-keyed aggregates/joins and a 1-row
+    corpus-total broadcast cross — no windows."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token"),
+    )
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    corpus = st.groupBy("token").agg(F.sum("cnt").alias("ccnt"))
+    stot = st.groupBy("source").agg(F.sum("cnt").alias("stot"))
+    ctot = corpus.agg(F.sum("ccnt").alias("ctot"))
+    j = (
+        st.join(corpus, "token")
+        .join(stot, "source")
+        .join(F.broadcast(ctot))
+    )
+    p = F.col("cnt").cast("double") / F.col("stot")
+    q = F.col("ccnt").cast("double") / F.col("ctot")
+    m = (p + q) / 2
+    quant = lambda x: F.floor(x * 1e12 + F.lit(0.5)).cast("long")  # noqa: E731
+    agg = j.groupBy("source").agg(
+        F.first("stot").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(quant(p * F.log(p / q))).alias("__kl_pico"),
+        F.sum(quant(p * F.log(p / m) + q * F.log(q / m))).alias("__js_pico"),
+        F.sum("ccnt").alias("__qmass_cnt"),
+        F.first("ctot").alias("__ctot"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    js = (
+        F.col("__js_pico") / 1e12
+        + ln2 * (F.lit(1.0) - F.col("__qmass_cnt").cast("double") / F.col("__ctot"))
+    ) / 2
+    fr = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        fr(F.col("__kl_pico") / 1e12).alias("kl_to_corpus"),
+        fr(js).alias("js_to_corpus"),
+    )
+
+
 def mixture_weights(
     docs: DataFrame,
     target: dict[str, float],

@@ -5034,6 +5034,409 @@ def sketch_bloom_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_contains(bl, probes, "token", m_bits=1024, k=5)
 
 
+#: HLL distinct-count key: (doc, token) occurrence pairs — thousands of
+#: distinct values that grow with SF (plain tokens are a 31-word synthetic
+#: vocabulary, which would pin the estimator to its linear-counting branch).
+_HLL_KEY_SQL = (
+    "SELECT CAST(doc_id AS VARCHAR) || ':' || token AS token "
+    f"FROM ({_SK_TOK_SQL})"
+)
+
+
+def _hll_registers_oracle_sql(m: int = 64) -> str:
+    """DuckDB replay of sketches.hll_build over the corpus (doc, token)
+    pair stream: identical portable hash + nonlinear finalizer, bucket =
+    mix mod m, rho = 1 + trailing zeros of mix // m via the same CASE
+    chain, and the same groupBy-max — the hash match certifies the
+    register CONTENTS bit-for-bit."""
+    from workbench_spark.operators.sketches import _hll_rho_case
+
+    return f"""
+    WITH tok AS ({_HLL_KEY_SQL}),
+    hp AS (SELECT ({_SK_POLY}) AS p FROM tok),
+    mx AS (SELECT ((p * p) % 1000000007 + (p * 2654435761) % 1000000007)
+                  % 1000000007 AS mix FROM hp),
+    br AS (SELECT CAST(mix % {m} AS INT) AS bucket, mix // {m} AS v FROM mx)
+    SELECT bucket, CAST(MAX({_hll_rho_case('v')}) AS INT) AS rho
+    FROM br GROUP BY bucket
+    """
+
+
+def _hll_key_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, token) occurrence pairs as one string key per row — the
+    Spark twin of _HLL_KEY_SQL."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("__tok"),
+    ).select(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("__tok")).alias(
+            "token"
+        )
+    )
+
+
+@query("sketch_hll_registers", _hll_registers_oracle_sql())
+def sketch_hll_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register build (Flajolet 2007; operators/sketches):
+    the corpus (doc, token) pair stream folded into ≤ 64 (bucket,
+    max-rho) registers — one projection + one map-side-combinable
+    groupBy at any corpus size. MAX-merge makes it a per-batch
+    distinct-count artifact: duplicates are absorbed for free, and
+    merging day-sketches is union + max."""
+    from workbench_spark.operators.sketches import hll_build
+
+    return hll_build(_hll_key_stream(spark, sf_dir), "token", m=64)
+
+
+def _hll_estimate_oracle_sql(m: int = 64) -> str:
+    """Replay of hll_estimate over the hll_build registers, joined with
+    the exact distinct count: s_scaled is an exact integer (order-free),
+    the alpha·m²·2^25 / s division is the single float step (identical
+    literal fold both engines), the small-range linear-counting branch
+    uses the same ln, and the result is floor-rounded the same way."""
+    from workbench_spark.operators.sketches import (
+        _HLL_ALPHA,
+        _HLL_RHO_CAP,
+        _hll_rho_case,
+    )
+
+    pow_cap = 1 << _HLL_RHO_CAP
+    return f"""
+    WITH tok AS ({_HLL_KEY_SQL}),
+    hp AS (SELECT ({_SK_POLY}) AS p FROM tok),
+    mx AS (SELECT ((p * p) % 1000000007 + (p * 2654435761) % 1000000007)
+                  % 1000000007 AS mix FROM hp),
+    br AS (SELECT CAST(mix % {m} AS INT) AS bucket, mix // {m} AS v FROM mx),
+    reg AS (SELECT bucket, MAX({_hll_rho_case('v')}) AS rho
+            FROM br GROUP BY bucket),
+    agg AS (
+      SELECT COUNT(*) AS present_buckets,
+             CAST(COALESCE(SUM(1::BIGINT << ({_HLL_RHO_CAP} - rho)), 0)
+                  + ({m} - COUNT(*)) * {pow_cap}::BIGINT AS BIGINT) AS s_scaled
+      FROM reg
+    ),
+    est AS (
+      SELECT present_buckets,
+             {m} - present_buckets AS zero_registers,
+             s_scaled,
+             ({_HLL_ALPHA[m]} * {float(m * m)} * {float(pow_cap)})
+               / CAST(s_scaled AS DOUBLE) AS raw
+      FROM agg
+    ),
+    fin AS (
+      SELECT present_buckets, zero_registers, s_scaled,
+             floor((CASE WHEN raw <= {2.5 * m} AND zero_registers > 0
+                         THEN {float(m)} * ln({float(m)}
+                              / CAST(zero_registers AS DOUBLE))
+                         ELSE raw END) * 1e6 + 0.5) / 1e6 AS hll_estimate
+      FROM est
+    )
+    SELECT CAST(f.present_buckets AS BIGINT) AS present_buckets,
+           CAST(f.zero_registers AS BIGINT) AS zero_registers,
+           f.s_scaled, f.hll_estimate,
+           (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) FROM tok)
+             AS true_distinct
+    FROM fin f
+    """
+
+
+@query("sketch_hll_estimate", _hll_estimate_oracle_sql())
+def sketch_hll_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimate joined with the exact distinct (doc,
+    token) pair count: the matched values certify the exact integer
+    denominator (s_scaled — order-independent, so engine and oracle
+    agree bit-for-bit) and the single-float-division estimate, and
+    expose the 1.04/√64 ≈ 13% error envelope against the truth in real
+    data."""
+    from workbench_spark.operators.sketches import hll_build, hll_estimate
+
+    toks = _hll_key_stream(spark, sf_dir)
+    est = hll_estimate(hll_build(toks, "token", m=64), m=64)
+    truth = toks.agg(F.countDistinct("token").cast("long").alias("true_distinct"))
+    return est.join(F.broadcast(truth))
+
+
+@query(
+    "text_source_divergence",
+    f"""
+    WITH tok AS (
+      SELECT source, token
+      FROM ({_SK_TOK_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")})
+    ),
+    st AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY source, token),
+    corpus AS (SELECT token, SUM(cnt) AS ccnt FROM st GROUP BY token),
+    stot AS (SELECT source, SUM(cnt) AS stot FROM st GROUP BY source),
+    ctot AS (SELECT SUM(ccnt) AS ctot FROM corpus),
+    j AS (
+      SELECT st.source, st.cnt, corpus.ccnt, stot.stot, ctot.ctot,
+             CAST(st.cnt AS DOUBLE) / stot.stot AS p,
+             CAST(corpus.ccnt AS DOUBLE) / ctot.ctot AS q
+      FROM st JOIN corpus USING (token) JOIN stot USING (source) CROSS JOIN ctot
+    ),
+    agg AS (
+      SELECT source, ANY_VALUE(stot) AS n_tokens, COUNT(*) AS n_types,
+             SUM(CAST(floor(p * ln(p / q) * 1e12 + 0.5) AS BIGINT)) AS kl_pico,
+             SUM(CAST(floor((p * ln(p / ((p + q) / 2))
+                             + q * ln(q / ((p + q) / 2))) * 1e12 + 0.5)
+                 AS BIGINT)) AS js_pico,
+             SUM(ccnt) AS qmass_cnt, ANY_VALUE(ctot) AS ctot
+      FROM j GROUP BY source
+    )
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           floor((kl_pico / 1e12) * 1e6 + 0.5) / 1e6 AS kl_to_corpus,
+           floor(((js_pico / 1e12
+                   + ln(2.0) * (1.0 - CAST(qmass_cnt AS DOUBLE) / ctot)) / 2)
+                 * 1e6 + 0.5) / 1e6 AS js_to_corpus
+    FROM agg
+    """,
+)
+def text_source_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL/JS divergence from the corpus mixture
+    (text.source_token_divergence) — the mixture-audit panel. Summands
+    are quantized to integer picounats before the shuffled SUM (order-
+    free), absent-token JS mass enters via its closed form from exact
+    integer counts, so the oracle matches bit-for-bit."""
+    from workbench_spark.operators.text import source_token_divergence
+
+    d = _t(spark, sf_dir, "documents")
+    return source_token_divergence(d)
+
+
+def _hll_by_source_oracle_sql(m: int = 64) -> str:
+    """Grouped replay: hll_build(by=['source']) + hll_estimate(by=...)
+    over per-source (doc, token) pair streams — identical register build
+    per group, exact integer s_scaled per group, the same single float
+    division and linear-counting branch per group."""
+    from workbench_spark.operators.sketches import (
+        _HLL_ALPHA,
+        _HLL_RHO_CAP,
+        _hll_rho_case,
+    )
+
+    pow_cap = 1 << _HLL_RHO_CAP
+    return f"""
+    WITH tok AS (
+      SELECT source, CAST(doc_id AS VARCHAR) || ':' || token AS token
+      FROM ({_SK_TOK_SQL.replace("SELECT doc_id,", "SELECT doc_id, source,")})
+    ),
+    hp AS (SELECT source, ({_SK_POLY}) AS p FROM tok),
+    mx AS (SELECT source,
+                  ((p * p) % 1000000007 + (p * 2654435761) % 1000000007)
+                  % 1000000007 AS mix FROM hp),
+    br AS (SELECT source, CAST(mix % {m} AS INT) AS bucket,
+                  mix // {m} AS v FROM mx),
+    reg AS (SELECT source, bucket, MAX({_hll_rho_case('v')}) AS rho
+            FROM br GROUP BY source, bucket),
+    agg AS (
+      SELECT source, COUNT(*) AS present_buckets,
+             CAST(COALESCE(SUM(1::BIGINT << ({_HLL_RHO_CAP} - rho)), 0)
+                  + ({m} - COUNT(*)) * {pow_cap}::BIGINT AS BIGINT) AS s_scaled
+      FROM reg GROUP BY source
+    ),
+    est AS (
+      SELECT source, present_buckets,
+             {m} - present_buckets AS zero_registers,
+             s_scaled,
+             ({_HLL_ALPHA[m]} * {float(m * m)} * {float(pow_cap)})
+               / CAST(s_scaled AS DOUBLE) AS raw
+      FROM agg
+    )
+    SELECT source,
+           CAST(present_buckets AS BIGINT) AS present_buckets,
+           CAST(zero_registers AS BIGINT) AS zero_registers,
+           s_scaled,
+           floor((CASE WHEN raw <= {2.5 * m} AND zero_registers > 0
+                       THEN {float(m)} * ln({float(m)}
+                            / CAST(zero_registers AS DOUBLE))
+                       ELSE raw END) * 1e6 + 0.5) / 1e6 AS hll_estimate
+    FROM est
+    """
+
+
+@query("sketch_hll_by_source", _hll_by_source_oracle_sql())
+def sketch_hll_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP HLL distinct counts (hll_build/estimate(by=['source'])):
+    one fixed m-register artifact per source instead of unbounded
+    per-group countDistinct state — the per-domain-vocabulary shape of
+    the 100 TB accounting problem. Still one combinable groupBy; the
+    oracle replays every group's registers and estimate exactly."""
+    from workbench_spark.operators.dedup import normalize_text
+    from workbench_spark.operators.sketches import hll_build, hll_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("__tok"),
+    ).select(
+        "source",
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("__tok")).alias(
+            "token"
+        ),
+    )
+    sk = hll_build(toks, "token", m=64, by=["source"])
+    return hll_estimate(sk, m=64, by=["source"])
+
+
+@query(
+    "dedup_jaccard_prefix_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_filter([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))],
+                  s -> length(s) = 5)) AS g
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id < 300)
+    ),
+    ex AS (SELECT id, UNNEST(g) AS g, len(g) AS sz FROM sh),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter,
+             ANY_VALUE(a.sz) AS sz_a, ANY_VALUE(b.sz) AS sz_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           CAST(sz_a + sz_b - inter AS BIGINT) AS union_sz
+    FROM pairs
+    WHERE inter * 2 >= 1 * (sz_a + sz_b - inter)
+    """,
+)
+def dedup_jaccard_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard join via PPJoin prefix + length filtering (Xiao
+    2008; dedup.jaccard_prefix_pairs): the inverted index holds only
+    each doc's rarest |d| − ⌈t|d|⌉ + 1 shingles, yet the pair set is
+    provably identical to brute force — so the ORACLE is a brute-force
+    pairwise Jaccard (algorithm-equivalence certificate, not a replay).
+    All thresholds are integer cross-multiplications; output columns
+    are exact integers."""
+    from workbench_spark.operators.dedup import jaccard_prefix_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return jaccard_prefix_pairs(d, n=5, threshold=(1, 2))
+
+
+# =====================================================================
+# PageRank — operators/graph.pagerank (fixed-point integer iteration)
+# =====================================================================
+
+_PR_ITERS = 10
+_PR_SCALE = 10**12
+_PR_DNUM, _PR_DDEN = 85, 100
+
+_PR_DUCK_POLY = (
+    "list_reduce(list_prepend(0::BIGINT,"
+    " [ascii(substr({s}, i, 1)) for i in generate_series(1, length({s}))]),"
+    " (a, c) -> (a * 31 + c) % 1000000007)"
+)
+
+
+def _pagerank_oracle_sql() -> str:
+    """DuckDB replay of graph.pagerank over the hash-derived doc link
+    graph: identical edge construction (portable poly hash + nonlinear
+    finalizer, dst = mix mod N), then every one of the 10 iterations
+    unrolled as CTEs — integer floor-division shares, order-independent
+    integer SUMs, the same dangling-mass and damping arithmetic. The
+    hash match certifies the full power iteration bit-for-bit."""
+    mix = (
+        "(((p * p) % 1000000007 + (p * 2654435761) % 1000000007)"
+        " % 1000000007)"
+    )
+    edge_selects = " UNION ALL ".join(
+        f"""SELECT doc_id AS s,
+               CAST({mix} % (SELECT n FROM nn) AS BIGINT) AS d
+        FROM (SELECT doc_id,
+                     ({_PR_DUCK_POLY.format(s="('pr" + str(i) + ":' || CAST(doc_id AS VARCHAR))")}) AS p
+              FROM documents)"""
+        for i in (1, 2, 3)
+    )
+    parts = [
+        f"""
+    WITH nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+    e AS MATERIALIZED ({edge_selects}),
+    nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),
+    deg AS MATERIALIZED (SELECT s AS node, COUNT(*) AS deg FROM e GROUP BY s),
+    nd AS MATERIALIZED (SELECT node, COALESCE(deg, 0) AS deg
+           FROM nodes LEFT JOIN deg USING (node)),
+    b AS MATERIALIZED (SELECT (({_PR_DDEN - _PR_DNUM} * {_PR_SCALE}::BIGINT) // {_PR_DDEN})
+                   // n AS base,
+                 {_PR_SCALE}::BIGINT // n AS r_init, n FROM nn),
+    r0 AS MATERIALIZED (SELECT node, (SELECT r_init FROM b) AS r FROM nd)"""
+    ]
+    for t in range(_PR_ITERS):
+        parts.append(
+            f""",
+    c{t + 1} AS MATERIALIZED (SELECT e.d AS node, SUM(r.r // nd.deg) AS c
+           FROM e JOIN r{t} r ON e.s = r.node JOIN nd ON nd.node = r.node
+           WHERE nd.deg > 0 GROUP BY e.d),
+    d{t + 1} AS MATERIALIZED (SELECT COALESCE(SUM(r.r), 0) // (SELECT n FROM b) AS ds
+           FROM r{t} r JOIN nd USING (node) WHERE nd.deg = 0),
+    r{t + 1} AS MATERIALIZED (SELECT nd.node,
+                  (SELECT base FROM b)
+                  + ({_PR_DNUM} * (COALESCE(c.c, 0) + (SELECT ds FROM d{t + 1})))
+                    // {_PR_DDEN} AS r
+           FROM nd LEFT JOIN c{t + 1} c USING (node))"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{_PR_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@query("graph_pagerank_authority", _pagerank_oracle_sql())
+def graph_pagerank_authority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank authority scores (Brin & Page 1998; operators/graph) over
+    a deterministic hash-derived 3-out-regular link graph on doc ids —
+    the quality prior a web-corpus admission pipeline ranks domains by.
+    Fixed-point integer power iteration (10 rounds): every contribution
+    is a floor division and every shuffle a map-side-combinable integer
+    SUM, so the DuckDB oracle replays all 10 iterations bit-for-bit.
+    Per iteration: one co-keyed join + one edge equi-join + one
+    groupBy(dst) sum + a 1-row dangling aggregate; lineage truncated per
+    round (the iterative-algorithm shape shared with
+    connected_components)."""
+    from workbench_spark.operators.dsir import _MIX, _POLY
+    from workbench_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    e = d.select("doc_id")
+    for i in (1, 2, 3):
+        e = (
+            e.withColumn(
+                f"__s{i}",
+                F.concat(F.lit(f"pr{i}:"), F.col("doc_id").cast("string")),
+            )
+            .withColumn(f"__p{i}", F.expr(_POLY.format(c=f"__s{i}")))
+            .withColumn(f"__d{i}", F.expr(_MIX.format(p=f"__p{i}")) % n)
+        )
+    edges = e.select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.explode(F.array("__d1", "__d2", "__d3")).alias("dst"),
+    )
+    return pagerank(
+        edges,
+        iters=_PR_ITERS,
+        damping=(_PR_DNUM, _PR_DDEN),
+        scale=_PR_SCALE,
+    )
+
+
 @query(
     "w_time_rollup_events",
     """

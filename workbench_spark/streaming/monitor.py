@@ -516,3 +516,61 @@ def stream_cms_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_hll_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    m: int = 64,
+    by: list[str] | None = None,
+):
+    """Streaming distinct-count sketch: maintain ONE HyperLogLog register
+    artifact over an unbounded key stream — the O(m) answer to "how many
+    DISTINCT keys so far?" (users, URLs, vocabulary) where exact
+    dropDuplicates state grows without bound.
+
+    Same artifact-fold shape as stream_cms_counts, but the merge is MAX
+    (hll_merge), which is also idempotent — re-delivered keys and even
+    re-processed batches cannot inflate the count, the property that
+    makes HLL the right streaming cardinality monitor (a re-run CMS fold
+    would double-count; a re-run HLL fold is a no-op). ``by`` maintains
+    per-group registers (≤ m rows per group) for per-domain/per-source
+    distinct tracking. Estimates at any time: sketches.hll_estimate over
+    the persisted artifact."""
+    import os
+
+    from workbench_spark.operators.sketches import hll_build, hll_merge
+
+    by = list(by or [])
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sketch = hll_build(batch_df, key_col, m=m, by=by)
+        if os.path.isdir(sketch_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(sketch_dir)
+        ):
+            prior = spark.read.parquet(sketch_dir)
+            merged = (
+                prior.unionByName(batch_sketch)
+                .groupBy(*by, "bucket")
+                .agg(F.max("rho").alias("rho"))
+                if by
+                else hll_merge(prior, batch_sketch)
+            )
+        else:
+            merged = batch_sketch
+        tmp = sketch_dir.rstrip("/") + f"__tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(sketch_dir)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
