@@ -146,6 +146,7 @@ EXTRA = [
     "graph_pagerank_authority",   # r8: 10 integer power iterations
     "dedup_jaccard_prefix_pairs", # r8: PPJoin prefix-filtered exact join
     "text_source_divergence",     # r8: per-source KL/JS mixture audit
+    "graph_hits_hubs_authorities",  # r8: 5 integer HITS iterations
 ]
 
 

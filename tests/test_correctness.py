@@ -67,6 +67,9 @@ _TIME_BUDGET_OVERRIDES = {
     # df-rank + collect_list + prefix self-join + verify = 4 shuffle stages
     # of cold plan compile; ~14s cold under load at sf0.001
     "dedup_jaccard_prefix_pairs": 40.0,
+    # iterative by design: 5 HITS iterations x 2 phases, each phase
+    # localCheckpointed — load-sensitive like pagerank
+    "graph_hits_hubs_authorities": 40.0,
 }
 
 

@@ -181,3 +181,51 @@ def test_pagerank_partition_invariance(spark):
     a = sorted(map(tuple, pagerank(df, iters=6).collect()))
     b = sorted(map(tuple, pagerank(df.repartition(13), iters=6).collect()))
     assert a == b
+
+
+def _hits_py(edges, iters=5, scale=10**9):
+    """Pure-Python twin of graph.hits' fixed-point iteration."""
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    h = {v: scale // n for v in nodes}
+    a = None
+    for _ in range(iters):
+        araw = {v: 0 for v in nodes}
+        for s, d in edges:
+            araw[d] += h[s]
+        tot = sum(araw.values()) or 1
+        a = {v: (araw[v] * scale) // tot for v in nodes}
+        hraw = {v: 0 for v in nodes}
+        for s, d in edges:
+            hraw[s] += a[d]
+        tot = sum(hraw.values()) or 1
+        h = {v: (hraw[v] * scale) // tot for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def test_hits_matches_python_replay_exactly(spark):
+    from workbench_spark.operators.graph import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub_scaled"], r["authority_scaled"])
+        for r in hits(df, iters=5).collect()
+    }
+    assert got == _hits_py(edges)
+
+
+def test_hits_identifies_planted_hub_and_authority(spark):
+    from workbench_spark.operators.graph import hits
+
+    # node 100 points at every authority 0..9; each authority also gets
+    # one incidental in-link from a chain so the graph isn't bipartite
+    edges = [(100, i) for i in range(10)] + [(i, i + 1) for i in range(9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = hits(df, iters=10).collect()
+    hubs = {r["node"]: r["hub_scaled"] for r in rows}
+    auths = {r["node"]: r["authority_scaled"] for r in rows}
+    assert max(hubs, key=hubs.get) == 100
+    assert hubs[100] > 2 * max(v for k, v in hubs.items() if k != 100)
+    # the planted hub itself is no authority (nothing points at it)
+    assert auths[100] == 0

@@ -62,6 +62,9 @@ BNLJ_ALLOWED = {
                                 "the rank frame once per power iteration",
     "text_source_divergence": "1-row corpus-total-tokens aggregate crossed "
                               "into the per-(source, token) frame",
+    "graph_hits_hubs_authorities": "two 1-row L1-normalizer aggregates "
+                                   "crossed into the score frame per "
+                                   "iteration",
 }
 
 

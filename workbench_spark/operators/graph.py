@@ -331,3 +331,97 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    scale: int = 10**9,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    DataFrame, in FIXED-POINT integer arithmetic. Output:
+    (node, hub_scaled, authority_scaled), each score ≈ score · scale,
+    L1-normalized per phase (Σ = scale up to floor loss).
+
+    Web-corpus curation use: the complement of :func:`pagerank` —
+    authority flags pages many good hubs point AT (quality prior), hub
+    flags pages that point at many authorities (directories and, at the
+    adversarial extreme, link farms worth down-weighting).
+
+    Why integers: same rationale as pagerank — every mutual-reinforcement
+    update a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v) is an integer SUM
+    (order-independent), and each L1 normalization is one integer
+    x·scale div Σ projection, so a DuckDB oracle replays all iterations
+    bit-for-bit. scale=1e9 keeps every product under int64: a raw sum is
+    ≤ Σh = scale, so x·scale ≤ 1e18 < 2^63.
+
+    Plan shape at 100 TB: per iteration TWO edge equi-joins + TWO
+    map-side-combinable groupBy sums + two 1-row totals — no windows, no
+    cross products beyond the broadcast 1-row normalizers; lineage
+    truncated per iteration (the iterative shape shared with pagerank
+    and connected_components)."""
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        fwd.select(F.col("s").alias("node"))
+        .unionAll(fwd.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_scaled"),
+            F.lit(0).cast("long").alias("authority_scaled"),
+        )
+    hubs = nodes.select("node", F.lit(scale // n).cast("long").alias("h"))
+    auths = None
+    for _ in range(iters):
+        # authority phase: a_raw(v) = sum of current hub scores over in-edges
+        a_raw = (
+            fwd.join(hubs.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("h").alias("__raw"))
+        )
+        a_tot = a_raw.agg(F.coalesce(F.sum("__raw"), F.lit(1)).alias("__tot"))
+        auths = (
+            nodes.join(a_raw, "node", "left")
+            .join(F.broadcast(a_tot))
+            .select(
+                "node",
+                F.expr(f"(coalesce(__raw, 0L) * {scale}) div __tot")
+                .cast("long")
+                .alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # hub phase: h_raw(u) = sum of fresh authority scores over out-edges
+        h_raw = (
+            fwd.join(auths.withColumnRenamed("node", "d"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("a").alias("__raw"))
+        )
+        h_tot = h_raw.agg(F.coalesce(F.sum("__raw"), F.lit(1)).alias("__tot"))
+        hubs = (
+            nodes.join(h_raw, "node", "left")
+            .join(F.broadcast(h_tot))
+            .select(
+                "node",
+                F.expr(f"(coalesce(__raw, 0L) * {scale}) div __tot")
+                .cast("long")
+                .alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hubs.join(auths, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_scaled"),
+            F.col("a").alias("authority_scaled"),
+        )
+    )

@@ -5345,18 +5345,14 @@ _PR_DUCK_POLY = (
 )
 
 
-def _pagerank_oracle_sql() -> str:
-    """DuckDB replay of graph.pagerank over the hash-derived doc link
-    graph: identical edge construction (portable poly hash + nonlinear
-    finalizer, dst = mix mod N), then every one of the 10 iterations
-    unrolled as CTEs — integer floor-division shares, order-independent
-    integer SUMs, the same dangling-mass and damping arithmetic. The
-    hash match certifies the full power iteration bit-for-bit."""
+def _pr_edge_selects() -> str:
+    """The hash-derived 3-out-regular doc link graph, DuckDB side (shared
+    by the pagerank and HITS oracles); expects a CTE nn(n) in scope."""
     mix = (
         "(((p * p) % 1000000007 + (p * 2654435761) % 1000000007)"
         " % 1000000007)"
     )
-    edge_selects = " UNION ALL ".join(
+    return " UNION ALL ".join(
         f"""SELECT doc_id AS s,
                CAST({mix} % (SELECT n FROM nn) AS BIGINT) AS d
         FROM (SELECT doc_id,
@@ -5364,6 +5360,39 @@ def _pagerank_oracle_sql() -> str:
               FROM documents)"""
         for i in (1, 2, 3)
     )
+
+
+def _hash_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _pr_edge_selects: deterministic 3-out-regular link
+    graph over doc ids (dst = mix(poly('pr{i}:'||id)) mod N)."""
+    from workbench_spark.operators.dsir import _MIX, _POLY
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    e = d.select("doc_id")
+    for i in (1, 2, 3):
+        e = (
+            e.withColumn(
+                f"__s{i}",
+                F.concat(F.lit(f"pr{i}:"), F.col("doc_id").cast("string")),
+            )
+            .withColumn(f"__p{i}", F.expr(_POLY.format(c=f"__s{i}")))
+            .withColumn(f"__d{i}", F.expr(_MIX.format(p=f"__p{i}")) % n)
+        )
+    return e.select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.explode(F.array("__d1", "__d2", "__d3")).alias("dst"),
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    """DuckDB replay of graph.pagerank over the hash-derived doc link
+    graph: identical edge construction (portable poly hash + nonlinear
+    finalizer, dst = mix mod N), then every one of the 10 iterations
+    unrolled as CTEs — integer floor-division shares, order-independent
+    integer SUMs, the same dangling-mass and damping arithmetic. The
+    hash match certifies the full power iteration bit-for-bit."""
+    edge_selects = _pr_edge_selects()
     parts = [
         f"""
     WITH nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
@@ -5410,31 +5439,71 @@ def graph_pagerank_authority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(dst) sum + a 1-row dangling aggregate; lineage truncated per
     round (the iterative-algorithm shape shared with
     connected_components)."""
-    from workbench_spark.operators.dsir import _MIX, _POLY
     from workbench_spark.operators.graph import pagerank
 
-    d = _t(spark, sf_dir, "documents")
-    n = d.count()
-    e = d.select("doc_id")
-    for i in (1, 2, 3):
-        e = (
-            e.withColumn(
-                f"__s{i}",
-                F.concat(F.lit(f"pr{i}:"), F.col("doc_id").cast("string")),
-            )
-            .withColumn(f"__p{i}", F.expr(_POLY.format(c=f"__s{i}")))
-            .withColumn(f"__d{i}", F.expr(_MIX.format(p=f"__p{i}")) % n)
-        )
-    edges = e.select(
-        F.col("doc_id").cast("long").alias("src"),
-        F.explode(F.array("__d1", "__d2", "__d3")).alias("dst"),
-    )
     return pagerank(
-        edges,
+        _hash_link_edges(spark, sf_dir),
         iters=_PR_ITERS,
         damping=(_PR_DNUM, _PR_DDEN),
         scale=_PR_SCALE,
     )
+
+
+_HITS_ITERS = 5
+_HITS_SCALE = 10**9
+
+
+def _hits_oracle_sql() -> str:
+    """DuckDB replay of graph.hits over the same hash-derived link graph:
+    every iteration's authority and hub phases unrolled as MATERIALIZED
+    CTEs — integer sums + one x·scale // total normalization per phase,
+    matching the engine bit-for-bit."""
+    edge_selects = _pr_edge_selects()
+    parts = [
+        f"""
+    WITH nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+    e AS MATERIALIZED ({edge_selects}),
+    nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),
+    h0 AS MATERIALIZED (SELECT node,
+            (SELECT {_HITS_SCALE}::BIGINT // n FROM nn) AS h FROM nodes)"""
+    ]
+    for t in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""",
+    ar{t} AS MATERIALIZED (SELECT e.d AS node, SUM(h.h) AS raw
+           FROM e JOIN h{t - 1} h ON e.s = h.node GROUP BY e.d),
+    at{t} AS MATERIALIZED (SELECT COALESCE(SUM(raw), 1) AS tot FROM ar{t}),
+    a{t} AS MATERIALIZED (SELECT nodes.node,
+            (COALESCE(ar.raw, 0) * {_HITS_SCALE}) // (SELECT tot FROM at{t}) AS a
+           FROM nodes LEFT JOIN ar{t} ar USING (node)),
+    hr{t} AS MATERIALIZED (SELECT e.s AS node, SUM(a.a) AS raw
+           FROM e JOIN a{t} a ON e.d = a.node GROUP BY e.s),
+    ht{t} AS MATERIALIZED (SELECT COALESCE(SUM(raw), 1) AS tot FROM hr{t}),
+    h{t} AS MATERIALIZED (SELECT nodes.node,
+            (COALESCE(hr.raw, 0) * {_HITS_SCALE}) // (SELECT tot FROM ht{t}) AS h
+           FROM nodes LEFT JOIN hr{t} hr USING (node))"""
+        )
+    parts.append(
+        f"""
+    SELECT h{_HITS_ITERS}.node,
+           CAST(h{_HITS_ITERS}.h AS BIGINT) AS hub_scaled,
+           CAST(a{_HITS_ITERS}.a AS BIGINT) AS authority_scaled
+    FROM h{_HITS_ITERS} JOIN a{_HITS_ITERS} USING (node)"""
+    )
+    return "".join(parts)
+
+
+@query("graph_hits_hubs_authorities", _hits_oracle_sql())
+def graph_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999; operators/graph) over
+    the same deterministic link graph — pagerank's complement in the
+    web-curation toolkit (authority = quality prior; hub = directory /
+    link-farm signal). Fixed-point integer mutual reinforcement with
+    integer L1 normalization per phase; the oracle replays all 5
+    iterations bit-for-bit."""
+    from workbench_spark.operators.graph import hits
+
+    return hits(_hash_link_edges(spark, sf_dir), iters=_HITS_ITERS, scale=_HITS_SCALE)
 
 
 @query(
