@@ -200,6 +200,13 @@ def main() -> None:
     # concurrent load on this box (measured), and min-of-2 rejects the
     # transient noise while a mean would average it in. Plans and data are
     # identical across passes, so min is the honest steady-state estimate.
+    # BOTH headline passes run back-to-back BEFORE any extra query: that is
+    # exactly the r6/r7 v2 shape (those rounds had no extras at all), so the
+    # headline min-of-2 stays like-for-like. Interleaving (extras inside the
+    # pass loop) measurably taxed headline pass 1 — 15 extras including
+    # iterative checkpoint-heavy queries churn the JVM code cache / GC /
+    # page cache between passes (observed +0.6s spread thinly across the
+    # scan-heavy headline queries).
     for pass_i in range(2):
         for name, fn in to_run.items():
             t0 = time.perf_counter()
@@ -209,8 +216,7 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = round(dt, 4)
             print(f"# pass{pass_i} {name}: {dt:.3f}s rows={n}", file=sys.stderr)
-        # extras AFTER the headline set each pass, so headline cache
-        # behavior is untouched by their scans
+    for pass_i in range(2):
         for name, fn in extra_run.items():
             t0 = time.perf_counter()
             n = fn(spark, SF_DIR).count()
