@@ -147,6 +147,8 @@ EXTRA = [
     "dedup_jaccard_prefix_pairs", # r8: PPJoin prefix-filtered exact join
     "text_source_divergence",     # r8: per-source KL/JS mixture audit
     "graph_hits_hubs_authorities",  # r8: 5 integer HITS iterations
+    "dedup_containment_pairs",    # r8: directional containment join
+    "sketch_cms_heavy_hitters",   # r8: sketch-prefiltered exact top keys
 ]
 
 

@@ -70,6 +70,8 @@ _TIME_BUDGET_OVERRIDES = {
     # iterative by design: 5 HITS iterations x 2 phases, each phase
     # localCheckpointed — load-sensitive like pagerank
     "graph_hits_hubs_authorities": 40.0,
+    # same 4-shuffle-stage cold compile profile as jaccard_prefix_pairs
+    "dedup_containment_pairs": 40.0,
 }
 
 

@@ -381,3 +381,57 @@ def test_jaccard_prefix_pairs_planted_twin(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r["id_a"], r["id_b"]) for r in jaccard_prefix_pairs(d, threshold=(4, 5)).collect()}
     assert got == {(0, 1)}
+
+
+def test_containment_pairs_equals_brute_force_and_is_directional(spark):
+    """Containment prefix+length filters lose ZERO directed pairs, and
+    an embedded document is flagged in the contained->container
+    direction only."""
+    from workbench_spark.operators.dedup import containment_pairs, shingle_frame
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["id_contained"], r["id_container"]): (r["inter"], r["sz_contained"])
+        for r in containment_pairs(d, threshold=(3, 5)).collect()
+    }
+    sh = (
+        shingle_frame(d, "text", "doc_id", 5, "sh")
+        .withColumnRenamed("doc_id", "id")
+        .withColumn("sz", F.size("sh"))
+    )
+    ex = sh.select("id", "sz", F.explode("sh").alias("g"))
+    brute = {
+        (r["ia"], r["ib"]): (r["inter"], r["sza"])
+        for r in (
+            ex.alias("a")
+            .join(ex.alias("b"), "g")
+            .filter(F.col("a.id") != F.col("b.id"))
+            .groupBy(
+                F.col("a.id").alias("ia"),
+                F.col("b.id").alias("ib"),
+                F.col("a.sz").alias("sza"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .filter(F.col("inter") * 5 >= 3 * F.col("sza"))
+        ).collect()
+    }
+    assert got == brute
+
+    # planted: short doc embedded verbatim in a much longer one — the
+    # Jaccard between them is low, but containment fires A -> B only
+    rows = [
+        (9000, "the quick brown fox jumps over the lazy dog"),
+        (
+            9001,
+            "preamble text here. the quick brown fox jumps over the lazy "
+            "dog. plus a long appendix of unrelated words follows now for "
+            "padding purposes making the container much longer",
+        ),
+        (9002, "completely unrelated content about streaming sketches"),
+    ]
+    d2 = spark.createDataFrame(rows, "doc_id long, text string")
+    got2 = {
+        (r["id_contained"], r["id_container"])
+        for r in containment_pairs(d2, threshold=(9, 10)).collect()
+    }
+    assert got2 == {(9000, 9001)}

@@ -171,3 +171,25 @@ def test_hll_small_range_linear_counting(spark):
     empty = _keys(spark, []).filter(F.lit(False))
     row0 = hll_estimate(hll_build(empty, "key")).collect()[0]
     assert row0["hll_estimate"] == 0.0 and row0["zero_registers"] == 64
+
+
+def test_cms_heavy_hitters_exact_even_with_collisions(spark):
+    """The CMS prefilter admits a superset (narrow width forces
+    collisions) but the exact second pass must return EXACTLY the keys
+    with true count >= T — same result as a bare groupBy+HAVING."""
+    from workbench_spark.operators.sketches import cms_heavy_hitters
+
+    data = (
+        ["hot1"] * 50
+        + ["hot2"] * 30
+        + ["warm"] * 10
+        + [f"tail{i}" for i in range(500)]
+    )
+    df = _keys(spark, data)
+    got = {
+        r["key"]: r["cnt"]
+        for r in cms_heavy_hitters(df, "key", min_count=10, depth=3, width=32).collect()
+    }
+    assert got == {"hot1": 50, "hot2": 30, "warm": 10}
+    # threshold above everything -> empty, not an error
+    assert cms_heavy_hitters(df, "key", min_count=1000).count() == 0

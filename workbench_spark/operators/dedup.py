@@ -283,6 +283,98 @@ def jaccard_prefix_pairs(
     ).filter(F.col("inter") * t_den >= t_num * F.col("union_sz"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: tuple[int, int] = (4, 5),
+) -> DataFrame:
+    """EXACT directional containment join: (id_contained, id_container,
+    inter, sz_contained) for every ORDERED pair with shingle containment
+    C(A,B) = |A∩B| / |A| ≥ t — the quote / subset / superset-version
+    detector. Symmetric Jaccard misses A ⊂ B when B is much longer
+    (J = |A|/|B| is small); containment is the right test for "document
+    A is embedded in B" (boilerplate wrappers, quoted articles,
+    expanded re-releases).
+
+    Prefix filter, containment form: C(A,B) ≥ t ⟹ A's first
+    |A| − ⌈t·|A|⌉ + 1 shingles in the global (df, shingle) order must
+    intersect B's FULL set — so only the CONTAINED side's prefix is
+    indexed (its rarest shingles), joined against the full inverted
+    index; hot shingles enter a prefix only for docs where they are
+    among the rarest, so the quadratic hot-bucket blowup stays on the
+    low-fan-out side. Length filter: |B| ≥ ⌈t·|A|⌉. No false negatives
+    by the same theorem as :func:`jaccard_prefix_pairs`; thresholds are
+    integer fractions, every test an integer cross-multiplication —
+    oracle = brute force (algorithm equivalence).
+
+    Self-pairs are excluded; both directions of a near-identical pair
+    legitimately both qualify."""
+    t_num, t_den = threshold
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must be a proper fraction, got {threshold}")
+    sh = (
+        shingle_frame(df, text_col, id_col, n, "sh")
+        .withColumnRenamed(id_col, "id")
+        .withColumn("sz", F.size("sh"))
+        .filter(F.col("sz") > 0)
+    )
+    exploded = sh.select("id", "sz", F.explode("sh").alias("g"))
+    dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        exploded.join(dfreq, "g")
+        .groupBy("id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "g"))).alias("__ord"))
+        .withColumn(
+            "__plen",
+            F.col("sz")
+            - F.expr(f"(({t_num} * sz + {t_den - 1}) div {t_den})")
+            + F.lit(1),
+        )
+    )
+    prefix = ordered.select(
+        "id",
+        "sz",
+        F.explode(F.expr("slice(__ord, 1, __plen)")).alias("__e"),
+    ).select("id", "sz", F.col("__e.g").alias("g"))
+    full = exploded.select(
+        F.col("id").alias("id_container"),
+        F.col("sz").alias("sz_container"),
+        "g",
+    )
+    cand = (
+        prefix.join(full, "g")
+        .filter(
+            (F.col("id") != F.col("id_container"))
+            & (
+                F.lit(t_den) * F.col("sz_container")
+                >= F.lit(t_num) * F.col("sz")
+            )
+        )
+        .select(
+            F.col("id").alias("id_contained"),
+            F.col("id_container"),
+            F.col("sz").alias("sz_contained"),
+        )
+        .distinct()
+    )
+    ea = exploded.select(F.col("id").alias("id_contained"), "g")
+    eb = exploded.select(F.col("id").alias("id_container"), "g")
+    inter = (
+        cand.join(ea, "id_contained")
+        .join(eb, ["id_container", "g"])
+        .groupBy("id_contained", "id_container", "sz_contained")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter.select(
+        "id_contained",
+        "id_container",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("sz_contained").cast("long").alias("sz_contained"),
+    ).filter(F.col("inter") * t_den >= t_num * F.col("sz_contained"))
+
+
 # ----------------------------------------------------------------- minhash
 
 

@@ -300,7 +300,7 @@ def pagerank(
         return nodes.select("node", F.lit(0).cast("long").alias("rank_scaled"))
     base = ((d_den - d_num) * scale // d_den) // n
     ranks = nd.select("node", F.lit(scale // n).cast("long").alias("rank_scaled"))
-    for _ in range(iters):
+    for it in range(iters):
         r = ranks.join(nd, "node")
         shares = r.filter(F.col("__deg") > 0).select(
             "node", F.expr("rank_scaled div __deg").alias("__share")
@@ -328,8 +328,14 @@ def pagerank(
                     )
                 ).cast("long").alias("rank_scaled"),
             )
-            .localCheckpoint(eager=True)
         )
+        # truncate lineage every 3rd round + last: an eager materialization
+        # per iteration is pure fixed overhead (~0.3s each local; a full
+        # stage barrier on a cluster), while 3 rounds of join+agg lineage
+        # is still a shallow, re-optimizable plan. Values are identical —
+        # checkpoint placement can't change integer arithmetic.
+        if it % 3 == 2 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -380,7 +386,7 @@ def hits(
         )
     hubs = nodes.select("node", F.lit(scale // n).cast("long").alias("h"))
     auths = None
-    for _ in range(iters):
+    for it in range(iters):
         # authority phase: a_raw(v) = sum of current hub scores over in-edges
         a_raw = (
             fwd.join(hubs.withColumnRenamed("node", "s"), "s")
@@ -397,8 +403,11 @@ def hits(
                 .cast("long")
                 .alias("a"),
             )
-            .localCheckpoint(eager=True)
         )
+        if it == iters - 1:
+            # only the final authority frame is reused (the output join);
+            # mid-loop auths feed the hub phase once and stay lazy
+            auths = auths.localCheckpoint(eager=True)
         # hub phase: h_raw(u) = sum of fresh authority scores over out-edges
         h_raw = (
             fwd.join(auths.withColumnRenamed("node", "d"), "d")
@@ -415,8 +424,11 @@ def hits(
                 .cast("long")
                 .alias("h"),
             )
-            .localCheckpoint(eager=True)
         )
+        # truncate lineage every 2nd iteration + last (each iteration is
+        # two join+agg phases; see pagerank's checkpoint-cadence note)
+        if it % 2 == 1 or it == iters - 1:
+            hubs = hubs.localCheckpoint(eager=True)
     return (
         hubs.join(auths, "node")
         .select(

@@ -209,6 +209,51 @@ def bloom_contains(
     )
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with true count ≥ min_count) computed
+    with a CMS-prefiltered aggregation: (key, cnt) — identical result to
+    ``GROUP BY key HAVING COUNT(*) ≥ min_count``, different state bound.
+
+    Why: a bare groupBy over a power-law key stream (tokens, URLs)
+    carries aggregation state for EVERY distinct key — the long tail
+    that heavy-hitter queries then throw away. Here a first map-side
+    pass folds the stream into the fixed depth×width CMS; the second
+    pass probes each row against the BROADCAST sketch (depth LEFT
+    broadcast equi-joins + one least() — no shuffle) and drops rows
+    whose estimate is already < min_count BEFORE the exact groupBy.
+    CMS never underestimates, so no true heavy hitter is dropped (the
+    prefilter admits a superset); the exact count filter then removes
+    the false positives — the same no-false-negative two-pass shape as
+    the Bloom decontamination prefilter. Shuffle volume and groupBy
+    state drop from all-keys to candidate-keys (ε·stream collisions at
+    most above threshold)."""
+    _check_depth(depth)
+    sk = cms_build(df, key_col, depth, width)
+    rows = _with_poly(df, key_col)
+    for j in range(depth):
+        skj = (
+            sk.filter(F.col("j") == j)
+            .select(F.col("bucket").alias(f"__b{j}"), F.col("cnt").alias(f"__c{j}"))
+        )
+        rows = rows.withColumn(f"__b{j}", _bucket(j, width)).join(
+            F.broadcast(skj), f"__b{j}", "left"
+        )
+    est = F.least(*[F.coalesce(F.col(f"__c{j}"), F.lit(0)) for j in range(depth)])
+    survivors = rows.filter(est >= min_count)
+    return (
+        survivors.groupBy(F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select(key_col, F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
 # ------------------------------------------------------------------ HLL
 #: Remaining-entropy bits after the bucket split: the portable hash lives
 #: in [0, 1e9+7) ≈ 2^30; v = mix // m keeps ~24 bits at m=64. rho(v) is

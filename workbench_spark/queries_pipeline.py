@@ -5043,6 +5043,36 @@ _HLL_KEY_SQL = (
 )
 
 
+@query(
+    "sketch_cms_heavy_hitters",
+    f"""
+    WITH tok AS ({_SK_TOK_SQL})
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY token HAVING COUNT(*) >= 400
+    """,
+)
+def sketch_cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters via CMS prefilter (sketches.cms_heavy_hitters):
+    the broadcast-sketch map-side filter prunes the stream before the
+    exact groupBy (state bounded by candidates, zero false negatives by
+    the CMS ≥-true property), so the ORACLE is the plain
+    GROUP BY ... HAVING truth — an algorithm-equivalence certificate
+    like the PPJoin and Bloom-prefilter entries."""
+    from workbench_spark.operators.dedup import normalize_text
+    from workbench_spark.operators.sketches import cms_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col("text")), " "),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("token")
+    )
+    return cms_heavy_hitters(toks, "token", min_count=400, depth=4, width=1024)
+
+
 def _hll_registers_oracle_sql(m: int = 64) -> str:
     """DuckDB replay of sketches.hll_build over the corpus (doc, token)
     pair stream: identical portable hash + nonlinear finalizer, bucket =
@@ -5328,6 +5358,43 @@ def dedup_jaccard_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return jaccard_prefix_pairs(d, n=5, threshold=(1, 2))
+
+
+@query(
+    "dedup_containment_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_filter([substr(t, i, 5) for i in
+                  generate_series(1, GREATEST(length(t) - 4, 1))],
+                  s -> length(s) = 5)) AS g
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id < 300)
+    ),
+    ex AS (SELECT id, UNNEST(g) AS g, len(g) AS sz FROM sh),
+    pairs AS (
+      SELECT a.id AS id_contained, b.id AS id_container, COUNT(*) AS inter,
+             ANY_VALUE(a.sz) AS sz_contained
+      FROM ex a JOIN ex b ON a.g = b.g AND a.id <> b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_contained, id_container, CAST(inter AS BIGINT) AS inter,
+           CAST(sz_contained AS BIGINT) AS sz_contained
+    FROM pairs
+    WHERE inter * 5 >= 4 * sz_contained
+    """,
+)
+def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directional containment join (dedup.containment_pairs):
+    ordered pairs with |A∩B|/|A| ≥ 0.8 — the quote / subset detector
+    symmetric Jaccard misses when the container is much longer. The
+    contained side's rarest |A|−⌈t|A|⌉+1 shingles are the only ones
+    indexed; the ORACLE is a brute-force directed pairwise containment
+    (algorithm-equivalence certificate). Integer columns only."""
+    from workbench_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return containment_pairs(d, n=5, threshold=(4, 5))
 
 
 # =====================================================================
