@@ -229,3 +229,21 @@ def test_hits_identifies_planted_hub_and_authority(spark):
     assert hubs[100] > 2 * max(v for k, v in hubs.items() if k != 100)
     # the planted hub itself is no authority (nothing points at it)
     assert auths[100] == 0
+
+
+def test_graph_ops_degenerate_inputs(spark):
+    from workbench_spark.operators.graph import hits, pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+    assert hits(empty).count() == 0
+    with pytest.raises(ValueError, match="iters"):
+        hits(spark.createDataFrame([(0, 1)], "src long, dst long"), iters=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(
+            spark.createDataFrame([(0, 1)], "src long, dst long"),
+            damping=(100, 100),
+        )
+    # self-loop-only graph: well-defined, mass conserved
+    solo = pagerank(spark.createDataFrame([(7, 7)], "src long, dst long"), iters=3)
+    assert {r["node"]: r["rank_scaled"] for r in solo.collect()} == {7: 10**12}

@@ -368,6 +368,8 @@ def hits(
     cross products beyond the broadcast 1-row normalizers; lineage
     truncated per iteration (the iterative shape shared with pagerank
     and connected_components)."""
+    if iters < 1:
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
     fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
         eager=True
     )
