@@ -149,6 +149,7 @@ EXTRA = [
     "graph_hits_hubs_authorities",  # r8: 5 integer HITS iterations
     "dedup_containment_pairs",    # r8: directional containment join
     "sketch_cms_heavy_hitters",   # r8: sketch-prefiltered exact top keys
+    "sketch_dd_quantiles",        # r8: DDSketch build + 5 quantile reads
 ]
 
 

@@ -65,6 +65,9 @@ BNLJ_ALLOWED = {
     "graph_hits_hubs_authorities": "two 1-row L1-normalizer aggregates "
                                    "crossed into the score frame per "
                                    "iteration",
+    "sketch_dd_quantiles": "1-row total cross + rank-threshold inequality "
+                           "join of 5 quantile targets x the artifact-sized "
+                           "(<= few-thousand-row) cumulative bucket table",
 }
 
 

@@ -193,3 +193,44 @@ def test_cms_heavy_hitters_exact_even_with_collisions(spark):
     assert got == {"hot1": 50, "hot2": 30, "warm": 10}
     # threshold above everything -> empty, not an error
     assert cms_heavy_hitters(df, "key", min_count=1000).count() == 0
+
+
+def test_ddsketch_relative_error_guarantee_and_merge(spark):
+    """Every quantile read is within alpha*|true| of the true quantile
+    (the DDSketch guarantee, incl. negatives and zeros), and a merge of
+    two half-sketches is bit-identical to one full build."""
+    import math
+
+    from workbench_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_merge,
+        ddsketch_quantiles,
+    )
+
+    vals = (
+        [0.5 + 0.37 * i for i in range(1500)]          # dense positives
+        + [1000.0 * 1.31 ** i for i in range(25)]       # heavy tail
+        + [-3.7 * i for i in range(1, 60)]              # negatives
+        + [0.0] * 7
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    alpha = 0.02
+    sk = ddsketch_build(df, "x", alpha=alpha)
+    qs = [0.001, 0.05, 0.25, 0.5, 0.75, 0.95, 0.999]
+    est = {r["q"]: r["est"] for r in ddsketch_quantiles(sk, qs, alpha=alpha).collect()}
+    srt = sorted(vals)
+    n = len(srt)
+    for q in qs:
+        true = srt[int(math.floor(q * (n - 1)))]
+        if true == 0:
+            assert est[q] == 0.0
+        else:
+            assert abs(est[q] - true) <= alpha * abs(true) * 1.000001, (q, est[q], true)
+    # merge == build, bit-for-bit (deterministic split, no set ops)
+    a = spark.createDataFrame([(float(v),) for v in vals[:800]], "x double")
+    b = spark.createDataFrame([(float(v),) for v in vals[800:]], "x double")
+    merged = sorted(map(tuple, ddsketch_merge(
+        ddsketch_build(a, "x", alpha=alpha), ddsketch_build(b, "x", alpha=alpha)
+    ).collect()))
+    direct = sorted(map(tuple, sk.collect()))
+    assert merged == direct

@@ -5073,6 +5073,108 @@ def sketch_cms_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(toks, "token", min_count=400, depth=4, width=1024)
 
 
+def _dd_consts(alpha: float = 0.01) -> tuple[float, float]:
+    import math
+
+    gamma = (1 + alpha) / (1 - alpha)
+    return math.log(gamma), gamma + 1.0
+
+
+def _dd_buckets_oracle_sql() -> str:
+    """DuckDB replay of sketches.ddsketch_build over l_extendedprice:
+    the same (sign, ⌈ln|x|/ln γ⌉) bucket expression — ln γ embedded as
+    the IDENTICAL Python double literal both sides — and an integer
+    count groupBy. Bit-level artifact match."""
+    lng, _ = _dd_consts()
+    return f"""
+    WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+    sk AS (
+      SELECT CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS sgn,
+             CASE WHEN x <> 0
+                  THEN CAST(ceil(ln(abs(x)) / {lng!r}) AS BIGINT)
+                  ELSE 0 END AS idx,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2
+    )
+    SELECT CAST(sgn AS INT) AS sgn, idx, cnt FROM sk
+    """
+
+
+@query("sketch_dd_buckets", _dd_buckets_oracle_sql())
+def sketch_dd_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch build (Masson et al., VLDB 2019; operators/sketches):
+    lineitem prices folded into O(log(max/min)/α) log-γ buckets — the
+    mergeable QUANTILE artifact completing the sketch quartet
+    (CMS=frequency, Bloom=membership, HLL=cardinality). One projection
+    + one map-side-combinable groupBy at any data size; merge = union +
+    sum. The oracle replays every bucket index and count exactly."""
+    from workbench_spark.operators.sketches import ddsketch_build
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ddsketch_build(li, "l_extendedprice", alpha=0.01)
+
+
+def _dd_quantiles_oracle_sql() -> str:
+    """Replay of ddsketch_quantiles: same cumulative walk in
+    (sgn, sgn·idx) value order over the bucket table, same integer rank
+    target floor(q·(n−1))+1, the answer bucket picked by arg_min over
+    the identical integer sort key, and the same midpoint estimate
+    expression with identical double literals."""
+    lng, g1 = _dd_consts()
+    return f"""
+    WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+    sk AS (
+      SELECT CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS sgn,
+             CASE WHEN x <> 0
+                  THEN CAST(ceil(ln(abs(x)) / {lng!r}) AS BIGINT)
+                  ELSE 0 END AS idx,
+             COUNT(*) AS cnt
+      FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT sgn, idx, cnt,
+             SUM(cnt) OVER (ORDER BY sgn, sgn * idx) AS c,
+             CASE WHEN sgn = 0 THEN 0.0
+                  ELSE sgn * 2.0 * exp(idx * {lng!r}) / {g1!r} END AS est
+      FROM sk
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM sk),
+    qs(q) AS (VALUES (0.01), (0.25), (0.5), (0.75), (0.99)),
+    tgt AS (
+      SELECT CAST(q AS DOUBLE) AS q,
+             CAST(floor(CAST(q AS DOUBLE) * (n - 1)) AS BIGINT) + 1 AS target
+      FROM qs CROSS JOIN tot
+    )
+    SELECT t.q,
+           floor(arg_min(c.est,
+                         CAST(c.sgn AS BIGINT) * 1099511627776 + c.sgn * c.idx)
+                 * 1e6 + 0.5) / 1e6 AS est
+    FROM tgt t JOIN cum c ON c.c >= t.target
+    GROUP BY t.q
+    """
+
+
+@query("sketch_dd_quantiles", _dd_quantiles_oracle_sql())
+def sketch_dd_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantile reads (q, est) for 5 quantiles of lineitem
+    price — each within α=1% RELATIVE error of the true quantile (the
+    guarantee GK/percentile_approx's rank-error cannot give on
+    heavy-tailed values). The cumulative walk runs over the
+    artifact-sized bucket table (window on ≤ a few thousand rows — a
+    constant, not a data-scale sort); the oracle replays the walk, the
+    integer rank targets, and the midpoint arithmetic exactly."""
+    from workbench_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = ddsketch_build(li, "l_extendedprice", alpha=0.01)
+    return ddsketch_quantiles(sk, [0.01, 0.25, 0.5, 0.75, 0.99], alpha=0.01)
+
+
 def _hll_registers_oracle_sql(m: int = 64) -> str:
     """DuckDB replay of sketches.hll_build over the corpus (doc, token)
     pair stream: identical portable hash + nonlinear finalizer, bucket =
