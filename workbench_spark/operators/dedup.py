@@ -441,6 +441,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     verify_threshold: float | None = 0.5,
     persist_signatures: bool = False,
+    pair_mode: str = "all",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs: split the signature into
     ``bands`` bands of r = n_hashes/bands rows; docs matching on any whole
@@ -452,7 +453,26 @@ def minhash_lsh_pairs(
     (r=4), s=0.8 → ~0.93, s=0.3 → ~0.06. Tune bands to the target
     threshold. Only (band_id, band_hash) shuffles; verification joins the
     two signatures for candidates only.
+
+    pair_mode:
+    - 'all' (default): every intra-bucket pair — the pair-SCORING shape.
+      Candidate volume is quadratic in bucket size: a boilerplate
+      mega-cluster of B near-identical docs in one (band, bh) bucket emits
+      ~B²/2 pairs × bands — the dominant skew/straggler at web scale.
+    - 'star': each bucket emits only (bucket-min-id → member) edges, B-1
+      per bucket instead of C(B,2) — the dedup/CC-consumer shape. With
+      verify_threshold=None the connected components of the star edge set
+      are PROVABLY identical to 'all' (within a bucket, a star on the
+      members and a clique on the members connect exactly the same set;
+      components are unions of bucket groups either way). With a verify
+      threshold, star keeps only member↔hub edges that clear it, so a
+      member whose est vs the hub is sub-threshold can split off even if
+      it chains through other members — use verify_threshold=None (or a
+      threshold comfortably below the cluster's internal similarity) when
+      feeding connected components.
     """
+    if pair_mode not in ("all", "star"):
+        raise ValueError(f"pair_mode must be 'all' or 'star', got {pair_mode!r}")
     r = n_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, n_hashes, shingle_n)
     # band key b = hash of signature slots [b*r, (b+1)*r) — minhash is a
@@ -488,6 +508,37 @@ def minhash_lsh_pairs(
         # fault tolerance for the guaranteed single compute — right for
         # bench/batch runs; pass "persist" on lossy long-lived clusters.
         banded = banded.localCheckpoint(eager=True)
+    if pair_mode == "star":
+        # One shuffle on (band, bh) + per-bucket min — candidate volume
+        # linear in bucket size (B-1 vs C(B,2)). min(struct(id, minhash))
+        # carries the hub's signature through the same window pass, so est
+        # needs no second join. No self-join → no 2x-signature-compute
+        # problem, persist_signatures is unnecessary on this path.
+        from pyspark.sql.window import Window
+
+        hub = F.min(F.struct(F.col("id"), F.col("minhash"))).over(
+            Window.partitionBy("band", "bh")
+        )
+        starred = banded.select("id", "minhash", "band", "bh").withColumn(
+            "__hub", hub
+        )
+        est_star = F.aggregate(
+            F.zip_with(
+                F.col("minhash"),
+                F.col("__hub.minhash"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.lit(n_hashes)
+        out = starred.filter(F.col("id") != F.col("__hub.id")).select(
+            F.col("__hub.id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            est_star.alias("est_jaccard"),
+        )
+        if verify_threshold is not None:
+            out = out.filter(F.col("est_jaccard") >= verify_threshold)
+        return out.dropDuplicates(["id_a", "id_b"])
     a, b = banded.alias("a"), banded.alias("b")
     est = F.aggregate(
         F.zip_with("a.minhash", "b.minhash", lambda x, y: F.when(x == y, 1).otherwise(0)),
@@ -838,6 +889,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     portable: bool = False,
+    pair_mode: str = "all",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using the
     pigeonhole banding trick: split the signature bits into n_bands blocks
@@ -852,7 +904,18 @@ def simhash_near_pairs(
 
     portable=True uses the 60-bit engine-portable signature
     (simhash_portable) instead of the 64-bit xxhash64 one — same pair
-    semantics, oracle-replicable values."""
+    semantics, oracle-replicable values.
+
+    pair_mode='star' (vs the default 'all'): each (band, block) bucket
+    emits only (bucket-min-id → member) edges — B-1 per bucket instead of
+    C(B,2), the dedup/CC-consumer shape for boilerplate mega-clusters
+    (same guarantee and same verify caveat as minhash_lsh_pairs: the
+    UNFILTERED star's connected components equal the all-pairs
+    candidates'; the hamming filter applies to hub edges only, so a
+    member > max_hamming from its hub but ≤ from another member can split
+    off)."""
+    if pair_mode not in ("all", "star"):
+        raise ValueError(f"pair_mode must be 'all' or 'star', got {pair_mode!r}")
     total_bits = 60 if portable else 64
     width = total_bits // n_bands
     sh = (
@@ -877,6 +940,27 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.block")
+    if pair_mode == "star":
+        # per-bucket star: one (band, block) shuffle, B-1 edges per bucket;
+        # the 8-byte simhash rides the min(struct) so hamming needs no join
+        from pyspark.sql.window import Window
+
+        hub = F.min(F.struct(F.col("id"), F.col("simhash"))).over(
+            Window.partitionBy("band", "block")
+        )
+        starred = blocks.withColumn("__hub", hub).filter(
+            F.col("id") != F.col("__hub.id")
+        )
+        hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("__hub.simhash")))
+        return (
+            starred.select(
+                F.col("__hub.id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"])
+        )
     left = blocks.select("band", "block", F.col("id").alias("id_a"), F.col("simhash").alias("__sa"))
     right = blocks.select("band", "block", F.col("id").alias("id_b"), F.col("simhash").alias("__sb"))
     cands = (
@@ -915,7 +999,11 @@ def embedding_near_dup_pairs(
     - method='expr' (default): exact all-pairs broadcast join scored with
       the sequential-fold expression whose float summation order matches
       DuckDB bit-for-bit (oracle hash-matching). O(N²) by design — the
-      ground-truth/oracle path.
+      ground-truth/oracle path. GUARDED: above the driver-matrix byte
+      bound (same gate as 'blas' — the broadcast side is built on the
+      driver, so the footprint estimate is identical) the call warns and
+      auto-routes to the hyperplane-LSH path, so the default invocation
+      can never broadcast-cross an unbounded corpus.
     - method='blas': exact all-pairs via per-partition numpy matmul
       blocks; each pair emitted from the partition holding its larger-id
       member, threshold filter applied inside the block (~4x faster than
@@ -958,6 +1046,29 @@ def embedding_near_dup_pairs(
                 df, id_col, vec_col, threshold, use_lsh=True, **lsh_kwargs
             )
         return _blas_threshold_pairs(df, id_col, vec_col, threshold)
+
+    # Gate the default exact path exactly like 'blas': the broadcast side
+    # is materialized on the driver before shipping, so driver_matrix_check
+    # is the right footprint estimate for the BroadcastNestedLoopJoin too.
+    # Above the bound, an unbounded-corpus default call reroutes to LSH
+    # instead of attempting an O(N²) broadcast cross.
+    from workbench_spark.operators.similarity import driver_matrix_check
+
+    fits, est, limit = driver_matrix_check(df, vec_col)
+    if not fits:
+        import warnings
+
+        warnings.warn(
+            f"embedding_near_dup_pairs(method='expr') would broadcast "
+            f"~{est >> 20} MiB of vectors (limit {limit >> 20} MiB) into an "
+            f"O(N²) cross join; routing to the hyperplane-LSH path "
+            f"(use_lsh=True). Pass use_lsh=True explicitly (or raise "
+            f"spark.workbench.driverMatrix.maxBytes) to silence this.",
+            stacklevel=2,
+        )
+        return embedding_near_dup_pairs(
+            df, id_col, vec_col, threshold, use_lsh=True, **lsh_kwargs
+        )
 
     a = df.select(
         F.col(id_col).alias("id_a"),
