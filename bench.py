@@ -34,7 +34,67 @@ HARNESS = {
     "timing": "min_of_2_passes",
     "warm": ["jvm", "arrow_pool", "page_cache", "codegen_sf0.001"],
     "stats_mode": "sampled_quantile_0.02",
+    # additive in r10 (no methodology change to the timed passes): pinned
+    # machine-speed probes so round-over-round deltas can be box-drift
+    # normalized — r8 showed a +22% phantom regression and r9 a -25%
+    # phantom improvement on byte-identical code.
+    "calibration": "v1",
 }
+
+
+def _calibrate(spark) -> dict:
+    """Pinned, data-independent machine-speed probes. These measure the BOX
+    (CPU speed, JVM throughput, shuffle machinery under current load), not
+    the repo's code — byte-identical probes every round, so the ratio of
+    two rounds' probe timings is the box-drift factor between them.
+
+    Three probes, min-of-2 after one warm run each:
+    - python_loop: single-thread pure-Python integer loop (driver CPU).
+    - spark_cpu: 32-partition codegen'd arithmetic fold over range(150M) —
+      no IO, no shuffle; tracks executor-side JVM throughput.
+    - spark_shuffle: range(8M) groupBy 100k keys — one small exchange;
+      tracks the shuffle/serialization machinery.
+    """
+
+    def _pyloop() -> float:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(3_000_000):
+            acc = (acc + i * 31) ^ (i >> 3)
+        if acc == 0:  # defeat hypothetical DCE, never true
+            print(acc, file=sys.stderr)
+        return time.perf_counter() - t0
+
+    def _spark_cpu() -> float:
+        # 2B rows ≈ 0.6s steady-state on the reference box: long enough to
+        # swamp task-scheduling jitter, short enough to run 8x per bench.
+        # sum(id % 1000003 + ...) stays far inside long range under ANSI
+        # (sum(id*3) over 2B rows overflows).
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000_000, 1, 32).selectExpr(
+            "sum(id % 1000003 + (id % 7)) as s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    def _spark_shuffle() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 30_000_000, 1, 32).selectExpr("id % 100000 as k").groupBy(
+            "k"
+        ).count().count()
+        return time.perf_counter() - t0
+
+    out = {}
+    for name, fn in (
+        ("python_loop_sec", _pyloop),
+        ("spark_cpu_sec", _spark_cpu),
+        ("spark_shuffle_sec", _spark_shuffle),
+    ):
+        # warm + min-of-3: the probe's own variance must sit well under the
+        # ±25% drift band it exists to measure (min-of-2 left 2x spread on
+        # the spark probes right after a bench warm-up)
+        fn()
+        out[name] = round(min(fn(), fn(), fn()), 4)
+    return out
 
 # Headline queries: one per operator family, weighted toward the
 # scan/join/agg/window/dedup/similarity paths that dominate at scale.
@@ -210,6 +270,11 @@ def main() -> None:
     # iterative checkpoint-heavy queries churn the JVM code cache / GC /
     # page cache between passes (observed +0.6s spread thinly across the
     # scan-heavy headline queries).
+    # Calibration probes run AFTER warm-up, BEFORE the timed passes, and
+    # again AFTER everything: the per-probe mean of the two runs is the
+    # round's box-speed estimate (machine state can change during the ~2min
+    # bench itself — r8's drift was intra-round).
+    cal_pre = _calibrate(spark)
     for pass_i in range(2):
         for name, fn in to_run.items():
             t0 = time.perf_counter()
@@ -227,6 +292,15 @@ def main() -> None:
             if name not in timings_extra or dt < timings_extra[name]:
                 timings_extra[name] = round(dt, 4)
             print(f"# pass{pass_i} extra {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+    cal_post = _calibrate(spark)
+    calibration = {
+        "pre": cal_pre,
+        "post": cal_post,
+        **{
+            k: round((cal_pre[k] + cal_post[k]) / 2, 4)
+            for k in cal_pre
+        },
+    }
     total = sum(timings.values())
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -267,6 +341,28 @@ def main() -> None:
                     "same_harness": prev_harness == HARNESS["version"]
                     and prev.get("sf") == sf_val,
                 }
+                # Box-drift-normalized delta: drift_factor f = this round's
+                # probe time / prev round's (spark_cpu is the probe that
+                # tracks the Spark-dominated query mix; >1 = box slower
+                # now). Expected total on identical code = prev_total * f,
+                # so delta_normalized = total - prev_total * f — the part
+                # of the raw delta NOT explained by machine drift. null
+                # when the prior round predates the calibration probes.
+                prev_cal = prev.get("calibration") or {}
+                prev_probe = prev_cal.get("spark_cpu_sec")
+                if prev_probe:
+                    f_drift = calibration["spark_cpu_sec"] / float(prev_probe)
+                    prev_delta["drift_factor"] = round(f_drift, 4)
+                    prev_delta["delta_normalized_sec"] = round(
+                        total - float(prev_val) * f_drift, 4
+                    )
+                else:
+                    prev_delta["drift_factor"] = None
+                    prev_delta["delta_normalized_sec"] = None
+                    prev_delta["normalization_note"] = (
+                        "prior round has no calibration probes; "
+                        "normalized deltas start next round"
+                    )
     except Exception:
         prev_delta = None
     print(
@@ -279,6 +375,7 @@ def main() -> None:
                 "queries_extra": timings_extra,
                 "sf": sf_val,
                 "harness": HARNESS,
+                "calibration": calibration,
                 "same_harness_delta": prev_delta,
             }
         )
