@@ -68,6 +68,15 @@ BNLJ_ALLOWED = {
     "sketch_dd_quantiles": "1-row total cross + rank-threshold inequality "
                            "join of 5 quantile targets x the artifact-sized "
                            "(<= few-thousand-row) cumulative bucket table",
+    # partsupp family: synthetic_partsupp crosses ONE 1-row supplier-count
+    # aggregate into the part projection (the scalar-subquery idiom); all
+    # data-x-data joins in these five queries are equi-joins
+    "q2_min_cost_supplier": "synthetic partsupp's 1-row supplier-count cross",
+    "q9_product_type_profit": "synthetic partsupp's 1-row supplier-count cross",
+    "q11_important_stock": "synthetic partsupp's 1-row supplier-count cross "
+                           "+ 1-row (count, total) threshold aggregate cross",
+    "q16_supplier_part_counts": "synthetic partsupp's 1-row supplier-count cross",
+    "q20_excess_stock_suppliers": "synthetic partsupp's 1-row supplier-count cross",
 }
 
 

@@ -1332,8 +1332,9 @@ def j4_dag_union_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # =====================================================================
 # Round-4 relational completeness: the remaining TPC-H query shapes the
-# synthetic schema can express (no partsupp table, so Q2/Q9/Q11/Q16/Q20
-# are out of reach; Q8/Q13/Q15/Q17/Q19/Q21/Q22 are adapted below).
+# synthetic schema can express (Q8/Q13/Q15/Q17/Q19/Q21/Q22 adapted below;
+# Q2/Q9/Q11/Q16/Q20 closed in round 10 via the deterministic synthetic
+# partsupp — see the partsupp-family section at the end of this file).
 # =====================================================================
 
 
@@ -1656,4 +1657,293 @@ def q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
+    )
+
+
+# =====================================================================
+# Round-10 partsupp family: TPC-H Q2/Q9/Q11/Q16/Q20 over the
+# deterministic synthetic partsupp (sources/synthetic.py — the same
+# integer-arithmetic generation runs as a DuckDB CTE oracle-side, so
+# hash-matching stays exact). Previously declared out of reach (r4 note
+# above); closed per the r9 brief.
+# =====================================================================
+
+from workbench_spark.sources.synthetic import (  # noqa: E402
+    partsupp_oracle_cte,
+    synthetic_partsupp,
+)
+
+_PS_CTE = partsupp_oracle_cte()
+
+
+@query(
+    "q2_min_cost_supplier",
+    f"""
+    WITH partsupp AS MATERIALIZED ({_PS_CTE})
+    SELECT p.p_partkey AS partkey, s.s_name AS supp_name, n.n_name AS nation,
+           ROUND(s.s_acctbal, 2) AS acctbal,
+           ROUND(ps.ps_supplycost, 2) AS min_cost
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size IN (5, 15, 25, 35, 45) AND p.p_type = 'STANDARD'
+      AND r.r_name = 'ASIA'
+      AND ps.ps_supplycost_cents = (
+        SELECT MIN(ps2.ps_supplycost_cents)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+    ORDER BY acctbal DESC, nation, supp_name, partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: cheapest in-region supplier per qualifying part. The
+    correlated MIN lands as a groupBy(ps_partkey).min + self-equi-join on
+    the exact integer cents (float-equality joins are engine-fragile; the
+    cents column exists for this). Region/nation prune the supplier side
+    BEFORE the min, so the shuffle carries only in-region rows; nation and
+    region are constant-size broadcasts. Deterministic LIMIT tiebreak:
+    (acctbal DESC, nation, supp_name, partkey)."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    in_region = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    scoped = ps.join(in_region, ps.ps_suppkey == F.col("s_suppkey"))
+    min_cost = scoped.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("__minc")
+    )
+    best = scoped.join(min_cost, "ps_partkey").filter(
+        F.col("ps_supplycost_cents") == F.col("__minc")
+    )
+    qual = p.filter(
+        F.col("p_size").isin(5, 15, 25, 35, 45) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        best.join(qual, best.ps_partkey == qual.p_partkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+            F.round(F.col("ps_supplycost"), 2).alias("min_cost"),
+        )
+        .orderBy(
+            F.col("acctbal").desc(), "nation", "supp_name", "partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    f"""
+    WITH partsupp AS MATERIALIZED ({_PS_CTE})
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - ps.ps_supplycost * l.l_quantity), 4) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit (revenue minus supply cost) by supplier nation and
+    order year for one product family. Join order: the part-name filter
+    prunes lineitem first (predicate reaches the probe side), partsupp
+    joins on the composite (partkey, suppkey) equi-key, nation broadcasts.
+    The final agg is nation x year — tiny, map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    ps = synthetic_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    f"""
+    WITH partsupp AS MATERIALIZED ({_PS_CTE}),
+    natv AS MATERIALIZED (
+      SELECT ps.ps_partkey, ps.ps_supplycost_cents * ps.ps_availqty AS v_cents
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    pp AS MATERIALIZED (
+      SELECT ps_partkey, SUM(v_cents) AS v FROM natv GROUP BY ps_partkey),
+    st AS MATERIALIZED (SELECT COUNT(*) AS n, SUM(v) AS tot FROM pp)
+    SELECT pp.ps_partkey AS partkey,
+           ROUND(CAST(pp.v AS DOUBLE) / 100.0, 2) AS part_value
+    FROM pp, st
+    WHERE pp.v * st.n > 2 * st.tot
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose in-region stock value exceeds 2x the mean
+    per-part value (TPC-H's fixed fraction-of-total empties out as N
+    grows; a mean-relative cut is scale-free). The threshold compares
+    EXACT integers cross-multiplied (v*N > 2*total, all BIGINT cents —
+    a float threshold would be engine-jitter-fragile exactly at the cut).
+    The (count, total) pair is ONE 1-row aggregate broadcast cross; the
+    per-part agg shuffles on ps_partkey once."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    in_region = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+    )
+    natv = ps.join(in_region, ps.ps_suppkey == F.col("s_suppkey")).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v_cents"),
+    )
+    per_part = natv.groupBy("ps_partkey").agg(F.sum("v_cents").alias("__v"))
+    stats = per_part.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__v").alias("__tot")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(stats))
+        .filter(F.col("__v") * F.col("__n") > 2 * F.col("__tot"))
+        .select(
+            F.col("ps_partkey").alias("partkey"),
+            F.round(F.col("__v").cast("double") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    f"""
+    WITH partsupp AS MATERIALIZED ({_PS_CTE})
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY brand, type, size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct supplier count per (brand, type, size), with an
+    excluded-supplier NOT IN (negative balance stands in for the
+    complaints-comment filter this schema lacks). NOT IN over a non-null
+    key column is an anti-join in Spark; part filters push to the scan;
+    COUNT(DISTINCT) shuffles on the group key with the suppkey carried."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(p.select("p_partkey", "p_brand", "p_type", "p_size"), ps.ps_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_stock_suppliers",
+    f"""
+    WITH partsupp AS MATERIALIZED ({_PS_CTE}),
+    shipped AS MATERIALIZED (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT DISTINCT s.s_suppkey AS suppkey, s.s_name AS supp_name
+    FROM partsupp ps
+    JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                   AND sh.l_suppkey = ps.ps_suppkey
+    JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'red%'
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    WHERE ps.ps_availqty > 0.5 * sh.qty
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers holding more than half a year's shipments of a
+    product family. The correlated availqty > 0.5*SUM(...) subquery is a
+    groupBy(partkey, suppkey) pre-aggregation + composite equi-join (a
+    pair with no 1996 shipments disappears from the inner join — same
+    semantics as the NULL-comparison false in the correlated form).
+    l_quantity is integer-valued, so the 0.5x threshold compare is exact
+    in both engines. DISTINCT collapses multi-part qualifying suppliers."""
+    ps = synthetic_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = _t(spark, sf_dir, "supplier")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    return (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .join(p.select("p_partkey"), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        .join(s.select("s_suppkey", "s_name"), ps.ps_suppkey == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("supp_name"))
+        .distinct()
     )
