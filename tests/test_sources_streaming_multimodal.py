@@ -42,6 +42,7 @@ def test_multimodal_metadata_and_frames(spark):
         extract_media_metadata,
         frame_sample,
         media_feature_udf,
+        stub_decoder,
         stub_feature_fn,
     )
 
@@ -49,12 +50,21 @@ def test_multimodal_metadata_and_frames(spark):
     df = spark.createDataFrame(payloads, "media_id int, payload binary")
     m = attach_media(df, "payload", "image")
     assert {"media_type", "byte_size", "content_hash"} <= set(m.columns)
-    meta = extract_media_metadata(m, "payload")
+    meta = extract_media_metadata(m, "payload", decoder=stub_decoder)
     rows = meta.collect()
     assert all(64 <= r["width"] <= 255 for r in rows)
     # deterministic: same payload → same pseudo-dimensions
-    again = {r["media_id"]: (r["width"], r["height"]) for r in extract_media_metadata(m, "payload").collect()}
+    again = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in extract_media_metadata(m, "payload", decoder=stub_decoder).collect()
+    }
     assert all(again[r["media_id"]] == (r["width"], r["height"]) for r in rows)
+    # the DEFAULT decoder is the real header parser: these payloads are
+    # not images, so dims must be NULL — never pseudo-values
+    real = extract_media_metadata(m, "payload").collect()
+    assert all(
+        r["width"] is None and r["media_format"] is None for r in real
+    )
 
     emb = m.withColumn("embedding", media_feature_udf(stub_feature_fn, 8)("payload"))
     e = emb.first()["embedding"]
@@ -63,6 +73,49 @@ def test_multimodal_metadata_and_frames(spark):
     frames = frame_sample(m, "payload", n_frames=4)
     assert frames.count() == 20 * 4
     assert frames.groupBy("content_hash").count().filter(F.col("count") != 4).count() == 0
+
+
+def test_image_header_parsing_golden():
+    """The real byte-arithmetic codec against golden bytes: checked-in
+    externally-produced files (the canonical 1x1 PNG and 1x1 GIF that ship
+    with countless web pages) plus builder round-trips for all four
+    formats and non-image rejection."""
+    import base64
+
+    from workbench_spark.operators.multimodal import (
+        make_test_image,
+        parse_image_header,
+    )
+
+    # canonical public 1x1 transparent PNG (not produced by our builder)
+    png_1x1 = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf"
+        "DwAChwGA60e6kgAAAABJRU5ErkJggg=="
+    )
+    assert parse_image_header(png_1x1) == {
+        "media_format": "png", "width": 1, "height": 1,
+    }
+    # canonical public 1x1 GIF
+    gif_1x1 = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert parse_image_header(gif_1x1) == {
+        "media_format": "gif", "width": 1, "height": 1,
+    }
+    # builder round-trip across formats and dimension ranges
+    for fmt in ("png", "gif", "bmp", "jpeg"):
+        for w, h in ((1, 1), (509, 499), (640, 480)):
+            got = parse_image_header(make_test_image(fmt, w, h))
+            assert got == {"media_format": fmt, "width": w, "height": h}, (
+                fmt, w, h, got,
+            )
+    # non-images and pathological inputs → all-None, never fake dims
+    for bad in (None, b"", b"hello world, definitely not an image bytes",
+                b"\x89PNG\r\n\x1a\n" + b"short", b"\xff\xd8\xff\xd9",
+                b"BMxx" + b"\x00" * 30):
+        got = parse_image_header(bad)
+        assert got["width"] is None and got["media_format"] in (None, "png", "bmp"), (bad, got)
+        assert got["height"] is None
 
 
 def test_streaming_windowed_counts(spark):

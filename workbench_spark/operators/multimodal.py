@@ -29,6 +29,7 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("media_type", T.StringType()),
         T.StructField("byte_size", T.LongType()),
         T.StructField("content_hash", T.StringType()),
+        T.StructField("media_format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("duration_ms", T.LongType()),
@@ -37,9 +38,9 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 def stub_decoder(payload: bytes) -> dict:
-    """Deterministic fake decode (real codecs not in this container):
-    derives stable pseudo-dimensions from the payload hash. Replace with a
-    PIL/ffmpeg-backed callable in production."""
+    """Deterministic fake decode (kept for plumbing tests that need dims
+    on arbitrary non-image bytes): derives stable pseudo-dimensions from
+    the payload hash."""
     import hashlib
 
     if payload is None:
@@ -50,6 +51,128 @@ def stub_decoder(payload: bytes) -> dict:
         "height": 64 + h[1] % 192,
         "duration_ms": int.from_bytes(h[2:4], "big"),
     }
+
+
+# JPEG frame-header markers that carry dimensions: SOF0-SOF15 minus the
+# non-frame DHT/JPG/DAC markers (ITU T.81 table B.1)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes | None) -> dict:
+    """REAL image metadata from pure byte arithmetic — no PIL/opencv.
+    Recognizes the four header formats whose dimensions are fixed-offset
+    (or marker-scan) reads:
+
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are
+      big-endian uint32 at offsets 16/20 (RFC 2083 §3.1).
+    - GIF87a/89a: logical screen descriptor — little-endian uint16 at 6/8.
+    - BMP: 'BM' + DIB header size at 14; BITMAPINFOHEADER(40+) carries
+      int32 width/|height| at 18/22 (negative height = top-down rows);
+      the legacy 12-byte BITMAPCOREHEADER carries uint16 at 18/20.
+    - JPEG: marker scan from SOI to the first SOFn frame header, which
+      carries big-endian height/width at +5/+7 past the marker.
+
+    Returns {media_format, width, height}; all-None when the payload is
+    not a recognized image (NEVER fake values — unknown means NULL)."""
+    import struct
+
+    none = {"media_format": None, "width": None, "height": None}
+    if not payload or len(payload) < 10:
+        return none
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return {"media_format": "png", "width": w, "height": h}
+        return none
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"media_format": "gif", "width": w, "height": h}
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        (hdr_size,) = struct.unpack("<I", payload[14:18])
+        if hdr_size >= 40 and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return {"media_format": "bmp", "width": abs(w), "height": abs(h)}
+        if hdr_size == 12 and len(payload) >= 22:
+            w, h = struct.unpack("<HH", payload[18:22])
+            return {"media_format": "bmp", "width": w, "height": h}
+        return none
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            if i + 4 > n:
+                break
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if marker in _JPEG_SOF and i + 9 <= n:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return {"media_format": "jpeg", "width": w, "height": h}
+            i += 2 + seg_len
+        return none
+    return none
+
+
+def header_decoder(payload: bytes | None) -> dict:
+    """The DEFAULT metadata decoder: real header parsing (see
+    parse_image_header) in the extract_media_metadata contract shape.
+    Unrecognized payloads yield NULL dims, never pseudo-values."""
+    meta = parse_image_header(payload)
+    return {
+        "media_format": meta["media_format"],
+        "width": meta["width"],
+        "height": meta["height"],
+        "duration_ms": None,
+    }
+
+
+def make_test_image(fmt: str, width: int, height: int) -> bytes:
+    """Minimal structurally-valid image bytes for the given format and
+    dimensions — the golden-test/fixture builder (real pixel data is not
+    needed for header metadata; files are complete w.r.t. signatures,
+    chunk CRCs, and terminators)."""
+    import struct
+    import zlib
+
+    if fmt == "png":
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b""))
+            + chunk(b"IEND", b"")
+        )
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", width, height)
+            + b"\x00\x00\x00"  # no GCT, bg 0, aspect 0
+            + b"\x3b"  # trailer
+        )
+    if fmt == "bmp":
+        dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+        header = b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 14 + 40)
+        return header + dib
+    if fmt == "jpeg":
+        sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3, 8, height, width, 1) + b"\x01\x11\x00"
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    raise ValueError(f"unknown test-image format {fmt!r}")
 
 
 def attach_media(
@@ -68,16 +191,21 @@ def attach_media(
 def extract_media_metadata(
     df: DataFrame,
     payload_col: str,
-    decoder: Callable[[bytes], dict] = stub_decoder,
+    decoder: Callable[[bytes], dict] = header_decoder,
     batch_note_col: str | None = None,
 ) -> DataFrame:
     """Decode metadata per payload via mapInPandas (Arrow-batched; the
     decoder runs once per row inside a vectorized batch loop, partitions
-    stream — nothing is collected)."""
+    stream — nothing is collected). The default decoder is the REAL
+    byte-arithmetic header parser (PNG/GIF/BMP/JPEG — r10, upgraded from
+    the md5 pseudo-dims stub); pass ``decoder=stub_decoder`` for
+    deterministic fake dims on arbitrary bytes, or a PIL/ffmpeg-backed
+    callable in environments that have the codecs."""
     in_schema = df.schema
     out_schema = T.StructType(
         list(in_schema.fields)
         + [
+            T.StructField("media_format", T.StringType()),
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
             T.StructField("duration_ms", T.LongType()),
@@ -88,6 +216,9 @@ def extract_media_metadata(
         for pdf in batches:
             metas = [decoder(p) for p in pdf[payload_col]]
             pdf = pdf.copy()
+            pdf["media_format"] = pd.array(
+                [m.get("media_format") for m in metas], dtype="string"
+            )
             pdf["width"] = pd.array([m["width"] for m in metas], dtype="Int32")
             pdf["height"] = pd.array([m["height"] for m in metas], dtype="Int32")
             pdf["duration_ms"] = pd.array(

@@ -13,6 +13,7 @@ Engine-portability notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1201,32 +1202,48 @@ def f7_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_metadata",
     """
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS byte_size,
-           md5(text) AS content_hash,
-           64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INT) % 192 AS width,
-           64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INT) % 192 AS height
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS media_format,
+           CAST(1 + (doc_id * 7) % 509 AS INT) AS width,
+           CAST(1 + (doc_id * 13) % 499 AS INT) AS height
     FROM documents
     """,
 )
 def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing with a value-checked oracle: documents.text
-    encoded as a binary payload column, metadata extracted via the
-    mapInPandas stub decoder (md5-derived pseudo-dimensions — exactly
-    reproducible in SQL). Exercises the real Arrow-batch path end-to-end."""
-    from workbench_spark.operators.multimodal import attach_media, extract_media_metadata
+    """Multimodal metadata with the REAL byte-arithmetic codec (r10,
+    upgraded from md5 pseudo-dims): each document becomes a structurally
+    valid PNG/GIF/BMP/JPEG payload (format and dimensions derived from
+    doc_id), built and then parsed back — header bytes in, dimensions out
+    — inside the same Arrow-batched mapInPandas plumbing a real corpus
+    would use. The oracle replays the dimension formulas directly, so a
+    hash match certifies the decoder inverts real image headers for all
+    four formats. NULL-dim behavior for non-images is pytest-covered
+    (test_sources_streaming_multimodal)."""
+    from workbench_spark.operators.multimodal import (
+        extract_media_metadata,
+        make_test_image,
+    )
 
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
-    m = attach_media(d, "payload")
-    meta = extract_media_metadata(m, "payload")
-    return meta.select(
         "doc_id",
-        "byte_size",
-        "content_hash",
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
+        (F.col("doc_id") % 4).cast("int").alias("__fmt"),
+        (1 + (F.col("doc_id") * 7) % 509).cast("int").alias("__w"),
+        (1 + (F.col("doc_id") * 13) % 499).cast("int").alias("__h"),
     )
+
+    @F.pandas_udf("binary")
+    def build(fmt: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        names = ("png", "gif", "bmp", "jpeg")
+        return pd.Series(
+            [
+                make_test_image(names[f], int(wi), int(hi))
+                for f, wi, hi in zip(fmt, w, h)
+            ]
+        )
+
+    payloads = d.select("doc_id", build("__fmt", "__w", "__h").alias("payload"))
+    meta = extract_media_metadata(payloads, "payload")
+    return meta.select("doc_id", "media_format", "width", "height")
 
 
 @query(
