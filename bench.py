@@ -210,6 +210,7 @@ EXTRA = [
     "dedup_containment_pairs",    # r8: directional containment join
     "sketch_cms_heavy_hitters",   # r8: sketch-prefiltered exact top keys
     "sketch_dd_quantiles",        # r8: DDSketch build + 5 quantile reads
+    "q9_product_type_profit",     # r10: partsupp-family profit join (5-way)
 ]
 
 

@@ -473,3 +473,64 @@ def test_athena_round4_builtins_translate(spark):
     assert row["dw"] == 1 and row["sun"] == 7
     # 'week' inside an identifier must NOT be rewritten
     assert t("SELECT week_total FROM t") == "SELECT week_total FROM t"
+
+
+def test_cached_meta_ttl_and_staleness(spark, warehouse, ds):
+    """CachedMeta (reference cached/cached_meta.py): fresh hits serve the
+    cached listing (new artifacts invisible until TTL expiry), stale
+    entries refetch, clear_meta_cache invalidates immediately, and the
+    modified registry tracks per-artifact stamps."""
+    import time
+
+    from workbench_spark.api import DataSource
+    from workbench_spark.api.cached_meta import CachedMeta
+
+    cm = CachedMeta(spark, warehouse=warehouse, ttl=3600)
+    assert cm.check()
+    cm.clear_meta_cache()
+
+    names = {r["name"] for r in cm.data_sources().collect()}
+    assert "orders_ds" in names
+    assert any(k.startswith("data_sources") for k in cm.list_meta_cache())
+
+    # register a NEW artifact: the fresh cache must NOT see it yet
+    DataSource(
+        f"{SF_DIR}/region.parquet", "region_probe_ds",
+        spark=spark, warehouse=warehouse,
+    )
+    cached_names = {r["name"] for r in cm.data_sources().collect()}
+    assert "region_probe_ds" not in cached_names  # served from cache
+
+    # singleton semantics per warehouse (reference __new__)
+    assert CachedMeta(spark, warehouse=warehouse) is cm
+
+    # force staleness: TTL 0 -> next call refetches and sees the artifact
+    cm._cache_ttl = 0.0
+    time.sleep(0.01)
+    fresh_names = {r["name"] for r in cm.data_sources().collect()}
+    assert "region_probe_ds" in fresh_names
+    # modified registry merged from the listing result
+    reg = cm.modified_registry("data_sources")
+    assert "orders_ds" in reg and "region_probe_ds" in reg
+
+    # dict results cache too (config), and clear_meta_cache empties all
+    cm._cache_ttl = 3600.0
+    cfg = cm.config()
+    assert cfg["warehouse"]
+    assert cm.config() == cfg
+    cm.clear_meta_cache()
+    assert cm.list_meta_cache() == []
+
+
+def test_cached_meta_artifact_details_cached(spark, warehouse, ds):
+    from workbench_spark.api.cached_meta import CachedMeta
+
+    cm = CachedMeta(spark, warehouse=warehouse, ttl=3600)
+    cm.clear_meta_cache()
+    d1 = cm.data_source("orders_ds")
+    assert d1 is not None and d1.get("artifact_type") == "data_source"
+    # second call is a cache hit: key is stamped
+    assert cm.data_source("orders_ds") == d1
+    keys = cm.list_meta_cache()
+    assert any(k.startswith("data_source_orders_ds") for k in keys)
+    assert cm.data_source("no_such") is None

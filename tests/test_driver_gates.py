@@ -71,6 +71,9 @@ ALLOWED: dict[tuple[str, str], str] = {
         "rows)",
     ("operators/windows.py", "stratified_split"):
         "O(distinct strata) fraction map for sampleBy",
+    ("api/cached_meta.py", "_update_modified_registry"):
+        "catalog-sized listing (rows = registered artifacts, never data "
+        "rows) collected to merge per-artifact modified stamps",
     ("api/ensemble_simulator.py", "_spearman_many"):
         "1-row aggregate of rank correlations (one scalar per pair)",
     ("api/ensemble_simulator.py", "_base_params"):

@@ -12,6 +12,7 @@ from workbench_spark.api.ensemble_simulator import (
 )
 from workbench_spark.api.hpo import SearchSpace, hpo_train, mllib_search, run_search
 from workbench_spark.api.inference_cache import InferenceCache
+from workbench_spark.api.cached_meta import CachedMeta
 from workbench_spark.api.meta import Meta
 from workbench_spark.api.model import Endpoint, Model
 from workbench_spark.api.registry import Registry
@@ -28,6 +29,7 @@ __all__ = [
     "FeatureSet",
     "Model",
     "Endpoint",
+    "CachedMeta",
     "Meta",
     "Registry",
     "DFStore",
