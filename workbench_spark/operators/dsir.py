@@ -307,7 +307,14 @@ def nb_train(
             .alias("prior_micro"),
         )
     )
-    return dense
+    # materialize the k·B model ONCE (r10): consumers broadcast it from
+    # two different sub-plans (the bucket-score join and the prior-only
+    # path's distinct), which do NOT canonicalize to a ReusedExchange —
+    # without this the full training plan (explode + groupBy over the
+    # labeled slice) re-executes per consumer. k·B is bounded (classes x
+    # buckets), so the materialized artifact is model-sized at any
+    # corpus scale.
+    return dense.localCheckpoint(eager=True)
 
 
 def nb_score(

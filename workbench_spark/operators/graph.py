@@ -125,14 +125,20 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # checkpoint FIRST, then detect change against the materialized
+        # frame: probing `updated` directly would execute its join+agg
+        # plan once for the isEmpty and AGAIN for the checkpoint (r10 —
+        # measured 2x per-round work at sf0.1); this order runs the plan
+        # once and the change probe joins two checkpointed frames.
+        new_labels = updated.localCheckpoint(eager=True)
         changed = (
-            updated.alias("u")
+            new_labels.alias("u")
             .join(labels.alias("l"), "node")
             .filter(F.col("u.component") != F.col("l.component"))
             .limit(1)
         )
         has_change = not changed.isEmpty()
-        labels = updated.localCheckpoint(eager=True)  # truncate iterative lineage
+        labels = new_labels
         if not has_change:
             break
     return labels
@@ -284,17 +290,22 @@ def pagerank(
     fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
         eager=True
     )
-    nodes = (
-        fwd.select(F.col("s").alias("node"))
-        .unionAll(fwd.select(F.col("d").alias("node")))
-        .distinct()
+    # node frame with out-degree (0 = dangling), reused every iteration.
+    # Fused (r10): distinct-nodes and out-degree come out of ONE groupBy
+    # (union tags src rows 1, dst rows 0; the sum of tags IS the
+    # out-degree and grouping IS the distinct) — replacing the previous
+    # distinct shuffle + degree groupBy + join + two checkpoints. At
+    # sf0.1 the setup phase dominated the whole query (per-iteration
+    # marginal cost is ~0.15s; setup was ~2.2s), and at cluster scale
+    # this is one fewer O(V) shuffle and one fewer stage barrier.
+    nd = (
+        fwd.select(F.col("s").alias("node"), F.lit(1).alias("__one"))
+        .unionAll(fwd.select(F.col("d").alias("node"), F.lit(0).alias("__one")))
+        .groupBy("node")
+        .agg(F.sum("__one").cast("long").alias("__deg"))
         .localCheckpoint(eager=True)
     )
-    deg = fwd.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("__deg"))
-    # node frame with out-degree (0 = dangling), reused every iteration
-    nd = nodes.join(deg, "node", "left").select(
-        "node", F.coalesce("__deg", F.lit(0)).cast("long").alias("__deg")
-    ).localCheckpoint(eager=True)
+    nodes = nd.select("node")  # projection of the checkpointed frame, free
     n = nd.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_scaled"))

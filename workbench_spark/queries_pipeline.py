@@ -842,6 +842,60 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_star_invariants",
+    """
+    SELECT * FROM (VALUES (true, true, true, true))
+      AS t(minhash_cc_equal, simhash_cc_equal,
+           minhash_star_not_more, simhash_star_not_more)
+    """,
+)
+def dedup_star_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pair_mode='star' certification gate (r10): the UNFILTERED star
+    edge sets (verify_threshold=None / post-hoc hamming, the provable-
+    equality regime) must produce IDENTICAL connected components to
+    all-pairs mode for both minhash LSH banding and simhash pigeonhole
+    banding, while never emitting MORE candidate edges. Both sides of
+    every boolean are computed by the engine (star vs all, components
+    canonicalized as sorted (node, min-member) sets compared by exceptAll
+    in both directions), so the constant oracle certifies the algebra."""
+    from workbench_spark.operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+    from workbench_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+
+    def comps(pairs):
+        return connected_components(
+            pairs.selectExpr("id_a as src", "id_b as dst")
+        ).select("node", "component")
+
+    def cc_equal(a, b):
+        ca, cb = comps(a), comps(b)
+        return ca.exceptAll(cb).count() == 0 and cb.exceptAll(ca).count() == 0
+
+    mh_all = minhash_lsh_pairs(d, verify_threshold=None, pair_mode="all")
+    mh_star = minhash_lsh_pairs(d, verify_threshold=None, pair_mode="star")
+    # simhash in the same threshold-free regime (max_hamming = all 60
+    # bits): the post-hoc hamming filter applies to hub edges only and
+    # DOES split components on this corpus (verified at sf0.001-0.1) —
+    # which is precisely the documented caveat; the equality theorem is
+    # candidate-graph-level, so that is what gets certified
+    sh_all = simhash_near_pairs(d, max_hamming=60, n_bands=10, portable=True)
+    sh_star = simhash_near_pairs(
+        d, max_hamming=60, n_bands=10, portable=True, pair_mode="star"
+    )
+    return spark.createDataFrame(
+        [(
+            cc_equal(mh_all, mh_star),
+            cc_equal(sh_all, sh_star),
+            mh_star.count() <= mh_all.count(),
+            sh_star.count() <= sh_all.count(),
+        )],
+        "minhash_cc_equal boolean, simhash_cc_equal boolean, "
+        "minhash_star_not_more boolean, simhash_star_not_more boolean",
+    )
+
+
+@query(
     "dedup_incremental_invariants",
     """
     SELECT * FROM (VALUES (true, true))
