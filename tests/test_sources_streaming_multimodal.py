@@ -118,6 +118,32 @@ def test_image_header_parsing_golden():
         assert got["height"] is None
 
 
+def test_image_header_parser_never_crashes():
+    """Property: parse_image_header is total — arbitrary byte blobs
+    (including ones that start with valid magic numbers and then lie)
+    return a well-formed dict, never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from workbench_spark.operators.multimodal import parse_image_header
+
+    magics = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"BM", b"\xff\xd8", b""]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        prefix=st.sampled_from(magics),
+        tail=st.binary(min_size=0, max_size=64),
+    )
+    def check(prefix, tail):
+        got = parse_image_header(prefix + tail)
+        assert set(got) == {"media_format", "width", "height"}
+        assert got["media_format"] in (None, "png", "gif", "bmp", "jpeg")
+        for k in ("width", "height"):
+            assert got[k] is None or isinstance(got[k], int)
+
+    check()
+
+
 def test_streaming_windowed_counts(spark):
     from workbench_spark.streaming.monitor import run_stream_to_memory, stream_windowed_counts
 
