@@ -534,3 +534,38 @@ def test_cached_meta_artifact_details_cached(spark, warehouse, ds):
     keys = cm.list_meta_cache()
     assert any(k.startswith("data_source_orders_ds") for k in keys)
     assert cm.data_source("no_such") is None
+
+
+def test_synthetic_partsupp_shape_and_determinism(spark):
+    """partsupp generation contract: exactly 4 DISTINCT suppliers per
+    part (the injectivity theorem: 0 < d < 2d < 3d < S for d = S div 4),
+    suppkeys inside the supplier key domain, costs in [1.00, 1000.99],
+    cents exactly 100x the float cost, and bit-identical across builds."""
+    from workbench_spark.sources.synthetic import synthetic_partsupp
+
+    sf = "/root/testdata/sf0.001"
+    ps = synthetic_partsupp(spark, sf)
+    n_part = spark.read.parquet(f"{sf}/part.parquet").count()
+    n_supp = spark.read.parquet(f"{sf}/supplier.parquet").count()
+    assert ps.count() == 4 * n_part
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.countDistinct("ps_suppkey").alias("k"),
+        F.min("ps_suppkey").alias("lo"),
+        F.max("ps_suppkey").alias("hi"),
+    )
+    bad = per_part.filter(
+        (F.col("k") != 4) | (F.col("lo") < 0) | (F.col("hi") >= n_supp)
+    ).count()
+    assert bad == 0
+    r = ps.agg(
+        F.min("ps_supplycost").alias("lo"),
+        F.max("ps_supplycost").alias("hi"),
+        F.sum(
+            (F.col("ps_supplycost_cents") != F.round(F.col("ps_supplycost") * 100))
+            .cast("int")
+        ).alias("cents_mismatch"),
+    ).first()
+    assert 1.0 <= r["lo"] and r["hi"] <= 1000.99 and r["cents_mismatch"] == 0
+    a = sorted(map(tuple, synthetic_partsupp(spark, sf).collect()))
+    b = sorted(map(tuple, synthetic_partsupp(spark, sf).collect()))
+    assert a == b
