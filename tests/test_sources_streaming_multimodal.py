@@ -118,6 +118,54 @@ def test_image_header_parsing_golden():
         assert got["height"] is None
 
 
+def test_av_header_parsing_golden():
+    """WAV/MP4 duration parsing: builder round-trips (exact integer
+    inversion by construction), mvhd version-1 64-bit duration, chunk
+    word-alignment, and non-media rejection."""
+    import struct
+
+    from workbench_spark.operators.multimodal import (
+        make_test_mp4,
+        make_test_wav,
+        parse_av_header,
+    )
+
+    for dur in (1, 137, 200):
+        assert parse_av_header(make_test_wav(dur)) == {
+            "media_format": "wav", "duration_ms": dur,
+        }
+    for dur in (1, 12345, 3_600_000):
+        assert parse_av_header(make_test_mp4(dur)) == {
+            "media_format": "mp4", "duration_ms": dur,
+        }
+        # non-unit timescale: duration field = dur*ts/1000, parsed back
+        assert parse_av_header(make_test_mp4(dur, timescale=90000)) == {
+            "media_format": "mp4", "duration_ms": dur,
+        }
+    # hand-built mvhd version 1 (64-bit duration): 5s at timescale 600
+    mvhd_v1 = (
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQ", 0, 0)          # 64-bit times
+        + struct.pack(">I", 600)            # timescale
+        + struct.pack(">Q", 3000)           # duration
+    )
+    box = lambda t, b: struct.pack(">I", 8 + len(b)) + t + b
+    payload = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", box(b"mvhd", mvhd_v1))
+    assert parse_av_header(payload) == {"media_format": "mp4", "duration_ms": 5000}
+    # odd-sized chunk before data: word-alignment must not derail the scan
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 3) + b"odd" + b"\x00"  # pad byte
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 6400)
+    )
+    assert parse_av_header(wav) == {"media_format": "wav", "duration_ms": 200}
+    for bad in (None, b"", b"RIFFxxxxNOPE" + b"\x00" * 8, b"12345678ftypless"):
+        got = parse_av_header(bad)
+        assert got["duration_ms"] is None, (bad, got)
+
+
 def test_image_header_parser_never_crashes():
     """Property: parse_image_header is total — arbitrary byte blobs
     (including ones that start with valid magic numbers and then lie)
@@ -127,7 +175,8 @@ def test_image_header_parser_never_crashes():
 
     from workbench_spark.operators.multimodal import parse_image_header
 
-    magics = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"BM", b"\xff\xd8", b""]
+    magics = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"BM", b"\xff\xd8",
+              b"RIFF", b"RIFFxxxxWAVE", b"\x00\x00\x00\x14ftyp", b""]
 
     @settings(max_examples=300, deadline=None)
     @given(
@@ -135,11 +184,16 @@ def test_image_header_parser_never_crashes():
         tail=st.binary(min_size=0, max_size=64),
     )
     def check(prefix, tail):
+        from workbench_spark.operators.multimodal import header_decoder
+
         got = parse_image_header(prefix + tail)
         assert set(got) == {"media_format", "width", "height"}
         assert got["media_format"] in (None, "png", "gif", "bmp", "jpeg")
         for k in ("width", "height"):
             assert got[k] is None or isinstance(got[k], int)
+        full = header_decoder(prefix + tail)
+        assert full["media_format"] in (None, "png", "gif", "bmp", "jpeg", "wav", "mp4")
+        assert full["duration_ms"] is None or isinstance(full["duration_ms"], int)
 
     check()
 

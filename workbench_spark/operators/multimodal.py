@@ -120,16 +120,97 @@ def parse_image_header(payload: bytes | None) -> dict:
     return none
 
 
+def parse_av_header(payload: bytes | None) -> dict:
+    """REAL audio/video duration from pure byte arithmetic:
+
+    - WAV: RIFF/WAVE chunk scan — the fmt chunk carries byte_rate
+      (little-endian uint32 at +8 into its data); the data chunk's
+      declared size over byte_rate is the duration.
+    - MP4/ISO-BMFF: top-level box scan to moov, then its mvhd child —
+      version 0 carries (timescale, duration) as big-endian uint32 at
+      +12/+16 past the box header, version 1 as uint32/uint64 at
+      +20/+24.
+
+    Returns {media_format, duration_ms}; all-None when unrecognized."""
+    import struct
+
+    none = {"media_format": None, "duration_ms": None}
+    if not payload or len(payload) < 16:
+        return none
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i, n = 12, len(payload)
+        byte_rate = data_size = None
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if cid == b"fmt " and i + 20 <= n:
+                (byte_rate,) = struct.unpack("<I", payload[i + 16 : i + 20])
+            elif cid == b"data":
+                data_size = csize
+            i += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if byte_rate and data_size is not None:
+            return {
+                "media_format": "wav",
+                "duration_ms": data_size * 1000 // byte_rate,
+            }
+        return {"media_format": "wav", "duration_ms": None}
+    # ISO-BMFF: the first box is conventionally ftyp; scan top-level boxes
+    if payload[4:8] == b"ftyp":
+        def scan(lo: int, hi: int, target: bytes) -> tuple[int, int] | None:
+            i = lo
+            while i + 8 <= hi:
+                (bsize,) = struct.unpack(">I", payload[i : i + 4])
+                btype = payload[i + 4 : i + 8]
+                if bsize < 8:  # 0 = to-end, 1 = 64-bit size: not emitted
+                    return None  # by our builder; bail rather than loop
+                if btype == target:
+                    return (i + 8, min(i + bsize, hi))
+                i += bsize
+            return None
+
+        moov = scan(0, len(payload), b"moov")
+        if moov:
+            mvhd = scan(moov[0], moov[1], b"mvhd")
+            if mvhd and mvhd[0] + 4 <= len(payload):
+                version = payload[mvhd[0]]
+                if version == 0 and mvhd[0] + 20 <= len(payload):
+                    ts, dur = struct.unpack(
+                        ">II", payload[mvhd[0] + 12 : mvhd[0] + 20]
+                    )
+                elif version == 1 and mvhd[0] + 32 <= len(payload):
+                    # v1: 4 (ver/flags) + 8 + 8 (64-bit times) = timescale
+                    # at +20, 64-bit duration at +24
+                    (ts,) = struct.unpack(
+                        ">I", payload[mvhd[0] + 20 : mvhd[0] + 24]
+                    )
+                    (dur,) = struct.unpack(
+                        ">Q", payload[mvhd[0] + 24 : mvhd[0] + 32]
+                    )
+                else:
+                    return {"media_format": "mp4", "duration_ms": None}
+                if ts:
+                    return {
+                        "media_format": "mp4",
+                        "duration_ms": dur * 1000 // ts,
+                    }
+        return {"media_format": "mp4", "duration_ms": None}
+    return none
+
+
 def header_decoder(payload: bytes | None) -> dict:
-    """The DEFAULT metadata decoder: real header parsing (see
-    parse_image_header) in the extract_media_metadata contract shape.
-    Unrecognized payloads yield NULL dims, never pseudo-values."""
+    """The DEFAULT metadata decoder: real header parsing — image formats
+    (parse_image_header) for dimensions, then WAV/MP4 (parse_av_header)
+    for durations. Unrecognized payloads yield NULL everything, never
+    pseudo-values."""
     meta = parse_image_header(payload)
+    if meta["media_format"] is not None:
+        return {**meta, "duration_ms": None}
+    av = parse_av_header(payload)
     return {
-        "media_format": meta["media_format"],
-        "width": meta["width"],
-        "height": meta["height"],
-        "duration_ms": None,
+        "media_format": av["media_format"],
+        "width": None,
+        "height": None,
+        "duration_ms": av["duration_ms"],
     }
 
 
@@ -173,6 +254,48 @@ def make_test_image(fmt: str, width: int, height: int) -> bytes:
         app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
         return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
     raise ValueError(f"unknown test-image format {fmt!r}")
+
+
+def make_test_wav(duration_ms: int, byte_rate: int = 32000) -> bytes:
+    """Minimal complete PCM WAV of the given duration (zero samples).
+    byte_rate must divide by 1000 for the duration to round-trip exactly
+    through the integer data_size/byte_rate arithmetic."""
+    import struct
+
+    data_size = duration_ms * byte_rate // 1000
+    fmt = struct.pack("<HHIIHH", 1, 1, byte_rate // 2, byte_rate, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_size) + b"\x00" * data_size
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_test_mp4(duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal ISO-BMFF header (ftyp + moov/mvhd, no media data) with the
+    given movie duration. timescale=1000 makes duration_ms the mvhd
+    duration field verbatim."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification time
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre-defined
+        + struct.pack(">I", 2),  # next track id
+    )
+    return ftyp + box(b"moov", mvhd)
 
 
 def attach_media(

@@ -1256,48 +1256,66 @@ def f7_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_metadata",
     """
     SELECT doc_id,
-           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS media_format,
-           CAST(1 + (doc_id * 7) % 509 AS INT) AS width,
-           CAST(1 + (doc_id * 13) % 499 AS INT) AS height
+           CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav'
+                ELSE 'mp4' END AS media_format,
+           CASE WHEN doc_id % 6 < 4
+                THEN CAST(1 + (doc_id * 7) % 509 AS INT) END AS width,
+           CASE WHEN doc_id % 6 < 4
+                THEN CAST(1 + (doc_id * 13) % 499 AS INT) END AS height,
+           CASE WHEN doc_id % 6 = 4 THEN CAST(1 + (doc_id * 17) % 200 AS BIGINT)
+                WHEN doc_id % 6 = 5 THEN CAST(1 + (doc_id * 17) % 60000 AS BIGINT)
+           END AS duration_ms
     FROM documents
     """,
 )
 def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata with the REAL byte-arithmetic codec (r10,
     upgraded from md5 pseudo-dims): each document becomes a structurally
-    valid PNG/GIF/BMP/JPEG payload (format and dimensions derived from
-    doc_id), built and then parsed back — header bytes in, dimensions out
-    — inside the same Arrow-batched mapInPandas plumbing a real corpus
-    would use. The oracle replays the dimension formulas directly, so a
-    hash match certifies the decoder inverts real image headers for all
-    four formats. NULL-dim behavior for non-images is pytest-covered
-    (test_sources_streaming_multimodal)."""
+    valid PNG/GIF/BMP/JPEG image (dimensions derived from doc_id) or a
+    WAV/MP4 container (duration derived from doc_id), built and then
+    parsed back — header bytes in, metadata out — inside the same
+    Arrow-batched mapInPandas plumbing a real corpus would use. The
+    oracle replays the formulas directly, so a hash match certifies the
+    decoder inverts real headers for all six formats. NULL behavior for
+    non-media payloads is pytest-covered."""
     from workbench_spark.operators.multimodal import (
         extract_media_metadata,
         make_test_image,
+        make_test_mp4,
+        make_test_wav,
     )
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.col("doc_id") % 4).cast("int").alias("__fmt"),
+        (F.col("doc_id") % 6).cast("int").alias("__fmt"),
         (1 + (F.col("doc_id") * 7) % 509).cast("int").alias("__w"),
         (1 + (F.col("doc_id") * 13) % 499).cast("int").alias("__h"),
+        (1 + (F.col("doc_id") * 17) % 200).cast("int").alias("__dwav"),
+        (1 + (F.col("doc_id") * 17) % 60000).cast("int").alias("__dmp4"),
     )
 
     @F.pandas_udf("binary")
-    def build(fmt: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    def build(
+        fmt: pd.Series, w: pd.Series, h: pd.Series,
+        dwav: pd.Series, dmp4: pd.Series,
+    ) -> pd.Series:
         names = ("png", "gif", "bmp", "jpeg")
-        return pd.Series(
-            [
-                make_test_image(names[f], int(wi), int(hi))
-                for f, wi, hi in zip(fmt, w, h)
-            ]
-        )
+        out = []
+        for f, wi, hi, dw, dm in zip(fmt, w, h, dwav, dmp4):
+            if f < 4:
+                out.append(make_test_image(names[f], int(wi), int(hi)))
+            elif f == 4:
+                out.append(make_test_wav(int(dw)))
+            else:
+                out.append(make_test_mp4(int(dm)))
+        return pd.Series(out)
 
-    payloads = d.select("doc_id", build("__fmt", "__w", "__h").alias("payload"))
+    payloads = d.select(
+        "doc_id", build("__fmt", "__w", "__h", "__dwav", "__dmp4").alias("payload")
+    )
     meta = extract_media_metadata(payloads, "payload")
-    return meta.select("doc_id", "media_format", "width", "height")
+    return meta.select("doc_id", "media_format", "width", "height", "duration_ms")
 
 
 @query(
