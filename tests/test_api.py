@@ -569,3 +569,48 @@ def test_synthetic_partsupp_shape_and_determinism(spark):
     a = sorted(map(tuple, synthetic_partsupp(spark, sf).collect()))
     b = sorted(map(tuple, synthetic_partsupp(spark, sf).collect()))
     assert a == b
+
+
+def test_cached_artifacts_modified_staleness(spark, warehouse):
+    """CachedArtifactMixin (reference cached_artifact_mixin.py): results
+    cache until the artifact's registry Modified stamp moves — an append
+    (which re-stamps the meta) invalidates; refresh() force-clears."""
+    from workbench_spark.api import DataSource, FeatureSet
+    from workbench_spark.api.cached_artifacts import (
+        CachedDataSource,
+        CachedFeatureSet,
+    )
+
+    DataSource(
+        f"{SF_DIR}/nation.parquet", "nation_cache_ds",
+        spark=spark, warehouse=warehouse,
+    )
+    cds = CachedDataSource("nation_cache_ds", spark=spark, warehouse=warehouse)
+    assert cds.num_rows() == 25
+    # cached dict + DataFrame results round-trip through the stores
+    stats = cds.column_stats()
+    assert stats == cds.column_stats()
+    first = sorted(map(tuple, cds.descriptive_stats().collect()))
+    again = sorted(map(tuple, cds.descriptive_stats().collect()))
+    assert first == again and len(first) > 0
+    assert cds.refresh() > 0
+    assert cds.refresh() == 0  # second refresh finds nothing
+
+    base = spark.createDataFrame(
+        [(i, float(i), "2024-01-01 00:00:00") for i in range(10)],
+        "fid long, x double, event_time string",
+    )
+    FeatureSet(
+        base, "fs_cache_probe", id_column="fid",
+        event_time_column="event_time", spark=spark, warehouse=warehouse,
+    )
+    cfs = CachedFeatureSet("fs_cache_probe", spark=spark, warehouse=warehouse)
+    assert cfs.num_rows() == 10
+    # append re-stamps the registry meta -> the cached count goes stale
+    cfs.append(
+        spark.createDataFrame(
+            [(100 + i, float(i), "2024-01-02 00:00:00") for i in range(5)],
+            "fid long, x double, event_time string",
+        )
+    )
+    assert cfs.num_rows() == 15  # refetched, not the stale 10

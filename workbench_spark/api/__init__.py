@@ -12,6 +12,11 @@ from workbench_spark.api.ensemble_simulator import (
 )
 from workbench_spark.api.hpo import SearchSpace, hpo_train, mllib_search, run_search
 from workbench_spark.api.inference_cache import InferenceCache
+from workbench_spark.api.cached_artifacts import (
+    CachedArtifactMixin,
+    CachedDataSource,
+    CachedFeatureSet,
+)
 from workbench_spark.api.cached_meta import CachedMeta
 from workbench_spark.api.meta import Meta
 from workbench_spark.api.model import Endpoint, Model
@@ -29,6 +34,9 @@ __all__ = [
     "FeatureSet",
     "Model",
     "Endpoint",
+    "CachedArtifactMixin",
+    "CachedDataSource",
+    "CachedFeatureSet",
     "CachedMeta",
     "Meta",
     "Registry",
