@@ -48,11 +48,11 @@ def _calibrate(spark) -> dict:
     the repo's code — byte-identical probes every round, so the ratio of
     two rounds' probe timings is the box-drift factor between them.
 
-    Three probes, min-of-2 after one warm run each:
+    Three probes, min-of-3 after one warm run each:
     - python_loop: single-thread pure-Python integer loop (driver CPU).
-    - spark_cpu: 32-partition codegen'd arithmetic fold over range(150M) —
+    - spark_cpu: 32-partition codegen'd arithmetic fold over range(2B) —
       no IO, no shuffle; tracks executor-side JVM throughput.
-    - spark_shuffle: range(8M) groupBy 100k keys — one small exchange;
+    - spark_shuffle: range(30M) groupBy 100k keys — one small exchange;
       tracks the shuffle/serialization machinery.
     """
 

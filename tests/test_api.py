@@ -614,3 +614,40 @@ def test_cached_artifacts_modified_staleness(spark, warehouse):
         )
     )
     assert cfs.num_rows() == 15  # refetched, not the stale 10
+
+
+def test_cached_artifacts_roles_invalidate_and_refresh_isolation(spark, warehouse):
+    """Review fixes (r10): set_training_roles must invalidate the cached
+    training_view (it re-stamps the feature set's own meta, not just the
+    supplemental roles table), and refresh() must not clear entries of
+    OTHER artifacts whose name extends this one's."""
+    from workbench_spark.api import DataSource, FeatureSet
+    from workbench_spark.api.cached_artifacts import (
+        CachedDataSource,
+        CachedFeatureSet,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i), "2024-01-01 00:00:00") for i in range(8)],
+        "fid long, x double, event_time string",
+    )
+    FeatureSet(
+        base, "fs_roles_probe", id_column="fid",
+        event_time_column="event_time", spark=spark, warehouse=warehouse,
+    )
+    cfs = CachedFeatureSet("fs_roles_probe", spark=spark, warehouse=warehouse)
+    assert cfs.training_view().count() == 8
+    roles = spark.createDataFrame([(0, 1.0, False, True)],
+                                  "fid long, sample_weight double, validation boolean, exclude boolean")
+    cfs.set_training_roles(roles)
+    # stale cache would still show 8 rows; the fresh view excludes fid 0
+    assert cfs.training_view().count() == 7
+
+    # refresh isolation: 'probe' must not clear 'probe_v2' entries
+    DataSource(f"{SF_DIR}/region.parquet", "probe", spark=spark, warehouse=warehouse)
+    DataSource(f"{SF_DIR}/region.parquet", "probe_v2", spark=spark, warehouse=warehouse)
+    a = CachedDataSource("probe", spark=spark, warehouse=warehouse)
+    b = CachedDataSource("probe_v2", spark=spark, warehouse=warehouse)
+    assert a.num_rows() == 5 and b.num_rows() == 5
+    assert a.refresh() == 1  # exactly a's one entry, not b's
+    assert b.refresh() == 1  # b's entry survived a's refresh

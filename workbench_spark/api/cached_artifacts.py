@@ -9,9 +9,13 @@ Staleness model mirrored from the reference: a cached entry is fresh while
 its recorded Modified stamp is >= the registry's current Modified stamp for
 the artifact (every ``Registry.upsert_meta`` re-stamps ``modified``), so a
 re-ingest/append/tag-change invalidates all that artifact's cached results
-at the next call. ``refresh()`` force-clears one artifact's entries.
+at the next call. A MISSING registry meta (deleted artifact, transient read
+failure) is treated as always-stale — the wrapped method then runs and
+fails exactly like the uncached artifact would, instead of serving ghost
+results. ``refresh()`` force-clears one artifact's entries.
 
-Backing stores match CachedMeta: DataFrame results round-trip through the
+Backing stores and the stamp/kind protocol are shared with CachedMeta
+(``cached_meta.cached_call``): DataFrame results round-trip through the
 DFStore (cross-process parquet), JSON-able results through the
 ParameterStore next to their stamps. Everything cached here is
 catalog/sample-sized (stats dicts, 100-row samples, k-row aggregates) —
@@ -19,11 +23,12 @@ bounded by the artifact's metadata, never its data."""
 
 from __future__ import annotations
 
+import math
 from functools import wraps
 
 from pyspark.sql import DataFrame
 
-from workbench_spark.api.cached_meta import flatten_key
+from workbench_spark.api.cached_meta import cached_call, flatten_key
 from workbench_spark.api.data_source import DataSource
 from workbench_spark.api.feature_set import FeatureSet
 from workbench_spark.api.stores import DFStore, ParameterStore
@@ -45,45 +50,46 @@ class CachedArtifactMixin:
             self._ac_dfs = DFStore(self.spark, root=root)
         return self._ac_params, self._ac_dfs
 
-    def _cache_prefix(self) -> str:
-        return f"{type(self).__name__.lower()}_{self.name}"
+    def _cache_segment(self) -> str:
+        # class and artifact name as PATH SEGMENTS — an underscore-joined
+        # prefix would make refresh('sales') also match 'sales_v2'
+        return f"{type(self).__name__.lower()}/{self.name}"
 
     def _current_modified(self) -> float:
+        """The artifact's registry Modified stamp; +inf (always stale) when
+        the meta is missing or unreadable, so a deleted artifact's wrapped
+        methods re-run and fail loudly instead of serving cached ghosts."""
         try:
             m = self.registry.read_meta(self.name).get("modified")
         except Exception:
             m = None
-        return float(m) if m is not None else 0.0
+        return float(m) if m is not None else math.inf
 
     @classmethod
     def cache_result(cls, method):
         @wraps(method)
         def wrapper(self, *args, **kwargs):
             params, dfs = self._stores()
-            key = f"{self._cache_prefix()}_{flatten_key(method.__name__, *args, **kwargs)}"
-            current = self._current_modified()
-            stamp = params.get(f"{_STAMP_PREFIX}/{key}")
-            if stamp is not None and float(stamp["modified"]) >= current:
-                if stamp.get("kind") == "df":
-                    cached = dfs.get(f"{_DF_PREFIX}/{key}")
-                    if cached is not None:
-                        return cached
-                else:
-                    entry = params.get(f"{_VALUE_PREFIX}/{key}")
-                    if entry is not None:
-                        return entry["value"]
-            result = method(self, *args, **kwargs)
-            if isinstance(result, DataFrame):
-                dfs.upsert(f"{_DF_PREFIX}/{key}", result)
-                params.upsert(
-                    f"{_STAMP_PREFIX}/{key}", {"modified": current, "kind": "df"}
-                )
-                return dfs.get(f"{_DF_PREFIX}/{key}")
-            params.upsert(f"{_VALUE_PREFIX}/{key}", {"value": result})
-            params.upsert(
-                f"{_STAMP_PREFIX}/{key}", {"modified": current, "kind": "value"}
+            key = (
+                f"{self._cache_segment()}/"
+                f"{flatten_key(method.__name__, *args, **kwargs)}"
             )
-            return result
+            current = self._current_modified()
+            return cached_call(
+                params,
+                dfs,
+                (
+                    f"{_STAMP_PREFIX}/{key}",
+                    f"{_VALUE_PREFIX}/{key}",
+                    f"{_DF_PREFIX}/{key}",
+                ),
+                # isfinite: current=inf (missing meta) must never be
+                # "fresh", even against a previously-written inf stamp
+                lambda stamp: math.isfinite(current)
+                and float(stamp["modified"]) >= current,
+                lambda: {"modified": current},
+                lambda: method(self, *args, **kwargs),
+            )
 
         return wrapper
 
@@ -91,15 +97,14 @@ class CachedArtifactMixin:
         """Force-clear this artifact's cached entries (reference
         cached_artifact_mixin.refresh). Returns entries deleted."""
         params, dfs = self._stores()
-        prefix = f"{_STAMP_PREFIX}/{self._cache_prefix()}_"
+        prefix = f"{_STAMP_PREFIX}/{self._cache_segment()}/"
         n = 0
-        for name in params.list(_STAMP_PREFIX):
-            if name.startswith(prefix):
-                key = name[len(f"{_STAMP_PREFIX}/"):]
-                params.delete(name)
-                params.delete(f"{_VALUE_PREFIX}/{key}")
-                dfs.delete(f"{_DF_PREFIX}/{key}")
-                n += 1
+        for name in params.list(prefix):
+            key = name[len(f"{_STAMP_PREFIX}/"):]
+            params.delete(name)
+            params.delete(f"{_VALUE_PREFIX}/{key}")
+            dfs.delete(f"{_DF_PREFIX}/{key}")
+            n += 1
         return n
 
 
@@ -134,8 +139,8 @@ class CachedDataSource(CachedArtifactMixin, DataSource):
 
 class CachedFeatureSet(CachedArtifactMixin, FeatureSet):
     """FeatureSet with Modified-stamped caching (reference
-    cached_feature_set.py). Appends re-stamp the registry meta, so cached
-    counts/views invalidate on the next call."""
+    cached_feature_set.py). Appends and set_training_roles re-stamp the
+    registry meta, so cached counts/views invalidate on the next call."""
 
     def __init__(self, name: str, spark=None, warehouse: str | None = None):
         FeatureSet.__init__(self, None, name, spark=spark, warehouse=warehouse)

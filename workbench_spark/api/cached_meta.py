@@ -43,41 +43,62 @@ def flatten_key(method_name: str, *args, **kwargs) -> str:
     return "_".join(p.replace("/", "_") for p in parts) or method_name
 
 
+def cached_call(params, dfs, locs, is_fresh, stamp_fields, compute, on_df=None):
+    """The shared stamp/store protocol for both caching tiers (CachedMeta's
+    TTL stamps and CachedArtifactMixin's Modified stamps — one
+    implementation so the kind-dispatch / DFStore-roundtrip subtleties
+    can't drift between them).
+
+    locs = (stamp_loc, value_loc, df_loc); ``is_fresh(stamp)`` decides
+    freshness from a previously written stamp; ``stamp_fields()`` produces
+    the fields recorded next to ``kind`` on a write; DataFrame results go
+    through the DFStore (and are re-read so repeated callers share the
+    stored copy), everything JSON-able through the ParameterStore."""
+    stamp_loc, value_loc, df_loc = locs
+    stamp = params.get(stamp_loc)
+    if stamp is not None and is_fresh(stamp):
+        if stamp.get("kind") == "df":
+            cached = dfs.get(df_loc)
+            if cached is not None:
+                return cached
+        else:
+            entry = params.get(value_loc)
+            if entry is not None:
+                return entry["value"]
+    result = compute()
+    if isinstance(result, DataFrame):
+        dfs.upsert(df_loc, result)
+        params.upsert(stamp_loc, {**stamp_fields(), "kind": "df"})
+        if on_df is not None:
+            on_df(result)
+        return dfs.get(df_loc)
+    params.upsert(value_loc, {"value": result})
+    params.upsert(stamp_loc, {**stamp_fields(), "kind": "value"})
+    return result
+
+
 def cache_result(method):
     """TTL-stamped memoization for Meta methods (reference
     cached_meta.cache_result): fresh hits return the cached result;
-    stale/first calls run the real method and re-stamp. DataFrame results
-    round-trip through the DFStore; everything JSON-able goes through the
-    ParameterStore next to its stamp."""
+    stale/first calls run the real method and re-stamp."""
 
     @wraps(method)
     def wrapper(self, *args, **kwargs):
         key = flatten_key(method.__name__, *args, **kwargs)
         now = time.time()
-        stamp = self._params.get(f"{self._STAMP_PREFIX}/{key}")
-        if stamp is not None and (now - float(stamp["at"])) < self._cache_ttl:
-            if stamp.get("kind") == "df":
-                cached = self._dfs.get(f"{self._DF_PREFIX}/{key}")
-                if cached is not None:
-                    return cached
-            else:
-                entry = self._params.get(f"{self._VALUE_PREFIX}/{key}")
-                if entry is not None:
-                    return entry["value"]
-        result = method(self, *args, **kwargs)
-        if isinstance(result, DataFrame):
-            self._dfs.upsert(f"{self._DF_PREFIX}/{key}", result)
-            self._params.upsert(
-                f"{self._STAMP_PREFIX}/{key}", {"at": now, "kind": "df"}
-            )
-            self._update_modified_registry(method.__name__, result)
-            # serve the stored copy so repeated callers share one scan
-            return self._dfs.get(f"{self._DF_PREFIX}/{key}")
-        self._params.upsert(f"{self._VALUE_PREFIX}/{key}", {"value": result})
-        self._params.upsert(
-            f"{self._STAMP_PREFIX}/{key}", {"at": now, "kind": "value"}
+        return cached_call(
+            self._params,
+            self._dfs,
+            (
+                f"{self._STAMP_PREFIX}/{key}",
+                f"{self._VALUE_PREFIX}/{key}",
+                f"{self._DF_PREFIX}/{key}",
+            ),
+            lambda stamp: (now - float(stamp["at"])) < self._cache_ttl,
+            lambda: {"at": now},
+            lambda: method(self, *args, **kwargs),
+            on_df=lambda df: self._update_modified_registry(method.__name__, df),
         )
-        return result
 
     return wrapper
 

@@ -192,6 +192,10 @@ class FeatureSet:
         self.registry.upsert_meta(
             f"_{self.name}___training_roles", {"artifact_type": "supplemental"}
         )
+        # re-stamp the FEATURE SET's own meta too: roles change its derived
+        # views (training_view), so Modified-stamp caches (CachedFeatureSet)
+        # must see the artifact as changed, not just its supplemental table
+        self.registry.upsert_meta(self.name, {})
 
     def training_view(self) -> DataFrame:
         """J2/P5 — snapshot LEFT JOIN roles + COALESCE defaults + exclude

@@ -1753,7 +1753,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - ps.ps_supplycost * l.l_quantity), 4) AS sum_profit
+                     - ps.ps_supplycost * l.l_quantity), 4) + 0 AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%'
     JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
@@ -1792,7 +1792,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
+        # profit sums can be negative and a zero group can accumulate to
+        # -0.0: "+ 0" folds the sign per the CLAUDE.md rounding invariant
+        .agg((F.round(F.sum(amount), 4) + F.lit(0)).alias("sum_profit"))
     )
 
 
