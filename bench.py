@@ -96,6 +96,46 @@ def _calibrate(spark) -> dict:
         out[name] = round(min(fn(), fn(), fn()), 4)
     return out
 
+def compute_delta(prev: dict, prev_file: str, total: float, sf_val, calibration: dict):
+    """Round-over-round delta block, raw + box-drift-normalized.
+
+    drift_factor f = this round's spark_cpu probe / prev round's (the probe
+    that tracks the Spark-dominated query mix; >1 = box slower now).
+    Expected total on identical code = prev_total * f, so
+    delta_normalized = total - prev_total * f -- the part of the raw delta
+    NOT explained by machine drift. None-normalized when the prior round
+    predates the calibration probes."""
+    prev = prev.get("parsed", prev)  # driver wraps the bench line
+    prev_harness = prev.get("harness", {}).get(
+        "version", "v2" if "BENCH_r06" in prev_file else "v1"
+    )
+    prev_val = prev.get("value")
+    if prev_val is None:
+        # no prior total -- a 0.0 stand-in would report delta_sec == the
+        # whole run time
+        return None
+    out = {
+        "prev_file": prev_file,
+        "prev_total_sec": prev_val,
+        "delta_sec": round(total - float(prev_val), 4),
+        "same_harness": prev_harness == HARNESS["version"]
+        and prev.get("sf") == sf_val,
+    }
+    prev_probe = (prev.get("calibration") or {}).get("spark_cpu_sec")
+    if prev_probe:
+        f_drift = calibration["spark_cpu_sec"] / float(prev_probe)
+        out["drift_factor"] = round(f_drift, 4)
+        out["delta_normalized_sec"] = round(total - float(prev_val) * f_drift, 4)
+    else:
+        out["drift_factor"] = None
+        out["delta_normalized_sec"] = None
+        out["normalization_note"] = (
+            "prior round has no calibration probes; "
+            "normalized deltas start next round"
+        )
+    return out
+
+
 # Headline queries: one per operator family, weighted toward the
 # scan/join/agg/window/dedup/similarity paths that dominate at scale.
 # Stats run in production mode (exact=False → sketch percentiles/HLL,
@@ -316,7 +356,7 @@ def main() -> None:
         import glob as _glob
 
         def _round_num(path):
-            # numeric round sort — lexicographic glob order misorders r100+
+            # numeric round sort -- lexicographic glob order misorders r100+
             m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
             return int(m.group(1)) if m else -1
 
@@ -324,46 +364,10 @@ def main() -> None:
             _glob.glob(os.path.join(_REPO, "BENCH_r*.json")), key=_round_num
         )
         if prior:
-            prev = json.load(open(prior[-1]))
-            # driver wraps the bench line under "parsed"
-            prev = prev.get("parsed", prev)
-            prev_harness = prev.get("harness", {}).get(
-                "version", "v2" if "BENCH_r06" in prior[-1] else "v1"
+            prev_delta = compute_delta(
+                json.load(open(prior[-1])), os.path.basename(prior[-1]),
+                total, sf_val, calibration,
             )
-            prev_val = prev.get("value")
-            if prev_val is None:
-                prev_delta = None  # no prior total — a 0.0 stand-in would
-                # report delta_sec == the whole run time
-            else:
-                prev_delta = {
-                    "prev_file": os.path.basename(prior[-1]),
-                    "prev_total_sec": prev_val,
-                    "delta_sec": round(total - float(prev_val), 4),
-                    "same_harness": prev_harness == HARNESS["version"]
-                    and prev.get("sf") == sf_val,
-                }
-                # Box-drift-normalized delta: drift_factor f = this round's
-                # probe time / prev round's (spark_cpu is the probe that
-                # tracks the Spark-dominated query mix; >1 = box slower
-                # now). Expected total on identical code = prev_total * f,
-                # so delta_normalized = total - prev_total * f — the part
-                # of the raw delta NOT explained by machine drift. null
-                # when the prior round predates the calibration probes.
-                prev_cal = prev.get("calibration") or {}
-                prev_probe = prev_cal.get("spark_cpu_sec")
-                if prev_probe:
-                    f_drift = calibration["spark_cpu_sec"] / float(prev_probe)
-                    prev_delta["drift_factor"] = round(f_drift, 4)
-                    prev_delta["delta_normalized_sec"] = round(
-                        total - float(prev_val) * f_drift, 4
-                    )
-                else:
-                    prev_delta["drift_factor"] = None
-                    prev_delta["delta_normalized_sec"] = None
-                    prev_delta["normalization_note"] = (
-                        "prior round has no calibration probes; "
-                        "normalized deltas start next round"
-                    )
     except Exception:
         prev_delta = None
     print(
