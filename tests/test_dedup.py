@@ -557,3 +557,42 @@ def test_containment_pairs_equals_brute_force_and_is_directional(spark):
         for r in containment_pairs(d2, threshold=(9, 10)).collect()
     }
     assert got2 == {(9000, 9001)}
+
+
+def test_embedding_incremental_dedup_blocks_corpus_clones(spark):
+    """A new embedding batch containing clones of corpus vectors loses
+    exactly the clones; novel directions survive; the signed-corpus
+    artifact path is identical to signing inline."""
+    from workbench_spark.operators.dedup import (
+        embedding_incremental_dedup,
+        embedding_incremental_pairs,
+        embedding_signatures,
+    )
+
+    corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(corpus.select("embedding").first()[0])
+    # batch: exact clones of two corpus vectors + one orthogonal-ish novel
+    twins = corpus.filter(F.col("vec_id").isin(3, 7)).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    novel = spark.createDataFrame(
+        [(2_000_000, [float(i == 0) for i in range(dim)])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = twins.unionAll(novel)
+    kw = dict(threshold=0.999, n_planes=8, n_tables=6, seed=42, dim=dim)
+    pairs = embedding_incremental_pairs(batch, corpus, **kw)
+    got = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+    assert (1_000_003, 3) in got and (1_000_007, 7) in got
+    assert all(n != 2_000_000 for n, _ in got)
+    survivors = {r["vec_id"] for r in embedding_incremental_dedup(batch, corpus, **kw).collect()}
+    assert survivors == {2_000_000}
+    # precomputed signed-corpus artifact: identical pair set
+    signed = embedding_signatures(corpus, n_planes=8, n_tables=6, seed=42, dim=dim)
+    got2 = {
+        (r["new_id"], r["corpus_id"])
+        for r in embedding_incremental_pairs(
+            batch, signed, corpus_is_signed=True, **kw
+        ).collect()
+    }
+    assert got2 == got

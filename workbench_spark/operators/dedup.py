@@ -1104,6 +1104,40 @@ def _lsh_embedding_candidates(
     sharing a full signature in ANY table become a candidate pair exactly
     once (dropDuplicates on the unordered pair). Shuffle key is
     (table, signature) — equi-join-shaped per the CLAUDE.md invariant."""
+    signed = embedding_signatures(
+        df, id_col, vec_col, n_planes, n_tables, seed, dim
+    )
+    left = signed.select(
+        "tbl", "sig", F.col("id").alias("id_a"),
+        F.col("v").alias("__va"), F.col("nrm").alias("__na"),
+    )
+    right = signed.select(
+        "tbl", "sig", F.col("id").alias("id_b"),
+        F.col("v").alias("__vb"), F.col("nrm").alias("__nb"),
+    )
+    return (
+        left.join(right, ["tbl", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, v, nrm, tbl, sig) hyperplane-signature frame — the persistable
+    corpus-side artifact for incremental embedding dedup (the vector twin
+    of :func:`banded_minhash`). At scale, write this once per corpus
+    snapshot (partitioned/bucketed by (tbl, sig) so incoming batches
+    co-locate on the join key) and reuse it for every batch. Both sides of
+    an incremental join must use the SAME (seed, n_planes, n_tables, dim)
+    — the signature spaces differ otherwise."""
     import random
 
     from workbench_spark.operators.similarity import _stacked_signatures
@@ -1123,20 +1157,88 @@ def _lsh_embedding_candidates(
     ]
     # all tables' signatures from ONE scan (stack generator), not a
     # union of per-table branches — see similarity._stacked_signatures
-    signed = _stacked_signatures(df, id_col, vec_col, planes_per_table)
-    left = signed.select(
-        "tbl", "sig", F.col("id").alias("id_a"),
+    return _stacked_signatures(df, id_col, vec_col, planes_per_table)
+
+
+def embedding_incremental_pairs(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    corpus_is_signed: bool = False,
+) -> DataFrame:
+    """Batch-vs-corpus embedding near-dup pairs:
+    (new_id, corpus_id, cosine_sim) — the vector twin of
+    :func:`minhash_incremental_pairs`. A new embedding batch dedupes
+    against the already-ingested corpus WITHOUT re-pairing the corpus
+    against itself: both sides sign with the same hyperplane family,
+    candidates form on the (tbl, sig) equi-join new×corpus only, then
+    exact cosine + threshold on candidates. Work is linear in the batch
+    size, never the corpus size.
+
+    ``corpus_is_signed=True`` accepts a precomputed
+    :func:`embedding_signatures` frame (the 100 TB path: corpus
+    signatures computed once per snapshot and stored; per-batch cost is
+    sign(batch) + one equi-join). Intra-batch duplicates are
+    ``embedding_near_dup_pairs(new_df, use_lsh=True)``'s job — compose
+    the two for full coverage."""
+    from workbench_spark.operators.similarity import _dot
+
+    if dim is None:
+        # ONE probe shared by both sides, so they sign with identical
+        # planes (independent probes could diverge on ragged data);
+        # production passes dim explicitly
+        row = new_df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        dim = 1 if row is None else len(row[0])
+    new_signed = embedding_signatures(
+        new_df, id_col, vec_col, n_planes, n_tables, seed, dim
+    )
+    corpus_signed = (
+        corpus
+        if corpus_is_signed
+        else embedding_signatures(
+            corpus, id_col, vec_col, n_planes, n_tables, seed, dim
+        )
+    )
+    a = new_signed.select(
+        "tbl", "sig", F.col("id").alias("new_id"),
         F.col("v").alias("__va"), F.col("nrm").alias("__na"),
     )
-    right = signed.select(
-        "tbl", "sig", F.col("id").alias("id_b"),
+    b = corpus_signed.select(
+        "tbl", "sig", F.col("id").alias("corpus_id"),
         F.col("v").alias("__vb"), F.col("nrm").alias("__nb"),
     )
-    return (
-        left.join(right, ["tbl", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    cands = a.join(b, ["tbl", "sig"]).dropDuplicates(["new_id", "corpus_id"])
+    scored = cands.select(
+        "new_id",
+        "corpus_id",
+        (_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+            "cosine_sim"
+        ),
     )
+    return scored.filter(F.col("cosine_sim") >= threshold)
+
+
+def embedding_incremental_dedup(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    **kwargs,
+) -> DataFrame:
+    """Admission filter: rows of ``new_df`` with NO corpus near-dup above
+    ``threshold`` (the corpus is never touched) — the vector twin of
+    :func:`minhash_incremental_dedup`."""
+    matched = embedding_incremental_pairs(
+        new_df, corpus, id_col, vec_col, threshold, **kwargs
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return new_df.join(matched, id_col, "left_anti")
 
 
 def _blas_threshold_pairs(

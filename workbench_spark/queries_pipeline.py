@@ -842,6 +842,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_incremental_invariants",
+    """
+    SELECT * FROM (VALUES (true, true))
+      AS t(pairs_match_full_selfjoin, dedup_removes_exactly_matched)
+    """,
+)
+def dedup_embedding_incremental_invariants_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) EMBEDDING dedup consistency gate —
+    the vector twin of dedup_incremental_invariants: split embeddings
+    deterministically (vec_id % 5 = 0 → "new batch", rest "corpus"); the
+    incremental new×corpus pairs must equal EXACTLY the cross-split
+    subset of the full self-join LSH pairs (same hyperplane family, seed,
+    and dim → same (tbl, sig) candidates and identical cosine exprs), and
+    incremental dedup must admit exactly the unmatched new ids. Both
+    sides of each invariant are engine-computed, so the constant-boolean
+    oracle certifies the algebra."""
+    from workbench_spark.operators.dedup import (
+        embedding_incremental_dedup,
+        embedding_incremental_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    new_df = e.filter(F.col("vec_id") % 5 == 0)
+    corpus = e.filter(F.col("vec_id") % 5 != 0)
+    kw = dict(threshold=0.8, n_planes=8, n_tables=4, seed=42)
+    inc = embedding_incremental_pairs(new_df, corpus, **kw)
+    inc_norm = inc.select(
+        F.least("new_id", "corpus_id").alias("id_a"),
+        F.greatest("new_id", "corpus_id").alias("id_b"),
+    )
+    full = embedding_near_dup_pairs(e, threshold=0.8, use_lsh=True)
+    cross = full.filter(
+        (F.col("id_a") % 5 == 0) != (F.col("id_b") % 5 == 0)
+    ).select("id_a", "id_b")
+    n_inc, n_cross = inc_norm.count(), cross.count()
+    sym_diff = (
+        inc_norm.exceptAll(cross).count() + cross.exceptAll(inc_norm).count()
+    )
+    survivors = embedding_incremental_dedup(new_df, corpus, **kw)
+    n_matched = inc.select("new_id").distinct().count()
+    dedup_ok = survivors.count() == new_df.count() - n_matched
+    return spark.createDataFrame(
+        [(n_inc == n_cross and sym_diff == 0, bool(dedup_ok))],
+        "pairs_match_full_selfjoin boolean, dedup_removes_exactly_matched boolean",
+    )
+
+
+@query(
     "dedup_star_invariants",
     """
     SELECT * FROM (VALUES (true, true, true, true))
