@@ -52,6 +52,10 @@ _TIME_BUDGET_OVERRIDES = {
     # (one action per iteration) + the split projection; edges are
     # localCheckpointed once (graph.py r8) but ~6 rounds of joins remain
     "dedup_leakage_safe_split": 40.0,
+    # four pair pipelines (minhash star+all, simhash star+all) each fed
+    # through label-propagation CC + bidirectional exceptAll counts —
+    # 8 iterative sub-jobs by design; measured 30s cold / 15s warm
+    "dedup_star_invariants": 60.0,
     "pipeline_user_features_end_to_end": 60.0,
     "chem_pipeline_golden": 60.0,
     # the ORACLE side dominates here: DuckDB's recursive-CTE transitive
