@@ -153,6 +153,30 @@ def test_parameter_store_gzip(warehouse):
     assert ps.get("small") is None
 
 
+def test_parameter_store_corrupt_entry_reads_as_miss(warehouse):
+    """A reader losing a race with a writer (or a half-written gz) must
+    see a cache miss, not a JSONDecodeError out of get() (r11 ADVICE:
+    cross-process cached_call robustness)."""
+    import os
+
+    from workbench_spark.api import ParameterStore
+
+    ps = ParameterStore(root=warehouse)
+    ps.upsert("garbled", {"ok": True})
+    with open(ps._path("garbled"), "wb") as f:
+        f.write(b'{"ok": tr')  # truncated mid-token
+    assert ps.get("garbled") is None
+    # garbled gz variant too
+    ps.upsert("garbled_gz", {"data": "x" * 10_000})
+    with open(ps._path("garbled_gz") + ".gz", "wb") as f:
+        f.write(b"\x1f\x8b\x08\x00partial")
+    assert ps.get("garbled_gz") is None
+    # upserts leave no stray tmp files behind
+    ps.upsert("clean", {"a": 1})
+    stray = [p for p in os.listdir(ps.root) if ".tmp" in p]
+    assert stray == []
+
+
 def test_inference_store(spark, warehouse):
     from workbench_spark.api import InferenceStore
 
@@ -534,6 +558,41 @@ def test_cached_meta_artifact_details_cached(spark, warehouse, ds):
     keys = cm.list_meta_cache()
     assert any(k.startswith("data_source_orders_ds") for k in keys)
     assert cm.data_source("no_such") is None
+
+
+def test_cached_meta_modified_registry_numeric_max(spark, warehouse):
+    """Modified stamps compare numerically (r11 ADVICE: string max() puts
+    '999.5' above '1000.5'); non-numeric stamps still merge without
+    crashing."""
+    from workbench_spark.api.cached_meta import CachedMeta
+
+    cm = CachedMeta(spark, warehouse=warehouse, ttl=3600)
+    loc = f"{cm._MODIFIED_PREFIX}/models"
+    cm._params.upsert(loc, {"m1": "999.5", "m2": "1500.0"})
+    listing = spark.createDataFrame(
+        [("m1", "1000.5"), ("m2", "7.0"), ("m3", "not-a-number")],
+        "name string, modified string",
+    )
+    cm._update_modified_registry("models", listing)
+    reg = cm.modified_registry("models")
+    assert reg["m1"] == "1000.5"  # numeric max, not lexicographic
+    assert reg["m2"] == "1500.0"  # existing newer stamp kept
+    assert reg["m3"] == "not-a-number"
+    cm._params.delete(loc)
+
+
+def test_cached_meta_singleton_adopts_live_session(spark, warehouse):
+    """Repeat construction with a live session refreshes the singleton's
+    spark handle (r11 ADVICE: the cached instance outliving a stopped
+    SparkSession kept the dead session forever)."""
+    from workbench_spark.api.cached_meta import CachedMeta
+
+    cm = CachedMeta(spark, warehouse=warehouse, ttl=3600)
+    cm.spark = None  # simulate the original session having been stopped
+    cm._dfs.spark = None
+    again = CachedMeta(spark, warehouse=warehouse)
+    assert again is cm
+    assert again.spark is spark and again._dfs.spark is spark
 
 
 def test_synthetic_partsupp_shape_and_determinism(spark):

@@ -254,7 +254,11 @@ def test_simhash_star_components_equal_all_pairs(spark, docs_with_mega_cluster):
 
     d = docs_with_mega_cluster
     all_pairs = simhash_near_pairs(d, max_hamming=3, n_bands=4, pair_mode="all")
-    star_pairs = simhash_near_pairs(d, max_hamming=3, n_bands=4, pair_mode="star")
+    # star + a hamming cap voids the CC guarantee in general (r11 guard
+    # warns loudly); here every clone is exact (hamming 0 to the hub), so
+    # the components still match — the warning is the asserted contract
+    with pytest.warns(UserWarning, match="VOIDS the connected-components"):
+        star_pairs = simhash_near_pairs(d, max_hamming=3, n_bands=4, pair_mode="star")
     in_cluster = lambda df: {
         (r["id_a"], r["id_b"])
         for r in df.filter(
@@ -305,6 +309,51 @@ def test_expr_embedding_pairs_default_auto_routes_to_lsh(spark):
         assert rows >= 0
     finally:
         spark.conf.unset(DRIVER_MATRIX_CONF)
+
+
+def test_expr_embedding_pairs_on_overflow_raise(spark):
+    """on_overflow='raise' (r11, ADVICE): callers whose pipeline REQUIRES
+    the exact pair set get a hard error past the bound instead of a
+    silently lossier LSH result when a warnings filter eats the notice."""
+    from workbench_spark.operators.dedup import embedding_near_dup_pairs
+    from workbench_spark.operators.similarity import DRIVER_MATRIX_CONF
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    spark.conf.set(DRIVER_MATRIX_CONF, "1024")
+    try:
+        with pytest.raises(RuntimeError, match="exact path was explicitly required"):
+            embedding_near_dup_pairs(emb, threshold=0.95, on_overflow="raise")
+        with pytest.raises(RuntimeError, match="exact path was explicitly required"):
+            embedding_near_dup_pairs(
+                emb, threshold=0.95, method="blas", on_overflow="raise"
+            )
+    finally:
+        spark.conf.unset(DRIVER_MATRIX_CONF)
+    with pytest.raises(ValueError, match="on_overflow"):
+        embedding_near_dup_pairs(emb, on_overflow="explode")
+
+
+def test_minhash_star_with_threshold_warns(spark, docs):
+    """star + verify_threshold voids the CC-equality guarantee the mode
+    exists for (r11 footgun guard): the call must warn loudly."""
+    from workbench_spark.operators.dedup import minhash_lsh_pairs
+
+    with pytest.warns(UserWarning, match="VOIDS the connected-components"):
+        minhash_lsh_pairs(docs, pair_mode="star", verify_threshold=0.5)
+
+
+def test_simhash_star_threshold_free_no_warning(spark, docs):
+    """The safe regime (max_hamming >= total bits) stays silent."""
+    import warnings
+
+    from workbench_spark.operators.dedup import simhash_near_pairs
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        simhash_near_pairs(
+            docs, max_hamming=60, n_bands=10, portable=True, pair_mode="star"
+        )
+    assert not any("VOIDS" in str(x.message) for x in w)
 
 
 def test_expr_embedding_pairs_under_bound_stays_exact(spark):

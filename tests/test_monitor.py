@@ -1,0 +1,186 @@
+"""Monitor API lifecycle tests (reference api/monitor.py usage shape:
+setup → baseline → schedule → scheduled-job executions → results)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from workbench_spark.session import get_spark
+
+    return get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "8"})
+
+
+@pytest.fixture(scope="session")
+def warehouse():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+@pytest.fixture(scope="session")
+def endpoint(spark, warehouse):
+    from workbench_spark.api.model import Model
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_rev"),
+            F.sum("l_quantity").alias("total_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "net_rev", "total_qty", "avg_price", "n_lines",
+            (F.col("l_orderkey") % 5 == 0).alias("validation"),
+        )
+    )
+    m = Model.train(
+        df, "mon_model", target="net_rev",
+        features=["total_qty", "avg_price", "n_lines"],
+        model_type="regressor", algo="xgb",
+        warehouse=warehouse, spark=spark,
+    )
+    ep = m.to_endpoint()
+    # capture some traffic so the monitoring execution has inputs
+    ep.inference(df.drop("validation").limit(200), capture=True)
+    return ep, df
+
+
+def test_monitor_setup_and_summary(spark, warehouse, endpoint):
+    ep, df = endpoint
+    mon = ep.monitor()
+    assert mon.endpoint_name == ep.name
+    s = mon.summary()
+    assert s["endpoint_type"] == "local-spark"
+    assert s["baseline"] is False and s["monitoring_schedule"] is False
+
+    mon.enable_data_capture(capture_percentage=100)
+    assert mon.data_capture_enabled()
+    assert mon.details()["monitoring_schedule_status"] == "Not Scheduled"
+
+    # schedule requires a baseline first
+    with pytest.raises(ValueError):
+        mon.create_monitoring_schedule()
+
+
+def test_monitor_baseline_files(spark, warehouse, endpoint):
+    ep, df = endpoint
+    mon = ep.monitor()
+    mon.create_baseline(baseline_df=df, recreate=True)
+    assert mon.baseline_exists()
+    # second call without recreate is a no-op (reference semantics)
+    mon.create_baseline(baseline_df=df.limit(1))
+    base = mon.get_baseline()
+    # model features only, sorted column order
+    assert base.columns == ["avg_price", "n_lines", "total_qty"]
+    assert base.count() == df.count()
+
+    cons = mon.get_constraints()
+    assert set(cons["features"]) == {"avg_price", "n_lines", "total_qty"}
+    spec = cons["features"]["total_qty"]
+    assert spec["completeness"] == 1.0
+    assert spec["lower_bound"] <= spec["upper_bound"]
+
+    stats = mon.get_statistics()
+    srow = {r["name"]: r for r in stats.collect()}
+    assert srow["avg_price"]["min"] <= srow["avg_price"]["median"] <= srow["avg_price"]["max"]
+
+    assert mon.update_constraints(
+        {"total_qty": {"upper_bound": spec["upper_bound"] * 2},
+         "monitoring_config": {"psi_threshold": 0.3}}
+    )
+    cons2 = mon.get_constraints()
+    assert cons2["features"]["total_qty"]["upper_bound"] == spec["upper_bound"] * 2
+    assert cons2["monitoring_config"]["psi_threshold"] == 0.3
+
+
+def test_monitor_schedule_and_execution(spark, warehouse, endpoint):
+    ep, df = endpoint
+    mon = ep.monitor()
+    mon.create_baseline(baseline_df=df, recreate=True)
+    with pytest.raises(ValueError):
+        mon.create_monitoring_schedule("weekly")
+    mon.create_monitoring_schedule("hourly")
+    assert mon.monitoring_schedule_exists()
+    d = mon.details()
+    assert d["monitoring_schedule_status"] == "Scheduled"
+    assert d["schedule"] == "hourly"
+
+    # the captured traffic is drawn from the baseline rows → no violations
+    rec = mon.run_monitoring_execution()
+    assert rec["status"] == "Completed", rec
+    assert rec["violations"] == []
+    assert rec["captured_rows"] >= 200
+
+    results = mon.get_monitoring_results()
+    assert results.count() >= 1
+    top = results.orderBy(F.desc("scheduled_time")).first()
+    assert top["status"] == "Completed" and top["violations"] == 0
+
+    full = mon.get_execution_details(top["scheduled_time"])
+    assert full is not None and full["violations"] == []
+
+    d2 = mon.details()
+    assert d2["last_run_status"] == "Completed"
+    assert d2["last_run_violations"] == 0
+
+
+def test_monitor_detects_drifted_capture(spark, warehouse, endpoint):
+    ep, df = endpoint
+    mon = ep.monitor()
+    mon.create_baseline(baseline_df=df, recreate=True)
+    # shove out-of-distribution traffic through the endpoint: 10x the
+    # feature scale pushes values past the baseline bounds AND shifts the
+    # distribution (PSI/KS)
+    drifted = df.drop("validation").limit(200).select(
+        "net_rev",
+        (F.col("total_qty") * 10).alias("total_qty"),
+        (F.col("avg_price") * 10).alias("avg_price"),
+        "n_lines",
+    )
+    ep.inference(drifted, capture=True)
+    rec = mon.run_monitoring_execution()
+    assert rec["status"] == "CompletedWithViolations"
+    kinds = {v["constraint_check_type"] for v in rec["violations"]}
+    assert "baseline_drift_check" in kinds
+    assert "psi_drift_check" in kinds or "ks_drift_check" in kinds
+    feats = {v["feature"] for v in rec["violations"]}
+    assert "total_qty" in feats and "avg_price" in feats
+
+    assert mon.setup_alerts("ops@example.com", threshold=2)
+    assert mon.registry.read_meta(ep.name)["alerts"]["violation_threshold"] == 2
+
+    mon.delete_monitoring_schedule()
+    assert not mon.monitoring_schedule_exists()
+
+
+def test_monitor_no_capture_data(spark, warehouse):
+    from workbench_spark.api.model import Model
+    from workbench_spark.api.monitor import Monitor
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    df = ev.select("value", (F.col("value") * 2 + 1).alias("y"))
+    Model.train(
+        df, "mon_nocap", target="y", features=["value"],
+        model_type="regressor", algo="linear",
+        warehouse=warehouse, spark=spark,
+    )
+    # endpoint never ran inference: name resolves via the {model}_end
+    # convention, execution fails with the reference's no-data reason
+    mon = Monitor("mon_nocap_end", spark=spark, warehouse=warehouse)
+    mon.create_baseline(baseline_df=df)
+    rec = mon.run_monitoring_execution()
+    assert rec["status"] == "Failed"
+    assert rec["failure_reason"] == "Job inputs had no data"
+    row = mon.get_monitoring_results().first()
+    assert row["status"] == "Failed"

@@ -20,6 +20,7 @@ from workbench_spark.api.cached_artifacts import (
 from workbench_spark.api.cached_meta import CachedMeta
 from workbench_spark.api.meta import Meta
 from workbench_spark.api.model import Endpoint, Model
+from workbench_spark.api.monitor import Monitor
 from workbench_spark.api.registry import Registry
 from workbench_spark.api.stores import (
     DFStore,
@@ -39,6 +40,7 @@ __all__ = [
     "CachedFeatureSet",
     "CachedMeta",
     "Meta",
+    "Monitor",
     "Registry",
     "DFStore",
     "GraphStore",

@@ -144,6 +144,12 @@ class CachedMeta(Meta):
         if getattr(self, "_initialized", False):
             if ttl is not None:
                 self._cache_ttl = float(ttl)
+            # the singleton may outlive the SparkSession it was built with
+            # (test teardown, notebook restart): adopt a live session passed
+            # to a repeat construction so listings keep working
+            if spark is not None and spark is not self.spark:
+                self.spark = spark
+                self._dfs.spark = spark
             return
         super().__init__(spark, warehouse)
         root = str(self.registry.warehouse)
@@ -192,8 +198,20 @@ class CachedMeta(Meta):
         existing = (
             self._params.get(f"{self._MODIFIED_PREFIX}/{method_name}") or {}
         )
+
+        def _stamp_key(s: str):
+            # numeric stamps compare numerically (epoch floats of differing
+            # integer-part length order wrong as strings); non-numeric stamps
+            # (ISO strings) fall back to lexicographic, sorted after floats
+            # only within their own kind
+            try:
+                return (0, float(s), s)
+            except (TypeError, ValueError):
+                return (1, 0.0, s)
+
         merged = {
-            name: max(existing.get(name, ts), ts) for name, ts in new.items()
+            name: max(existing.get(name, ts), ts, key=_stamp_key)
+            for name, ts in new.items()
         }
         self._params.upsert(f"{self._MODIFIED_PREFIX}/{method_name}", merged)
 

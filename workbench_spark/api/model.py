@@ -255,6 +255,15 @@ class Endpoint:
     def transform(self, df: DataFrame) -> DataFrame:
         return self._predict(df)
 
+    def monitor(self) -> "Monitor":
+        """The endpoint's Monitor (reference api/endpoint.py:
+        Endpoint(name).monitor())."""
+        from workbench_spark.api.monitor import Monitor
+
+        return Monitor(
+            self.name, spark=self.spark, warehouse=self.model.registry.warehouse
+        )
+
 
 def cross_fold_metrics(
     df,

@@ -84,28 +84,41 @@ class ParameterStore:
         return _loc_to_path(self.root, name) + ".json"
 
     def upsert(self, name: str, value) -> None:
+        # tmp + os.replace: a concurrent reader never observes a truncated
+        # file (the store is advertised as cross-process shared state)
         raw = json.dumps(value).encode()
         p = self._path(name)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         if len(raw) > self.COMPRESS_LIMIT:
-            with open(p + ".gz", "wb") as f:
+            tmp = p + f".gz.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
                 f.write(gzip.compress(raw))
+            os.replace(tmp, p + ".gz")
             if os.path.exists(p):
                 os.remove(p)
         else:
-            with open(p, "wb") as f:
+            tmp = p + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
                 f.write(raw)
+            os.replace(tmp, p)
             if os.path.exists(p + ".gz"):
                 os.remove(p + ".gz")
 
     def get(self, name: str):
+        # unreadable/garbled entries (lost race with a writer on a filesystem
+        # without atomic replace, partial gz) read as a miss, not a crash
         p = self._path(name)
-        if os.path.exists(p):
-            with open(p, "rb") as f:
-                return json.loads(f.read())
-        if os.path.exists(p + ".gz"):
-            with open(p + ".gz", "rb") as f:
-                return json.loads(gzip.decompress(f.read()))
+        try:
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    return json.loads(f.read())
+            if os.path.exists(p + ".gz"):
+                with open(p + ".gz", "rb") as f:
+                    return json.loads(gzip.decompress(f.read()))
+        except (ValueError, OSError, EOFError):
+            # ValueError covers json decode; OSError covers BadGzipFile and
+            # fs errors; EOFError is gzip's truncated-stream signal
+            return None
         return None
 
     def delete(self, name: str) -> None:

@@ -473,6 +473,24 @@ def minhash_lsh_pairs(
     """
     if pair_mode not in ("all", "star"):
         raise ValueError(f"pair_mode must be 'all' or 'star', got {pair_mode!r}")
+    if pair_mode == "star" and verify_threshold is not None:
+        # The CC-equality guarantee star exists for holds ONLY
+        # threshold-free: filtering hub edges can split a component whose
+        # member clears the threshold against another member but not
+        # against the hub (provably splits on the test corpus — see
+        # dedup_star_invariants). Loud, because a silent lossier pair set
+        # is exactly the failure mode star was built to avoid.
+        import warnings
+
+        warnings.warn(
+            "minhash_lsh_pairs(pair_mode='star', verify_threshold="
+            f"{verify_threshold}): filtering star (hub) edges VOIDS the "
+            "connected-components equality guarantee — a member can split "
+            "off even though it chains through other members. For CC/dedup "
+            "consumers use verify_threshold=None; for scored pairs use "
+            "pair_mode='all'.",
+            stacklevel=2,
+        )
     r = n_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, n_hashes, shingle_n)
     # band key b = hash of signature slots [b*r, (b+1)*r) — minhash is a
@@ -917,6 +935,21 @@ def simhash_near_pairs(
     if pair_mode not in ("all", "star"):
         raise ValueError(f"pair_mode must be 'all' or 'star', got {pair_mode!r}")
     total_bits = 60 if portable else 64
+    if pair_mode == "star" and max_hamming < total_bits:
+        # same footgun as minhash star+verify_threshold: a hamming cap on
+        # hub edges voids the CC-equality guarantee (safe regime is
+        # max_hamming >= total_bits, i.e. threshold-free)
+        import warnings
+
+        warnings.warn(
+            f"simhash_near_pairs(pair_mode='star', max_hamming={max_hamming}"
+            f" < {total_bits} bits): filtering star (hub) edges VOIDS the "
+            "connected-components equality guarantee — a member can split "
+            "off even though it chains through other members. For CC/dedup "
+            f"consumers use max_hamming={total_bits}; for scored pairs use "
+            "pair_mode='all'.",
+            stacklevel=2,
+        )
     width = total_bits // n_bands
     sh = (
         simhash_portable(df, text_col, id_col)
@@ -984,10 +1017,18 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     use_lsh: bool = False,
     method: str = "expr",
+    on_overflow: str = "reroute",
     **lsh_kwargs,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ALL pairs (id_a, id_b,
     cosine_sim) with id_a < id_b and cosine >= threshold.
+
+    on_overflow: what the exact paths ('expr'/'blas') do when the corpus
+    exceeds the driver-matrix byte bound — 'reroute' (default) warns and
+    falls back to the approximate hyperplane-LSH path (recall < 1);
+    'raise' errors instead, for callers whose pipeline REQUIRES the exact
+    ground-truth pair set (e.g. oracle/eval jobs that must not silently
+    get a lossier answer because a warnings filter ate the notice).
 
     Enumeration is threshold-driven — there is NO top-k cap, so a
     duplicate-heavy cluster (e.g. 60 clones of one document) yields every
@@ -1015,6 +1056,10 @@ def embedding_near_dup_pairs(
     """
     from workbench_spark.operators.similarity import _dot, _norm
 
+    if on_overflow not in ("reroute", "raise"):
+        raise ValueError(
+            f"on_overflow must be 'reroute' or 'raise', got {on_overflow!r}"
+        )
     if use_lsh:
         cands = _lsh_embedding_candidates(df, id_col, vec_col, **lsh_kwargs)
         scored = cands.select(
@@ -1034,6 +1079,15 @@ def embedding_near_dup_pairs(
 
         fits, est, limit = driver_matrix_check(df, vec_col)
         if not fits:
+            if on_overflow == "raise":
+                raise RuntimeError(
+                    f"embedding_near_dup_pairs(method='blas', "
+                    f"on_overflow='raise'): ~{est >> 20} MiB driver "
+                    f"footprint exceeds the {limit >> 20} MiB bound; the "
+                    f"exact path was explicitly required. Use use_lsh=True "
+                    f"for the approximate scale path, or raise "
+                    f"spark.workbench.driverMatrix.maxBytes."
+                )
             import warnings
 
             warnings.warn(
@@ -1056,6 +1110,14 @@ def embedding_near_dup_pairs(
 
     fits, est, limit = driver_matrix_check(df, vec_col)
     if not fits:
+        if on_overflow == "raise":
+            raise RuntimeError(
+                f"embedding_near_dup_pairs(method='expr', "
+                f"on_overflow='raise'): ~{est >> 20} MiB broadcast footprint "
+                f"exceeds the {limit >> 20} MiB bound; the exact path was "
+                f"explicitly required. Use use_lsh=True for the approximate "
+                f"scale path, or raise spark.workbench.driverMatrix.maxBytes."
+            )
         import warnings
 
         warnings.warn(

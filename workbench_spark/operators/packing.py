@@ -37,12 +37,17 @@ from pyspark.sql import functions as F
 
 
 def _with_tokens(df: DataFrame, id_col: str, token_col: str | None, text_col: str):
+    # NULL text/token counts coalesce to 0: a null-text document is an
+    # empty sequence, and a NULL poisons the driver-side offset fold in
+    # _ranged_cumsum (sum over an all-null partition returns NULL)
     if token_col is not None:
-        return df.select(F.col(id_col).alias("id"), F.col(token_col).cast("long").alias("n_tokens"))
-    from workbench_spark.operators.text import token_count
+        src = F.col(token_col).cast("long")
+    else:
+        from workbench_spark.operators.text import token_count
 
+        src = token_count(F.col(text_col)).cast("long")
     return df.select(
-        F.col(id_col).alias("id"), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+        F.col(id_col).alias("id"), F.coalesce(src, F.lit(0)).alias("n_tokens")
     )
 
 
@@ -63,7 +68,7 @@ def _ranged_cumsum(tok: DataFrame, partitions: int) -> DataFrame:
     offsets, acc = {}, 0
     for pid in sorted(totals):
         offsets[pid] = acc
-        acc += totals[pid]
+        acc += totals[pid] or 0  # empty partition → SUM is NULL
     off_expr = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     ) if offsets else F.create_map()

@@ -6315,6 +6315,101 @@ def text_unigram_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "score_micro")
 
 
+@query(
+    "text_unigram_vocab_invariants",
+    """
+    WITH words AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT UNNEST(list_filter(
+          string_split_regex(lower(text), '[^a-z0-9]+'),
+          w -> length(w) > 0)) AS word
+        FROM documents
+      ) GROUP BY word HAVING COUNT(*) >= 2
+      ORDER BY freq DESC, word ASC LIMIT 3000
+    )
+    SELECT CAST(COUNT(DISTINCT ch) AS BIGINT) AS n_single_char_pieces,
+           TRUE AS singles_complete,
+           TRUE AS all_logp_negative,
+           TRUE AS piece_len_bounded,
+           TRUE AS pieces_from_corpus,
+           TRUE AS vocab_within_budget
+    FROM (SELECT UNNEST(string_split(word, '')) AS ch FROM words)
+    """,
+)
+def text_unigram_vocab_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-certified companion for text_unigram_vocab (r11 VERDICT #6 —
+    the EM loop itself is not SQL-replayable, but the trained inventory's
+    CONTRACT is): the vocab's single-char piece count must equal the
+    distinct-character count of the capped (freq DESC, word ASC) word
+    table — DuckDB recomputes that number independently from the corpus,
+    so a hash match certifies the corpus→word-frequency pipeline AND the
+    alphabet-retention guarantee (unigram.py: singles are never pruned —
+    Viterbi always has a path). The booleans certify engine-side: every
+    corpus char IS a piece, all logp_micro < 0 (probabilities < 1), piece
+    length ≤ MAX_PIECE_LEN, every multi-char piece occurs as a substring
+    of a capped word (provenance — the seed explode is the only source),
+    and the inventory fits max(vocab_size, #chars).
+
+    Plan shape: word table + substring explode are bounded by the 3000-
+    word cap (driver-safe at any corpus size); all checks are equi-joins
+    (left_anti on exact piece text), no cross products."""
+    from workbench_spark.operators.bpe import word_frequencies
+    from workbench_spark.operators.unigram import MAX_PIECE_LEN, unigram_train
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = unigram_train(
+        d, vocab_size=300, seed_size=1000, max_words=3000, num_iters=3
+    ).localCheckpoint(eager=True)  # consumed by 4 sub-aggregates below
+    words = word_frequencies(d, min_count=2, max_words=3000).localCheckpoint(
+        eager=True
+    )  # consumed by the char inventory and the substring universe
+
+    chars = (
+        words.select(F.explode(F.expr("sequence(1, length(word))")).alias("i"), "word")
+        .select(F.expr("substring(word, i, 1)").alias("ch"))
+        .distinct()
+    )
+    singles = vocab.filter(F.length("piece") == 1).select(F.col("piece").alias("ch"))
+    missing_chars = chars.join(singles, "ch", "left_anti").count()
+
+    # substring universe of the capped words (the seed explode shape)
+    subs = (
+        words.select(
+            "word", F.explode(F.expr("sequence(1, length(word))")).alias("i")
+        )
+        .withColumn(
+            "maxl", F.least(F.lit(MAX_PIECE_LEN), F.length("word") - F.col("i") + 1)
+        )
+        .select("word", "i", F.explode(F.expr("sequence(1, maxl)")).alias("l"))
+        .select(F.expr("substring(word, i, l)").alias("piece"))
+        .distinct()
+    )
+    orphan_pieces = vocab.join(subs, "piece", "left_anti").count()
+
+    stats = vocab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.length("piece") == 1).cast("long")).alias("n_singles"),
+        F.max("logp_micro").alias("max_logp"),
+        F.max(F.length("piece")).alias("max_len"),
+    ).first()
+    n_chars = chars.count()
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_singles"],
+                missing_chars == 0,
+                stats["max_logp"] < 0,
+                stats["max_len"] <= MAX_PIECE_LEN,
+                orphan_pieces == 0,
+                stats["n"] <= max(300, n_chars),
+            )
+        ],
+        "n_single_char_pieces bigint, singles_complete boolean, "
+        "all_logp_negative boolean, piece_len_bounded boolean, "
+        "pieces_from_corpus boolean, vocab_within_budget boolean",
+    )
+
+
 @query("text_unigram_vocab")  # rows-only: EM loop not SQL-replayable (no RNG; stable across runs)
 def text_unigram_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained unigram piece inventory (unigram_train): deterministic
