@@ -96,7 +96,59 @@ def _calibrate(spark) -> dict:
         out[name] = round(min(fn(), fn(), fn()), 4)
     return out
 
-def compute_delta(prev: dict, prev_file: str, total: float, sf_val, calibration: dict):
+def recover_truncated_record(tail: str) -> dict | None:
+    """Best-effort reconstruction of a bench record from the driver's
+    truncated stdout tail (r10 failure mode: the driver keeps only the
+    LAST 2000 chars of stdout; the r10 JSON line outgrew that window, so
+    its head — metric/value/leading queries — was cut and the driver's
+    parse failed, leaving parsed=null + a mid-line fragment).
+
+    Recovers by regex: the headline-query fragment (every "name": num pair
+    before "queries_extra"), the extras dict, sf, harness version, and the
+    MERGED calibration probes (the last occurrence of each probe key inside
+    the calibration object — pre/post copies come first). Returns a
+    partial record marked _truncated; compute_delta then compares on the
+    common-headline-query basis instead of the (unrecoverable) total."""
+    if not tail or '"queries_extra"' not in tail:
+        return None
+    # the whole line may actually be present (parse failed upstream for
+    # some other reason): try a clean load from the line start first
+    start = tail.rfind('{"metric"')
+    if start != -1:
+        try:
+            return json.loads(tail[start:].split("\n")[0])
+        except ValueError:
+            pass
+    head, _, rest = tail.partition('"queries_extra"')
+    pair_re = re.compile(r'"([A-Za-z0-9_]+)": ([0-9]+\.?[0-9]*)')
+    reserved = {"value", "sf", "n", "rc", "cpus"}
+    queries = {
+        k: float(v) for k, v in pair_re.findall(head) if k not in reserved
+    }
+    extras_frag = rest.partition("}")[0]
+    extras = {k: float(v) for k, v in pair_re.findall(extras_frag)}
+    out: dict = {"queries": queries, "queries_extra": extras, "_truncated": True}
+    m = re.search(r'"sf": ([0-9.]+)', rest)
+    if m:
+        out["sf"] = float(m.group(1))
+    m = re.search(r'"version": "(\w+)"', rest)
+    if m:
+        out["harness"] = {"version": m.group(1)}
+    cal_frag = rest.partition('"calibration"')[2]
+    cal = {}
+    for key in ("python_loop_sec", "spark_cpu_sec", "spark_shuffle_sec"):
+        hits = re.findall(rf'"{key}": ([0-9.]+)', cal_frag.partition("}}")[0] or cal_frag)
+        if hits:
+            cal[key] = float(hits[-1])  # last = the merged value, after pre/post
+    if cal:
+        out["calibration"] = cal
+    return out if queries else None
+
+
+def compute_delta(
+    prev: dict, prev_file: str, total: float, sf_val, calibration: dict,
+    timings: dict | None = None,
+):
     """Round-over-round delta block, raw + box-drift-normalized.
 
     drift_factor f = this round's spark_cpu probe / prev round's (the probe
@@ -104,28 +156,51 @@ def compute_delta(prev: dict, prev_file: str, total: float, sf_val, calibration:
     Expected total on identical code = prev_total * f, so
     delta_normalized = total - prev_total * f -- the part of the raw delta
     NOT explained by machine drift. None-normalized when the prior round
-    predates the calibration probes."""
-    prev = prev.get("parsed", prev)  # driver wraps the bench line
+    predates the calibration probes.
+
+    When the prior record was truncated by the driver's 2000-char stdout
+    tail (parsed=null), both totals are recomputed over the COMMON headline
+    queries so the comparison stays apples-to-apples on what survived."""
+    prev = prev.get("parsed") or prev  # driver wraps the bench line
+    if prev.get("value") is None and "queries" not in prev:
+        recovered = recover_truncated_record(prev.get("tail") or "")
+        if recovered is None:
+            # no prior total -- a 0.0 stand-in would report delta_sec == the
+            # whole run time
+            return None
+        prev = recovered
     prev_harness = prev.get("harness", {}).get(
         "version", "v2" if "BENCH_r06" in prev_file else "v1"
     )
     prev_val = prev.get("value")
+    basis_note = None
+    this_total = total
     if prev_val is None:
-        # no prior total -- a 0.0 stand-in would report delta_sec == the
-        # whole run time
-        return None
+        if not (prev.get("_truncated") and timings and prev.get("queries")):
+            return None
+        common = sorted(set(timings) & set(prev["queries"]))
+        if not common:
+            return None
+        prev_val = round(sum(prev["queries"][k] for k in common), 4)
+        this_total = round(sum(timings[k] for k in common), 4)
+        basis_note = f"common-{len(common)}-headline (prev truncated by driver tail)"
     out = {
         "prev_file": prev_file,
         "prev_total_sec": prev_val,
-        "delta_sec": round(total - float(prev_val), 4),
+        "delta_sec": round(this_total - float(prev_val), 4),
         "same_harness": prev_harness == HARNESS["version"]
         and prev.get("sf") == sf_val,
     }
+    if basis_note:
+        out["basis"] = basis_note
+        out["this_total_common_sec"] = this_total
     prev_probe = (prev.get("calibration") or {}).get("spark_cpu_sec")
     if prev_probe:
         f_drift = calibration["spark_cpu_sec"] / float(prev_probe)
         out["drift_factor"] = round(f_drift, 4)
-        out["delta_normalized_sec"] = round(total - float(prev_val) * f_drift, 4)
+        out["delta_normalized_sec"] = round(
+            this_total - float(prev_val) * f_drift, 4
+        )
     else:
         out["drift_factor"] = None
         out["delta_normalized_sec"] = None
@@ -366,25 +441,49 @@ def main() -> None:
         if prior:
             prev_delta = compute_delta(
                 json.load(open(prior[-1])), os.path.basename(prior[-1]),
-                total, sf_val, calibration,
+                total, sf_val, calibration, timings=timings,
             )
     except Exception:
         prev_delta = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "queries_extra": timings_extra,
-                "sf": sf_val,
-                "harness": HARNESS,
-                "calibration": calibration,
-                "same_harness_delta": prev_delta,
-            }
+    record = {
+        "metric": "headline_queries_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "queries_extra": timings_extra,
+        "sf": sf_val,
+        "harness": HARNESS,
+        "calibration": calibration,
+        "same_harness_delta": prev_delta,
+    }
+    # full-fidelity sidecar (pre/post probes, everything): the driver keeps
+    # only the LAST 2000 chars of stdout, so the printed line must stay
+    # inside that window — r10's line outgrew it and the round's numbers
+    # were lost to parsed=null. The sidecar loses nothing.
+    try:
+        with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        pass
+    # printed line: compact separators, merged-only calibration; if the
+    # extras tail still pushes past the driver window, spill the cheapest
+    # extras (keep the expensive ones visible — they carry the signal)
+    line_rec = dict(record)
+    line_rec["calibration"] = {
+        k: v for k, v in calibration.items() if k not in ("pre", "post")
+    }
+    line = json.dumps(line_rec, separators=(",", ":"))
+    if len(line) > 1900:
+        keep = dict(
+            sorted(timings_extra.items(), key=lambda t: -t[1])
         )
-    )
+        while len(line) > 1900 and keep:
+            keep.popitem()
+            line_rec["queries_extra"] = {
+                **keep, "_spilled": "see BENCH_DETAIL.json"
+            }
+            line = json.dumps(line_rec, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -8,7 +8,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import HARNESS, compute_delta  # noqa: E402
+from bench import HARNESS, compute_delta, recover_truncated_record  # noqa: E402
 
 CAL = {"spark_cpu_sec": 0.50, "python_loop_sec": 0.35, "spark_shuffle_sec": 0.45}
 
@@ -63,3 +63,57 @@ def test_delta_driver_parsed_wrapper_and_sf_mismatch():
 
 def test_delta_missing_prev_value_returns_none():
     assert compute_delta({"sf": 0.1}, "BENCH_r01.json", 9.0, 0.1, CAL) is None
+
+
+# --- r10 failure mode: the driver keeps only the last 2000 stdout chars ---
+
+_R10_STYLE_TAIL = (
+    '"q3_top": 0.80, "q5_rev": 0.79, "outliers": 0.57}, '
+    '"queries_extra": {"text_nb": 3.86, "pagerank": 2.60}, "sf": 0.1, '
+    '"harness": {"version": "v2", "timing": "min_of_2_passes", '
+    '"calibration": "v1"}, "calibration": {"pre": {"python_loop_sec": 0.338, '
+    '"spark_cpu_sec": 0.4425, "spark_shuffle_sec": 0.3856}, '
+    '"post": {"python_loop_sec": 0.3396, "spark_cpu_sec": 0.3812, '
+    '"spark_shuffle_sec": 0.3361}, "python_loop_sec": 0.3388, '
+    '"spark_cpu_sec": 0.4118, "spark_shuffle_sec": 0.3609}, '
+    '"same_harness_delta": {"prev_file": "BENCH_r09.json"}}\n'
+)
+
+
+def test_recover_truncated_record_extracts_queries_and_merged_probe():
+    rec = recover_truncated_record(_R10_STYLE_TAIL)
+    assert rec["_truncated"] is True
+    assert rec["queries"] == {"q3_top": 0.80, "q5_rev": 0.79, "outliers": 0.57}
+    assert rec["queries_extra"] == {"text_nb": 3.86, "pagerank": 2.60}
+    assert rec["sf"] == 0.1
+    assert rec["harness"]["version"] == "v2"
+    # merged probe (the LAST spark_cpu_sec inside calibration), not pre/post
+    assert rec["calibration"]["spark_cpu_sec"] == 0.4118
+
+
+def test_recover_full_line_in_tail_parses_cleanly():
+    """If the whole JSON line IS in the tail (parse failed upstream for
+    another reason), recovery returns the full record, value included."""
+    tail = (
+        'progress-bar junk] \n{"metric": "headline_queries_total", '
+        '"value": 8.0, "unit": "sec", "queries": {"q1": 1.0}, '
+        '"queries_extra": {}, "sf": 0.1}\n'
+    )
+    rec = recover_truncated_record(tail)
+    assert rec["value"] == 8.0 and "_truncated" not in rec
+
+
+def test_delta_common_query_basis_for_truncated_prev():
+    """Truncated prev (no total): delta is computed over the COMMON
+    headline queries, drift-normalized with the recovered merged probe."""
+    prev_wrapper = {"tail": _R10_STYLE_TAIL, "parsed": None, "sf": 0.1}
+    timings = {"q3_top": 0.88, "q5_rev": 0.88, "outliers": 0.64, "new_q": 9.9}
+    cal = {"spark_cpu_sec": 0.4118 * 1.1}  # box 10% slower than prev
+    d = compute_delta(prev_wrapper, "BENCH_r10.json", 99.0, 0.1, cal, timings=timings)
+    assert d["prev_total_sec"] == 2.16  # 0.80+0.79+0.57 (common keys only)
+    assert d["this_total_common_sec"] == 2.4
+    assert "basis" in d and "common-3-headline" in d["basis"]
+    assert d["delta_sec"] == round(2.4 - 2.16, 4)
+    # normalized: 2.4 - 2.16*1.1 = 0.024 — a ~0 true delta on a 10%-slower box
+    assert abs(d["delta_normalized_sec"] - round(2.4 - 2.16 * 1.1, 4)) < 1e-9
+    assert d["same_harness"] is True
