@@ -332,7 +332,14 @@ def nb_score(
     Plan: explode grams → broadcast-join the k·B model on bucket (k rows
     per gram — the fan-out IS the k-class scoring) → one
     groupBy(id, label) → per-id row_number. Output: (id, label_pred,
-    score_micro)."""
+    score_micro).
+
+    Plan-shape note (r11, measured): do NOT pre-aggregate the gram stream
+    to (id, bucket) counts before the model join — the k-way fan-out
+    feeds a map-side-combinable partial aggregation (k·|grams| rows fold
+    to |id×label| per task before anything shuffles), so the "smaller
+    join input" buys nothing and the extra groupBy(id, bucket) adds a
+    whole shuffle stage (interleaved A/B at sf0.1: 2.63s vs 3.08s)."""
     from pyspark.sql import Window
 
     gb = _bucket_frame(docs, text_col, id_col, n_buckets)
