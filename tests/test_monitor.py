@@ -162,6 +162,34 @@ def test_monitor_detects_drifted_capture(spark, warehouse, endpoint):
     assert not mon.monitoring_schedule_exists()
 
 
+def test_capture_percentage_sampling(spark, warehouse, endpoint):
+    """enable_data_capture(pct<100) must thin the captured stream by a
+    deterministic hash Bernoulli (data_capture_core.py:64-99) — same rows
+    captured on every rerun, roughly pct% of traffic."""
+    import os
+    import shutil
+
+    ep, df = endpoint
+    mon = ep.monitor()
+    cap_dir = mon.capture_dir
+    mon.enable_data_capture(capture_percentage=30)
+    if os.path.isdir(cap_dir):
+        shutil.rmtree(cap_dir)
+    traffic = df.drop("validation")
+    n_in = traffic.count()
+    ep.inference(traffic, capture=True)
+    n1 = spark.read.json(cap_dir).count()
+    assert 0 < n1 < n_in
+    assert abs(n1 / n_in - 0.30) < 0.12  # hash-uniformity, generous band
+    # determinism: the same traffic captures the SAME rows again
+    ep.inference(traffic, capture=True)
+    n2 = spark.read.json(cap_dir).count()
+    assert n2 == 2 * n1
+    # restore full capture for other tests
+    mon.enable_data_capture(capture_percentage=100)
+    shutil.rmtree(cap_dir)
+
+
 def test_monitor_no_capture_data(spark, warehouse):
     from workbench_spark.api.model import Model
     from workbench_spark.api.monitor import Monitor

@@ -241,7 +241,26 @@ class Endpoint:
             )
             from workbench_spark.streaming.monitor import capture_inference
 
-            capture_inference(clean, cap_dir)
+            captured = clean
+            # honor Monitor.enable_data_capture's sampling percentage
+            # (data_capture_core.py:64-99): deterministic per-row hash
+            # Bernoulli — reproducible across runs/partitionings, never
+            # an RNG draw that would differ per retry
+            cap_cfg = self.model.registry.read_meta(self.name).get(
+                "data_capture"
+            ) or {}
+            pct = cap_cfg.get("capture_percentage", 100)
+            if cap_cfg.get("enabled") and pct < 100:
+                captured = clean.filter(
+                    F.pmod(
+                        F.xxhash64(
+                            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in clean.columns])
+                        ),
+                        F.lit(100),
+                    )
+                    < F.lit(int(pct))
+                )
+            capture_inference(captured, cap_dir)
             self.model.registry.upsert_meta(
                 self.name,
                 {
