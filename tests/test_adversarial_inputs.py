@@ -264,6 +264,60 @@ def test_decontaminate_edge_inputs(spark, edge_docs):
     assert kept_ids <= _ids(edge_docs)
 
 
+# ------------------------------------------------------ span surgery / mixture
+def test_span_surgery_edge_inputs(spark, edge_docs):
+    from workbench_spark.operators.text import dedup_exact_substrings, dedup_spans
+
+    out = dedup_spans(edge_docs, chunk_words=4).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == _ids(edge_docs)  # every doc survives, possibly emptied
+    # the first of the exact-dup pair keeps its text; the clone's repeated
+    # spans are excised
+    assert by_id[11]["text_deduped"] == EDGE_ROWS[10][1]
+    assert len(by_id[12]["text_deduped"] or "") < len(EDGE_ROWS[11][1])
+
+    sub = dedup_exact_substrings(edge_docs, min_length=5).collect()
+    s_by_id = {r["doc_id"]: r for r in sub}
+    assert set(s_by_id) == _ids(edge_docs)
+    assert s_by_id[11]["text_deduped"] == EDGE_ROWS[10][1]
+
+
+def test_mixture_edge_inputs(spark):
+    from workbench_spark.operators.text import mixture_weights, sample_to_mixture
+
+    rows = [
+        (1, "src0", "alpha beta gamma delta"),
+        (2, "src0", ""),
+        (3, "src1", None),
+        (4, "src1", "epsilon zeta"),
+        (5, "src2", "\U0001f600 emoji doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    w = mixture_weights(df, {"src0": 0.5, "src1": 0.25, "src2": 0.25}).collect()
+    for r in w:
+        assert r["sampling_weight"] is None or r["sampling_weight"] >= 0.0
+    out = sample_to_mixture(df, {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+    got = out.collect()
+    # emitted rows reference real input docs only
+    assert {r["doc_id"] for r in got} <= {1, 2, 3, 4, 5}
+
+
+def test_chunking_edge_inputs(spark, edge_docs):
+    from workbench_spark.operators.text import chunk_documents, rolling_hashes
+
+    chunks = chunk_documents(edge_docs, chunk_tokens=4, overlap=1).collect()
+    for c in chunks:
+        assert c["n_tokens"] >= 1
+        assert c["chunk_id"] >= 0
+    # empty/null docs produce no chunks rather than crashing
+    chunked_ids = {c["doc_id"] for c in chunks}
+    assert 11 in chunked_ids and 1 not in chunked_ids and 2 not in chunked_ids
+
+    rh = rolling_hashes(edge_docs, window=4).collect()
+    assert len(rh) > 0
+    assert all(r["shingle_hash"] is not None for r in rh)
+
+
 # ------------------------------------------------------- hypothesis text fuzz
 def test_hypothesis_unicode_fuzz_through_stats(spark):
     """Random unicode documents (hypothesis) through token stats + quality +
