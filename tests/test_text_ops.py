@@ -834,3 +834,39 @@ def test_source_token_divergence_hand_computed(spark):
         spark.createDataFrame([(0, "x y z", "only")], "doc_id long, text string, source string")
     ).collect()[0]
     assert solo["kl_to_corpus"] == 0.0 and solo["js_to_corpus"] == 0.0
+
+
+def test_code_quality_features(spark):
+    """StarCoder Stack line-shape filters on crafted code snippets: clean
+    code keeps; minified (one huge line), autogenerated, and symbol-soup
+    files are rejected; comment/long-line fractions count right."""
+    from workbench_spark.operators.text import code_quality_features
+
+    clean = "# header comment\ndef f(x):\n    return x + 1\n\nprint(f(2))"
+    minified = "var a=1;" * 300  # one 2400-char line
+    autogen = "// Auto-generated by protoc. DO NOT EDIT.\nint x = 1;"
+    soup = "!!! @@@ ### $$$ %%% ^^^ &&& *** ((( )))\n" * 3
+    longlines = ("x = 1  " * 30 + "\n") * 4  # 4 lines of ~210 chars
+
+    rows = [(1, clean), (2, minified), (3, autogen), (4, soup), (5, longlines)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in code_quality_features(df).collect()}
+
+    assert out[1]["code_keep"] is True
+    assert out[1]["n_lines"] == 5
+    assert out[1]["comment_line_frac"] == 0.2  # exactly the header line
+    assert out[1]["long_line_frac"] == 0.0
+
+    assert out[2]["code_keep"] is False  # max_line_len 2400 > 1000
+    assert out[2]["max_line_len"] == len(minified)
+
+    assert out[3]["code_keep"] is False and out[3]["autogenerated"] is True
+    # the comment marker on line 1 counts
+    assert out[3]["comment_line_frac"] == 0.5
+
+    assert out[4]["code_keep"] is False  # alnum_frac ~0 < 0.25
+    assert out[4]["alnum_frac"] < 0.25
+
+    # 4 long lines + the trailing-newline empty 5th line
+    assert out[5]["long_line_frac"] == 0.8
+    assert out[5]["code_keep"] is False  # avg_line_len > 100

@@ -780,6 +780,81 @@ GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _UNIGRAM_BROADCAST_MAX_ROWS = 4_000_000
 
 
+def code_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Code-corpus quality filters (the BigCode/StarCoder "The Stack"
+    heuristics — Kocetkov 2022 §3, Li 2023 appendix: source files are
+    kept by LINE-SHAPE statistics, not NL quality scores): per document
+    n_lines, max/avg line length, alphanumeric character fraction,
+    comment-line fraction, long-line (>120 chars) fraction, an
+    auto-generated marker flag, and the composite ``code_keep`` rule
+    (max_line ≤ 1000 AND avg_line ≤ 100 AND alnum_frac ≥ 0.25 AND not
+    autogenerated — the published Stack defaults).
+
+    Beyond-reference operator: LLM training pipelines filter code and NL
+    with different rules; this is the code-side twin of
+    ``quality_features``/``gopher_quality_flags``.
+
+    Plan shape: pure per-row projection — the lines array is projected to
+    a column ONCE and every lambda references the element only (the
+    nested-lambda/captured-expression codegen cliffs); no shuffles, scales
+    linearly and stays in WholeStageCodegen at any corpus size."""
+    lines = F.split(F.col(text_col), "\n")
+    with_l = df.withColumn("__lines", lines)
+    lens = F.transform(F.col("__lines"), lambda l: F.length(l))
+    with_ll = with_l.withColumn("__lens", lens)
+    n_lines = F.size(F.col("__lines"))
+    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    alnum = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", ""))
+    comment_lines = F.size(
+        F.filter(
+            F.col("__lines"),
+            lambda l: F.ltrim(l).rlike(r"^(#|//|--|/\*|\*|;)"),
+        )
+    )
+    long_lines = F.size(F.filter(F.col("__lens"), lambda x: x > 120))
+    max_line = F.coalesce(F.array_max(F.col("__lens")), F.lit(0))
+    total_line_chars = F.aggregate(
+        F.col("__lens"), F.lit(0), lambda acc, x: acc + x
+    )
+    autogen = F.lower(F.col(text_col)).rlike(
+        r"(auto-? ?generated|generated by|do not edit)"
+    )
+    out = (
+        with_ll.withColumn("n_lines", n_lines)
+        .withColumn("max_line_len", max_line)
+        .withColumn(
+            "avg_line_len",
+            _code_fround(total_line_chars / F.greatest(n_lines, F.lit(1))),
+        )
+        .withColumn("alnum_frac", _code_fround(alnum / n_chars))
+        .withColumn(
+            "comment_line_frac",
+            _code_fround(comment_lines / F.greatest(n_lines, F.lit(1))),
+        )
+        .withColumn(
+            "long_line_frac",
+            _code_fround(long_lines / F.greatest(n_lines, F.lit(1))),
+        )
+        .withColumn("autogenerated", autogen)
+    )
+    keep = (
+        (F.col("max_line_len") <= 1000)
+        & (F.col("avg_line_len") <= 100)
+        & (F.col("alnum_frac") >= 0.25)
+        & ~F.col("autogenerated")
+    )
+    return out.withColumn("code_keep", keep).drop("__lines", "__lens")
+
+
+def _code_fround(c, digits: int = 6):
+    """floor(x·1e6+0.5)/1e6 — the engine-deterministic rounding both
+    engines execute with the same IEEE op sequence (ratios after exact
+    division can land on ROUND half-boundaries; see queries_pipeline
+    _fround)."""
+    s = float(10**digits)
+    return F.floor(c * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
 def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The Gopher document-quality rules (Rae et al. 2021, "Scaling
     Language Models: Methods, Analysis & Insights from Training Gopher",

@@ -205,6 +205,58 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_code_quality",
+    r"""
+    WITH src AS (SELECT doc_id, replace(text, '. ', chr(10)) AS t FROM documents),
+    m AS (
+      SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+             list_transform(string_split(t, chr(10)), x -> length(x)) AS lens
+      FROM src
+    ),
+    f AS (
+      SELECT doc_id, t,
+        CAST(len(lines) AS INTEGER) AS n_lines,
+        CAST(COALESCE(list_max(lens), 0) AS INTEGER) AS max_line_len,
+        floor(CAST(COALESCE(list_sum(lens), 0) AS DOUBLE)
+              / GREATEST(len(lines), 1) * 1e6 + 0.5) / 1e6 AS avg_line_len,
+        floor(CAST(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(t), 1) * 1e6 + 0.5) / 1e6 AS alnum_frac,
+        floor(CAST(len(list_filter(lines,
+                x -> regexp_matches(ltrim(x), '^(#|//|--|/\*|\*|;)'))) AS DOUBLE)
+              / GREATEST(len(lines), 1) * 1e6 + 0.5) / 1e6 AS comment_line_frac,
+        floor(CAST(len(list_filter(lens, x -> x > 120)) AS DOUBLE)
+              / GREATEST(len(lines), 1) * 1e6 + 0.5) / 1e6 AS long_line_frac,
+        regexp_matches(lower(t),
+            '(auto-? ?generated|generated by|do not edit)') AS autogenerated
+      FROM m
+    )
+    SELECT doc_id, n_lines, max_line_len, avg_line_len, alnum_frac,
+           comment_line_frac, long_line_frac, autogenerated,
+           (max_line_len <= 1000 AND avg_line_len <= 100
+            AND alnum_frac >= 0.25 AND NOT autogenerated) AS code_keep
+    FROM f
+    """,
+)
+def text_code_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-corpus line-shape filters (BigCode/StarCoder Stack heuristics
+    — operators/text.code_quality_features, r11 beyond-reference): the
+    documents corpus has no newlines, so both sides deterministically
+    sentence-split ('. ' → newline) to exercise the multi-line math; the
+    oracle replays every line statistic, ratio (floor-form rounding), the
+    autogenerated regex, and the composite Stack keep rule."""
+    from workbench_spark.operators.text import code_quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id", F.replace(F.col("text"), F.lit(". "), F.lit("\n")).alias("text")
+    )
+    return code_quality_features(src).select(
+        "doc_id", "n_lines", "max_line_len", "avg_line_len", "alnum_frac",
+        "comment_line_frac", "long_line_frac", "autogenerated", "code_keep",
+    )
+
+
 _LANG_SQL_SCORE = {
     "en": "the|and|of|to|is|in|that|it|was|for",
     "de": "der|die|das|und|ist|nicht|ein|eine|mit|von",
