@@ -326,6 +326,7 @@ EXTRA = [
     "sketch_cms_heavy_hitters",   # r8: sketch-prefiltered exact top keys
     "sketch_dd_quantiles",        # r8: DDSketch build + 5 quantile reads
     "q9_product_type_profit",     # r10: partsupp-family profit join (5-way)
+    "text_code_quality",          # r11: Stack line-shape filters (pure projection)
 ]
 
 
