@@ -71,6 +71,12 @@ ALLOWED: dict[tuple[str, str], str] = {
         "rows)",
     ("operators/windows.py", "stratified_split"):
         "O(distinct strata) fraction map for sampleBy",
+    ("api/monitor.py", "create_baseline"):
+        "O(model features) per-column stats rows for statistics.json — the "
+        "baseline artifact is catalog-sized, never data-sized",
+    ("api/monitor.py", "run_monitoring_execution"):
+        "O(monitored features) drift-stat rows — one fused melted pass per "
+        "statistic (psi_by_feature/ks_by_feature), never per-feature jobs",
     ("api/cached_meta.py", "_update_modified_registry"):
         "catalog-sized listing (rows = registered artifacts, never data "
         "rows) collected to merge per-artifact modified stamps",

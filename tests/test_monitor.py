@@ -212,3 +212,31 @@ def test_monitor_no_capture_data(spark, warehouse):
     assert rec["failure_reason"] == "Job inputs had no data"
     row = mon.get_monitoring_results().first()
     assert row["status"] == "Failed"
+
+
+def test_fused_drift_matches_per_feature(spark):
+    """psi_by_feature / ks_by_feature (the Monitor's one-pass melted shape)
+    must equal the single-feature operators exactly, feature by feature."""
+    from workbench_spark.operators.drift import (
+        ks_by_feature,
+        ks_statistic_binned,
+        psi,
+        psi_by_feature,
+    )
+
+    ref = spark.range(0, 2000).select(
+        (F.col("id") % 97).cast("double").alias("a"),
+        ((F.col("id") * 7) % 31).cast("double").alias("b"),
+    )
+    cur = spark.range(0, 1500).select(
+        ((F.col("id") % 97) * 1.3).alias("a"),
+        ((F.col("id") * 11) % 29).cast("double").alias("b"),
+    )
+    bounds = {"a": (0.0, 130.0), "b": (0.0, 31.0)}
+    fused_psi = {r["feature"]: r["psi"] for r in psi_by_feature(ref, cur, bounds, 10).collect()}
+    fused_ks = {r["feature"]: r["ks"] for r in ks_by_feature(ref, cur, bounds, 100).collect()}
+    for c, (lo, hi) in bounds.items():
+        single_psi = psi(ref, cur, c, lo, hi, 10).first()["psi"]
+        single_ks = ks_statistic_binned(ref, cur, c, lo, hi, 100).first()["ks"]
+        assert abs(fused_psi[c] - single_psi) < 1e-12, c
+        assert abs(fused_ks[c] - single_ks) < 1e-12, c

@@ -376,7 +376,7 @@ class Monitor:
             return self._append_execution(record)
         record["captured_rows"] = n
 
-        from workbench_spark.operators.drift import ks_statistic, psi
+        from workbench_spark.operators.drift import ks_by_feature, psi_by_feature
 
         feats = {
             c: spec
@@ -398,6 +398,26 @@ class Monitor:
                 )
         row = captured.agg(*aggs).first() if aggs else None
         baseline = self.get_baseline()
+        # drift stats for ALL bounded features in one fused pass each
+        # (psi_by_feature / ks_by_feature melt the feature columns — two
+        # Spark jobs total, never two per feature; a 500-feature monitor
+        # must not issue 1000 jobs)
+        bounds = {
+            c: (float(spec["lower_bound"]), float(spec["upper_bound"]))
+            for c, spec in feats.items()
+            if "lower_bound" in spec and spec["lower_bound"] is not None
+            and spec["upper_bound"] > spec["lower_bound"]
+        }
+        psi_map, ks_map = {}, {}
+        if baseline is not None and bounds:
+            psi_map = {
+                r["feature"]: r["psi"]
+                for r in psi_by_feature(baseline, captured, bounds, bins).collect()
+            }
+            ks_map = {
+                r["feature"]: r["ks"]
+                for r in ks_by_feature(baseline, captured, bounds, 1000).collect()
+            }
         for c, spec in feats.items():
             completeness = (row[f"__nn_{c}"] or 0) / n
             if completeness < spec.get("completeness", 0.0):
@@ -420,32 +440,24 @@ class Monitor:
                             f"[{spec['lower_bound']}, {spec['upper_bound']}]",
                         }
                     )
-                if baseline is not None:
-                    p = psi(
-                        baseline,
-                        captured,
-                        c,
-                        float(spec["lower_bound"]),
-                        float(spec["upper_bound"]),
-                        bins,
-                    ).first()["psi"]
-                    k = ks_statistic(baseline, captured, c).first()["ks"]
-                    if p is not None and p > psi_threshold:
-                        record["violations"].append(
-                            {
-                                "feature": c,
-                                "constraint_check_type": "psi_drift_check",
-                                "description": f"PSI {p:.4f} > {psi_threshold}",
-                            }
-                        )
-                    if k is not None and k > ks_threshold:
-                        record["violations"].append(
-                            {
-                                "feature": c,
-                                "constraint_check_type": "ks_drift_check",
-                                "description": f"KS {k:.4f} > {ks_threshold}",
-                            }
-                        )
+                p = psi_map.get(c)
+                k = ks_map.get(c)
+                if p is not None and p > psi_threshold:
+                    record["violations"].append(
+                        {
+                            "feature": c,
+                            "constraint_check_type": "psi_drift_check",
+                            "description": f"PSI {p:.4f} > {psi_threshold}",
+                        }
+                    )
+                if k is not None and k > ks_threshold:
+                    record["violations"].append(
+                        {
+                            "feature": c,
+                            "constraint_check_type": "ks_drift_check",
+                            "description": f"KS {k:.4f} > {ks_threshold}",
+                        }
+                    )
         if record["violations"]:
             record["status"] = "CompletedWithViolations"
         return self._append_execution(record)

@@ -162,3 +162,114 @@ def ks_statistic_binned(
     return cdf.crossJoin(F.broadcast(totals)).agg(
         F.max(F.abs(F.col("cp") / F.col("tp") - F.col("cq") / F.col("tq"))).alias("ks")
     )
+
+
+def _melted(df: DataFrame, bounds: dict[str, tuple[float, float]], bins: int) -> DataFrame:
+    """(feature, bucket, count) for ALL features in one pass: stack the
+    feature columns into long form map-side (an Expand node — no shuffle),
+    bucket each value against its feature's [lo, hi), then ONE
+    map-side-combinable groupBy. The per-feature-job loop this replaces
+    issued 2 Spark jobs per monitored feature."""
+    cols = []
+    for c, (lo, hi) in bounds.items():
+        width = (hi - lo) / bins or 1.0
+        cols.append(
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.least(
+                        F.lit(bins - 1),
+                        F.greatest(F.lit(0), F.floor((F.col(c) - lo) / width)),
+                    ).cast("int"),
+                ).alias("bucket"),
+            )
+        )
+    return (
+        df.select(F.explode(F.array(*cols)).alias("m"))
+        .select("m.feature", "m.bucket")
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("feature", "bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def psi_by_feature(
+    ref: DataFrame,
+    cur: DataFrame,
+    bounds: dict[str, tuple[float, float]],
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI for MANY features in one fused pass (the Monitor job shape —
+    monitoring hundreds of features must not issue hundreds of jobs):
+    melt → two (feature, bucket) histograms → join on (feature, bucket)
+    against the full per-feature bucket grid → one groupBy(feature).
+    Output: (feature, psi). Identical math to psi() per feature (zero
+    bins floored at eps)."""
+    p = _melted(ref, bounds, bins)
+    q = _melted(cur, bounds, bins)
+    pt = p.groupBy("feature").agg(F.sum("count").alias("__tp"))
+    qt = q.groupBy("feature").agg(F.sum("count").alias("__tq"))
+    spark = ref.sparkSession
+    grid = spark.createDataFrame(
+        [(c, b) for c in bounds for b in range(bins)], "feature string, bucket int"
+    )
+    j = (
+        grid.join(p, ["feature", "bucket"], "left")
+        .withColumnRenamed("count", "pc")
+        .join(q, ["feature", "bucket"], "left")
+        .withColumnRenamed("count", "qc")
+        .join(F.broadcast(pt), "feature")
+        .join(F.broadcast(qt), "feature")
+        .select(
+            "feature",
+            F.greatest(
+                F.coalesce(F.col("pc") / F.col("__tp"), F.lit(0.0)), F.lit(eps)
+            ).alias("p"),
+            F.greatest(
+                F.coalesce(F.col("qc") / F.col("__tq"), F.lit(0.0)), F.lit(eps)
+            ).alias("q"),
+        )
+    )
+    return j.groupBy("feature").agg(
+        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi")
+    )
+
+
+def ks_by_feature(
+    ref: DataFrame,
+    cur: DataFrame,
+    bounds: dict[str, tuple[float, float]],
+    bins: int = 1000,
+) -> DataFrame:
+    """Binned KS for MANY features in one fused pass: melted histograms,
+    per-feature running CDFs (window PARTITIONED by feature — never a
+    global order), max gap per feature. Output: (feature, ks). Same math
+    as ks_statistic_binned per feature."""
+    p = _melted(ref, bounds, bins).withColumnRenamed("count", "pc")
+    q = _melted(cur, bounds, bins).withColumnRenamed("count", "qc")
+    j = p.join(q, ["feature", "bucket"], "full").select(
+        "feature",
+        "bucket",
+        F.coalesce("pc", F.lit(0)).alias("pc"),
+        F.coalesce("qc", F.lit(0)).alias("qc"),
+    )
+    w = Window.partitionBy("feature").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    totals = j.groupBy("feature").agg(
+        F.sum("pc").alias("tp"), F.sum("qc").alias("tq")
+    )
+    cdf = j.withColumn("cp", F.sum("pc").over(w)).withColumn(
+        "cq", F.sum("qc").over(w)
+    )
+    return (
+        cdf.join(F.broadcast(totals), "feature")
+        .groupBy("feature")
+        .agg(
+            F.max(
+                F.abs(F.col("cp") / F.col("tp") - F.col("cq") / F.col("tq"))
+            ).alias("ks")
+        )
+    )
