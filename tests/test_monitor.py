@@ -240,3 +240,51 @@ def test_fused_drift_matches_per_feature(spark):
         single_ks = ks_statistic_binned(ref, cur, c, lo, hi, 100).first()["ks"]
         assert abs(fused_psi[c] - single_psi) < 1e-12, c
         assert abs(fused_ks[c] - single_ks) < 1e-12, c
+
+
+def test_streaming_drift_monitor(spark, warehouse):
+    """Monitor.streaming_drift_monitor wires the stored baseline +
+    constraints bounds into the watermarked streaming PSI — per-window
+    values must match batch psi() on the same rows."""
+    import os
+    import tempfile
+
+    from workbench_spark.api.model import Model
+    from workbench_spark.api.monitor import Monitor
+    from workbench_spark.operators.drift import psi
+    from workbench_spark.session import read_table
+    from workbench_spark.streaming.monitor import run_stream_to_memory
+
+    ev = read_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    train = ev.select("value", (F.col("value") * 3 + 2).alias("y"))
+    Model.train(
+        train, "mon_stream", target="y", features=["value"],
+        model_type="regressor", algo="linear",
+        warehouse=warehouse, spark=spark,
+    )
+    mon = Monitor("mon_stream_end", spark=spark, warehouse=warehouse)
+    mon.create_baseline(baseline_df=train.filter(F.col("value") < 50))
+    with pytest.raises(ValueError):
+        mon.streaming_drift_monitor("/tmp/x", None, "no_such_feature")
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "stream_src")
+        ev.select("ts", "value").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = mon.streaming_drift_monitor(
+            src, schema, "value", window="1 hour", watermark="2 hours"
+        )
+        out = run_stream_to_memory(stream, "mon_stream_out")
+        emitted = out.collect()
+        assert len(emitted) > 0
+        spec = mon.get_constraints()["features"]["value"]
+        baseline = mon.get_baseline()
+        r = max(emitted, key=lambda x: x["n"])
+        cur = ev.filter(
+            (F.col("ts") >= r["window_start"]) & (F.col("ts") < r["window_end"])
+        ).select("value")
+        batch = psi(
+            baseline, cur, "value",
+            float(spec["lower_bound"]), float(spec["upper_bound"]), 10,
+        ).first()["psi"]
+        assert r["psi"] == pytest.approx(batch, rel=1e-9, abs=1e-12)

@@ -510,6 +510,50 @@ class Monitor:
                 return r
         return None
 
+    def streaming_drift_monitor(
+        self,
+        source_dir: str,
+        schema,
+        column: str,
+        ts_col: str = "ts",
+        window: str = "1 hour",
+        watermark: str = "2 hours",
+        bins: int = 10,
+    ):
+        """Continuous twin of run_monitoring_execution for ONE feature:
+        a watermarked Structured-Streaming query emitting per-window
+        (window_start, window_end, n, psi) against this monitor's stored
+        baseline, with [lo, hi] taken from constraints.json. The batch
+        execution stays the scheduled audit; this is the low-latency
+        alerting path (start it with .writeStream, alert when psi exceeds
+        the threshold). Baseline bucket fractions are collected once —
+        O(bins) scalars regardless of baseline size."""
+        constraints = self.get_constraints()
+        baseline = self.get_baseline()
+        if constraints is None or baseline is None:
+            raise ValueError("create a baseline first (create_baseline())")
+        spec = constraints.get("features", {}).get(column)
+        if not spec or "lower_bound" not in spec:
+            raise ValueError(
+                f"feature {column!r} has no [lower_bound, upper_bound] in "
+                "constraints.json — streaming PSI needs fixed bin bounds"
+            )
+        from workbench_spark.streaming.monitor import stream_windowed_drift
+
+        return stream_windowed_drift(
+            self.spark,
+            source_dir,
+            schema,
+            baseline,
+            column,
+            float(spec["lower_bound"]),
+            float(spec["upper_bound"]),
+            bins=bins,
+            ts_col=ts_col,
+            window=window,
+            watermark=watermark,
+        )
+
     def setup_alerts(self, notification_email: str, threshold: int = 1) -> bool:
         """Record alerting config (monitor_core.py:501-560 provisions SNS;
         locally the config is read by whatever delivers notifications)."""
