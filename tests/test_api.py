@@ -710,3 +710,38 @@ def test_cached_artifacts_roles_invalidate_and_refresh_isolation(spark, warehous
     assert a.num_rows() == 5 and b.num_rows() == 5
     assert a.refresh() == 1  # exactly a's one entry, not b's
     assert b.refresh() == 1  # b's entry survived a's refresh
+
+
+def test_parameter_store_concurrent_writers_never_garble(warehouse):
+    """Cross-process torture for the atomic-write contract: concurrent
+    writers upserting the same key while a reader polls must yield ONLY
+    valid values (a reader may miss, never crash, never see a torn write
+    — the r11 tmp+os.replace guarantee)."""
+    import multiprocessing as mp
+
+    from workbench_spark.api import ParameterStore
+
+    root = warehouse
+
+    def writer(idx: int) -> None:
+        ps = ParameterStore(root=root)
+        for i in range(150):
+            ps.upsert("hot_key", {"writer": idx, "i": i, "pad": "x" * 100})
+
+    procs = [mp.Process(target=writer, args=(w,)) for w in range(4)]
+    for p in procs:
+        p.start()
+    ps = ParameterStore(root=root)
+    seen_valid = 0
+    try:
+        while any(p.is_alive() for p in procs):
+            v = ps.get("hot_key")
+            if v is not None:
+                assert set(v) == {"writer", "i", "pad"}, v
+                seen_valid += 1
+    finally:
+        for p in procs:
+            p.join(timeout=30)
+    assert seen_valid > 0  # the reader really raced the writers
+    final = ps.get("hot_key")
+    assert final is not None and final["i"] == 149
