@@ -117,3 +117,56 @@ def test_delta_common_query_basis_for_truncated_prev():
     # normalized: 2.4 - 2.16*1.1 = 0.024 — a ~0 true delta on a 10%-slower box
     assert abs(d["delta_normalized_sec"] - round(2.4 - 2.16 * 1.1, 4)) < 1e-9
     assert d["same_harness"] is True
+
+
+def test_recover_arbitrary_truncation_never_crashes():
+    """Hypothesis: a full bench line truncated at ANY byte offset (the
+    driver keeps the LAST N chars) either recovers a consistent partial
+    record or returns None — never raises, never invents query keys."""
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    full = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 8.1234,
+            "unit": "sec",
+            "queries": {f"q{i}": round(0.1 * i + 0.01, 4) for i in range(1, 20)},
+            "queries_extra": {f"x{i}": round(0.2 * i + 0.02, 4) for i in range(1, 20)},
+            "sf": 0.1,
+            "harness": {"version": "v2"},
+            "calibration": {
+                "pre": {"spark_cpu_sec": 0.44},
+                "post": {"spark_cpu_sec": 0.38},
+                "python_loop_sec": 0.33,
+                "spark_cpu_sec": 0.41,
+                "spark_shuffle_sec": 0.36,
+            },
+            "same_harness_delta": None,
+        }
+    ) + "\n"
+    valid_q = {f"q{i}" for i in range(1, 20)}
+    valid_x = {f"x{i}" for i in range(1, 20)}
+
+    @given(st.integers(min_value=0, max_value=len(full) - 1))
+    @settings(max_examples=300, deadline=None)
+    def run(cut):
+        tail = full[cut:]
+        rec = recover_truncated_record(tail)
+        if rec is None:
+            return
+        if "_truncated" not in rec:  # clean full-line parse
+            assert rec["value"] == 8.1234
+            return
+        # recovered queries are a SUBSET of the real ones with right values
+        assert set(rec["queries"]) <= valid_q
+        assert set(rec.get("queries_extra", {})) <= valid_x
+        for k, v in rec["queries"].items():
+            assert v == round(0.1 * int(k[1:]) + 0.01, 4)
+        cal = rec.get("calibration", {})
+        if "spark_cpu_sec" in cal:
+            assert cal["spark_cpu_sec"] == 0.41  # merged, never pre/post
+
+    run()
