@@ -288,3 +288,54 @@ def test_streaming_drift_monitor(spark, warehouse):
             float(spec["lower_bound"]), float(spec["upper_bound"]), 10,
         ).first()["psi"]
         assert r["psi"] == pytest.approx(batch, rel=1e-9, abs=1e-12)
+
+
+def test_streaming_constraint_monitor_matches_batch(spark, warehouse):
+    """Per-window per-feature (n, n_null, n_oob) from the melted streaming
+    aggregation must equal the batch scan on the same window's rows."""
+    import os
+    import tempfile
+
+    from workbench_spark.api.model import Model
+    from workbench_spark.api.monitor import Monitor
+    from workbench_spark.session import read_table
+    from workbench_spark.streaming.monitor import run_stream_to_memory
+
+    ev = read_table(spark, SF_DIR, "events")
+    train = ev.filter(F.col("value").isNotNull()).select(
+        "value", (F.col("value") + 1).alias("y")
+    )
+    Model.train(
+        train, "mon_cstr", target="y", features=["value"],
+        model_type="regressor", algo="linear",
+        warehouse=warehouse, spark=spark,
+    )
+    mon = Monitor("mon_cstr_end", spark=spark, warehouse=warehouse)
+    # baseline on a narrow slice → live traffic goes out of bounds
+    mon.create_baseline(baseline_df=train.filter(F.col("value") < 40))
+
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "cstr_src")
+        ev.select("ts", "value").write.parquet(src)  # keeps real nulls
+        schema = spark.read.parquet(src).schema
+        stream = mon.streaming_constraint_monitor(src, schema, window="1 hour")
+        out = run_stream_to_memory(stream, "mon_cstr_out")
+        emitted = out.collect()
+        assert len(emitted) > 0
+        assert {r["feature"] for r in emitted} == {"value"}
+        spec = mon.get_constraints()["features"]["value"]
+        lo, hi = float(spec["lower_bound"]), float(spec["upper_bound"])
+        total_oob = 0
+        for r in sorted(emitted, key=lambda x: -x["n"])[:5]:
+            win = ev.filter(
+                (F.col("ts") >= r["window_start"]) & (F.col("ts") < r["window_end"])
+            )
+            n = win.count()
+            n_null = win.filter(F.col("value").isNull()).count()
+            n_oob = win.filter(
+                F.col("value").isNotNull()
+                & ((F.col("value") < lo) | (F.col("value") > hi))
+            ).count()
+            assert (r["n"], r["n_null"], r["n_oob"]) == (n, n_null, n_oob)
+            total_oob += n_oob
+        assert total_oob > 0  # the narrow baseline really flags live traffic

@@ -554,6 +554,36 @@ class Monitor:
             watermark=watermark,
         )
 
+    def streaming_constraint_monitor(
+        self,
+        source_dir: str,
+        schema,
+        ts_col: str = "ts",
+        window: str = "1 hour",
+        watermark: str = "2 hours",
+    ):
+        """Continuous completeness/bounds twin of run_monitoring_execution
+        for ALL constrained features at once: per-window per-feature
+        (n, n_null, n_oob) rows from ONE melted watermarked aggregation
+        (streaming/monitor.stream_constraint_monitor), bounds from
+        constraints.json."""
+        constraints = self.get_constraints()
+        if constraints is None:
+            raise ValueError("create a baseline first (create_baseline())")
+        bounds = {}
+        for c, spec in constraints.get("features", {}).items():
+            if "lower_bound" in spec and spec["lower_bound"] is not None:
+                bounds[c] = (float(spec["lower_bound"]), float(spec["upper_bound"]))
+            else:
+                bounds[c] = None
+        if not bounds:
+            raise ValueError("constraints.json lists no features to monitor")
+        from workbench_spark.streaming.monitor import stream_constraint_monitor
+
+        return stream_constraint_monitor(
+            self.spark, source_dir, schema, bounds, ts_col, window, watermark
+        )
+
     def setup_alerts(self, notification_email: str, threshold: int = 1) -> bool:
         """Record alerting config (monitor_core.py:501-560 provisions SNS;
         locally the config is read by whatever delivers notifications)."""

@@ -574,3 +574,65 @@ def stream_hll_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_constraint_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    bounds: dict,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Continuous completeness/bounds checking against Monitor-style
+    constraints — the streaming twin of the batch
+    ``run_monitoring_execution`` scan (api/monitor.py), per event-time
+    window and feature.
+
+    ``bounds``: {feature: (lo, hi) | None} — None checks completeness
+    only. Shape: the feature columns are melted map-side into
+    (feature, is_null, is_oob) structs (one Expand, no extra shuffle —
+    the psi_by_feature pattern), then ONE watermarked windowed
+    groupBy(window, feature). Output rows: (window_start, window_end,
+    feature, n, n_null, n_oob). State is O(windows × features); a
+    500-feature monitor is one streaming aggregation, not 500 queries."""
+    cols = []
+    for c, b in bounds.items():
+        is_oob = (
+            F.when(
+                F.col(c).isNotNull(),
+                ((F.col(c) < F.lit(float(b[0]))) | (F.col(c) > F.lit(float(b[1])))).cast("int"),
+            ).otherwise(F.lit(0))
+            if b is not None
+            else F.lit(0)
+        )
+        cols.append(
+            F.struct(
+                F.lit(c).alias("feature"),
+                F.col(c).isNull().cast("int").alias("is_null"),
+                is_oob.alias("is_oob"),
+            )
+        )
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    melted = (
+        stream.withWatermark(ts_col, watermark)
+        .select(ts_col, F.explode(F.array(*cols)).alias("m"))
+        .select(ts_col, "m.feature", "m.is_null", "m.is_oob")
+    )
+    return (
+        melted.groupBy(F.window(ts_col, window).alias("win"), "feature")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_null").alias("n_null"),
+            F.sum("is_oob").alias("n_oob"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "feature",
+            "n",
+            "n_null",
+            "n_oob",
+        )
+    )
