@@ -183,7 +183,7 @@ def compute_delta(
             return None
         prev_val = round(sum(prev["queries"][k] for k in common), 4)
         this_total = round(sum(timings[k] for k in common), 4)
-        basis_note = f"common-{len(common)}-headline (prev truncated by driver tail)"
+        basis_note = f"common-{len(common)} (prev tail-truncated)"
     out = {
         "prev_file": prev_file,
         "prev_total_sec": prev_val,

@@ -112,7 +112,7 @@ def test_delta_common_query_basis_for_truncated_prev():
     d = compute_delta(prev_wrapper, "BENCH_r10.json", 99.0, 0.1, cal, timings=timings)
     assert d["prev_total_sec"] == 2.16  # 0.80+0.79+0.57 (common keys only)
     assert d["this_total_common_sec"] == 2.4
-    assert "basis" in d and "common-3-headline" in d["basis"]
+    assert "basis" in d and "common-3" in d["basis"]
     assert d["delta_sec"] == round(2.4 - 2.16, 4)
     # normalized: 2.4 - 2.16*1.1 = 0.024 — a ~0 true delta on a 10%-slower box
     assert abs(d["delta_normalized_sec"] - round(2.4 - 2.16 * 1.1, 4)) < 1e-9
