@@ -354,3 +354,29 @@ def test_hypothesis_unicode_fuzz_through_stats(spark):
         assert all(len(r["minhash"]) == 32 for r in sigs)
 
     run()
+
+
+# ------------------------------------------------------------------ graph tier
+def test_connected_components_degenerate_edges(spark):
+    from workbench_spark.operators.dedup import leakage_safe_split
+    from workbench_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    for method in ("label", "star"):
+        assert connected_components(empty, method=method).count() == 0
+
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src bigint, dst bigint")
+    for method in ("label", "star"):
+        out = {r["node"]: r["component"] for r in connected_components(loops, method=method).collect()}
+        # self-loops connect nothing: every node is its own component
+        # (star mode drops self-loops before its edge canonicalization)
+        assert all(out.get(n, n) == n for n in (1, 2)), (method, out)
+
+    # leakage split with ZERO near-dup pairs: every doc is a singleton
+    # component and still gets a deterministic split
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id bigint")
+    out = leakage_safe_split(docs, empty.selectExpr("src as id_a", "dst as id_b"))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["component"] == r["doc_id"] for r in rows)
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
