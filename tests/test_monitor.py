@@ -339,3 +339,34 @@ def test_streaming_constraint_monitor_matches_batch(spark, warehouse):
             assert (r["n"], r["n_null"], r["n_oob"]) == (n, n_null, n_oob)
             total_oob += n_oob
         assert total_oob > 0  # the narrow baseline really flags live traffic
+
+
+def test_schema_drift_and_alert_delivery(spark, warehouse, endpoint):
+    """Missing baseline features in the capture raise missing_column_check
+    violations; reaching the setup_alerts threshold appends a delivered
+    alert record."""
+    import os
+    import shutil
+
+    ep, df = endpoint
+    mon = ep.monitor()
+    mon.create_baseline(baseline_df=df, recreate=True)
+    mon.setup_alerts("oncall@example.com", threshold=1)
+    # capture traffic that silently DROPPED a feature column
+    cap_dir = mon.capture_dir
+    if os.path.isdir(cap_dir):
+        shutil.rmtree(cap_dir)
+    os.makedirs(cap_dir)
+    with open(os.path.join(cap_dir, "capture.json"), "w") as f:
+        f.write('{"total_qty": 5.0, "avg_price": 10.0}\n' * 3)
+    rec = mon.run_monitoring_execution()
+    kinds = {v["constraint_check_type"] for v in rec["violations"]}
+    assert "missing_column_check" in kinds
+    missing = [v for v in rec["violations"] if v["constraint_check_type"] == "missing_column_check"]
+    assert {v["feature"] for v in missing} == {"n_lines"}
+    assert rec["status"] == "CompletedWithViolations"
+    assert rec.get("alerted") is True
+    delivered = mon.alerts()
+    assert delivered and delivered[-1]["email"] == "oncall@example.com"
+    assert delivered[-1]["n_violations"] == len(rec["violations"])
+    shutil.rmtree(cap_dir)

@@ -378,10 +378,19 @@ class Monitor:
 
         from workbench_spark.operators.drift import ks_by_feature, psi_by_feature
 
+        # schema drift first (SageMaker Model Monitor's missing_column /
+        # extra_column checks): baseline features absent from the capture
+        feats_all = constraints.get("features", {})
+        for c in sorted(set(feats_all) - set(captured.columns)):
+            record["violations"].append(
+                {
+                    "feature": c,
+                    "constraint_check_type": "missing_column_check",
+                    "description": "baseline feature absent from captured data",
+                }
+            )
         feats = {
-            c: spec
-            for c, spec in constraints.get("features", {}).items()
-            if c in captured.columns
+            c: spec for c, spec in feats_all.items() if c in captured.columns
         }
         # one aggregation pass for completeness + bounds across all features
         aggs = []
@@ -460,7 +469,44 @@ class Monitor:
                     )
         if record["violations"]:
             record["status"] = "CompletedWithViolations"
+        self._maybe_alert(record)
         return self._append_execution(record)
+
+    def _maybe_alert(self, record: dict) -> None:
+        """Deliver an alert record when the violation count reaches the
+        setup_alerts threshold (monitor_core.py:501-560 raises SNS; here
+        the alert log IS the delivery contract an external notifier
+        tails)."""
+        cfg = self._endpoint_meta().get("alerts")
+        if not cfg:
+            return
+        n = len(record.get("violations", []))
+        if n < int(cfg.get("violation_threshold", 1)):
+            return
+        alerts_file = os.path.join(self.monitoring_path, "alerts.jsonl")
+        os.makedirs(self.monitoring_path, exist_ok=True)
+        with open(alerts_file, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "endpoint": self.endpoint_name,
+                        "email": cfg.get("email"),
+                        "scheduled_time": record["scheduled_time"],
+                        "n_violations": n,
+                        "status": record["status"],
+                    }
+                )
+                + "\n"
+            )
+        record["alerted"] = True
+
+    def alerts(self) -> list[dict]:
+        """Delivered alert records, oldest first."""
+        path = os.path.join(self.monitoring_path, "alerts.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]
 
     def _append_execution(self, record: dict) -> dict:
         os.makedirs(self.executions_dir, exist_ok=True)
