@@ -6475,3 +6475,115 @@ def text_unigram_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_train(
         d, vocab_size=300, seed_size=1000, max_words=3000, num_iters=3
     ).orderBy("piece")
+
+
+# =====================================================================
+# Fused multi-feature drift (r11 — the Monitor execution's stat shape)
+# =====================================================================
+
+_DRIFT_BOUNDS = {
+    "l_quantity": (0.0, 50.0),
+    "l_extendedprice": (900.0, 105000.0),
+    "l_discount": (0.0, 0.1),
+}
+
+
+def _psi_feature_cte(col: str, lo: float, hi: float, bins: int) -> str:
+    return f"""
+    SELECT '{col}' AS feature, ROUND(SUM((pf - qf) * LN(pf / qf)), 6) AS psi FROM (
+      SELECT GREATEST(COALESCE(CAST(p.c AS DOUBLE) / (SELECT SUM(c) FROM p_{col} ), 0.0), 1e-6) AS pf,
+             GREATEST(COALESCE(CAST(q.c AS DOUBLE) / (SELECT SUM(c) FROM q_{col} ), 0.0), 1e-6) AS qf
+      FROM p_{col} p FULL JOIN q_{col} q ON p.bucket = q.bucket
+    )"""
+
+
+def _drift_psi_oracle_sql(bins: int = 10) -> str:
+    ctes, selects = [], []
+    for col, (lo, hi) in _DRIFT_BOUNDS.items():
+        width = (hi - lo) / bins
+        bucket = (
+            f"LEAST({bins - 1}, GREATEST(0, CAST(FLOOR(({col} - {lo!r}) / {width!r}) AS INT)))"
+        )
+        ctes.append(
+            f"""p_{col} AS (
+      SELECT {bucket} AS bucket, COUNT(*) AS c FROM lineitem
+      WHERE l_orderkey % 2 = 0 AND {col} IS NOT NULL GROUP BY 1
+    ),
+    q_{col} AS (
+      SELECT {bucket} AS bucket, COUNT(*) AS c FROM lineitem
+      WHERE l_orderkey % 2 = 1 AND {col} IS NOT NULL GROUP BY 1
+    )"""
+        )
+        selects.append(_psi_feature_cte(col, lo, hi, bins))
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\n    UNION ALL".join(selects)
+
+
+@query("drift_psi_by_feature", _drift_psi_oracle_sql())
+def drift_psi_by_feature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused multi-feature PSI (drift.psi_by_feature — the melted one-pass
+    shape Monitor.run_monitoring_execution uses so a 500-feature monitor
+    issues 2 drift jobs, not 1000): even- vs odd-orderkey lineitem halves
+    over three features with fixed bounds. The oracle recomputes every
+    feature's binned PSI independently — the hash match certifies the
+    melt, the per-feature bucket grid, and the eps-floored folds. (The
+    full-grid join adds only missing-in-both buckets, which contribute
+    (eps−eps)·ln(1) = 0 — identical sums.)"""
+    from workbench_spark.operators.drift import psi_by_feature
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    out = psi_by_feature(ref, cur, _DRIFT_BOUNDS, bins=10)
+    return out.select("feature", F.round("psi", 6).alias("psi"))
+
+
+def _drift_ks_oracle_sql(bins: int = 100) -> str:
+    ctes, selects = [], []
+    for col, (lo, hi) in _DRIFT_BOUNDS.items():
+        width = (hi - lo) / bins
+        bucket = (
+            f"LEAST({bins - 1}, GREATEST(0, CAST(FLOOR(({col} - {lo!r}) / {width!r}) AS INT)))"
+        )
+        ctes.append(
+            f"""kp_{col} AS (
+      SELECT {bucket} AS bucket, COUNT(*) AS c FROM lineitem
+      WHERE l_orderkey % 2 = 0 AND {col} IS NOT NULL GROUP BY 1
+    ),
+    kq_{col} AS (
+      SELECT {bucket} AS bucket, COUNT(*) AS c FROM lineitem
+      WHERE l_orderkey % 2 = 1 AND {col} IS NOT NULL GROUP BY 1
+    ),
+    kj_{col} AS (
+      SELECT COALESCE(p.bucket, q.bucket) AS bucket,
+             COALESCE(p.c, 0) AS pc, COALESCE(q.c, 0) AS qc
+      FROM kp_{col} p FULL JOIN kq_{col} q ON p.bucket = q.bucket
+    ),
+    kc_{col} AS (
+      SELECT SUM(pc) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cp,
+             SUM(qc) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cq,
+             (SELECT SUM(pc) FROM kj_{col}) AS tp,
+             (SELECT SUM(qc) FROM kj_{col}) AS tq
+      FROM kj_{col}
+    )"""
+        )
+        selects.append(
+            f"""
+    SELECT '{col}' AS feature,
+           ROUND(MAX(ABS(CAST(cp AS DOUBLE) / tp - CAST(cq AS DOUBLE) / tq)), 6) AS ks
+    FROM kc_{col}"""
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n" + "\n    UNION ALL".join(selects)
+
+
+@query("drift_ks_by_feature", _drift_ks_oracle_sql())
+def drift_ks_by_feature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused multi-feature binned KS (drift.ks_by_feature): per-feature
+    running CDFs from ONE melted pass, window PARTITIONED by feature.
+    The oracle replays each feature's 100-bin CDF gap independently."""
+    from workbench_spark.operators.drift import ks_by_feature
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    out = ks_by_feature(ref, cur, _DRIFT_BOUNDS, bins=100)
+    return out.select("feature", F.round("ks", 6).alias("ks"))
