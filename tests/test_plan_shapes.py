@@ -25,6 +25,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # name -> why a BroadcastNestedLoopJoin is the right plan
 BNLJ_ALLOWED = {
+    "text_zipf_heaps_audit":
+        "1-row Heaps totals x 1-row OLS-fit aggregate crossed for the "
+        "single audit row — both sides are scalar aggregates",
     "text_vocabulary_top": "1-row corpus-count aggregate crossed into vocab stats",
     "text_tfidf_vectors": "same vocabulary() 1-row corpus-count cross (idf needs N)",
     "a17_ks_events_value": "1-row CDF-normalization aggregate crossed into scan",

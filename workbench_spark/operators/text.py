@@ -1485,3 +1485,85 @@ def bm25_search(
             F.col("__r").alias("score"),
         )
     )
+
+
+def corpus_zipf_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_v: int = 1000,
+) -> DataFrame:
+    """Corpus token-frequency audit: Zipf's-law fit + Heaps ratio — the
+    standard sanity panel for a training corpus (natural text shows a
+    rank-frequency log-log slope near −1; a slope far off flags synthetic,
+    boilerplate-heavy, or truncated data; the distinct/total token ratio
+    is the Heaps'-law point estimate).
+
+    One row: (n_tokens, n_distinct, top_v_used, zipf_slope, zipf_intercept)
+    with the slope/intercept from an exact least-squares fit of
+    ln(freq) ~ ln(rank) over the top ``top_v`` tokens (rank by freq DESC,
+    token ASC — deterministic).
+
+    Determinism/oracle contract: every per-term value (ln rank, ln freq,
+    products) is quantized to integer micro-units BEFORE summation, so the
+    OLS sums are commutative BIGINT folds — identical in any engine and
+    partitioning (the micro-nat pattern; float Σ would be accumulation-
+    order-dependent and never hash-match).
+
+    Scale: the corpus pass is one explode → map-side-combinable groupBy;
+    the fit touches only the top_v rows (orderBy+limit = distributed
+    TakeOrdered, never a global window over the full vocabulary)."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    words = df.select(F.explode(toks).alias("token"))
+    freqs = words.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    totals = freqs.agg(
+        F.sum("freq").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    top = freqs.orderBy(F.desc("freq"), F.asc("token")).limit(top_v)
+    from pyspark.sql import Window
+
+    # rank window runs over <= top_v rows (bounded by construction)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token"))),
+    )
+    q = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    terms = ranked.select(
+        q(F.log(F.col("rank").cast("double"))).alias("x"),
+        q(F.log(F.col("freq").cast("double"))).alias("y"),
+        q(
+            F.log(F.col("rank").cast("double"))
+            * F.log(F.col("freq").cast("double"))
+        ).alias("xy"),
+        q(
+            F.log(F.col("rank").cast("double"))
+            * F.log(F.col("rank").cast("double"))
+        ).alias("xx"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / 1e6
+    sy = F.col("sy").cast("double") / 1e6
+    sxy = F.col("sxy").cast("double") / 1e6
+    sxx = F.col("sxx").cast("double") / 1e6
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    fr = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    fitted = sums.select(
+        F.col("n").alias("top_v_used"),
+        fr(slope).alias("zipf_slope"),
+        fr(intercept).alias("zipf_intercept"),
+    )
+    return totals.crossJoin(F.broadcast(fitted)).select(
+        "n_tokens", "n_distinct", "top_v_used", "zipf_slope", "zipf_intercept"
+    )

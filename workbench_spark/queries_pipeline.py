@@ -6587,3 +6587,56 @@ def drift_ks_by_feature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = li.filter(F.col("l_orderkey") % 2 == 1)
     out = ks_by_feature(ref, cur, _DRIFT_BOUNDS, bins=100)
     return out.select("feature", F.round("ks", 6).alias("ks"))
+
+
+@query(
+    "text_zipf_heaps_audit",
+    r"""
+    WITH toks AS (
+      SELECT UNNEST(list_filter(
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        w -> length(w) > 0)) AS token
+      FROM documents
+    ),
+    freqs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY token),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct FROM freqs),
+    top AS (SELECT token, freq FROM freqs ORDER BY freq DESC, token ASC LIMIT 1000),
+    ranked AS (SELECT freq,
+                      row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+               FROM top),
+    terms AS (SELECT
+      CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+      CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y,
+      CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS xy,
+      CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS xx
+      FROM ranked),
+    sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(x) AS DOUBLE) / 1e6 AS sx,
+                    CAST(SUM(y) AS DOUBLE) / 1e6 AS sy,
+                    CAST(SUM(xy) AS DOUBLE) / 1e6 AS sxy,
+                    CAST(SUM(xx) AS DOUBLE) / 1e6 AS sxx
+             FROM terms),
+    fit AS (SELECT n,
+                   (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_raw,
+                   sx, sy
+            FROM sums)
+    SELECT t.n_tokens, t.n_distinct, f.n AS top_v_used,
+           floor(f.slope_raw * 1e6 + 0.5) / 1e6 AS zipf_slope,
+           floor(((f.sy - f.slope_raw * f.sx) / CAST(f.n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS zipf_intercept
+    FROM tot t, fit f
+    """,
+)
+def text_zipf_heaps_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency audit (text.corpus_zipf_stats, r11): Zipf
+    rank-frequency OLS over the top-1000 tokens + Heaps distinct/total
+    counts. Every OLS term is quantized to integer micro-units before
+    summation (commutative BIGINT folds — the micro-nat pattern), so the
+    DuckDB replay hash-matches the slope and intercept bit-for-bit; the
+    two 1-row frames join as a broadcast cross (allowlisted shape)."""
+    from workbench_spark.operators.text import corpus_zipf_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_zipf_stats(d, top_v=1000)
