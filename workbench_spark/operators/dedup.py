@@ -1592,3 +1592,30 @@ def leakage_safe_split(
     # the when-chain above assigns names[0] to u < cut0, names[1] to
     # cut0 <= u < cut1, ... (built innermost-last so earlier cuts win)
     return with_u.select(id_col, "component", expr.alias("split"))
+
+
+def duplication_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus duplication audit: the cluster-size histogram of exact
+    (normalized-text) duplicate clusters — the first report a dedup pass
+    produces (how much of the corpus is singletons vs boilerplate
+    mega-clusters decides which dedup tier to run next). Output:
+    (cluster_size, n_clusters, n_docs), size ascending; Σ n_docs = corpus
+    rows, Σ n_clusters = distinct contents, n_docs/n_clusters = the
+    duplication factor.
+
+    Plan: map-side md5 → two map-side-combinable groupBys (content, then
+    size) — O(distinct sizes) result rows, no joins at all."""
+    hashed = df.select(F.md5(normalize_text(F.col(text_col))).alias("__h"))
+    sizes = hashed.groupBy("__h").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -6640,3 +6640,27 @@ def text_zipf_heaps_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return corpus_zipf_stats(d, top_v=1000)
+
+
+@query(
+    "dedup_duplication_report",
+    r"""
+    WITH sizes AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM documents GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def dedup_duplication_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplication audit histogram (dedup.duplication_report, r11):
+    cluster sizes of normalized-content md5 clusters — both engines hash
+    the identical canonical string, so the histogram matches exactly."""
+    from workbench_spark.operators.dedup import duplication_report
+
+    d = _t(spark, sf_dir, "documents")
+    return duplication_report(d)
