@@ -1567,3 +1567,47 @@ def corpus_zipf_stats(
     return totals.crossJoin(F.broadcast(fitted)).select(
         "n_tokens", "n_distinct", "top_v_used", "zipf_slope", "zipf_intercept"
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source corpus datasheet — the dataset-card table every corpus
+    release ships (docs, tokens, exact-dup factor, length profile):
+    (source, n_docs, n_distinct_contents, n_tokens, mean_doc_chars,
+    median_doc_tokens, dup_factor). ONE aggregation pass over a map-side
+    projection (md5 + token count per row, then groupBy source);
+    approx_count_distinct is deliberately NOT used — the distinct-content
+    count is an exact COUNT(DISTINCT md5) so dup_factor is exact.
+
+    median_doc_tokens uses exact ``percentile`` (linear interpolation —
+    the DuckDB quantile_cont contract); swap to percentile_approx at the
+    100 TB tier if the per-source doc counts make exact percentiles heavy
+    (they rarely do: state is per-source, not corpus-wide)."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    rows = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(normalize_text(F.col(text_col))).alias("__h"),
+        token_count(F.col(text_col)).cast("long").alias("__nt"),
+        F.length(F.col(text_col)).cast("long").alias("__nc"),
+    )
+    fr = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        rows.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__h").alias("n_distinct_contents"),
+            F.sum("__nt").alias("n_tokens"),
+            fr(F.avg("__nc")).alias("mean_doc_chars"),
+            F.expr("percentile(CAST(__nt AS DOUBLE), 0.5)").alias("median_doc_tokens"),
+            fr(
+                F.count(F.lit(1)).cast("double")
+                / F.countDistinct("__h").cast("double")
+            ).alias("dup_factor"),
+        )
+        .orderBy("source")
+    )

@@ -6664,3 +6664,35 @@ def dedup_duplication_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return duplication_report(d)
+
+
+@query(
+    "text_corpus_datasheet",
+    r"""
+    WITH rows_p AS (
+      SELECT source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_contents,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           floor(AVG(CAST(nc AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_doc_chars,
+           quantile_cont(CAST(nt AS DOUBLE), 0.5) AS median_doc_tokens,
+           floor(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT h) * 1e6 + 0.5) / 1e6
+             AS dup_factor
+    FROM rows_p GROUP BY source ORDER BY source
+    """,
+)
+def text_corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet (text.corpus_datasheet, r11): docs,
+    exact distinct contents, tokens, floor-rounded means, exact median
+    (percentile == quantile_cont), exact dup factor — the dataset-card
+    table, one aggregation pass."""
+    from workbench_spark.operators.text import corpus_datasheet
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_datasheet(d)
