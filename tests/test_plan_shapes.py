@@ -25,6 +25,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # name -> why a BroadcastNestedLoopJoin is the right plan
 BNLJ_ALLOWED = {
+    "embedding_space_audit":
+        "1-row scalar-norms aggregate x 1-row anisotropy aggregate (and the "
+        "dim-sized per-dim sums x 1-row count) crossed for the single audit "
+        "row — every side is O(1) or O(dim)",
     "text_zipf_heaps_audit":
         "1-row Heaps totals x 1-row OLS-fit aggregate crossed for the "
         "single audit row — both sides are scalar aggregates",

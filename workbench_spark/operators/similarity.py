@@ -1138,3 +1138,81 @@ def _pq_pair_cos_sql(codebooks: list[list[list[float]]], a: str, b: str,
         for j in range(m)
     )
     return f"({dot}) / ({an} * {bn})"
+
+
+def embedding_space_audit(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-space quality audit — the standard pre-index panel
+    (Ethayarajh 2019 anisotropy / "cone effect"): one row with
+    (n_vecs, dim, mean_norm, std_norm, anisotropy) where anisotropy =
+    ||E[v/||v||]||², the squared norm of the mean DIRECTION — 0 for an
+    isotropic cloud, →1 when all vectors share a cone. High anisotropy
+    means cosine scores compress and LSH/IVF recall dials need retuning.
+
+    Engine-exactness: per-row norms are sequential within-row folds (the
+    cosine-oracle idiom); every CROSS-ROW sum is quantized to integer
+    units first (norms at 1e6 for the mean, 1e4 for the square-sum so a
+    billion-row corpus of norm ≲ 3e5/1e4 stays inside BIGINT; normalized
+    components at 1e6; per-dim squared means at 1e12), so the folds are
+    commutative and a SQL oracle hash-matches bit-for-bit.
+
+    Scale: one projection pass + one (dim)-keyed groupBy (64-4096 groups)
+    + two scalar aggregations — no joins, no windows, no driver arrays."""
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).alias("__v"))
+        .withColumn("__nrm", _norm(F.col("__v")))
+    )
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    q4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)).cast("long")
+    scalars = base.select(
+        q6(F.col("__nrm")).alias("__q6"),
+        q4(F.col("__nrm")).alias("__q4"),
+        F.size("__v").alias("__d"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("__d").alias("dim"),
+        F.sum("__q6").alias("s1"),
+        F.sum(F.col("__q4") * F.col("__q4")).alias("s2"),
+    )
+    # per-dim sums of quantized normalized components (map-side combinable)
+    comps = base.select(
+        F.posexplode(
+            F.transform(F.col("__v"), lambda x: x.cast("double") / F.col("__nrm"))
+        ).alias("dim_i", "c")
+    ).select("dim_i", q6(F.col("c")).alias("qc"))
+    per_dim = comps.groupBy("dim_i").agg(F.sum("qc").alias("sd"))
+    fr = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    n_b = scalars.select("n_vecs")
+    aniso = (
+        per_dim.crossJoin(F.broadcast(n_b))
+        .select(
+            F.floor(
+                F.pow(
+                    F.col("sd").cast("double")
+                    / F.col("n_vecs").cast("double")
+                    / F.lit(1e6),
+                    F.lit(2.0),
+                )
+                * F.lit(1e12)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").alias("st"))
+    )
+    mean_norm = F.col("s1").cast("double") / F.col("n_vecs") / F.lit(1e6)
+    var_norm = (
+        F.col("s2").cast("double") / F.lit(1e8) / F.col("n_vecs")
+        - (F.col("s1").cast("double") / F.col("n_vecs") / F.lit(1e6))
+        * (F.col("s1").cast("double") / F.col("n_vecs") / F.lit(1e6))
+    )
+    return scalars.crossJoin(F.broadcast(aniso)).select(
+        "n_vecs",
+        "dim",
+        fr(mean_norm).alias("mean_norm"),
+        fr(F.sqrt(F.greatest(var_norm, F.lit(0.0)))).alias("std_norm"),
+        fr(F.col("st").cast("double") / F.lit(1e12)).alias("anisotropy"),
+    )

@@ -6696,3 +6696,57 @@ def text_corpus_datasheet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return corpus_datasheet(d)
+
+
+@query(
+    "embedding_space_audit",
+    """
+    WITH base AS (
+      SELECT embedding::DOUBLE[] AS v,
+             sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    scalars AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(MAX(len(v)) AS INTEGER) AS dim,
+             SUM(CAST(floor(nrm * 1e6 + 0.5) AS BIGINT)) AS s1,
+             SUM(CAST(floor(nrm * 1e4 + 0.5) AS BIGINT)
+                 * CAST(floor(nrm * 1e4 + 0.5) AS BIGINT)) AS s2
+      FROM base
+    ),
+    comps AS (
+      -- generate_series as a SCALAR returns a list; list_zip + UNNEST is
+      -- the with-ordinality idiom (lateral generate_series unsupported)
+      SELECT CAST(z[2] AS INTEGER) AS dim_i,
+             CAST(floor(CAST(z[1] AS DOUBLE) / nrm * 1e6 + 0.5) AS BIGINT) AS qc
+      FROM (SELECT nrm, UNNEST(list_zip(v, generate_series(1, len(v)))) AS z
+            FROM base)
+    ),
+    per_dim AS (SELECT dim_i, SUM(qc) AS sd FROM comps GROUP BY dim_i),
+    aniso AS (
+      SELECT SUM(CAST(floor(
+               pow(CAST(sd AS DOUBLE) / s.n_vecs / 1e6, 2.0) * 1e12 + 0.5
+             ) AS BIGINT)) AS st
+      FROM per_dim, scalars s
+    )
+    SELECT s.n_vecs, s.dim,
+           floor(CAST(s.s1 AS DOUBLE) / s.n_vecs / 1e6 * 1e6 + 0.5) / 1e6 AS mean_norm,
+           floor(sqrt(GREATEST(
+               CAST(s.s2 AS DOUBLE) / 1e8 / s.n_vecs
+               - (CAST(s.s1 AS DOUBLE) / s.n_vecs / 1e6)
+                 * (CAST(s.s1 AS DOUBLE) / s.n_vecs / 1e6), 0.0)) * 1e6 + 0.5) / 1e6
+             AS std_norm,
+           floor(CAST(a.st AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS anisotropy
+    FROM scalars s, aniso a
+    """,
+)
+def embedding_space_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space audit (similarity.embedding_space_audit, r11):
+    mean/std of L2 norms + anisotropy ||E[v/||v||]||² — per-row norms are
+    the sequential-fold cosine idiom, every cross-row sum an integer-
+    quantized commutative fold, so DuckDB replays the panel exactly."""
+    from workbench_spark.operators.similarity import embedding_space_audit
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_space_audit(e)
