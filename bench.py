@@ -327,6 +327,8 @@ EXTRA = [
     "sketch_dd_quantiles",        # r8: DDSketch build + 5 quantile reads
     "q9_product_type_profit",     # r10: partsupp-family profit join (5-way)
     "text_code_quality",          # r11: Stack line-shape filters (pure projection)
+    "text_corpus_datasheet",      # r11: one-pass per-source dataset card
+    "embedding_space_audit",      # r11: norm stats + anisotropy panel
 ]
 
 
