@@ -745,3 +745,20 @@ def test_parameter_store_concurrent_writers_never_garble(warehouse):
     assert seen_valid > 0  # the reader really raced the writers
     final = ps.get("hot_key")
     assert final is not None and final["i"] == 149
+
+
+def test_reference_layout_import_shims():
+    """Reference-layout module paths resolve to the consolidated classes
+    (drop-in import parity for ported code)."""
+    from workbench_spark.api.df_store import DFStore as A
+    from workbench_spark.api.endpoint import Endpoint as E
+    from workbench_spark.api.graph_store import GraphStore as G
+    from workbench_spark.api.inference_store import InferenceStore as I
+    from workbench_spark.api.meta_endpoint import MetaEndpoint as ME
+    from workbench_spark.api.parameter_store import ParameterStore as P
+    from workbench_spark.api import stores, model
+    from workbench_spark.plans.transform import MetaEndpointDag
+
+    assert A is stores.DFStore and P is stores.ParameterStore
+    assert I is stores.InferenceStore and G is stores.GraphStore
+    assert E is model.Endpoint and ME is MetaEndpointDag
