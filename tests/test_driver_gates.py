@@ -71,6 +71,8 @@ ALLOWED: dict[tuple[str, str], str] = {
         "rows)",
     ("operators/windows.py", "stratified_split"):
         "O(distinct strata) fraction map for sampleBy",
+    ("sources/layout.py", "write_token_balanced_shards"):
+        "O(n_shards) per-shard token totals for the export report",
     ("api/monitor.py", "create_baseline"):
         "O(model features) per-column stats rows for statistics.json — the "
         "baseline artifact is catalog-sized, never data-sized",

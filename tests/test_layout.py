@@ -190,3 +190,36 @@ def test_featureset_layout_and_training_export(spark, events, tmp_path_factory):
     )
     got = spark.read.parquet(out)
     assert got.count() == fs.num_rows()
+
+
+def test_write_token_balanced_shards(spark, tmp_path):
+    """Shards cover contiguous id spans with balanced TOKEN totals (the
+    data-parallel loader contract): totals within one max-doc of the ideal
+    span, every doc in exactly one shard, files partitioned by shard."""
+    import os
+
+    from workbench_spark.sources.layout import write_token_balanced_shards
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (5 + (i * 7) % 40)) for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "shards")
+    rep = write_token_balanced_shards(docs, path, n_shards=4)
+    assert rep["n_shards"] == 4
+    assert sum(rep["per_shard_tokens"]) == rep["total_tokens"]
+    span = -(-rep["total_tokens"] // 4)
+    max_doc = 44
+    for t in rep["per_shard_tokens"]:
+        assert t <= span + max_doc
+        assert t >= span - max_doc
+    # on-disk layout: one partition dir per shard, all docs exactly once
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("__shard="))
+    assert dirs == [f"__shard={i}" for i in range(4)]
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert back.select("doc_id").distinct().count() == 200
+    # contiguity: shard id is monotone in doc_id
+    rows = back.select("doc_id", "__shard").orderBy("doc_id").collect()
+    shards_seq = [r["__shard"] for r in rows]
+    assert shards_seq == sorted(shards_seq)

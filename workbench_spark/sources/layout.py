@@ -169,3 +169,67 @@ def file_stat_ranges(path: str, columns: list[str]) -> list[dict]:
                     rec[f"{col}_max"] = max(maxs)
             out.append(rec)
     return out
+
+
+def write_token_balanced_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> dict:
+    """Training-data export: write ``n_shards`` files whose TOKEN totals
+    are balanced (data-parallel loaders read one shard per worker — a
+    row-balanced split skews step time when document lengths are skewed;
+    the balance target has to be tokens).
+
+    Shard assignment is the two-phase distributed prefix sum over
+    ``id_col`` order (operators/packing._ranged_cumsum — range partitions,
+    driver offsets, local windows; NEVER a global window): shard k covers
+    the contiguous token span [k·T/n, (k+1)·T/n). Contiguity preserves
+    id-locality inside each shard (deterministic, resumable exports).
+
+    Returns {"path", "n_shards", "total_tokens", "per_shard_tokens"} —
+    per-shard totals come back from one groupBy, not from reading files.
+
+    Scale: one corpus pass for counts + prefix sum, one shuffle on the
+    shard id (repartition by shard → one file each), O(n_shards) driver
+    state."""
+    from pyspark.sql import functions as F
+
+    from workbench_spark.operators.packing import _ranged_cumsum, _with_tokens
+
+    tok = _with_tokens(df, id_col, token_col, text_col)
+    cum = _ranged_cumsum(tok, max(n_shards, 32))
+    total = cum.agg(F.max("cum_end").alias("t")).first()["t"] or 0
+    span = max(1, -(-total // n_shards))  # ceil
+    assigned = cum.select(
+        F.col("id").alias(id_col),
+        F.least(
+            F.lit(n_shards - 1),
+            ((F.col("cum_end") - F.col("n_tokens")) / F.lit(span)).cast("int"),
+        ).alias("__shard"),
+        "n_tokens",
+    )
+    out = df.join(assigned, id_col)
+    (
+        out.repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", id_col)
+        .drop("n_tokens")
+        .write.mode("overwrite")
+        .partitionBy("__shard")
+        .format(fmt)
+        .save(path)
+    )
+    per_shard = {
+        r["__shard"]: r["t"]
+        for r in assigned.groupBy("__shard").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    return {
+        "path": path,
+        "n_shards": n_shards,
+        "total_tokens": int(total),
+        "per_shard_tokens": [int(per_shard.get(i, 0)) for i in range(n_shards)],
+    }
