@@ -25,6 +25,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # name -> why a BroadcastNestedLoopJoin is the right plan
 BNLJ_ALLOWED = {
+    "text_pmi_collocations":
+        "1-row total-bigram-count aggregate crossed into the frequent-pair "
+        "stream (min_count-pruned) for the PMI denominator",
     "embedding_space_audit":
         "1-row scalar-norms aggregate x 1-row anisotropy aggregate (and the "
         "dim-sized per-dim sums x 1-row count) crossed for the single audit "

@@ -1611,3 +1611,72 @@ def corpus_datasheet(
         )
         .orderBy("source")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus collocation extraction: top-k adjacent word pairs by
+    pointwise mutual information PMI(x,y) = ln(c_xy·N / (c_x·c_y)) over
+    pairs with c_xy ≥ min_count (the classic Church & Hanks 1990
+    association measure — multiword-expression mining, tokenizer-merge
+    candidates, domain-vocabulary audits).
+
+    Output: (w1, w2, pair_count, pmi), ordered (pmi DESC, w1, w2) —
+    deterministic because PMI is computed per row from exact integer
+    counts (identical doubles in any engine; no cross-row float sums).
+
+    Plan: one explode → bigram/unigram count groupBys (map-side
+    combinable), two token equi-joins of the bigram table against the
+    unigram counts, a 1-row total broadcast, TakeOrdered top-k. The
+    min_count filter prunes BEFORE the joins — the joined stream is the
+    frequent-pair table, not the corpus."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    with_t = df.select(toks.alias("__toks"))
+    bigrams = with_t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("__toks", 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                F.slice("__toks", 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        with_t.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    pairs = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    total = bigrams.agg(F.count(F.lit(1)).alias("__n"))
+    fr = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            fr(
+                F.log(
+                    F.col("pair_count").cast("double")
+                    * F.col("__n").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)

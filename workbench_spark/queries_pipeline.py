@@ -6750,3 +6750,50 @@ def embedding_space_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return embedding_space_audit(e)
+
+
+@query(
+    "text_pmi_collocations",
+    r"""
+    WITH w AS (
+      SELECT list_filter(
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT z[1] AS w1, z[2] AS w2 FROM (
+        SELECT UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+        FROM w WHERE len(toks) > 1
+      )
+    ),
+    uni AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cw FROM (
+        SELECT UNNEST(toks) AS word FROM w
+      ) GROUP BY word
+    ),
+    pairs AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg)
+    SELECT w1, w2, pair_count,
+           floor(ln(CAST(pair_count AS DOUBLE) * t.n
+                    / (CAST(u1.cw AS DOUBLE) * u2.cw)) * 1e6 + 0.5) / 1e6 AS pmi
+    FROM pairs
+    JOIN uni u1 ON pairs.w1 = u1.word
+    JOIN uni u2 ON pairs.w2 = u2.word
+    CROSS JOIN tot t
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+)
+def text_pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (text.pmi_collocations, r11): top-50 adjacent word
+    pairs by Church-Hanks pointwise mutual information, pair_count >= 5.
+    PMI comes from exact integer counts per row (no cross-row float sums),
+    so both engines rank and round identically."""
+    from workbench_spark.operators.text import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5, k=50)
