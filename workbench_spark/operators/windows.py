@@ -299,3 +299,57 @@ def time_rollup(
         "value_min",
         "value_max",
     )
+
+
+def event_gap_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Inter-arrival-time profile per event type — the ops-analytics panel
+    behind rate alerting and sessionization-gap tuning: for each type,
+    the count / mean / exact median / exact p95 of the gap (seconds)
+    between a user's consecutive events, the gap attributed to the LATER
+    event's type.
+
+    Determinism: gaps are per-row doubles (epoch-seconds differences —
+    identical in any engine); the MEAN is an integer-quantized fold
+    (micro-second units, commutative), and median/p95 use exact
+    ``percentile`` (the quantile_cont contract). Window is partitioned by
+    user — never a global order.
+
+    Output: (event_type, n_gaps, mean_gap_s, median_gap_s, p95_gap_s),
+    type ascending."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    lagged = df.select(
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).cast("double").alias("__t"),
+        F.col(user_col).alias("__u"),
+    ).withColumn(
+        "__gap",
+        F.col("__t")
+        - F.lag(F.col("__t")).over(
+            Window.partitionBy("__u").orderBy("__t")
+        ),
+    )
+    gaps = lagged.filter(F.col("__gap").isNotNull())
+    fr = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            fr(
+                F.sum(
+                    F.floor(F.col("__gap") * F.lit(1e6) + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("mean_gap_s"),
+            F.expr("percentile(__gap, 0.5)").alias("median_gap_s"),
+            F.expr("percentile(__gap, 0.95)").alias("p95_gap_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -6797,3 +6797,31 @@ def text_pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return pmi_collocations(d, min_count=5, k=50)
+
+
+@query(
+    "w_event_gap_profile",
+    """
+    WITH lagged AS (
+      SELECT event_type,
+             epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts)) AS gap
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           floor(CAST(SUM(CAST(floor(gap * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1e6 * 1e6 + 0.5) / 1e6 AS mean_gap_s,
+           quantile_cont(gap, 0.5) AS median_gap_s,
+           quantile_cont(gap, 0.95) AS p95_gap_s
+    FROM lagged WHERE gap IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def w_event_gap_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival profile (windows.event_gap_profile, r11):
+    per-user lag gaps in epoch seconds, mean via the integer-quantized
+    fold, exact median/p95 (percentile == quantile_cont)."""
+    from workbench_spark.operators.windows import event_gap_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return event_gap_profile(ev)
