@@ -252,3 +252,43 @@ def uq_from_neighbors(
             "neighbor_mean_pred",
         )
     )
+
+
+def label_balance_audit(df, label_col: str):
+    """Class-balance panel for a training view — the pre-train hygiene
+    check (imbalance drives weightCol/resampling decisions): one row with
+    (n_classes, n_rows, majority_frac, imbalance_ratio, entropy,
+    normalized_entropy). Entropy is Σ -p ln p over observed classes,
+    normalized by ln(n_classes) (1.0 = perfectly balanced); NULL labels
+    count as a class of their own (they WILL reach the trainer).
+
+    Determinism: per-class terms come from exact integer counts; the
+    entropy sum is an integer-quantized commutative fold (nano units — a
+    1e6-class vocabulary still sums exactly)."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(
+        F.coalesce(F.col(label_col).cast("string"), F.lit("__null__")).alias("__l")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n")).first()["n"] or 0
+    fr = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    p = F.col("c").cast("double") / F.lit(float(total))
+    q9 = F.floor((-p * F.log(p)) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.max("c").alias("__maxc"),
+        F.min("c").alias("__minc"),
+        F.sum(q9).alias("__h9"),
+    )
+    ent = F.col("__h9").cast("double") / F.lit(1e9)
+    return agg.select(
+        "n_classes",
+        F.lit(total).cast("long").alias("n_rows"),
+        fr(F.col("__maxc").cast("double") / F.lit(float(total))).alias("majority_frac"),
+        fr(F.col("__maxc").cast("double") / F.col("__minc")).alias("imbalance_ratio"),
+        fr(ent).alias("entropy"),
+        fr(
+            F.when(F.col("n_classes") > 1, ent / F.log(F.col("n_classes").cast("double")))
+            .otherwise(F.lit(0.0))
+        ).alias("normalized_entropy"),
+    )

@@ -6825,3 +6825,37 @@ def w_event_gap_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return event_gap_profile(ev)
+
+
+@query(
+    "m_label_balance_audit",
+    """
+    WITH counts AS (
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '__null__') AS l,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           t.n AS n_rows,
+           floor(CAST(MAX(c) AS DOUBLE) / t.n * 1e6 + 0.5) / 1e6 AS majority_frac,
+           floor(CAST(MAX(c) AS DOUBLE) / MIN(c) * 1e6 + 0.5) / 1e6 AS imbalance_ratio,
+           floor(CAST(SUM(CAST(floor(
+               (-(CAST(c AS DOUBLE) / t.n) * ln(CAST(c AS DOUBLE) / t.n)) * 1e9 + 0.5
+             ) AS BIGINT)) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS entropy,
+           floor(CASE WHEN COUNT(*) > 1 THEN
+               (CAST(SUM(CAST(floor(
+                 (-(CAST(c AS DOUBLE) / t.n) * ln(CAST(c AS DOUBLE) / t.n)) * 1e9 + 0.5
+               ) AS BIGINT)) AS DOUBLE) / 1e9) / ln(CAST(COUNT(*) AS DOUBLE))
+             ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS normalized_entropy
+    FROM counts, tot t GROUP BY t.n
+    """,
+)
+def m_label_balance_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit (ml_analysis.label_balance_audit, r11) over the
+    o_orderpriority label: exact counts, integer-quantized entropy fold —
+    both engines replay the panel bit-for-bit."""
+    from workbench_spark.operators.ml_analysis import label_balance_audit
+
+    o = _t(spark, sf_dir, "orders")
+    return label_balance_audit(o, "o_orderpriority")
