@@ -25,6 +25,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # name -> why a BroadcastNestedLoopJoin is the right plan
 BNLJ_ALLOWED = {
+    "text_distinctive_terms":
+        "1-row corpus-total/vocab-size aggregate crossed into the "
+        "min_count-pruned (source, term) stream for the log-odds prior",
     "text_pmi_collocations":
         "1-row total-bigram-count aggregate crossed into the frequent-pair "
         "stream (min_count-pruned) for the PMI denominator",

@@ -6859,3 +6859,52 @@ def m_label_balance_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     return label_balance_audit(o, "o_orderpriority")
+
+
+@query(
+    "text_distinctive_terms",
+    r"""
+    WITH words AS (
+      SELECT source, UNNEST(list_filter(
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        x -> length(x) > 0)) AS term
+      FROM documents
+    ),
+    by_src AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS ysw
+               FROM words GROUP BY source, term),
+    vocab AS (SELECT term, SUM(ysw) AS yw FROM by_src GROUP BY term),
+    n_src AS (SELECT source, SUM(ysw) AS ns FROM by_src GROUP BY source),
+    tot AS (SELECT SUM(yw) AS n_all, CAST(COUNT(*) AS DOUBLE) * 0.01 AS A FROM vocab),
+    scored AS (
+      SELECT b.source, b.term, b.ysw AS term_count,
+        floor((
+          ln((CAST(b.ysw AS DOUBLE) + 0.01)
+             / (CAST(s.ns AS DOUBLE) + t.A - b.ysw - 0.01))
+          - ln((CAST(v.yw - b.ysw AS DOUBLE) + 0.01)
+               / (CAST(t.n_all - s.ns AS DOUBLE) + t.A - (v.yw - b.ysw) - 0.01))
+        ) / sqrt(1.0 / (CAST(b.ysw AS DOUBLE) + 0.01)
+                 + 1.0 / (CAST(v.yw - b.ysw AS DOUBLE) + 0.01)) * 1e6 + 0.5) / 1e6
+          AS z_score
+      FROM by_src b
+      JOIN vocab v USING (term)
+      JOIN n_src s USING (source)
+      CROSS JOIN tot t
+      WHERE b.ysw >= 5
+    )
+    SELECT source, term, term_count, z_score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY z_score DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    ORDER BY source, z_score DESC, term
+    """,
+)
+def text_distinctive_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary (text.distinctive_terms, r11):
+    Monroe 2008 Dirichlet log-odds z-scores vs the rest of the corpus,
+    top-5 per source — per-row doubles from exact integer counts, so both
+    engines score, round, and rank identically."""
+    from workbench_spark.operators.text import distinctive_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return distinctive_terms(d, k=5, alpha=0.01, min_count=5)
