@@ -1619,3 +1619,51 @@ def duplication_report(
         )
         .orderBy("cluster_size")
     )
+
+
+def cross_source_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """Cross-source exact-duplication matrix — which sources share content
+    (the between-sources contamination audit: mirrors, syndication,
+    scraped re-posts; the numbers that decide mixture weights and
+    dedup-scope choices). For every unordered source pair:
+    (source_a, source_b, n_shared_contents, n_doc_pairs) where
+    n_shared_contents counts distinct contents present in BOTH and
+    n_doc_pairs = Σ_content n_a·n_b (every cross-source duplicate pair).
+
+    ``prefix_chars`` keys on the first N normalized chars instead of the
+    full content — the boilerplate-FAMILY audit (shared headers and
+    templates across sources) when full-content overlap is rare.
+
+    Shape: per-(content-hash, source) counts (one combinable groupBy),
+    then a SELF EQUI-JOIN on the hash with source_a < source_b — linear
+    in distinct (hash, source) rows, never the C(cluster,2) doc-pair
+    explosion (the counts multiply instead)."""
+    key = normalize_text(F.col(text_col))
+    if prefix_chars is not None:
+        key = F.substring(key, 1, prefix_chars)
+    per = (
+        df.select(
+            F.md5(key).alias("__h"),
+            F.col(source_col).alias("source"),
+        )
+        .groupBy("__h", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = per.select("__h", F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = per.select("__h", F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    return (
+        a.join(b, "__h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_contents"),
+            F.sum(F.col("ca") * F.col("cb")).alias("n_doc_pairs"),
+        )
+        .orderBy("source_a", "source_b")
+    )

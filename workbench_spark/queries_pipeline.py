@@ -6908,3 +6908,32 @@ def text_distinctive_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return distinctive_terms(d, k=5, alpha=0.01, min_count=5)
+
+
+@query(
+    "dedup_cross_source_leakage",
+    r"""
+    WITH per AS (
+      SELECT md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 40)) AS h,
+             source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_contents,
+           CAST(SUM(a.c * b.c) AS BIGINT) AS n_doc_pairs
+    FROM per a JOIN per b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dedup_cross_source_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-dup matrix (dedup.cross_source_leakage, r11):
+    per-(content, source) counts self-equi-joined on the hash — shared
+    contents and doc-pair counts per source pair, both exact integers.
+    Keyed on the 40-char normalized PREFIX (the boilerplate-family key the
+    prefix-cluster entry also uses): this corpus has no FULL cross-source
+    dups, and the prefix key exercises real matches (24 source pairs at
+    sf0.01) while the operator default stays full-content."""
+    from workbench_spark.operators.dedup import cross_source_leakage
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_source_leakage(d, prefix_chars=40)
