@@ -1763,3 +1763,58 @@ def distinctive_terms(
         .drop("__rn")
         .orderBy("source", F.desc("z_score"), "term")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Corpus-level n-gram novelty per source: distinct/total word-n-gram
+    ratio — low novelty = templated/self-repetitive source (the corpus-
+    wide complement of the per-document Gopher repetition rules). Output:
+    (source, n_ngrams, n_distinct_ngrams, novelty_frac), source ascending.
+
+    One explode over adjacent n-grams (zip_with slices — the PMI/bigram
+    idiom), one groupBy(source) with exact COUNT(DISTINCT) — the novelty
+    number must be exact to compare across rounds/sources; swap to
+    approx_count_distinct at the 100 TB tier if per-source exactness ever
+    dominates (the groupBy is per-source, so state is bounded by the
+    per-source vocabulary)."""
+    from workbench_spark.operators.dedup import normalize_text
+
+    if n != 2:
+        raise NotImplementedError("word bigrams only (n=2) — the corpus signal")
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda t: F.length(t) > 0
+    )
+    with_t = df.select(F.col(source_col).alias("source"), toks.alias("__toks"))
+    grams = with_t.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice("__toks", 1, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                F.slice("__toks", 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    )
+    fr = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        grams.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.countDistinct("g").alias("n_distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "n_ngrams",
+            "n_distinct_ngrams",
+            fr(
+                F.col("n_distinct_ngrams").cast("double")
+                / F.greatest(F.col("n_ngrams"), F.lit(1)).cast("double")
+            ).alias("novelty_frac"),
+        )
+        .orderBy("source")
+    )

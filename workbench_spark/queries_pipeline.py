@@ -6937,3 +6937,36 @@ def dedup_cross_source_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return cross_source_leakage(d, prefix_chars=40)
+
+
+@query(
+    "text_ngram_novelty",
+    r"""
+    WITH w AS (
+      SELECT source, list_filter(
+        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        x -> length(x) > 0) AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT source, z[1] || ' ' || z[2] AS g FROM (
+        SELECT source, UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+        FROM w WHERE len(toks) > 1
+      )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_ngrams,
+           floor(CAST(COUNT(DISTINCT g) AS DOUBLE)
+                 / GREATEST(COUNT(*), 1) * 1e6 + 0.5) / 1e6 AS novelty_frac
+    FROM grams GROUP BY source ORDER BY source
+    """,
+)
+def text_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram novelty (text.ngram_novelty, r11): exact
+    distinct/total adjacent-bigram ratio — the corpus-wide repetition
+    signal; exact integers + floor-rounded ratio match across engines."""
+    from workbench_spark.operators.text import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_novelty(d)
