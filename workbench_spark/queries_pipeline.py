@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from workbench_spark.queries import _t, query
+from workbench_spark.queries import _ORACLES, _t, query
 
 
 def _fround(c, digits: int = 6):
@@ -6970,3 +6970,31 @@ def text_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return ngram_novelty(d)
+
+
+@query(
+    "text_lang_distribution",
+    None,  # assembled below — wraps the langid oracle as a subquery
+)
+def text_lang_distribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language mix (add_language_scores + one rollup, r11):
+    the corpus-card language table. The oracle wraps the full trigram-NB
+    replay (_langid_oracle_sql — integer micro-nat folds, argmax
+    tie-break) in a per-(source, lang) count."""
+    from workbench_spark.functions.langid import add_language_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = add_language_scores(d, text_col="text")
+    return (
+        out.groupBy("source", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "lang_pred")
+    )
+
+
+_ORACLES["text_lang_distribution"] = f"""
+    SELECT d.source, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({_langid_oracle_sql()}) p
+    JOIN documents d USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
