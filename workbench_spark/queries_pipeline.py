@@ -6998,3 +6998,42 @@ _ORACLES["text_lang_distribution"] = f"""
     JOIN documents d USING (doc_id)
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+@query("text_quality_panel", None)  # oracle assembled below from the gopher replay
+def text_quality_panel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality panel (r11): Gopher keep-rate per source — the
+    corpus-card quality column. Engine: gopher_quality_flags + one
+    (source) rollup; oracle: the full 7-rule Gopher replay
+    (text_gopher_rules' SQL) wrapped in the same rollup."""
+    from workbench_spark.operators.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(d)
+    fr = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("gopher_keep").cast("long")).alias("n_keep"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            fr(F.col("n_keep").cast("double") / F.col("n_docs")).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLES["text_quality_panel"] = f"""
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.gopher_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           floor(CAST(SUM(CASE WHEN g.gopher_keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS keep_rate
+    FROM ({_ORACLES["text_gopher_rules"]}) g
+    JOIN documents d USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+"""
