@@ -7037,3 +7037,43 @@ _ORACLES["text_quality_panel"] = f"""
     JOIN documents d USING (doc_id)
     GROUP BY 1 ORDER BY 1
 """
+
+
+@query(
+    "text_pii_density_by_source",
+    r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+             AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_ipv4,
+           floor(CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS DOUBLE)
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS emails_per_doc
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def text_pii_density_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII density (r11): the privacy column of the corpus
+    card — email/IPv4 match counts per source (add_pii_counts' portable
+    Java∩RE2 regexes), with the per-doc email rate floor-rounded."""
+    from workbench_spark.operators.text import add_pii_counts
+
+    d = _t(spark, sf_dir, "documents")
+    c = add_pii_counts(d)
+    fr = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pii_email").cast("long").alias("n_emails"),
+            F.sum("pii_ipv4").cast("long").alias("n_ipv4"),
+        )
+        .select(
+            "source", "n_docs", "n_emails", "n_ipv4",
+            fr(F.col("n_emails").cast("double") / F.col("n_docs")).alias("emails_per_doc"),
+        )
+        .orderBy("source")
+    )
