@@ -147,7 +147,7 @@ def recover_truncated_record(tail: str) -> dict | None:
 
 def compute_delta(
     prev: dict, prev_file: str, total: float, sf_val, calibration: dict,
-    timings: dict | None = None,
+    timings: dict | None = None, timings_extra: dict | None = None,
 ):
     """Round-over-round delta block, raw + box-drift-normalized.
 
@@ -157,6 +157,13 @@ def compute_delta(
     delta_normalized = total - prev_total * f -- the part of the raw delta
     NOT explained by machine drift. None-normalized when the prior round
     predates the calibration probes.
+
+    Also emits ``per_query``: for every query (headline + extras) present
+    in BOTH rounds, {prev, raw, delta_raw, delta_normalized} — so a
+    per-query perf claim ("pagerank -28%") is verifiable from driver
+    artifacts across two drifty rounds, not just the total. ``per_query``
+    is SIDEcar-only (BENCH_DETAIL.json): main() strips it from the printed
+    line, which must stay under the driver's 2000-char stdout window.
 
     When the prior record was truncated by the driver's 2000-char stdout
     tail (parsed=null), both totals are recomputed over the COMMON headline
@@ -201,6 +208,19 @@ def compute_delta(
         out["delta_normalized_sec"] = round(
             this_total - float(prev_val) * f_drift, 4
         )
+        this_q = {**(timings or {}), **(timings_extra or {})}
+        prev_q = {**(prev.get("queries") or {}), **(prev.get("queries_extra") or {})}
+        per = {}
+        for k in sorted(set(this_q) & set(prev_q)):
+            pv, tv = float(prev_q[k]), float(this_q[k])
+            per[k] = {
+                "prev": pv,
+                "raw": tv,
+                "delta_raw": round(tv - pv, 4),
+                "delta_normalized": round(tv - pv * f_drift, 4),
+            }
+        if per:
+            out["per_query"] = per
     else:
         out["drift_factor"] = None
         out["delta_normalized_sec"] = None
@@ -445,6 +465,7 @@ def main() -> None:
             prev_delta = compute_delta(
                 json.load(open(prior[-1])), os.path.basename(prior[-1]),
                 total, sf_val, calibration, timings=timings,
+                timings_extra=timings_extra,
             )
     except Exception:
         prev_delta = None
@@ -475,6 +496,12 @@ def main() -> None:
     line_rec["calibration"] = {
         k: v for k, v in calibration.items() if k not in ("pre", "post")
     }
+    # per-query deltas are sidecar-only: ~40 queries x 4 numbers would blow
+    # the 2000-char stdout window the driver records
+    if isinstance(prev_delta, dict) and "per_query" in prev_delta:
+        line_rec["same_harness_delta"] = {
+            k: v for k, v in prev_delta.items() if k != "per_query"
+        }
     line = json.dumps(line_rec, separators=(",", ":"))
     if len(line) > 1900:
         keep = dict(

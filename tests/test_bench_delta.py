@@ -170,3 +170,62 @@ def test_recover_arbitrary_truncation_never_crashes():
             assert cal["spark_cpu_sec"] == 0.41  # merged, never pre/post
 
     run()
+
+# --- r12: per-query drift-normalized deltas (sidecar-only) ---
+
+
+def test_per_query_normalized_deltas():
+    """Every query present in BOTH rounds gets {prev, raw, delta_raw,
+    delta_normalized}; normalization uses the same drift factor as the
+    total, and queries present on only one side are skipped."""
+    prev = {
+        "value": 8.0,
+        "sf": 0.1,
+        "harness": {"version": HARNESS["version"]},
+        "calibration": {"spark_cpu_sec": 0.40},
+        "queries": {"q1": 1.0, "q_gone": 0.5},
+        "queries_extra": {"pagerank": 2.0},
+    }
+    timings = {"q1": 1.25, "q_new": 0.3}
+    extras = {"pagerank": 2.0}
+    d = compute_delta(
+        prev, "BENCH_r11.json", 10.0, 0.1, CAL,
+        timings=timings, timings_extra=extras,
+    )
+    assert d["drift_factor"] == 1.25
+    per = d["per_query"]
+    # only the intersection; headline + extras both covered
+    assert set(per) == {"q1", "pagerank"}
+    # q1: 25% slower raw on a 25% slower box -> normalized ~0
+    assert per["q1"]["prev"] == 1.0 and per["q1"]["raw"] == 1.25
+    assert per["q1"]["delta_raw"] == 0.25
+    assert abs(per["q1"]["delta_normalized"]) < 1e-9
+    # pagerank: flat raw on a 25% slower box -> a TRUE 0.5s-equivalent win
+    assert per["pagerank"]["delta_raw"] == 0.0
+    assert abs(per["pagerank"]["delta_normalized"] - (2.0 - 2.0 * 1.25)) < 1e-9
+
+
+def test_per_query_absent_without_prior_probe():
+    """No prior calibration -> no per_query block (nothing to normalize)."""
+    prev = {
+        "value": 8.0, "sf": 0.1,
+        "harness": {"version": HARNESS["version"]},
+        "queries": {"q1": 1.0},
+    }
+    d = compute_delta(prev, "BENCH_r09.json", 9.0, 0.1, CAL, timings={"q1": 1.1})
+    assert "per_query" not in d
+
+
+def test_per_query_from_truncated_prev():
+    """Per-query deltas also work off a tail-recovered prior record."""
+    prev_wrapper = {"tail": _R10_STYLE_TAIL, "parsed": None, "sf": 0.1}
+    timings = {"q3_top": 0.88}
+    extras = {"text_nb": 3.86}
+    cal = {"spark_cpu_sec": 0.4118}  # identical box speed
+    d = compute_delta(
+        prev_wrapper, "BENCH_r10.json", 9.0, 0.1, cal,
+        timings=timings, timings_extra=extras,
+    )
+    per = d["per_query"]
+    assert per["q3_top"]["delta_raw"] == 0.08
+    assert per["text_nb"]["delta_normalized"] == 0.0

@@ -342,6 +342,36 @@ def test_minhash_star_with_threshold_warns(spark, docs):
         minhash_lsh_pairs(docs, pair_mode="star", verify_threshold=0.5)
 
 
+def test_star_with_threshold_strict_raises(spark, docs):
+    """r12: strict mode (kwarg or spark.workbench.dedup.strict conf)
+    upgrades the star+threshold warning to a ValueError, mirroring the
+    on_overflow='raise' precedent — warning-suppressing pipelines can't
+    silently lose CC equality."""
+    from workbench_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    with pytest.raises(ValueError, match="VOIDS the connected-components"):
+        minhash_lsh_pairs(docs, pair_mode="star", verify_threshold=0.5, strict=True)
+    with pytest.raises(ValueError, match="VOIDS the connected-components"):
+        simhash_near_pairs(docs, pair_mode="star", max_hamming=3, strict=True)
+    # conf-driven strict, no kwarg at the call site
+    spark.conf.set("spark.workbench.dedup.strict", "true")
+    try:
+        with pytest.raises(ValueError, match="strict mode"):
+            minhash_lsh_pairs(docs, pair_mode="star", verify_threshold=0.5)
+        # explicit strict=False overrides the conf back to a warning
+        with pytest.warns(UserWarning, match="VOIDS the connected-components"):
+            minhash_lsh_pairs(
+                docs, pair_mode="star", verify_threshold=0.5, strict=False
+            )
+        # the safe regime never trips strict mode
+        minhash_lsh_pairs(docs, pair_mode="star", verify_threshold=None)
+    finally:
+        spark.conf.unset("spark.workbench.dedup.strict")
+
+
 def test_simhash_star_threshold_free_no_warning(spark, docs):
     """The safe regime (max_hamming >= total bits) stays silent."""
     import warnings

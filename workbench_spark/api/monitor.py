@@ -343,16 +343,56 @@ class Monitor:
             os.remove(self.schedule_json_file)
 
     # ---------------------------------------------------------- executions
+    def _capture_watermark(self) -> int:
+        """High-water mark (st_mtime_ns) of capture files already analyzed
+        by a prior execution; -1 if none. Stored on each successful
+        execution record so the scan stays bounded by traffic since the
+        last run instead of re-reading the whole capture history."""
+        wm = -1
+        for r in self._executions():
+            wm = max(wm, int(r.get("capture_watermark_ns", -1)))
+        return wm
+
+    def _new_capture_files(self, watermark_ns: int) -> tuple[list[str], int]:
+        """Capture data files strictly newer than the watermark, plus the
+        new high-water mark. Spark's JSON append writes part files (and
+        _SUCCESS markers) directly into capture_dir."""
+        files: list[str] = []
+        new_wm = watermark_ns
+        for fn in os.listdir(self.capture_dir):
+            if fn.startswith(("_", ".")) or fn.endswith(".crc"):
+                continue
+            path = os.path.join(self.capture_dir, fn)
+            if not os.path.isfile(path):
+                continue
+            m = os.stat(path).st_mtime_ns
+            if m > watermark_ns:
+                files.append(path)
+                new_wm = max(new_wm, m)
+        return sorted(files), new_wm
+
     def run_monitoring_execution(
-        self, psi_threshold: float = 0.2, ks_threshold: float = 0.2, bins: int = 10
+        self,
+        psi_threshold: float = 0.2,
+        ks_threshold: float = 0.2,
+        bins: int = 10,
+        incremental: bool = True,
     ) -> dict:
         """The scheduled monitoring job's body: captured rows vs the
         baseline constraints. Violations mirror the Model-Monitor kinds —
-        completeness drop, out-of-bounds values, plus PSI/KS distribution
-        drift per numeric feature (operators/drift.py). Appends an
-        execution record (status, violations) for get_monitoring_results().
+        missing_column / extra_column schema drift, completeness drop,
+        out-of-bounds values, plus PSI/KS distribution drift per numeric
+        feature (operators/drift.py). Appends an execution record (status,
+        violations) for get_monitoring_results().
 
-        Every check is a Spark aggregation over the capture dir; only
+        ``incremental=True`` (default) analyzes only capture files newer
+        than the last execution's high-water mark (st_mtime_ns, recorded
+        on each execution record), so the pass is bounded by traffic since
+        the last run — prior rounds' out-of-distribution traffic is never
+        re-flagged and the scan cost doesn't grow with capture history.
+        ``incremental=False`` re-analyzes the full capture dir.
+
+        Every check is a Spark aggregation over the capture files; only
         per-column scalar stats reach the driver."""
         scheduled = time.time()
         record = {
@@ -369,12 +409,19 @@ class Monitor:
         if not os.path.exists(self.capture_dir):
             record.update(status="Failed", failure_reason="Job inputs had no data")
             return self._append_execution(record)
-        captured = self.spark.read.json(self.capture_dir)
+        wm = self._capture_watermark() if incremental else -1
+        files, new_wm = self._new_capture_files(wm)
+        if not files:
+            record.update(status="Failed", failure_reason="Job inputs had no data")
+            return self._append_execution(record)
+        captured = self.spark.read.json(files)
         n = captured.count()
         if n == 0:
             record.update(status="Failed", failure_reason="Job inputs had no data")
             return self._append_execution(record)
         record["captured_rows"] = n
+        record["capture_files"] = len(files)
+        record["capture_watermark_ns"] = new_wm
 
         from workbench_spark.operators.drift import ks_by_feature, psi_by_feature
 
@@ -387,6 +434,30 @@ class Monitor:
                     "feature": c,
                     "constraint_check_type": "missing_column_check",
                     "description": "baseline feature absent from captured data",
+                }
+            )
+        # extra_column_check (the other half of the Model-Monitor schema
+        # pair): captured columns that are neither baseline features nor
+        # expected inference outputs. The Endpoint capture legitimately
+        # carries target/prediction/residual columns; more can be
+        # allowlisted via monitoring_config.allowed_extra_columns.
+        allowed_extra = {"prediction", "prediction_idx", "residual"}
+        allowed_extra.update(
+            (constraints.get("monitoring_config") or {}).get(
+                "allowed_extra_columns", []
+            )
+            or []
+        )
+        try:
+            allowed_extra.add(self._model().meta().get("target"))
+        except Exception:
+            pass  # no model meta (e.g. synthetic capture in tests) — skip
+        for c in sorted(set(captured.columns) - set(feats_all) - allowed_extra):
+            record["violations"].append(
+                {
+                    "feature": c,
+                    "constraint_check_type": "extra_column_check",
+                    "description": "captured column absent from baseline",
                 }
             )
         feats = {
@@ -427,8 +498,20 @@ class Monitor:
                 r["feature"]: r["ks"]
                 for r in ks_by_feature(baseline, captured, bounds, 1000).collect()
             }
-        for c, spec in feats.items():
+        record["feature_stats"] = []
+        for c, spec in sorted(feats.items()):
             completeness = (row[f"__nn_{c}"] or 0) / n
+            # per-feature constraint-check statistics (the reference
+            # execution details carry these alongside the violations)
+            record["feature_stats"].append(
+                {
+                    "feature": c,
+                    "completeness": completeness,
+                    "oob": (row[f"__oob_{c}"] or 0) if "lower_bound" in spec else 0,
+                    "psi": psi_map.get(c),
+                    "ks": ks_map.get(c),
+                }
+            )
             if completeness < spec.get("completeness", 0.0):
                 record["violations"].append(
                     {

@@ -432,6 +432,23 @@ def _band_hash_sql(bands: int, r: int) -> str:
     )
 
 
+def _star_threshold_guard(message: str, df: DataFrame, strict: bool | None) -> None:
+    """The star+threshold footgun gate: warn by default, raise in strict
+    mode (mirroring embedding_near_dup_pairs' on_overflow='raise'
+    precedent) so warning-suppressing pipelines can't silently lose the
+    CC-equality guarantee. strict=None reads the session conf
+    ``spark.workbench.dedup.strict`` (default false)."""
+    if strict is None:
+        strict = str(
+            df.sparkSession.conf.get("spark.workbench.dedup.strict", "false")
+        ).lower() in ("true", "1")
+    if strict:
+        raise ValueError(message + " (strict mode: spark.workbench.dedup.strict)")
+    import warnings
+
+    warnings.warn(message, stacklevel=3)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -442,6 +459,7 @@ def minhash_lsh_pairs(
     verify_threshold: float | None = 0.5,
     persist_signatures: bool = False,
     pair_mode: str = "all",
+    strict: bool | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs: split the signature into
     ``bands`` bands of r = n_hashes/bands rows; docs matching on any whole
@@ -479,17 +497,17 @@ def minhash_lsh_pairs(
         # member clears the threshold against another member but not
         # against the hub (provably splits on the test corpus — see
         # dedup_star_invariants). Loud, because a silent lossier pair set
-        # is exactly the failure mode star was built to avoid.
-        import warnings
-
-        warnings.warn(
+        # is exactly the failure mode star was built to avoid; strict mode
+        # (kwarg or spark.workbench.dedup.strict) upgrades it to an error.
+        _star_threshold_guard(
             "minhash_lsh_pairs(pair_mode='star', verify_threshold="
             f"{verify_threshold}): filtering star (hub) edges VOIDS the "
             "connected-components equality guarantee — a member can split "
             "off even though it chains through other members. For CC/dedup "
             "consumers use verify_threshold=None; for scored pairs use "
             "pair_mode='all'.",
-            stacklevel=2,
+            df,
+            strict,
         )
     r = n_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, n_hashes, shingle_n)
@@ -908,6 +926,7 @@ def simhash_near_pairs(
     n_bands: int = 4,
     portable: bool = False,
     pair_mode: str = "all",
+    strict: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using the
     pigeonhole banding trick: split the signature bits into n_bands blocks
@@ -938,17 +957,17 @@ def simhash_near_pairs(
     if pair_mode == "star" and max_hamming < total_bits:
         # same footgun as minhash star+verify_threshold: a hamming cap on
         # hub edges voids the CC-equality guarantee (safe regime is
-        # max_hamming >= total_bits, i.e. threshold-free)
-        import warnings
-
-        warnings.warn(
+        # max_hamming >= total_bits, i.e. threshold-free); strict mode
+        # upgrades the warning to an error
+        _star_threshold_guard(
             f"simhash_near_pairs(pair_mode='star', max_hamming={max_hamming}"
             f" < {total_bits} bits): filtering star (hub) edges VOIDS the "
             "connected-components equality guarantee — a member can split "
             "off even though it chains through other members. For CC/dedup "
             f"consumers use max_hamming={total_bits}; for scored pairs use "
             "pair_mode='all'.",
-            stacklevel=2,
+            df,
+            strict,
         )
     width = total_bits // n_bands
     sh = (

@@ -55,8 +55,17 @@ def psi(
         F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(eps)).alias("p"),
         F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(eps)).alias("q"),
     )
-    return j.agg(
-        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi")
+    # Same integer pico-unit term quantization as psi_by_feature: the sum
+    # is commutative in any partitioning and bit-identical in DuckDB
+    # (terms are ≥ 0 and ≤ ln(1/eps) ≈ 13.8, so no overflow).
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return j.select(term.alias("__term")).agg(
+        (
+            F.sum(F.floor(F.col("__term") * F.lit(1e12) + F.lit(0.5)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(1e12)
+        ).alias("psi")
     )
 
 
@@ -232,8 +241,20 @@ def psi_by_feature(
             ).alias("q"),
         )
     )
-    return j.groupBy("feature").agg(
-        F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias("psi")
+    # Cross-row float sum → quantize each per-bucket term to integer
+    # pico-units and SUM the integers (commutative in any partitioning,
+    # bit-identical in DuckDB — the micro-nat pattern). Terms are ≥ 0
+    # ((p−q) and ln(p/q) share sign), bounded by ln(1/eps) ≈ 13.8, so
+    # term·1e12 < 2^53 and the BIGINT sum can't overflow at any bins.
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    withterm = j.select("feature", term.alias("__term"))
+    return withterm.groupBy("feature").agg(
+        (
+            F.sum(F.floor(F.col("__term") * F.lit(1e12) + F.lit(0.5)).cast("long")).cast(
+                "double"
+            )
+            / F.lit(1e12)
+        ).alias("psi")
     )
 
 

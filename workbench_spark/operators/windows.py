@@ -306,6 +306,7 @@ def event_gap_profile(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
+    id_col: str | None = "event_id",
 ) -> DataFrame:
     """Inter-arrival-time profile per event type — the ops-analytics panel
     behind rate alerting and sessionization-gap tuning: for each type,
@@ -323,16 +324,20 @@ def event_gap_profile(
     type ascending."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # Tiebreak the per-user ordering on id_col: two equal-ts events would
+    # otherwise make gap-to-type attribution engine/partition-dependent
+    # (the gap is attributed to the LATER event's type).
+    tie = [F.col("__id")] if id_col is not None and id_col in df.columns else []
     lagged = df.select(
         F.col(type_col).alias("event_type"),
         F.col(ts_col).cast("double").alias("__t"),
         F.col(user_col).alias("__u"),
+        *([F.col(id_col).alias("__id")] if tie else []),
     ).withColumn(
         "__gap",
         F.col("__t")
         - F.lag(F.col("__t")).over(
-            Window.partitionBy("__u").orderBy("__t")
+            Window.partitionBy("__u").orderBy(F.col("__t"), *tie)
         ),
     )
     gaps = lagged.filter(F.col("__gap").isNotNull())

@@ -866,7 +866,8 @@ def a15_cls_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              GREATEST(COALESCE(CAST(q.c AS DOUBLE) / (SELECT SUM(c) FROM q), 0.0), 1e-6) AS qf
       FROM p FULL JOIN q ON p.bucket = q.bucket
     )
-    SELECT ROUND(SUM((pf - qf) * LN(pf / qf)), 6) AS psi FROM j
+    SELECT floor(CAST(SUM(CAST(floor((pf - qf) * LN(pf / qf) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e12 * 1e6 + 0.5) / 1e6 AS psi FROM j
     """,
 )
 def a17_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,7 +879,7 @@ def a17_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.col("user_id") % 2 == 0)
     cur = ev.filter(F.col("user_id") % 2 == 1)
     return psi(ref, cur, "value", 0.0, 100.0, 10).select(
-        F.round("psi", 6).alias("psi")
+        (F.floor(F.col("psi") * 1e6 + 0.5) / 1e6).alias("psi")
     )
 
 

@@ -6490,7 +6490,9 @@ _DRIFT_BOUNDS = {
 
 def _psi_feature_cte(col: str, lo: float, hi: float, bins: int) -> str:
     return f"""
-    SELECT '{col}' AS feature, ROUND(SUM((pf - qf) * LN(pf / qf)), 6) AS psi FROM (
+    SELECT '{col}' AS feature,
+           floor(CAST(SUM(CAST(floor((pf - qf) * LN(pf / qf) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e12 * 1e6 + 0.5) / 1e6 AS psi FROM (
       SELECT GREATEST(COALESCE(CAST(p.c AS DOUBLE) / (SELECT SUM(c) FROM p_{col} ), 0.0), 1e-6) AS pf,
              GREATEST(COALESCE(CAST(q.c AS DOUBLE) / (SELECT SUM(c) FROM q_{col} ), 0.0), 1e-6) AS qf
       FROM p_{col} p FULL JOIN q_{col} q ON p.bucket = q.bucket
@@ -6534,7 +6536,9 @@ def drift_psi_by_feature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = li.filter(F.col("l_orderkey") % 2 == 0)
     cur = li.filter(F.col("l_orderkey") % 2 == 1)
     out = psi_by_feature(ref, cur, _DRIFT_BOUNDS, bins=10)
-    return out.select("feature", F.round("psi", 6).alias("psi"))
+    return out.select(
+        "feature", (F.floor(F.col("psi") * 1e6 + 0.5) / 1e6).alias("psi")
+    )
 
 
 def _drift_ks_oracle_sql(bins: int = 100) -> str:
@@ -6587,6 +6591,198 @@ def drift_ks_by_feature_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = li.filter(F.col("l_orderkey") % 2 == 1)
     out = ks_by_feature(ref, cur, _DRIFT_BOUNDS, bins=100)
     return out.select("feature", F.round("ks", 6).alias("ks"))
+
+
+# =====================================================================
+# Monitor lifecycle, end-to-end (r12 — the §2.11 scheduled-job chain)
+# =====================================================================
+
+_MON_FEATS = ["l_discount", "l_extendedprice", "l_quantity"]
+_MON_PSI_THR = 0.0012345
+_MON_KS_THR = 0.0012345
+
+
+def _monitor_e2e_oracle_sql() -> str:
+    """Replays the full Monitor execution in one DuckDB query: baseline
+    bounds = even-orderkey min/max per feature (create_baseline's
+    constraints), capture = odd-orderkey traffic, then per feature the
+    completeness, out-of-bounds count, 10-bin PSI (pico-quantized fold)
+    and 1000-bin KS the execution computes, the violation flags at the
+    entry's thresholds, and the alert decision (violation_threshold=1)."""
+    ctes, selects = [], []
+    for c in _MON_FEATS:
+        ctes.append(
+            f"""b_{c} AS (
+      SELECT MIN({c}) AS lo, MAX({c}) AS hi,
+             (MAX({c}) - MIN({c})) / 10 AS w10,
+             (MAX({c}) - MIN({c})) / 1000 AS w1000
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ),
+    p10_{c} AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR(({c} - b.lo) / b.w10) AS INT))) AS bucket,
+             COUNT(*) AS c
+      FROM lineitem, b_{c} b WHERE l_orderkey % 2 = 0 AND {c} IS NOT NULL GROUP BY 1
+    ),
+    q10_{c} AS (
+      SELECT LEAST(9, GREATEST(0, CAST(FLOOR(({c} - b.lo) / b.w10) AS INT))) AS bucket,
+             COUNT(*) AS c
+      FROM lineitem, b_{c} b WHERE l_orderkey % 2 = 1 AND {c} IS NOT NULL GROUP BY 1
+    ),
+    psi_{c} AS (
+      SELECT CAST(SUM(CAST(floor((pf - qf) * LN(pf / qf) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e12 AS psi_raw FROM (
+        SELECT GREATEST(COALESCE(CAST(p.c AS DOUBLE) / (SELECT SUM(c) FROM p10_{c}), 0.0), 1e-6) AS pf,
+               GREATEST(COALESCE(CAST(q.c AS DOUBLE) / (SELECT SUM(c) FROM q10_{c}), 0.0), 1e-6) AS qf
+        FROM p10_{c} p FULL JOIN q10_{c} q ON p.bucket = q.bucket
+      )
+    ),
+    kp_{c} AS (
+      SELECT LEAST(999, GREATEST(0, CAST(FLOOR(({c} - b.lo) / b.w1000) AS INT))) AS bucket,
+             COUNT(*) AS c
+      FROM lineitem, b_{c} b WHERE l_orderkey % 2 = 0 AND {c} IS NOT NULL GROUP BY 1
+    ),
+    kq_{c} AS (
+      SELECT LEAST(999, GREATEST(0, CAST(FLOOR(({c} - b.lo) / b.w1000) AS INT))) AS bucket,
+             COUNT(*) AS c
+      FROM lineitem, b_{c} b WHERE l_orderkey % 2 = 1 AND {c} IS NOT NULL GROUP BY 1
+    ),
+    kj_{c} AS (
+      SELECT COALESCE(p.bucket, q.bucket) AS bucket,
+             COALESCE(p.c, 0) AS pc, COALESCE(q.c, 0) AS qc
+      FROM kp_{c} p FULL JOIN kq_{c} q ON p.bucket = q.bucket
+    ),
+    kc_{c} AS (
+      SELECT SUM(pc) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cp,
+             SUM(qc) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cq,
+             (SELECT SUM(pc) FROM kj_{c}) AS tp,
+             (SELECT SUM(qc) FROM kj_{c}) AS tq
+      FROM kj_{c}
+    ),
+    ks_{c} AS (
+      SELECT MAX(ABS(CAST(cp AS DOUBLE) / tp - CAST(cq AS DOUBLE) / tq)) AS ks_raw
+      FROM kc_{c}
+    ),
+    cap_{c} AS (
+      SELECT CAST(SUM(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS comp,
+             CAST(SUM(CASE WHEN {c} < (SELECT lo FROM b_{c})
+                             OR {c} > (SELECT hi FROM b_{c})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_oob
+      FROM lineitem WHERE l_orderkey % 2 = 1
+    )"""
+        )
+        selects.append(
+            f"""
+      SELECT '{c}' AS feature, cap_{c}.comp, cap_{c}.n_oob,
+             psi_{c}.psi_raw, ks_{c}.ks_raw
+      FROM cap_{c}, psi_{c}, ks_{c}"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + ",\n    panel AS ("
+        + "\n      UNION ALL".join(selects)
+        + f""")
+    SELECT feature, comp AS completeness, n_oob,
+           floor(psi_raw * 1e6 + 0.5) / 1e6 AS psi,
+           floor(ks_raw * 1e6 + 0.5) / 1e6 AS ks,
+           n_oob > 0 AS oob_violation,
+           psi_raw > {_MON_PSI_THR!r} AS psi_violation,
+           ks_raw > {_MON_KS_THR!r} AS ks_violation,
+           t.n_violations,
+           t.n_violations >= 1 AS alerted
+    FROM panel, (
+      SELECT CAST(SUM(
+        CASE WHEN comp < 1.0 THEN 1 ELSE 0 END
+        + CASE WHEN n_oob > 0 THEN 1 ELSE 0 END
+        + CASE WHEN psi_raw > {_MON_PSI_THR!r} THEN 1 ELSE 0 END
+        + CASE WHEN ks_raw > {_MON_KS_THR!r} THEN 1 ELSE 0 END
+      ) AS BIGINT) AS n_violations FROM panel
+    ) t
+    ORDER BY feature"""
+    )
+
+
+@query("pipeline_monitor_end_to_end", _monitor_e2e_oracle_sql())
+def pipeline_monitor_e2e_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitor lifecycle end-to-end (api/monitor.py — reference
+    api/monitor.py + monitor_core.py), fully DuckDB-oracled: register a
+    model/endpoint in a throwaway warehouse, create_baseline() from the
+    even-orderkey lineitem half (stats + constraints via the A5 one-pass),
+    capture odd-orderkey traffic (streaming/monitor.capture_inference —
+    the real JSON capture contract, so the JSON round-trip is under
+    test too), run_monitoring_execution() (completeness + bounds +
+    fused PSI/KS drift), and read back the per-feature execution panel,
+    violation flags, and the alert decision. The oracle replays every
+    number from the raw parquet. Driver-side work is O(features) — the
+    execution record the Monitor API returns by contract."""
+    import math
+    import shutil
+    import tempfile
+
+    from workbench_spark.api.monitor import Monitor
+    from workbench_spark.api.registry import Registry
+    from workbench_spark.streaming.monitor import capture_inference
+
+    wh = tempfile.mkdtemp(prefix="wb_mon_e2e_")
+    try:
+        reg = Registry(wh)
+        reg.upsert_meta(
+            "mon_model",
+            {
+                "artifact_type": "model",
+                "features": list(_MON_FEATS),
+                "target": "l_tax",
+                "model_type": "regressor",
+            },
+        )
+        reg.upsert_meta(
+            "mon_model_end",
+            {
+                "artifact_type": "endpoint",
+                "model": "mon_model",
+                "alerts": {"violation_threshold": 1, "email": "ops@example.com"},
+            },
+        )
+        mon = Monitor("mon_model_end", spark=spark, warehouse=wh)
+        li = _t(spark, sf_dir, "lineitem")
+        mon.create_baseline(baseline_df=li.filter(F.col("l_orderkey") % 2 == 0))
+        traffic = li.filter(F.col("l_orderkey") % 2 == 1).select(
+            *_MON_FEATS,
+            F.col("l_tax"),
+            (F.col("l_extendedprice") * F.lit(0.9)).alias("prediction"),
+        )
+        capture_inference(traffic, mon.capture_dir)
+        rec = mon.run_monitoring_execution(
+            psi_threshold=_MON_PSI_THR, ks_threshold=_MON_KS_THR
+        )
+        assert rec["status"] in ("Completed", "CompletedWithViolations"), rec
+        vio = {(v["feature"], v["constraint_check_type"]) for v in rec["violations"]}
+        alerted = len(mon.alerts()) > 0
+        f6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        rows = [
+            (
+                fs["feature"],
+                float(fs["completeness"]),
+                int(fs["oob"]),
+                f6(fs["psi"]),
+                f6(fs["ks"]),
+                (fs["feature"], "baseline_drift_check") in vio,
+                (fs["feature"], "psi_drift_check") in vio,
+                (fs["feature"], "ks_drift_check") in vio,
+                len(rec["violations"]),
+                alerted,
+            )
+            for fs in rec["feature_stats"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "feature string, completeness double, n_oob bigint, psi double, "
+            "ks double, oob_violation boolean, psi_violation boolean, "
+            "ks_violation boolean, n_violations bigint, alerted boolean",
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
 
 
 @query(
@@ -6804,7 +7000,7 @@ def text_pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH lagged AS (
       SELECT event_type,
-             epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts)) AS gap
+             epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS gap
       FROM events
     )
     SELECT event_type,

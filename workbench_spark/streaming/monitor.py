@@ -356,12 +356,18 @@ def stream_windowed_drift(
     q_frac = [
         F.greatest(F.col(f"__b{i}") / F.col("n"), F.lit(eps)) for i in range(bins)
     ]
-    psi_expr = sum(
-        (
-            (F.lit(p[i]) - q_frac[i]) * F.log(F.lit(p[i]) / q_frac[i])
-            for i in range(1, bins)
-        ),
-        (F.lit(p[0]) - q_frac[0]) * F.log(F.lit(p[0]) / q_frac[0]),
+    # Same integer pico-unit term quantization as batch drift.psi — the
+    # streaming values stay bit-identical to the batch oracle twin.
+    _q = lambda t: F.floor(t * F.lit(1e12) + F.lit(0.5)).cast("long")  # noqa: E731
+    psi_expr = (
+        sum(
+            (
+                _q((F.lit(p[i]) - q_frac[i]) * F.log(F.lit(p[i]) / q_frac[i]))
+                for i in range(1, bins)
+            ),
+            _q((F.lit(p[0]) - q_frac[0]) * F.log(F.lit(p[0]) / q_frac[0])),
+        ).cast("double")
+        / F.lit(1e12)
     )
     return agg.select(
         F.col("win.start").alias("window_start"),
