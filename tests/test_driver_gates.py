@@ -51,6 +51,9 @@ ALLOWED: dict[tuple[str, str], str] = {
         "O(feature-count) mean-|shap| aggregate",
     ("operators/similarity.py", "cosine_knn_blas"):
         "reached only behind driver_matrix_check (byte-bounded)",
+    ("operators/kmeans_exact.py", "kmeans_fixed_point"):
+        "k-row bounded model state (init pick + per-iteration centroid "
+        "sums, k <= 4096) — the dsir k·B / pq_train codebook precedent",
     ("operators/similarity.py", "pq_train"):
         "deterministic codebook-training sample (orderBy+limit sample_n), "
         "gated by driver_matrix_check before the pull — FAISS-style "

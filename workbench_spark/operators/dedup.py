@@ -1452,6 +1452,9 @@ def semdedup(
     n_clusters: int = 16,
     eps: float = 0.05,
     seed: int = 42,
+    exact: bool = False,
+    dim: int | None = None,
+    iters: int = 3,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication via cluster-scoped embedding similarity. K-means
@@ -1473,42 +1476,85 @@ def semdedup(
     CC (tiny diameters here); the keep-rule is one min(struct) per
     component. Seeded k-means ⇒ rows-only correctness gate + invariant
     companions (same convention as knn_cosine_ivf).
+    ``exact=True`` (r12) swaps the MLlib clusterer for the fixed-point
+    integer Lloyd twin (operators/kmeans_exact.py — requires ``dim``):
+    clusters and centroid_sim become engine-portable (centroid_sim is the
+    cosine between the normalized integer vector and its integer centroid
+    — marginality semantics preserved, values differ from MLlib mode),
+    which upgrades the registry entry to a full DuckDB-replay oracle.
+    Pair search, CC, and the keep-rule are shared between both modes.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from workbench_spark.operators.graph import connected_components
     from workbench_spark.operators.similarity import _dot, _norm
 
-    vecs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("__n"),
-    ).withColumn(
-        "__mlvec", array_to_vector(F.transform("v", lambda x: x.cast("double")))
-    )
-    km = KMeans(
-        k=n_clusters, seed=seed, featuresCol="__mlvec", predictionCol="cluster"
-    ).fit(vecs)
-    assigned = km.transform(vecs).drop("__mlvec")
+    if exact:
+        if dim is None:
+            raise ValueError("exact=True requires dim (quantization width)")
+        from workbench_spark.operators.kmeans_exact import (
+            kmeans_fixed_point,
+            quantize_array_col,
+        )
 
-    spark = df.sparkSession
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
-        "cluster int, __c array<double>",
-    ).withColumn(
-        "__cn",
-        F.sqrt(F.aggregate("__c", F.lit(0.0), lambda a, x: a + x * x)),
-    )
-    with_sim = assigned.join(F.broadcast(cents), "cluster").select(
-        "cluster",
-        "id",
-        "v",
-        "__n",
-        (_dot(F.col("v"), F.col("__c")) / (F.col("__n") * F.col("__cn"))).alias(
-            "centroid_sim"
-        ),
-    )
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("__n"),
+        )
+        z = quantize_array_col(base, "v", dim)
+        assigned_x, cents_x = kmeans_fixed_point(z, k=n_clusters, iters=iters)
+        # this row's centroid via a literal array-of-arrays lookup (k small)
+        cvec = F.element_at(
+            F.array(
+                *[F.array(*[F.lit(int(x)).cast("long") for x in c]) for c in cents_x]
+            ),
+            F.col("__cell") + 1,
+        )
+        cnorm = F.element_at(
+            F.array(*[F.lit(float(sum(x * x for x in c)) ** 0.5) for c in cents_x]),
+            F.col("__cell") + 1,
+        )
+        with_sim = assigned_x.select(
+            F.col("__cell").alias("cluster"),
+            "id",
+            "v",
+            "__n",
+            (_dot(F.col("__zq"), cvec) / (_norm(F.col("__zq")) * cnorm)).alias(
+                "centroid_sim"
+            ),
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("__n"),
+        ).withColumn(
+            "__mlvec", array_to_vector(F.transform("v", lambda x: x.cast("double")))
+        )
+        km = KMeans(
+            k=n_clusters, seed=seed, featuresCol="__mlvec", predictionCol="cluster"
+        ).fit(vecs)
+        assigned = km.transform(vecs).drop("__mlvec")
+
+        spark = df.sparkSession
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+            "cluster int, __c array<double>",
+        ).withColumn(
+            "__cn",
+            F.sqrt(F.aggregate("__c", F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        with_sim = assigned.join(F.broadcast(cents), "cluster").select(
+            "cluster",
+            "id",
+            "v",
+            "__n",
+            (_dot(F.col("v"), F.col("__c")) / (F.col("__n") * F.col("__cn"))).alias(
+                "centroid_sim"
+            ),
+        )
 
     a = with_sim.select(
         "cluster", F.col("id").alias("src"), F.col("v").alias("__va"),

@@ -41,6 +41,8 @@ def smart_aggregator(
     target_rows: int = 50_000,
     agg: str = "mean",
     seed: int = 42,
+    exact: bool = False,
+    iters: int = 3,
 ) -> DataFrame:
     """A11 — reduce N rows to ~target_rows by KMeans clustering then
     per-cluster aggregation (smart_aggregator.py:13-94): numeric cols
@@ -51,11 +53,36 @@ def smart_aggregator(
     reference's k=target_rows works for its 100k→50k single-node case but
     not at cluster scale — there, pre-reduce with a coarse hash/grid pass
     or hierarchical KMeans.
+
+    ``exact=True`` (r12) swaps in the fixed-point integer Lloyd twin
+    (operators/kmeans_exact.py): assignments and per-cluster means become
+    bit-identical across engines and partitionings — the oracle-grade
+    mode. Exact-mode output: per-cluster micro-quantized means of the
+    feature columns (error < 1e-6 vs the float mean), a ``cluster`` id,
+    and ``aggregation_count``; non-feature columns are not carried (their
+    F.first() is nondeterministic by definition). Default stays MLlib.
     """
     n = df.count()
     if n <= target_rows:
         return df.withColumn("aggregation_count", F.lit(1))
     k = min(target_rows, 4096)
+    if exact:
+        from workbench_spark.operators.kmeans_exact import (
+            kmeans_fixed_point,
+            quantize_scalar_cols,
+        )
+
+        z = quantize_scalar_cols(df.select(*feature_cols), feature_cols)
+        assigned, _cents = kmeans_fixed_point(z, k=k, iters=iters)
+        # integer micro-unit means: SUM(q) div n (truncating div matches
+        # DuckDB's //), then one exact int→double division by 1e6
+        return assigned.groupBy(F.col("__cell").alias("cluster")).agg(
+            *[
+                (F.expr(f"sum(__q_{i}) div count(1)").cast("double") / F.lit(1e6)).alias(c)
+                for i, c in enumerate(feature_cols)
+            ],
+            F.count(F.lit(1)).alias("aggregation_count"),
+        )
     assembled = _assemble(df, feature_cols)
     km = KMeans(k=k, seed=seed, featuresCol="__vec", predictionCol="__cluster").fit(assembled)
     clustered = km.transform(assembled).drop("__vec")
@@ -76,6 +103,7 @@ def projection_2d(
     seed: int = 42,
     sample_cap: int = 2000,
     perplexity: float = 30.0,
+    exact: bool = False,
 ) -> DataFrame:
     """C7 — 2D projection for plots (projection_2d.py:17-135,
     projections.py:18-219).
@@ -89,7 +117,16 @@ def projection_2d(
     - ``umap``: refused — umap-learn is unavailable and the algorithm
       (fuzzy simplicial sets + SGD) is out of reimplementation scope;
       tsne is the supported sampled parity path.
+
+    ``exact=True`` with method='pca' (r12) swaps in the fixed-point
+    integer power-iteration PCA (operators/pca_exact.py): sign-canonical,
+    engine-portable x/y — the oracle-grade mode. MLlib PCA stays the
+    production default.
     """
+    if exact and method == "pca":
+        from workbench_spark.operators.pca_exact import pca_fixed_point_project
+
+        return pca_fixed_point_project(df, feature_cols, id_col)
     if method == "umap":
         raise NotImplementedError(
             "umap requires umap-learn (not installed); use method='tsne' "

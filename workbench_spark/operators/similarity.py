@@ -511,10 +511,19 @@ def ivf_cosine_knn(
     seed: int = 42,
     quantized: bool | str = False,
     rescore_k: int | None = None,
+    exact: bool = False,
+    dim: int | None = None,
+    iters: int = 3,
 ) -> DataFrame:
     """IVF (inverted-file) approximate KNN — the other scale path besides
     LSH: KMeans coarse quantizer partitions vectors into cells; each query
     scores only vectors in its ``n_probe`` nearest cells.
+
+    ``exact=True`` (r12) swaps the MLlib quantizer for the fixed-point
+    integer Lloyd twin (operators/kmeans_exact.py): cell assignment and
+    probing become bit-identical across engines, making the whole IVF
+    retrieval DuckDB-replayable (the oracle-grade mode — requires ``dim``).
+    Candidate generation, scoring, and the top-k contract are unchanged.
 
     Scale shape: candidate generation is an equi-join on cell id
     (≈ N·k·n_probe/n_cells pairs instead of N²); the quantizer fits on a
@@ -537,40 +546,66 @@ def ivf_cosine_knn(
     next to the scan savings (rescore cost stays k·20 rows/query).
     Same output contract.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    vecs = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("nrm"),
-    ).withColumn("__mlvec", array_to_vector(F.transform("v", lambda x: x.cast("double"))))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__mlvec", predictionCol="__cell").fit(vecs)
-    centers = [list(c) for c in km.clusterCenters()]
-
-    # assign each vector to its cell (map-side)
-    assigned = km.transform(vecs).drop("__mlvec")
-
-    # each query probes its n_probe nearest cells: score distance to every
-    # center via a literal array (n_cells is small by construction)
-    def center_dot(c):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        return _dot(F.col("v"), arr) / (
-            F.col("nrm") * F.lit(sum(x * x for x in c) ** 0.5)
+    if exact:
+        if dim is None:
+            raise ValueError("exact=True requires dim (quantization width)")
+        from workbench_spark.operators.kmeans_exact import (
+            centroid_scores,
+            kmeans_fixed_point,
+            quantize_array_col,
         )
 
-    cell_scores = F.array(
-        *[
-            F.struct(center_dot(c).alias("s"), F.lit(i).alias("cell"))
-            for i, c in enumerate(centers)
-        ]
-    )
-    probes = assigned.withColumn(
-        "__probe",
-        F.explode(
-            F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe)["cell"]
-        ),
-    )
+        base = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        z = quantize_array_col(base, "v", dim)
+        assigned, cents = kmeans_fixed_point(z, k=n_cells, iters=iters)
+        # probe the n_probe integer-nearest cells (dist, cell-idx tiebreak)
+        probes = assigned.withColumn(
+            "__probe",
+            F.explode(F.slice(F.array_sort(centroid_scores(cents)), 1, n_probe)["c"]),
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        vecs = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        ).withColumn(
+            "__mlvec", array_to_vector(F.transform("v", lambda x: x.cast("double")))
+        )
+        km = KMeans(
+            k=n_cells, seed=seed, featuresCol="__mlvec", predictionCol="__cell"
+        ).fit(vecs)
+        centers = [list(c) for c in km.clusterCenters()]
+
+        # assign each vector to its cell (map-side)
+        assigned = km.transform(vecs).drop("__mlvec")
+
+        # each query probes its n_probe nearest cells: score distance to
+        # every center via a literal array (n_cells is small by construction)
+        def center_dot(c):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            return _dot(F.col("v"), arr) / (
+                F.col("nrm") * F.lit(sum(x * x for x in c) ** 0.5)
+            )
+
+        cell_scores = F.array(
+            *[
+                F.struct(center_dot(c).alias("s"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centers)
+            ]
+        )
+        probes = assigned.withColumn(
+            "__probe",
+            F.explode(
+                F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe)["cell"]
+            ),
+        )
     if quantized == "pq":
         books = pq_train(vectors, id_col, vec_col, m=8, k=16, seed=seed)
         scan = pq_sdc_frame(vectors, books, id_col, vec_col).withColumnRenamed(

@@ -1184,29 +1184,72 @@ def m7_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a11_smart_aggregator")  # KMeans assignment not engine-portable → rows-only
+_A11_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _a11_oracle() -> str:
+    from workbench_spark.operators.kmeans_exact import (
+        kmeans_cte_sql,
+        scalar_quantize_cte,
+    )
+
+    means = ", ".join(
+        f"CAST(SUM(z.q{i}) // COUNT(*) AS DOUBLE) / 1e6 AS {c}"
+        for i, c in enumerate(_A11_COLS)
+    )
+    return f"""
+    WITH {scalar_quantize_cte("lineitem", _A11_COLS, "km")},
+    {kmeans_cte_sql(64, 3, 3, "km", by_id=False)}
+    SELECT a.cell AS cluster, {means},
+           CAST(COUNT(*) AS BIGINT) AS aggregation_count
+    FROM kmz z JOIN kmfin a ON a.zq = z.zq
+    GROUP BY a.cell
+    """
+
+
+@query("a11_smart_aggregator", None)  # oracle attached below (generated SQL)
 def a11_smart_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A11 — KMeans row reduction (smart_aggregator.py:13-94). Invariants
-    (row budget, conservation of aggregation_count) in tests/test_ml.py."""
+    """A11 — KMeans row reduction (smart_aggregator.py:13-94), exact mode
+    (r12 VERDICT #3 upgrade from rows-only): fixed-point integer Lloyd
+    (operators/kmeans_exact.py — deterministic md5 init, integer
+    assignment/update, micro-quantized per-cluster means), replayed
+    bit-level by the DuckDB oracle as unrolled MATERIALIZED CTEs (the
+    pagerank convention). The MLlib production path keeps its own oracled
+    invariants companion (a11_invariants)."""
     from workbench_spark.operators.ml_analysis import smart_aggregator
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_quantity", "l_extendedprice", "l_discount"
-    )
-    return smart_aggregator(
-        li, ["l_quantity", "l_extendedprice", "l_discount"], target_rows=200
-    )
+    li = _t(spark, sf_dir, "lineitem").select(*_A11_COLS)
+    return smart_aggregator(li, _A11_COLS, target_rows=64, exact=True)
 
 
-@query("c7_projection_pca")  # PCA sign/rotation ambiguity → rows-only
+_ORACLES["a11_smart_aggregator"] = _a11_oracle()
+
+
+_C7_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query("c7_projection_pca", None)  # oracle attached below (generated SQL)
 def c7_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7 — distributed PCA 2D projection (projection_2d.py:17-135)."""
+    """C7 — PCA 2D projection (projection_2d.py:17-135), exact mode (r12
+    VERDICT #3 upgrade from rows-only): fixed-point integer power
+    iteration + rank-1 deflation (operators/pca_exact.py) makes the
+    eigenpair sign-canonical and engine-portable; the DuckDB oracle
+    replays quantization, the 30-step iteration (HUGEINT CTE chain), and
+    the per-row projection bit-level. The MLlib path keeps its own
+    oracled invariants companion (c7_pca_invariants)."""
     from workbench_spark.operators.ml_analysis import projection_2d
 
     li = _t(spark, sf_dir, "lineitem")
-    return projection_2d(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], "l_orderkey"
-    )
+    return projection_2d(li, _C7_COLS, "l_orderkey", exact=True)
+
+
+def _c7_oracle() -> str:
+    from workbench_spark.operators.pca_exact import pca_replay_sql
+
+    return pca_replay_sql("lineitem", _C7_COLS, "l_orderkey")
+
+
+_ORACLES["c7_projection_pca"] = _c7_oracle()
 
 
 @query(
@@ -2449,14 +2492,57 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_cosine_ivf")  # KMeans cells not engine-portable → rows-only
+def _ivf_oracle() -> str:
+    from workbench_spark.operators.kmeans_exact import (
+        array_quantize_cte,
+        dist_sql,
+        kmeans_cte_sql,
+    )
+
+    cos = "list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+    return f"""
+    WITH {array_quantize_cte("embeddings", "vec_id", "embedding", 64, "km")},
+    {kmeans_cte_sql(8, 3, 64, "km", by_id=True)},
+    probes AS MATERIALIZED (
+      SELECT id, c AS cell FROM (
+        SELECT z.id, c.c,
+               ROW_NUMBER() OVER (PARTITION BY z.id
+                 ORDER BY {dist_sql(64)} ASC, c.c ASC) AS rn
+        FROM kmz z CROSS JOIN kmc2 c) p WHERE rn <= 3),
+    cands AS MATERIALIZED (
+      SELECT p.id, a.id AS neighbor_id
+      FROM probes p JOIN kmfin a ON a.cell = p.cell
+      WHERE a.id != p.id)
+    SELECT id, neighbor_id, cosine_sim FROM (
+      SELECT cd.id, cd.neighbor_id,
+             ROUND({cos}, 6) AS cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY cd.id
+               ORDER BY {cos} DESC, cd.neighbor_id ASC) AS rn
+      FROM cands cd
+      JOIN embeddings ea ON ea.vec_id = cd.id
+      JOIN embeddings eb ON eb.vec_id = cd.neighbor_id) t
+    WHERE rn <= 5
+    """
+
+
+@query("knn_cosine_ivf", None)  # oracle attached below (generated SQL)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate KNN (KMeans coarse quantizer + cell probing) —
-    recall vs brute force asserted in tests/test_similarity.py."""
+    """IVF approximate KNN, exact-quantizer mode (r12 VERDICT #3 upgrade
+    from rows-only): the coarse quantizer is the fixed-point integer Lloyd
+    twin (operators/kmeans_exact.py), so cells, probing, candidates, and
+    the cosine top-k are all engine-portable — the DuckDB oracle replays
+    the full retrieval (quantizer CTEs + probe + candidate cosine + top-k).
+    MLlib-quantizer recall is still asserted in tests/test_similarity.py."""
     from workbench_spark.operators.similarity import ivf_cosine_knn
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_cosine_knn(e, k=5, n_cells=8, n_probe=3)
+    out = ivf_cosine_knn(e, k=5, n_cells=8, n_probe=3, exact=True, dim=64)
+    return out.select(
+        "id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+_ORACLES["knn_cosine_ivf"] = _ivf_oracle()
 
 
 # =====================================================================
@@ -5912,23 +5998,87 @@ def w_time_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_semdedup")  # rows-only: seeded k-means (same convention as knn_cosine_ivf)
+def _semdedup_oracle() -> str:
+    from workbench_spark.operators.kmeans_exact import (
+        array_quantize_cte,
+        kmeans_cte_sql,
+    )
+
+    return f"""
+    WITH RECURSIVE corp AS MATERIALIZED (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000,
+             [embedding[i]::DOUBLE + 0.03 * embedding[65 - i]::DOUBLE
+              for i in generate_series(1, 64)]
+      FROM embeddings),
+    {array_quantize_cte("corp", "cid", "v", 64, "km")},
+    {kmeans_cte_sql(8, 3, 64, "km", by_id=True)},
+    sims AS MATERIALIZED (
+      SELECT f.id, f.cell AS cluster,
+             list_cosine_similarity(f.zq::DOUBLE[], c.cv::DOUBLE[]) AS csim
+      FROM kmfin f JOIN kmc2 c ON c.c = f.cell),
+    prs AS MATERIALIZED (
+      SELECT x.id AS src, y.id AS dst
+      FROM kmfin x JOIN kmfin y ON x.cell = y.cell AND x.id < y.id
+      JOIN corp ca ON ca.cid = x.id
+      JOIN corp cb ON cb.cid = y.id
+      WHERE list_cosine_similarity(ca.v, cb.v) >= 1.0 - 0.08),
+    edges AS (SELECT src AS a, dst AS b FROM prs UNION SELECT dst, src FROM prs),
+    reach(id, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    mem AS (
+      SELECT s.id, s.cluster, s.csim, COALESCE(comp.component, s.id) AS cmp
+      FROM sims s LEFT JOIN comp ON comp.id = s.id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cmp ORDER BY csim ASC, id ASC) AS rn
+      FROM mem)
+    SELECT id AS vec_id, cluster,
+           floor(csim * 1e6 + 0.5) / 1e6 AS centroid_sim,
+           (rn = 1) AS kept
+    FROM ranked
+    """
+
+
+@query("dedup_semdedup", None)  # oracle attached below (generated SQL)
 def dedup_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas 2023; dedup.semdedup): cluster-scoped embedding
-    dedup, keep-most-marginal-per-group. Seeded k-means makes the cluster
-    ids non-SQL-reproducible → rows-only gate; the semantic guarantees are
-    hash-certified by dedup_semdedup_invariants and the planted-twin
-    tests."""
+    """SemDeDup (Abbas 2023; dedup.semdedup), exact mode with planted
+    twins (r12 VERDICT #3 upgrade from rows-only): each embedding gets a
+    perturbed clone (v[i] + 0.03·v[65−i], cosine ≈ 0.9995 — the knn_lsh
+    planting), so the pair search, the CC grouping, AND the
+    keep-most-marginal rule all fire for real; the fixed-point Lloyd
+    clusterer (operators/kmeans_exact.py) makes every stage
+    engine-portable and the DuckDB oracle replays the whole pipeline
+    (quantizer CTEs + intra-cell pairs + recursive-CTE closure +
+    keep-rule). MLlib-mode guarantees remain hash-certified by
+    dedup_semdedup_invariants."""
     from workbench_spark.operators.dedup import semdedup
 
     e = _t(spark, sf_dir, "embeddings")
-    out = semdedup(e, "vec_id", "embedding", n_clusters=8, eps=0.08)
+    twin = e.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> cast(element_at(embedding, i) as double)"
+            " + 0.03d * cast(element_at(embedding, 65 - i) as double))"
+        ).alias("embedding"),
+    )
+    corp = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    ).unionByName(twin)
+    out = semdedup(corp, "vec_id", "embedding", n_clusters=8, eps=0.08, exact=True, dim=64)
     return out.select(
         F.col("id").alias("vec_id"),
         "cluster",
         _fround(F.col("centroid_sim")).alias("centroid_sim"),
         "kept",
     )
+
+
+_ORACLES["dedup_semdedup"] = _semdedup_oracle()
 
 
 @query(
@@ -6462,13 +6612,22 @@ def text_unigram_vocab_invariants_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query("text_unigram_vocab")  # rows-only: EM loop not SQL-replayable (no RNG; stable across runs)
+@query("text_unigram_vocab")  # TERMINALLY rows-only (r12 adjudication — see docstring)
 def text_unigram_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained unigram piece inventory (unigram_train): deterministic
     hard-EM (no RNG anywhere — seeding, E-step, and pruning all have
     total deterministic orders), so the row set is stable run-over-run;
     the EM itself is certified by the Python-twin tests and the
-    SEGMENTATION path by text_unigram_scores' optimality oracle."""
+    SEGMENTATION path by text_unigram_scores' optimality oracle.
+
+    Terminally rows-only (r12, VERDICT #3 adjudication): unlike the
+    KMeans/PCA entries upgraded via fixed-point replays, the hard-EM loop
+    interleaves per-word Viterbi DP (a piece-length-deep recurrence per
+    word) with vocabulary pruning across EM rounds — an exact SQL replay
+    would need DP CTE chains nested inside unrolled EM iterations over a
+    mutating vocabulary; no exact replay exists. The inventory CONTRACT
+    (alphabet retention, provenance, budget, logp signs) is hash-certified
+    by text_unigram_vocab_invariants instead."""
     from workbench_spark.operators.unigram import unigram_train
 
     d = _t(spark, sf_dir, "documents")
