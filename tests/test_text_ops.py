@@ -752,6 +752,42 @@ def test_bm25_self_retrieval_and_idf(spark):
     assert sc[2] == max(sc.values())
 
 
+def test_bm25_champion_lists(spark):
+    """champion_m (r12 scale valve): M >= corpus size is EXACTLY the
+    uncapped retrieval; aggressive M still returns each term's highest-tf
+    docs with identical scores for surviving (query, doc) pairs."""
+    from workbench_spark.operators.text import bm25_index, bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, "shared " * (i + 1) + "filler words here") for i in range(8)],
+        "doc_id int, text string",
+    )
+    queries = spark.createDataFrame([(1, "shared")], "query_id int, query string")
+    exact = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in bm25_search(docs, queries, k=8).collect()
+    }
+    wide = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in bm25_search(
+            docs, queries, k=8, index=bm25_index(docs, champion_m=100)
+        ).collect()
+    }
+    assert wide == exact  # cap above every df: bit-identical
+
+    capped = bm25_search(docs, queries, k=8, index=bm25_index(docs, champion_m=3))
+    rows = {r["doc_id"]: r["rank"] for r in capped.collect()}
+    # only the 3 highest-tf docs for 'shared' survive (tf DESC, id ASC)
+    # and their relative order matches the exact retrieval (avgdl shifts
+    # slightly under the cut — documented approximation — so scores are
+    # compared by order, not value)
+    assert set(rows) == {7, 6, 5}
+    exact_order = sorted((exact[(1, d)][0], d) for d in (5, 6, 7))
+    assert [d for _r, d in exact_order] == [
+        d for d, _r in sorted(rows.items(), key=lambda kv: kv[1])
+    ]
+
+
 def test_decontaminate_bloom_prefilter_identical(spark):
     """The Bloom prefilter path must return EXACTLY the unfiltered result
     (no false negatives by construction), including fp-heavy tiny-m

@@ -460,6 +460,7 @@ def minhash_lsh_pairs(
     persist_signatures: bool = False,
     pair_mode: str = "all",
     strict: bool | None = None,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs: split the signature into
     ``bands`` bands of r = n_hashes/bands rows; docs matching on any whole
@@ -488,6 +489,22 @@ def minhash_lsh_pairs(
       it chains through other members — use verify_threshold=None (or a
       threshold comfortably below the cluster's internal similarity) when
       feeding connected components.
+
+    ``max_band_bucket`` (r12, pair-scoring scale valve): in 'all' mode,
+    (band, bh) buckets LARGER than the cap are skipped before pairing.
+    Rationale — measured in the r12 sf1 scale smoke: on a corpus with a
+    dense moderate-similarity background (the driver's 31-word-vocab
+    documents: typical cross-pair 5-gram Jaccard ≈ 0.2-0.3), candidate
+    volume is Σ C(bucket, 2) and the sf0.1→sf1 exponent of the UNCAPPED
+    r=2 oracle-grade run was 2.04 (23.7 s → 2592 s at 10× rows) — the
+    S-curve admits nearly all pairs at that background similarity, so
+    candidates ≈ N². Hot buckets are template families: their PAIR
+    enumeration is what explodes, while their membership is exactly what
+    'star' mode / exact-dup clustering handles linearly. Semantics: pairs
+    whose every colliding band is over-cap are lost (recall trade
+    documented at the call site); leave None (default) for the
+    recall-certified oracle entries. The cap check is one count window on
+    the same (band, bh) key the join shuffles on — no extra shuffle.
     """
     if pair_mode not in ("all", "star"):
         raise ValueError(f"pair_mode must be 'all' or 'star', got {pair_mode!r}")
@@ -575,6 +592,15 @@ def minhash_lsh_pairs(
         if verify_threshold is not None:
             out = out.filter(F.col("est_jaccard") >= verify_threshold)
         return out.dropDuplicates(["id_a", "id_b"])
+    if max_band_bucket is not None:
+        from pyspark.sql.window import Window
+
+        wsz = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("__bsz") <= max_band_bucket)
+            .drop("__bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     est = F.aggregate(
         F.zip_with("a.minhash", "b.minhash", lambda x, y: F.when(x == y, 1).otherwise(0)),
@@ -630,7 +656,19 @@ def minhash_verified_pairs(
 
     Scale: the recheck join carries the two shingle ARRAYS only for
     candidate pairs (LSH-pruned), keyed on id — an equi-join, linear in
-    the candidate count, not the corpus."""
+    the candidate count, not the corpus.
+
+    Measured limit (r12 sf1 scale smoke — do not re-derive): on a corpus
+    whose cross-pair similarity BACKGROUND sits near the r=2 S-curve knee
+    (the driver's 31-word-vocab documents, background j ≈ 0.2-0.3), the
+    candidate count approaches all-pairs and this oracle-grade
+    parameterization scales quadratically: sf0.1→sf1 exponent 2.04
+    (23.7 s → 2592 s at 10× docs). That is a property of the (corpus,
+    recall-certification) combination, not a plan defect — the driver
+    gate runs it at sf0.01 where it is sub-second. Production dedup at
+    scale uses minhash_lsh_pairs' r=4 default + max_band_bucket (and
+    'star' mode for CC consumers), measured separately in the smoke
+    tier."""
     cands = minhash_lsh_pairs(
         df, text_col, id_col, n_hashes, bands, shingle_n,
         verify_threshold=None, persist_signatures=True,
@@ -1575,7 +1613,10 @@ def semdedup(
                 / (F.col("__na") * F.col("__nb"))
             ).alias("__sim"),
         )
-        .filter(F.col("__sim") >= 1.0 - eps)
+        # NaN >= x is TRUE in Spark comparisons (NaN sorts greatest): a
+        # NaN-vector would edge to its whole cluster and chain-merge CC
+        # components — require a real, finite similarity (r12 fuzz)
+        .filter((F.col("__sim") >= 1.0 - eps) & ~F.isnan("__sim"))
         .select("src", "dst")
     )
     comp = connected_components(pairs)

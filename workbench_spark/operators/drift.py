@@ -21,7 +21,11 @@ def binned_distribution(
     """Histogram over fixed [lo, hi) with ``bins`` equal buckets; values at
     or beyond the edges clamp into the end buckets (distribution_stats.py
     bins on the union range). Output: (bucket int, count, frac)."""
-    width = (hi - lo) / bins
+    # zero-width range (constant column / degenerate caller bounds): clamp
+    # to 1 so every value lands in bucket 0 instead of dividing by zero
+    # (NULL buckets under ANSI-off would full-join as DISTINCT null rows
+    # and fabricate drift between identical frames)
+    width = ((hi - lo) / bins) or 1.0
     bucket = F.least(
         F.lit(bins - 1),
         F.greatest(F.lit(0), F.floor((F.col(column) - lo) / width)),

@@ -122,7 +122,7 @@ def cosine_knn(
     )
     w = Window.partitionBy("id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        _finite_sims(scored).withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
@@ -199,6 +199,16 @@ def _int8_scan_frame(
     )
 
 
+def _finite_sims(df: DataFrame, col: str = "cosine_sim") -> DataFrame:
+    """Drop non-finite similarity rows before the top-k window: NaN sims
+    (NaN/Inf input vectors) sort ABOVE every real value in Spark ordering
+    and would hijack every top-k they touch; NULL sims (zero-norm vectors
+    under ANSI-off division) add junk rows. Finite inputs produce neither,
+    so healthy results — and the DuckDB oracles — are unaffected (r12
+    numeric-edge fuzz)."""
+    return df.filter(F.col(col).isNotNull() & ~F.isnan(col))
+
+
 def _rescore_topk(
     shortlist: DataFrame,
     vectors: DataFrame,
@@ -247,7 +257,7 @@ def _rescore_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
+        _finite_sims(scored).withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
@@ -362,7 +372,7 @@ def lsh_cosine_knn(
     )
     w = Window.partitionBy("id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        _finite_sims(scored).withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
@@ -712,7 +722,7 @@ def ivf_cosine_knn(
     )
     w = Window.partitionBy("id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("__rn2", F.row_number().over(w))
+        _finite_sims(scored).withColumn("__rn2", F.row_number().over(w))
         .filter(F.col("__rn2") <= k)
         .drop("__rn2")
     )
@@ -1198,6 +1208,16 @@ def embedding_space_audit(
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(vec_col).alias("__v"))
         .withColumn("__nrm", _norm(F.col("__v")))
+        # non-finite norms (NaN/Inf components): NULL the norm so the row
+        # drops out of every fold instead of poisoning it — under ANSI-off
+        # cast(NaN as long) is 0 and cast(Inf as long) saturates, either of
+        # which would silently corrupt the quantized sums (r12 fuzz)
+        .withColumn(
+            "__nrm",
+            F.when(
+                F.isnan("__nrm") | (F.abs("__nrm") == F.lit(float("inf"))), None
+            ).otherwise(F.col("__nrm")),
+        )
     )
     q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
     q4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)).cast("long")

@@ -1372,7 +1372,10 @@ from workbench_spark.operators.bpe import (  # noqa: E402,F401
 
 
 def bm25_index(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    champion_m: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the BM25 retrieval artifacts: postings (token, id, tf, dl)
     and token stats (token, df, idf) with the Robertson/Sparck-Jones
@@ -1380,7 +1383,23 @@ def bm25_index(
     one explode; both outputs are persistable (the inverted index and its
     vocabulary), and scoring against them is a token equi-join —
     retrieval cost at 100 TB is bounded by posting-list sizes, never a
-    corpus scan."""
+    corpus scan.
+
+    ``champion_m`` (r12, scale valve): keep only each term's top-M
+    postings by (tf DESC, id) — classic champion lists (Manning IR §7.1.3).
+    Motivation, measured in the r12 sf1 scale smoke: on a corpus whose
+    vocabulary is tiny relative to N (the driver's 31-word documents),
+    every posting list is ~N and query×postings trends N²/|vocab| — the
+    bm25 entry's sf0.1→sf1 exponent was 1.28. Champion lists bound the
+    per-term join fan-out at M while keeping the per-term HIGHEST-tf docs,
+    the standard approximate top-k retrieval trade (exact for any query
+    whose true top-k all sit in their terms' champion lists — guaranteed
+    when k ≤ M and scores are tf-dominated). df/idf are computed over the
+    FULL postings before the cut, so term statistics stay exact (bm25_
+    search's avgdl is computed from the surviving postings — unchanged at
+    M ≥ typical df, slightly shifted under aggressive cuts: part of the
+    approximation). Default None = exact retrieval (the oracle-grade
+    entry)."""
     from workbench_spark.operators.dedup import normalize_text
 
     toks = F.filter(
@@ -1406,6 +1425,17 @@ def bm25_index(
             ).alias("idf"),
         )
     )
+    if champion_m is not None:
+        from pyspark.sql import Window
+
+        wch = Window.partitionBy("token").orderBy(
+            F.col("tf").desc(), F.col("id").asc()
+        )
+        postings = (
+            postings.withColumn("__ch", F.row_number().over(wch))
+            .filter(F.col("__ch") <= champion_m)
+            .drop("__ch")
+        )
     return postings, stats
 
 

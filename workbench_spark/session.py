@@ -39,6 +39,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 defaults ANSI on, where /0 and zero-variance corr THROW;
+        # DuckDB (the oracle engine) returns NULL for both. ANSI-off was
+        # always this module's documented intent (header) but was not
+        # actually configured until the r12 numeric-edge fuzz caught
+        # DIVIDE_BY_ZERO crashes on zero-norm embeddings / zero-width
+        # drift bins / constant correlation columns.
+        .config("spark.sql.ansi.enabled", "false")
+        # ANSI-off flips spark.sql.legacy.sizeOfNull back to the legacy
+        # size(NULL) = -1; DuckDB's len(NULL) is NULL — pin the modern
+        # semantic explicitly (caught by test_adversarial_inputs: packing's
+        # COALESCE(size(...), 0) never saw the -1 coming)
+        .config("spark.sql.legacy.sizeOfNull", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # driver testdata stores events.ts as TIMESTAMP(NANOS); read as long
