@@ -221,6 +221,19 @@ def compute_delta(
             }
         if per:
             out["per_query"] = per
+            # drift-estimate consistency (r12): the probe ratio and the
+            # median per-query raw ratio are two independent reads of the
+            # same box drift. When they disagree badly (the prior round's
+            # probes were sampled at a contention spike — observed r11→r12:
+            # probe-implied 2.26× vs query-implied 1.36×), the normalized
+            # deltas OVER- or UNDER-correct and must be read raw-first.
+            ratios = sorted(
+                t["raw"] / t["prev"] for t in per.values() if t["prev"] > 0
+            )
+            med = ratios[len(ratios) // 2]
+            out["median_query_ratio"] = round(med, 4)
+            hi, lo = max(med, f_drift), min(med, f_drift)
+            out["drift_consistent"] = bool(lo > 0 and hi / lo <= 1.25)
     else:
         out["drift_factor"] = None
         out["delta_normalized_sec"] = None

@@ -205,6 +205,36 @@ def test_per_query_normalized_deltas():
     assert abs(per["pagerank"]["delta_normalized"] - (2.0 - 2.0 * 1.25)) < 1e-9
 
 
+def test_drift_consistency_flag():
+    """The probe ratio and the median per-query raw ratio are independent
+    reads of box drift; when they disagree >25% (the prior round's probes
+    caught a contention spike — observed r11→r12), drift_consistent=False
+    tells readers the normalized deltas over/under-correct."""
+    prev = {
+        "value": 8.0, "sf": 0.1,
+        "harness": {"version": HARNESS["version"]},
+        "calibration": {"spark_cpu_sec": 0.40},
+        "queries": {"a": 1.0, "b": 2.0, "c": 3.0},
+    }
+    # queries flat (median ratio 1.0) but probe says box 25% slower: the
+    # two reads sit exactly at the 1.25 boundary — still consistent
+    d = compute_delta(
+        prev, "BENCH_r11.json", 8.0, 0.1, CAL,
+        timings={"a": 1.0, "b": 2.0, "c": 3.0},
+    )
+    assert d["median_query_ratio"] == 1.0
+    assert d["drift_consistent"] is True
+    # probe claims 2x but queries only moved 1.2x -> inconsistent
+    prev["calibration"] = {"spark_cpu_sec": 0.25}
+    d = compute_delta(
+        prev, "BENCH_r11.json", 9.6, 0.1, CAL,
+        timings={"a": 1.2, "b": 2.4, "c": 3.6},
+    )
+    assert d["drift_factor"] == 2.0
+    assert abs(d["median_query_ratio"] - 1.2) < 1e-9
+    assert d["drift_consistent"] is False
+
+
 def test_per_query_absent_without_prior_probe():
     """No prior calibration -> no per_query block (nothing to normalize)."""
     prev = {
