@@ -93,6 +93,24 @@ def test_array_quantizer_matches_scalar_semantics(spark):
     assert zq[2] == [(2_000_000 - 1_000_000) * SCALE // 3_000_000, 0]
 
 
+def test_exact_mode_nonfinite_contract(spark):
+    """Pin the exact-mode non-finite contract (r12 fuzz found the
+    original silent failure: under ANSI-off, cast(floor(NaN·1e6) as long)
+    yielded 0, aliasing the true minimum and SHIFTING every healthy row's
+    normalization). Now: NaN/Inf quantize to NULL, healthy rows normalize
+    as if the poisoned row were absent from min/max, and
+    kmeans_fixed_point fails loud instead of clustering garbage."""
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (2.0,)], "a double"
+    )
+    z = quantize_scalar_cols(df, ["a"])
+    rows = {tuple(r["__zq"]) for r in z.select("__zq").collect()}
+    assert (None,) in rows  # NaN row → NULL element, visibly poisoned
+    assert {t for t in rows if t[0] is not None} == {(0,), (SCALE,)}
+    with pytest.raises(ValueError, match="non-finite"):
+        kmeans_fixed_point(z, k=2, iters=2)
+
+
 def test_empty_cluster_carryover(spark):
     """Two tight groups + k=3 seeds: one centroid ends up empty after an
     update round and must carry its previous value (both engines encode

@@ -55,17 +55,28 @@ MICRO = 1e6  # raw-value quantization (micro-units)
 # ---------------------------------------------------------------------
 
 
+def _finite_or_null(c):
+    """Non-finite doubles → NULL BEFORE quantizing: under ANSI-off,
+    cast(floor(NaN·1e6) as long) silently yields 0 — which aliases the
+    true minimum and corrupts the min-max normalization of every healthy
+    row. NULL instead, and kmeans_fixed_point raises on it (r12 fuzz)."""
+    d = c.cast("double")
+    return F.when(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), None).otherwise(d)
+
+
 def quantize_scalar_cols(df: DataFrame, cols: list[str]) -> DataFrame:
     """Micro-quantize ``cols`` to BIGINT (``__q_i``) and min-max-normalize
     to the integer ``__zq`` array<long> in [0, SCALE]. Constant columns
     normalize to 0 (rng clamped to 1 — same clamp in the SQL twin).
-    Exact-mode contract: inputs must be non-null, non-NaN finite doubles
-    (the quantize floor turns NaN into NULL and the assignment would
-    propagate it — callers own the dropna)."""
+    Exact-mode contract: inputs must be finite non-null doubles — NaN/Inf
+    quantize to NULL (never a silent 0) and kmeans_fixed_point fails loud
+    on them; callers own the dropna. The SQL twins carry no guard: the
+    curated parquet inputs the oracle gate reads contain no non-finite
+    values, and on finite values the guarded expression is identical."""
     q = df.select(
         "*",
         *[
-            F.floor(F.col(c).cast("double") * F.lit(MICRO) + F.lit(0.5))
+            F.floor(_finite_or_null(F.col(c)) * F.lit(MICRO) + F.lit(0.5))
             .cast("long")
             .alias(f"__q_{i}")
             for i, c in enumerate(cols)
@@ -97,7 +108,7 @@ def quantize_array_col(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         "__q",
         F.transform(
             vec_col,
-            lambda x: F.floor(x.cast("double") * F.lit(MICRO) + F.lit(0.5)).cast(
+            lambda x: F.floor(_finite_or_null(x) * F.lit(MICRO) + F.lit(0.5)).cast(
                 "long"
             ),
         ),
@@ -172,10 +183,20 @@ def kmeans_fixed_point(
             "__h",
             F.md5(F.concat_ws(",", F.transform("__zq", lambda x: x.cast("string")))),
         )
-        .orderBy("__h")
+        # NULL-element vectors (non-finite inputs) sort FIRST so they are
+        # guaranteed to land in the k-sample and fail loud below; with no
+        # NULLs present (the contract) the flag is all-false and the
+        # ordering is identical to the SQL twin's plain ORDER BY hash
+        .withColumn("__hasnull", F.exists("__zq", lambda x: x.isNull()))
+        .orderBy(F.col("__hasnull").desc(), F.col("__h"))
         .limit(k)
         .collect()
     )  # k-row bounded model pull (the pq_train/dsir k·B precedent)
+    if any(v is None for r in rows for v in r["__zq"]):
+        raise ValueError(
+            "kmeans_fixed_point: non-finite feature values (NaN/Inf quantize "
+            "to NULL) — exact mode requires finite inputs; dropna/filter first"
+        )
     cents = [[int(v) for v in r["__zq"]] for r in rows]
     d = len(cents[0])
     for _ in range(iters - 1):
