@@ -201,6 +201,24 @@ def test_spearman_single_row(spark):
     assert v is None or math.isnan(v)
 
 
+def test_geometric_mean_nonpositive_inputs(spark):
+    """geometric_mean documents 'positive inputs only'; pin what actually
+    happens outside the contract under ANSI-off: ln(0)/ln(negative) are
+    NULL, avg skips NULLs, so non-positive values silently drop out of
+    the fold rather than poisoning it (exp(avg) over the positive
+    subset) — and an all-non-positive group yields NULL, not a crash."""
+    from workbench_spark.functions.scalar import geometric_mean
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("a", 0.0), ("a", -1.0), ("b", -3.0)],
+        "g string, v double",
+    )
+    rows = {r["g"]: r["gm"] for r in
+            df.groupBy("g").agg(geometric_mean(F.col("v")).alias("gm")).collect()}
+    assert abs(rows["a"] - 4.0) < 1e-9  # positive subset only
+    assert rows["b"] is None
+
+
 def test_uq_from_neighbors_zero_variance_prediction(spark):
     from workbench_spark.operators.ml_analysis import uq_from_neighbors
 
