@@ -230,10 +230,13 @@ def compute_delta(
             ratios = sorted(
                 t["raw"] / t["prev"] for t in per.values() if t["prev"] > 0
             )
-            med = ratios[len(ratios) // 2]
-            out["median_query_ratio"] = round(med, 4)
-            hi, lo = max(med, f_drift), min(med, f_drift)
-            out["drift_consistent"] = bool(lo > 0 and hi / lo <= 1.25)
+            if ratios:  # all-zero prev timings possible on a degenerate
+                # tail-truncated prior record — skip the consistency read
+                # rather than IndexError and lose the whole bench line
+                med = ratios[len(ratios) // 2]
+                out["median_query_ratio"] = round(med, 4)
+                hi, lo = max(med, f_drift), min(med, f_drift)
+                out["drift_consistent"] = bool(lo > 0 and hi / lo <= 1.25)
     else:
         out["drift_factor"] = None
         out["delta_normalized_sec"] = None

@@ -63,7 +63,11 @@ def smart_aggregator(
     F.first() is nondeterministic by definition). Default stays MLlib.
     """
     n = df.count()
-    if n <= target_rows:
+    if n <= target_rows and not exact:
+        # exact mode NEVER takes this raw-rows shortcut: its oracle twin
+        # (a11's generated SQL) clusters unconditionally, and both sides
+        # shrink k to the distinct-vector count via the same LIMIT k, so
+        # running Lloyd on a small N stays bit-identical (r12 ADVICE).
         return df.withColumn("aggregation_count", F.lit(1))
     k = min(target_rows, 4096)
     if exact:

@@ -1056,7 +1056,7 @@ def dedup_incremental_invariants_q(spark: SparkSession, sf_dir: str) -> DataFram
     """
     SELECT id, neighbor_id, cosine_sim FROM (
       SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim,
+             floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6 + 0.5) / 1e6 AS cosine_sim,
              ROW_NUMBER() OVER (
                PARTITION BY a.vec_id
                ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
@@ -1075,7 +1075,7 @@ def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
     out = cosine_knn(e, queries=q, k=5)
-    return out.select("id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+    return out.select("id", "neighbor_id", _fround(F.col("cosine_sim")).alias("cosine_sim"))
 
 
 @query(
@@ -1089,7 +1089,7 @@ def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id, neighbor_id, cosine_sim FROM (
       SELECT q.vec_id AS id, e.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine_sim,
+             floor(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) * 1e6 + 0.5) / 1e6 AS cosine_sim,
              ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
                ORDER BY list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) DESC,
@@ -1120,7 +1120,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.select("vec_id", qv.alias("embedding"))
     out = lsh_cosine_knn(e, queries=q, k=1, n_planes=8, n_tables=6, dim=64)
-    return out.select("id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+    return out.select("id", "neighbor_id", _fround(F.col("cosine_sim")).alias("cosine_sim"))
 
 
 @query(
@@ -2474,7 +2474,7 @@ def setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine_sim
+           floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6 + 0.5) / 1e6 AS cosine_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.8
     """,
@@ -2488,7 +2488,7 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(e, threshold=0.8)
     return pairs.select(
-        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+        "id_a", "id_b", _fround(F.col("cosine_sim")).alias("cosine_sim")
     )
 
 
@@ -2515,7 +2515,7 @@ def _ivf_oracle() -> str:
       WHERE a.id != p.id)
     SELECT id, neighbor_id, cosine_sim FROM (
       SELECT cd.id, cd.neighbor_id,
-             ROUND({cos}, 6) AS cosine_sim,
+             floor({cos} * 1e6 + 0.5) / 1e6 AS cosine_sim,
              ROW_NUMBER() OVER (PARTITION BY cd.id
                ORDER BY {cos} DESC, cd.neighbor_id ASC) AS rn
       FROM cands cd
@@ -2538,7 +2538,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     out = ivf_cosine_knn(e, k=5, n_cells=8, n_probe=3, exact=True, dim=64)
     return out.select(
-        "id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
+        "id", "neighbor_id", _fround(F.col("cosine_sim")).alias("cosine_sim")
     )
 
 
@@ -4521,7 +4521,7 @@ def web_domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id, neighbor_id, cosine_sim FROM (
       SELECT q.vec_id AS id, e.vec_id AS neighbor_id,
-             ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine_sim,
+             floor(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) * 1e6 + 0.5) / 1e6 AS cosine_sim,
              ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
                ORDER BY list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) DESC,
@@ -4550,7 +4550,7 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.select("vec_id", qv.alias("embedding"))
     out = pq_knn(e, q, k=1, m=8, n_codes=16)
-    return out.select("id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+    return out.select("id", "neighbor_id", _fround(F.col("cosine_sim")).alias("cosine_sim"))
 
 
 @query(
@@ -6058,6 +6058,17 @@ def dedup_semdedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workbench_spark.operators.dedup import semdedup
 
     e = _t(spark, sf_dir, "embeddings")
+    # the planted-twin offset must clear every real id; both sides of the
+    # oracle hardcode +10000, so fail LOUD (not silently collide) if the
+    # table ever grows past it — sf0.1 holds 2000 rows, sf1 ~20000 would
+    # trip this (r12 ADVICE). 1-row aggregate, the inverse_mae precedent.
+    mx = e.agg(F.max("vec_id").alias("m")).first()["m"]
+    if mx is not None and int(mx) >= 10000:
+        raise ValueError(
+            f"dedup_semdedup planted-twin offset 10000 collides with real "
+            f"vec_id max {mx}; raise the offset in BOTH the entry and "
+            f"_semdedup_oracle() before running at this scale"
+        )
     twin = e.select(
         (F.col("vec_id") + 10000).alias("vec_id"),
         F.expr(
