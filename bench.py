@@ -39,7 +39,57 @@ HARNESS = {
     # normalized — r8 showed a +22% phantom regression and r9 a -25%
     # phantom improvement on byte-identical code.
     "calibration": "v1",
+    # additive in r13: frozen-twin baselines (bench_frozen.py, code frozen
+    # at r12) run INTERLEAVED with their live counterparts min-of-3 in the
+    # same session; the live/frozen ratio is drift-free by construction —
+    # the r12 round proved cross-session probe calibration cannot be
+    # trusted (probes 0.45x vs queries 0.85x, drift_consistent=false).
+    "frozen_baseline": "v1",
 }
+
+# Live registry entries with a frozen twin in bench_frozen.FROZEN — the
+# 6 heaviest benched queries as of the r12 freeze. Timed in their OWN
+# interleaved block (after the extras passes), so the headline/extras
+# min-of-2 series stays like-for-like with prior rounds.
+FROZEN_PAIRS = [
+    "text_nb_classifier",
+    "dedup_leakage_safe_split",
+    "dedup_jaccard_prefix_pairs",
+    "dedup_containment_pairs",
+    "graph_pagerank_authority",
+    "graph_hits_hubs_authorities",
+]
+
+
+def summarize_frozen(
+    live_t: dict[str, float], froz_t: dict[str, float], version: str,
+    passes: int = 3,
+) -> dict | None:
+    """Fold per-query live/frozen min timings into the sidecar block.
+    Pure function (fuzz-tested in tests/test_bench_delta.py). ratio =
+    live_min / frozen_min: < 1 means the live implementation is faster
+    than its frozen snapshot ON THIS BOX TODAY — machine drift cancels
+    because both ran interleaved in the same session. Queries missing a
+    timing on either side are skipped; all-skipped -> None."""
+    per = {}
+    for k in sorted(set(live_t) & set(froz_t)):
+        lv, fz = float(live_t[k]), float(froz_t[k])
+        if fz <= 0:
+            continue
+        per[k] = {
+            "live": round(lv, 4),
+            "frozen": round(fz, 4),
+            "ratio": round(lv / fz, 4),
+        }
+    if not per:
+        return None
+    ratios = sorted(v["ratio"] for v in per.values())
+    return {
+        "code_version": version,
+        "passes": passes,
+        "per_query": per,
+        "median_ratio": ratios[len(ratios) // 2],
+    }
 
 
 def _calibrate(spark) -> dict:
@@ -406,9 +456,18 @@ def main() -> None:
     # sf0.001 warm pass, steady-state 0.8s). The warm SF is deliberately
     # tiny so the pass costs seconds and does no meaningful IO warm-up
     # for the benchmark data itself.
+    try:
+        from bench_frozen import FROZEN, FROZEN_VERSION
+    except Exception as exc:  # a broken frozen module must not kill the bench
+        print(f"# bench_frozen unavailable: {exc}", file=sys.stderr)
+        FROZEN, FROZEN_VERSION = {}, None
+    frozen_run = {
+        n: FROZEN[n] for n in FROZEN_PAIRS if n in FROZEN and n in reg
+    }
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(SF_DIR):
-        for name, fn in {**to_run, **extra_run}.items():
+        warm_frozen = {f"frozen:{n}": fn for n, fn in frozen_run.items()}
+        for name, fn in {**to_run, **extra_run, **warm_frozen}.items():
             try:
                 fn(spark, warm_dir).count()
             except Exception as exc:  # warm failures must not kill the bench
@@ -447,6 +506,46 @@ def main() -> None:
             if name not in timings_extra or dt < timings_extra[name]:
                 timings_extra[name] = round(dt, 4)
             print(f"# pass{pass_i} extra {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+    # Frozen-twin block: live and frozen twin back-to-back WITHIN each
+    # pass (the interleave is the whole point — any box-speed change
+    # between pass 1 and pass 4 hits both sides equally), per-side min.
+    # The within-pair ORDER alternates between passes: the second of two
+    # back-to-back identical plans measurably benefits from the first's
+    # JIT/codegen warm-up (first cut of this block ran live always-first
+    # and read a phantom 1.02-1.14x "regression" on byte-identical code),
+    # so 4 passes give each side two runs in each position and the mins
+    # compare like-for-like. These live timings feed ONLY the ratio,
+    # never queries/queries_extra — the legacy series stays
+    # methodology-stable.
+    froz_live_t: dict[str, float] = {}
+    froz_froz_t: dict[str, float] = {}
+    for pass_i in range(4):
+        for name, ffn in frozen_run.items():
+            def _timed(fn):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).count()
+                return time.perf_counter() - t0
+            if pass_i % 2 == 0:
+                lt = _timed(reg[name])
+                ft = _timed(ffn)
+            else:
+                ft = _timed(ffn)
+                lt = _timed(reg[name])
+            if name not in froz_live_t or lt < froz_live_t[name]:
+                froz_live_t[name] = round(lt, 4)
+            if name not in froz_froz_t or ft < froz_froz_t[name]:
+                froz_froz_t[name] = round(ft, 4)
+            print(
+                f"# pass{pass_i} frozen-pair {name}: live={lt:.3f}s"
+                f" frozen={ft:.3f}s"
+                f" ({'live' if pass_i % 2 == 0 else 'frozen'} first)",
+                file=sys.stderr,
+            )
+    frozen_baseline = (
+        summarize_frozen(froz_live_t, froz_froz_t, FROZEN_VERSION, passes=4)
+        if frozen_run
+        else None
+    )
     cal_post = _calibrate(spark)
     calibration = {
         "pre": cal_pre,
@@ -495,6 +594,7 @@ def main() -> None:
         "harness": HARNESS,
         "calibration": calibration,
         "same_harness_delta": prev_delta,
+        "frozen_baseline": frozen_baseline,
     }
     # full-fidelity sidecar (pre/post probes, everything): the driver keeps
     # only the LAST 2000 chars of stdout, so the printed line must stay
@@ -517,6 +617,12 @@ def main() -> None:
     if isinstance(prev_delta, dict) and "per_query" in prev_delta:
         line_rec["same_harness_delta"] = {
             k: v for k, v in prev_delta.items() if k != "per_query"
+        }
+    # same rule for the frozen block: the line keeps only the headline
+    # (version + median live/frozen ratio); per-pair numbers are sidecar
+    if isinstance(frozen_baseline, dict):
+        line_rec["frozen_baseline"] = {
+            k: v for k, v in frozen_baseline.items() if k != "per_query"
         }
     line = json.dumps(line_rec, separators=(",", ":"))
     if len(line) > 1900:

@@ -259,3 +259,61 @@ def test_per_query_from_truncated_prev():
     per = d["per_query"]
     assert per["q3_top"]["delta_raw"] == 0.08
     assert per["text_nb"]["delta_normalized"] == 0.0
+
+
+# ----------------------------------------------------- frozen baselines
+
+
+def test_summarize_frozen_basic_ratio_and_median():
+    from bench import summarize_frozen
+
+    live = {"a": 2.0, "b": 1.0, "c": 3.0}
+    froz = {"a": 4.0, "b": 1.0, "c": 2.0}
+    out = summarize_frozen(live, froz, "r12")
+    assert out["code_version"] == "r12" and out["passes"] == 3
+    assert out["per_query"]["a"]["ratio"] == 0.5
+    assert out["per_query"]["b"]["ratio"] == 1.0
+    assert out["per_query"]["c"]["ratio"] == 1.5
+    assert out["median_ratio"] == 1.0
+
+
+def test_summarize_frozen_skips_one_sided_and_zero_frozen():
+    from bench import summarize_frozen
+
+    out = summarize_frozen(
+        {"a": 2.0, "only_live": 1.0, "z": 1.0},
+        {"a": 2.0, "only_frozen": 1.0, "z": 0.0},
+        "r12",
+    )
+    assert set(out["per_query"]) == {"a"}  # one-sided + zero-frozen dropped
+    assert out["median_ratio"] == 1.0
+
+
+def test_summarize_frozen_empty_returns_none():
+    from bench import summarize_frozen
+
+    assert summarize_frozen({}, {}, "r12") is None
+    assert summarize_frozen({"a": 1.0}, {"b": 1.0}, "r12") is None
+    assert summarize_frozen({"a": 1.0}, {"a": 0.0}, "r12") is None
+
+
+def test_summarize_frozen_fuzz_never_crashes():
+    import random
+
+    from bench import summarize_frozen
+
+    rng = random.Random(13)
+    names = [f"q{i}" for i in range(8)]
+    for _ in range(200):
+        live = {
+            n: rng.choice([0.0, rng.uniform(0, 5)])
+            for n in rng.sample(names, rng.randint(0, 8))
+        }
+        froz = {
+            n: rng.choice([0.0, rng.uniform(0, 5)])
+            for n in rng.sample(names, rng.randint(0, 8))
+        }
+        out = summarize_frozen(live, froz, "r12")
+        if out is not None:
+            rs = [v["ratio"] for v in out["per_query"].values()]
+            assert min(rs) <= out["median_ratio"] <= max(rs)
