@@ -370,3 +370,62 @@ def test_schema_drift_and_alert_delivery(spark, warehouse, endpoint):
     assert delivered and delivered[-1]["email"] == "oncall@example.com"
     assert delivered[-1]["n_violations"] == len(rec["violations"])
     shutil.rmtree(cap_dir)
+
+
+def test_incremental_watermark_skips_prior_traffic(spark, warehouse, endpoint):
+    """The r12 incremental contract, as a property (r12 VERDICT What's-wrong
+    #2): a second execution must NOT re-flag the FIRST execution's
+    out-of-distribution traffic (its watermark bounds the scan to files
+    newer than the last run), while incremental=False re-analyzes the full
+    capture history and DOES re-flag it."""
+    ep, df = endpoint
+    mon = ep.monitor()
+    mon.create_baseline(baseline_df=df, recreate=True)
+    # execution 1: out-of-distribution traffic → violations
+    drifted = df.drop("validation").limit(200).select(
+        "net_rev",
+        (F.col("total_qty") * 10).alias("total_qty"),
+        (F.col("avg_price") * 10).alias("avg_price"),
+        "n_lines",
+    )
+    ep.inference(drifted, capture=True)
+    rec1 = mon.run_monitoring_execution()
+    assert rec1["status"] == "CompletedWithViolations"
+    assert rec1["capture_watermark_ns"] > 0
+    # execution 2 (incremental, default): only CLEAN traffic arrived since
+    # — the old OOD files sit below the watermark and must not re-flag
+    clean = df.drop("validation").limit(200)
+    ep.inference(clean, capture=True)
+    rec2 = mon.run_monitoring_execution()
+    assert rec2["status"] == "Completed", rec2["violations"]
+    assert rec2["violations"] == []
+    assert rec2["captured_rows"] == 200  # the new files only, not history
+    assert rec2["capture_watermark_ns"] >= rec1["capture_watermark_ns"]
+    # execution 3 (incremental=False): full-history rescan sees the OOD
+    # traffic again and re-flags it
+    rec3 = mon.run_monitoring_execution(incremental=False)
+    assert rec3["status"] == "CompletedWithViolations"
+    assert rec3["captured_rows"] > rec2["captured_rows"]
+    assert rec3["capture_files"] > rec2["capture_files"]
+    kinds = {v["constraint_check_type"] for v in rec3["violations"]}
+    assert "baseline_drift_check" in kinds
+
+
+def test_extra_column_violation(spark, warehouse, endpoint):
+    """A captured column that is neither a baseline feature nor an
+    expected inference output raises extra_column_check (the other half
+    of the Model-Monitor schema pair; shipped r12, property untested)."""
+    ep, df = endpoint
+    mon = ep.monitor()
+    mon.create_baseline(baseline_df=df, recreate=True)
+    rogue = df.drop("validation").limit(50).withColumn("rogue_col", F.lit(1.0))
+    ep.inference(rogue, capture=True)
+    rec = mon.run_monitoring_execution()  # incremental: scans the new file
+    flagged = {
+        (v["constraint_check_type"], v["feature"]) for v in rec["violations"]
+    }
+    assert ("extra_column_check", "rogue_col") in flagged
+    # the legitimate inference outputs (prediction/residual/target) are
+    # allowlisted — rogue_col must be the ONLY extra-column violation
+    extras = {f for k, f in flagged if k == "extra_column_check"}
+    assert extras == {"rogue_col"}
