@@ -108,11 +108,11 @@ def test_bucketed_euclidean_recall_and_plan(spark):
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     # broadcast-nested-loop is allowed ONLY for the 1-row z-score stats
-    # frame (join condition references the __mu aliases); a BNLJ without
-    # that marker would be a full-set broadcast — the thing this path exists
-    # to avoid
+    # frame (join condition references the exact-sum __s/__qq/__n aliases
+    # of _zscore_frame); a BNLJ without that marker would be a full-set
+    # broadcast — the thing this path exists to avoid
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
-        assert "__mu" in frag.split("\n")[0] or "__mu" in frag[:2000], frag[:500]
+        assert "__s" in frag.split("\n")[0] or "__s" in frag[:2000], frag[:500]
     # candidate generation must be a real equi-join (hash or sort-merge)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 

@@ -134,6 +134,27 @@ def descriptive_stats(
     aggs = []
     for c in cols:
         d = F.col(c).cast("double")
+        if exact:
+            # oracle-grade mode: mean/stddev from EXACT integer sums of
+            # micro-quantized values (q = floor(x·1e6 + 0.5), DECIMAL
+            # sums — overflow-free at any scale), finished by one fixed
+            # double-op sequence below. Float avg/stddev low bits depend
+            # on partition order; at a ROUND half-boundary that flips the
+            # 6th decimal between layouts AND between engines (r13:
+            # hostile-partitioning sweep caught exactly this on l_tax's
+            # mean). Quantization error < 5e-7 per input — below the 6dp
+            # the exact mode reports. Production mode keeps float
+            # avg/stddev (exact enough, no decimal overhead).
+            q = F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("decimal(19,0)")
+            aggs += [
+                F.min(d).alias(f"{c}___min"),
+                F.expr(pct_of(c)).alias(f"{c}___q"),
+                F.max(d).alias(f"{c}___max"),
+                F.sum(q).cast("decimal(38,0)").alias(f"{c}___s"),
+                F.sum((q * q).cast("decimal(38,0)")).alias(f"{c}___qq"),
+                F.count(q).alias(f"{c}___n"),
+            ]
+            continue
         aggs += [
             F.min(d).alias(f"{c}___min"),
             # one sketch per column for all three quantiles (3x fewer
@@ -166,6 +187,23 @@ def descriptive_stats(
         )
     else:
         wide = df.agg(*aggs)
+        if exact:
+            for c in cols:
+                s_d = F.col(f"{c}___s").cast("double")
+                qq_d = F.col(f"{c}___qq").cast("double")
+                n = F.col(f"{c}___n")
+                wide = wide.withColumn(
+                    f"{c}___mean", s_d / n / F.lit(1e6)
+                ).withColumn(
+                    f"{c}___stddev",
+                    F.sqrt(
+                        F.greatest(
+                            (qq_d - s_d * s_d / n) / (n - F.lit(1)),
+                            F.lit(0.0),
+                        )
+                    )
+                    / F.lit(1e6),
+                )
     # Unpivot driver-side structure (cols known statically; the agg row is 1 row)
     stack_args = ", ".join(
         f"'{c}', `{c}___min`, `{c}___q`[0], `{c}___q`[1], `{c}___q`[2],"

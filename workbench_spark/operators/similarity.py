@@ -414,18 +414,57 @@ def euclidean_knn_standardized(
 
 def _zscore_frame(df: DataFrame, feature_cols: list[str], id_col: str) -> DataFrame:
     """(id, __z array) with globally standardized features — one agg pass
-    broadcast back (stats frame is 1 row regardless of data size)."""
+    broadcast back (stats frame is 1 row regardless of data size).
+
+    mu/sd are computed from EXACT integer sums of micro-quantized values
+    (Σq and Σq² with q = floor(x·1e6 + 0.5), DECIMAL-typed so they never
+    overflow), then one fixed double-op sequence — NOT float avg/stddev.
+    Float aggregation order perturbs mu/sd's low bits with the partition
+    layout, and a z-score tie between two equal raw gaps then resolves
+    differently run-to-run, flipping the k-th neighbor (r13: caught by
+    the hostile-partitioning sweep on m4_uq_neighbors — acctbal's
+    2-decimal grid makes such ties real). The exact sums are associative
+    in any partitioning AND replayable in DuckDB (HUGEINT twins), so
+    neighbor selection is deterministic and oracle-matched bit-for-bit.
+    Quantization shifts each input by < 5e-7 — far inside the use case
+    (standardized distances for neighborhood selection)."""
+    q = {
+        c: F.floor(F.col(c).cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+            "decimal(19,0)"
+        )
+        for c in feature_cols
+    }
     stats = df.agg(
-        *[F.avg(F.col(c).cast("double")).alias(f"{c}__mu") for c in feature_cols],
-        *[F.stddev(F.col(c).cast("double")).alias(f"{c}__sd") for c in feature_cols],
+        *[F.sum(q[c]).cast("decimal(38,0)").alias(f"{c}__s") for c in feature_cols],
+        *[
+            F.sum((q[c] * q[c]).cast("decimal(38,0)")).alias(f"{c}__qq")
+            for c in feature_cols
+        ],
+        *[F.count(q[c]).alias(f"{c}__n") for c in feature_cols],
     )
+    def _mu(c):
+        return F.col(f"{c}__s").cast("double") / F.col(f"{c}__n") / F.lit(1e6)
+
+    def _sd(c):
+        s_d = F.col(f"{c}__s").cast("double")
+        qq_d = F.col(f"{c}__qq").cast("double")
+        n = F.col(f"{c}__n")
+        return (
+            F.sqrt(
+                F.greatest(
+                    (qq_d - s_d * s_d / n) / (n - F.lit(1)), F.lit(0.0)
+                )
+            )
+            / F.lit(1e6)
+        )
+
     return df.crossJoin(F.broadcast(stats)).select(
         F.col(id_col),
         F.array(
             *[
                 (
-                    (F.col(c).cast("double") - F.col(f"{c}__mu"))
-                    / F.when(F.col(f"{c}__sd") > 0, F.col(f"{c}__sd")).otherwise(F.lit(1.0))
+                    (F.col(c).cast("double") - _mu(c))
+                    / F.when(_sd(c) > 0, _sd(c)).otherwise(F.lit(1.0))
                 )
                 for c in feature_cols
             ]

@@ -149,17 +149,36 @@ def stratified_split(
     seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
     """O4 — stratified (train, holdout) split by column
-    (pandas_utils.py:1077+): per-stratum Bernoulli via sampleBy.
-    ``fractions`` is a per-value dict or one fraction applied to every
-    stratum. The holdout is the exact complement (anti-join on a row id),
-    so the two sides partition the input."""
+    (pandas_utils.py:1077+): per-stratum Bernoulli via a deterministic
+    per-row hash draw. ``fractions`` is a per-value dict or one fraction
+    applied to every stratum. The holdout is the literal predicate
+    complement, so the two sides partition the input by construction.
+
+    Why a hash draw and not sampleBy (r13 — caught by the
+    hostile-partitioning certification sweep): sampleBy's per-row rand
+    depends on partition layout AND re-rolls on every plan re-execution,
+    so the anti-join "complement" could overlap the train side whenever
+    the sample re-evaluated differently (monotonically_increasing_id has
+    the same two diseases). The draw here is u = xxhash64(seed, row) mod
+    1e6 < frac·1e6 — a pure row function: reproducible across runs,
+    partitionings, and retries (the capture-sampling / sample_to_mixture
+    convention). Rows identical in EVERY column get identical draws and
+    land on the same side. Strata absent from ``fractions`` (and NULL
+    strata) go entirely to the holdout, matching sampleBy's contract."""
     if not isinstance(fractions, dict):
         values = [r[0] for r in df.select(strata_col).distinct().collect()]
         fractions = {v: float(fractions) for v in values}
-    keyed = df.withColumn("__sid", F.monotonically_increasing_id())
-    train = keyed.sampleBy(strata_col, fractions, seed=seed)
-    holdout = keyed.join(train.select("__sid"), "__sid", "left_anti")
-    return train.drop("__sid"), holdout.drop("__sid")
+    u = F.pmod(
+        F.xxhash64(F.lit(int(seed)), *[F.col(c) for c in df.columns]),
+        F.lit(1_000_000),
+    )
+    cut = F.lit(0)
+    for v, frac in fractions.items():
+        cut = F.when(
+            F.col(strata_col) == F.lit(v), F.lit(int(float(frac) * 1_000_000))
+        ).otherwise(cut)
+    keep = u < cut
+    return df.filter(keep), df.filter(~keep)
 
 
 def resample_timeseries(

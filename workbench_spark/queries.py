@@ -245,6 +245,30 @@ def a4_zeros(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DESC_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
+# DuckDB twins of descriptive_stats' exact-mode mean/stddev (r13): the
+# engine computes both from exact micro-quantized integer sums (HUGEINT
+# here, DECIMAL there) + one fixed double-op sequence — float AVG/STDDEV
+# low bits follow the partition layout and flipped l_tax's 6dp mean in the
+# hostile-partitioning sweep. Rounding uses the floor form because these
+# derived means DO land on .5e-6 half-boundaries (that was the flip).
+_DESC_Q = "CAST(floor(CAST({c} AS DOUBLE) * 1e6 + 0.5) AS HUGEINT)"
+_DESC_MEAN = (
+    "floor((CAST(SUM(" + _DESC_Q + ") AS DOUBLE) / COUNT({c}) / 1e6)"
+    " * 1e6 + 0.5) / 1e6"
+)
+_DESC_STD = (
+    "floor((sqrt(greatest((CAST(SUM(" + _DESC_Q + " * " + _DESC_Q + ") AS DOUBLE)"
+    " - CAST(SUM(" + _DESC_Q + ") AS DOUBLE) * CAST(SUM(" + _DESC_Q + ") AS DOUBLE)"
+    " / COUNT({c})) / (COUNT({c}) - 1), 0.0)) / 1e6) * 1e6 + 0.5) / 1e6"
+)
+
+
+def _fround6(col):
+    """Engine-deterministic floor-form rounding (the queries_pipeline
+    _fround convention): floor(x·1e6 + 0.5)/1e6 — identical IEEE ops in
+    Spark and DuckDB, no -0.0, no half-boundary divergence."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
 
 @query(
     "descriptive_stats_lineitem",
@@ -262,8 +286,8 @@ _DESC_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
             f"        ROUND(quantile_cont(CAST({c} AS DOUBLE), 0.5), 6) AS {c}___median,\n"
             f"        ROUND(quantile_cont(CAST({c} AS DOUBLE), 0.75), 6) AS {c}___q3,\n"
             f"        ROUND(MAX(CAST({c} AS DOUBLE)), 6) AS {c}___max,\n"
-            f"        ROUND(AVG(CAST({c} AS DOUBLE)), 6) AS {c}___mean,\n"
-            f"        ROUND(STDDEV(CAST({c} AS DOUBLE)), 6) AS {c}___stddev"
+            f"        {_DESC_MEAN.format(c=c)} AS {c}___mean,\n"
+            f"        {_DESC_STD.format(c=c)} AS {c}___stddev"
             for c in _DESC_COLS
         ),
         union="\n    UNION ALL\n".join(
@@ -276,14 +300,17 @@ _DESC_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 )
 def a5_descriptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — descriptive_stats.py:14-83. Exact percentiles (linear
-    interpolation) to match quantile_cont; rounded to 6dp on both sides."""
+    interpolation) to match quantile_cont; percentile extrema ROUND to
+    6dp on both sides, mean/stddev use the floor-form rounding over the
+    operator's exact-integer-sum values (see _DESC_MEAN note)."""
     from workbench_spark.operators.eda import descriptive_stats
 
     li = _t(spark, sf_dir, "lineitem")
     df = descriptive_stats(li, _DESC_COLS, exact=True)
-    stat_cols = ["min", "q1", "median", "q3", "max", "mean", "stddev"]
     return df.select(
-        "column_name", *[F.round(F.col(s), 6).alias(s) for s in stat_cols]
+        "column_name",
+        *[F.round(F.col(s), 6).alias(s) for s in ("min", "q1", "median", "q3", "max")],
+        *[_fround6(F.col(s)).alias(s) for s in ("mean", "stddev")],
     )
 
 

@@ -1127,7 +1127,18 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_euclidean_standardized",
     """
     WITH stats AS (
-      SELECT AVG(c_acctbal) AS mu, STDDEV(c_acctbal) AS sd FROM customer
+      -- exact integer-sum twin of similarity._zscore_frame (r13): float
+      -- AVG/STDDEV low bits depend on partition order and flip z-score
+      -- neighbor ties; micro-quantized HUGEINT sums + one fixed double-op
+      -- sequence are bit-identical in any layout and in both engines
+      SELECT s / n / 1e6 AS mu,
+             sqrt(greatest((qq - s * s / n) / (n - 1), 0.0)) / 1e6 AS sd
+      FROM (
+        SELECT CAST(SUM(CAST(floor(CAST(c_acctbal AS DOUBLE) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) AS s,
+               CAST(SUM(CAST(floor(CAST(c_acctbal AS DOUBLE) * 1e6 + 0.5) AS HUGEINT)
+                        * CAST(floor(CAST(c_acctbal AS DOUBLE) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) AS qq,
+               COUNT(c_acctbal) AS n
+        FROM customer)
     ),
     z AS (
       SELECT c_custkey, (c_acctbal - mu) / (CASE WHEN sd > 0 THEN sd ELSE 1 END) AS z
@@ -2140,7 +2151,18 @@ def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m4_uq_neighbors",
     """
     WITH stats AS (
-      SELECT AVG(c_acctbal) AS mu, STDDEV(c_acctbal) AS sd FROM customer
+      -- exact integer-sum twin of similarity._zscore_frame (r13): float
+      -- AVG/STDDEV low bits depend on partition order and flip z-score
+      -- neighbor ties; micro-quantized HUGEINT sums + one fixed double-op
+      -- sequence are bit-identical in any layout and in both engines
+      SELECT s / n / 1e6 AS mu,
+             sqrt(greatest((qq - s * s / n) / (n - 1), 0.0)) / 1e6 AS sd
+      FROM (
+        SELECT CAST(SUM(CAST(floor(CAST(c_acctbal AS DOUBLE) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) AS s,
+               CAST(SUM(CAST(floor(CAST(c_acctbal AS DOUBLE) * 1e6 + 0.5) AS HUGEINT)
+                        * CAST(floor(CAST(c_acctbal AS DOUBLE) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) AS qq,
+               COUNT(c_acctbal) AS n
+        FROM customer)
     ),
     p AS (
       SELECT c_custkey AS id, c_acctbal * 0.9 AS pred,

@@ -103,6 +103,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         # NTZ→LTZ cast map wall-clock = UTC instant.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    # Hostile-layout certification knob (r13): when set, every input read
+    # arrives in an adversarial partitioning (13 round-robin partitions —
+    # coprime with the 32-core default and the prescribed 7 shuffle
+    # partitions). The full-registry oracle sweep under this knob is the
+    # GLOBAL proof of the order-independence invariants (integer-quantized
+    # sums, deterministic tiebreakers): an entry whose hash flips under it
+    # has a latent partitioning dependence. Opt-in via
+    # tests/test_partition_invariance.py or the round-close sweep; never
+    # set in production.
+    if os.environ.get("SPARK_GRAFT_HOSTILE_PARTS"):
+        df = df.repartition(int(os.environ.get("SPARK_GRAFT_HOSTILE_NPARTS", "13")))
     return df
 
 
