@@ -495,7 +495,19 @@ def stream_cms_counts(
     and two independently-maintained stream sketches merge by the same
     cms_merge — the additivity that makes per-day/per-source artifacts
     composable. State lives in the artifact, not executor memory: no
-    watermark needed, restarts resume from the checkpoint."""
+    watermark needed, restarts resume from the checkpoint.
+
+    AT-LEAST-ONCE CAVEAT (pinned by
+    tests/test_sources_streaming_multimodal.py): restarts on an INTACT
+    checkpoint are exact — already-committed files are never re-folded
+    (verified bit-for-bit against the uninterrupted run). But the
+    additive merge means any REDELIVERY outside the checkpoint's
+    knowledge (checkpoint loss, a crash in the window between the
+    artifact swap and the epoch commit, replaying a source against an
+    existing artifact) INFLATES counts — a re-run fold double-counts.
+    Where duplicate-proof semantics matter more than frequencies, use
+    stream_hll_counts (max-merge, idempotent) or keep the checkpoint as
+    durable as the artifact."""
     import os
 
     from workbench_spark.operators.sketches import cms_build, cms_merge
