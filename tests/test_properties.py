@@ -557,9 +557,13 @@ def test_vocabulary_mass_conservation(spark, docs):
 
 
 def test_descriptive_stats_sampled_mode(spark):
-    """The sample_fraction production mode: full-data min/max/mean/stddev
-    are BIT-identical to exact mode; sampled quantiles land within the
-    ~1/(2*sqrt(n*f)) rank-error bound of the exact ones."""
+    """The sample_fraction production mode: full-data min/max are
+    BIT-identical to exact mode; mean/stddev agree within the exact
+    mode's 1e-6 input-quantization bound (r13: exact mode computes both
+    from micro-quantized integer sums for partition-order invariance, so
+    the float-agg production values differ in the quantization tail);
+    sampled quantiles land within the ~1/(2*sqrt(n*f)) rank-error bound
+    of the exact ones."""
     from pyspark.sql import functions as F
 
     from workbench_spark.operators.eda import descriptive_stats
@@ -568,8 +572,10 @@ def test_descriptive_stats_sampled_mode(spark):
     cols = ["o_totalprice"]
     ex = descriptive_stats(o, cols, exact=True).first()
     sm = descriptive_stats(o, cols, exact=False, sample_fraction=0.3).first()
-    for k in ("min", "max", "mean", "stddev"):
+    for k in ("min", "max"):
         assert sm[k] == ex[k], k
+    for k in ("mean", "stddev"):
+        assert abs(sm[k] - ex[k]) < 1e-6, (k, sm[k], ex[k])
     # the method bounds RANK error (~sqrt(p(1-p)/(n*f)) ≈ 2% at n*f≈450),
     # not value error (a flat CDF amplifies value deviation arbitrarily):
     # the sampled quantile's rank within the FULL data must sit near p

@@ -196,13 +196,20 @@ def descriptive_stats(
                     f"{c}___mean", s_d / n / F.lit(1e6)
                 ).withColumn(
                     f"{c}___stddev",
-                    F.sqrt(
-                        F.greatest(
-                            (qq_d - s_d * s_d / n) / (n - F.lit(1)),
-                            F.lit(0.0),
+                    # n<=1 guard OUTSIDE the formula: 0/0 -> NULL, but
+                    # greatest(NULL, 0.0) is 0.0 — without the when, a
+                    # single-row column would report stddev 0.0 instead
+                    # of NULL (sample stddev is undefined at n=1)
+                    F.when(
+                        n > 1,
+                        F.sqrt(
+                            F.greatest(
+                                (qq_d - s_d * s_d / n) / (n - F.lit(1)),
+                                F.lit(0.0),
+                            )
                         )
-                    )
-                    / F.lit(1e6),
+                        / F.lit(1e6),
+                    ),
                 )
     # Unpivot driver-side structure (cols known statically; the agg row is 1 row)
     stack_args = ", ".join(

@@ -2579,7 +2579,9 @@ _ORACLES["knn_cosine_ivf"] = _ivf_oracle()
            ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
            ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median,
            ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q3,
-           ROUND(AVG(l_extendedprice), 6) AS mean,
+           floor((CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1e6 + 0.5)
+                      AS HUGEINT)) AS DOUBLE) / COUNT(l_extendedprice) / 1e6)
+                 * 1e6 + 0.5) / 1e6 AS mean,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -2587,13 +2589,23 @@ _ORACLES["knn_cosine_ivf"] = _ivf_oracle()
 def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 grouped variant — per-group exact percentiles: at scale this is
     the partitioned (shuffle-by-group) form whose state distributes,
-    unlike the single global percentile."""
+    unlike the single global percentile. The mean uses the exact
+    quantized-sum + floor-round form (the A5 family convention after the
+    r13 hostile sweep flipped the global entry's float AVG at a ROUND
+    half-boundary — grid-valued data means land on those boundaries)."""
     li = _t(spark, sf_dir, "lineitem")
+    q = F.floor(F.col("l_extendedprice").cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("q1"),
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median"),
         F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("q3"),
-        F.round(F.avg("l_extendedprice"), 6).alias("mean"),
+        _fround(
+            F.sum(q).cast("decimal(38,0)").cast("double")
+            / F.count(F.col("l_extendedprice"))
+            / F.lit(1e6)
+        ).alias("mean"),
         F.count(F.lit(1)).alias("n"),
     )
 
