@@ -317,3 +317,25 @@ def test_summarize_frozen_fuzz_never_crashes():
         if out is not None:
             rs = [v["ratio"] for v in out["per_query"].values()]
             assert min(rs) <= out["median_ratio"] <= max(rs)
+
+
+def test_frozen_module_is_actually_frozen():
+    """bench_frozen.py's contract is that it NEVER changes — a frozen twin
+    that drifts with the live code measures nothing. This pins the file's
+    content hash; a legitimate re-freeze must update BOTH this hash and
+    FROZEN_VERSION (restarting the ratio series), which is exactly the
+    friction the contract wants."""
+    import hashlib
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent.parent / "bench_frozen.py"
+    digest = hashlib.sha256(p.read_bytes()).hexdigest()[:16]
+    assert digest == "db904bff45c88413", (
+        "bench_frozen.py changed! If this is a deliberate re-freeze, bump "
+        "FROZEN_VERSION in the module AND this pinned hash; otherwise "
+        "revert the edit — frozen means frozen."
+    )
+    from bench_frozen import FROZEN, FROZEN_VERSION
+
+    assert FROZEN_VERSION == "r12"
+    assert len(FROZEN) == 6
