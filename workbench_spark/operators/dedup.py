@@ -1305,7 +1305,19 @@ def embedding_incremental_pairs(
     signatures computed once per snapshot and stored; per-batch cost is
     sign(batch) + one equi-join). Intra-batch duplicates are
     ``embedding_near_dup_pairs(new_df, use_lsh=True)``'s job — compose
-    the two for full coverage."""
+    the two for full coverage.
+
+    SIZE n_planes WITH THE CORPUS (r13 ladder finding): the candidate
+    join fans out ~|batch|·|corpus| / 2^n_planes per table, so a FIXED
+    plane count at a growing corpus is quadratic — measured exponent
+    2.19 (2.7 s → 417 s) across the sf1→sf10 decade at the default 8
+    planes, vs 0.42 once planes scale. Production rule:
+    n_planes ≈ ceil(log2(|corpus| / target_bucket)) with target_bucket
+    ~50-100 keeps per-bucket occupancy (and therefore per-batch-row
+    fan-in) constant as the corpus grows; n_tables then buys recall at
+    linear cost. For the snapshot-artifact path, size the planes when
+    the corpus artifact is built — re-signing is the (rare) resize
+    event, exactly like re-bucketing a bucketed table."""
     from workbench_spark.operators.similarity import _dot
 
     if dim is None:
