@@ -1222,7 +1222,14 @@ def _lsh_embedding_candidates(
     """Hyperplane-LSH candidate pairs for embedding near-dup: vectors
     sharing a full signature in ANY table become a candidate pair exactly
     once (dropDuplicates on the unordered pair). Shuffle key is
-    (table, signature) — equi-join-shaped per the CLAUDE.md invariant."""
+    (table, signature) — equi-join-shaped per the CLAUDE.md invariant.
+
+    n_planes is a CAPACITY knob, not a tuning constant: the self-join
+    fans out ~N²/2^n_planes per table, so a fixed plane count at a
+    growing corpus is quadratic — size n_planes ≈ ceil(log2(N /
+    target_bucket)) as the corpus grows (the same rule, and the same
+    measured second-decade blowup, as embedding_incremental_pairs;
+    n_tables then buys recall at linear cost)."""
     signed = embedding_signatures(
         df, id_col, vec_col, n_planes, n_tables, seed, dim
     )

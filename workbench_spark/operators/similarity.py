@@ -288,6 +288,11 @@ def lsh_cosine_knn(
     Scale analysis: with b bits per table, expected bucket size is N/2^b —
     candidate pairs per table ≈ N²/2^b, tunable to the cluster. The join is
     a shuffle on (table, signature): co-located, skew-handled by AQE.
+    b (n_planes) is therefore a CAPACITY knob that must grow with the
+    corpus — ceil(log2(N / target_bucket)) — not a fixed constant: the
+    r13 second-decade ladder measured the sibling incremental path
+    quadratic (exponent 2.19) at a frozen plane count, linear (0.70)
+    once sized; n_tables buys recall at linear cost.
     Recall grows with n_tables (union of candidates), cost linearly.
 
     quantized=True routes the candidate scan through int8 codes
