@@ -675,3 +675,56 @@ def test_embedding_incremental_dedup_blocks_corpus_clones(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_lsh_auto_planes_capacity_rule():
+    """The capacity rule as code: planes floor at 8, then grow with
+    log2(N/target) — each 10x corpus adds ~3.3 planes, holding expected
+    bucket occupancy (and therefore candidate fan-in) constant."""
+    from workbench_spark.operators.dedup import lsh_auto_planes
+
+    assert lsh_auto_planes(0) == 8
+    assert lsh_auto_planes(1000) == 8          # small corpus: floor
+    assert lsh_auto_planes(64 * 2**8) == 8     # exactly at floor capacity
+    assert lsh_auto_planes(64 * 2**8 + 1) == 9
+    assert lsh_auto_planes(180_000) == 12      # the sf10 ladder corpus
+    assert lsh_auto_planes(64 * 2**20) == 20
+    # occupancy stays bounded: n / 2^planes <= target for n above floor cap
+    for n in (10**5, 10**6, 10**7, 10**9):
+        assert n / 2 ** lsh_auto_planes(n) <= 64
+
+
+def test_embedding_lsh_auto_matches_explicit(spark):
+    """n_planes='auto' resolves to lsh_auto_planes(corpus) and yields the
+    IDENTICAL pair set as passing that number explicitly; the pre-signed
+    corpus path refuses 'auto' (its plane count was fixed at
+    artifact-build time)."""
+    import pytest as _pytest
+
+    from workbench_spark.operators.dedup import (
+        embedding_incremental_pairs,
+        embedding_near_dup_pairs,
+        embedding_signatures,
+        lsh_auto_planes,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    n_auto = lsh_auto_planes(corpus.count())
+    a = embedding_incremental_pairs(batch, corpus, threshold=0.5, n_planes="auto", dim=64)
+    b = embedding_incremental_pairs(batch, corpus, threshold=0.5, n_planes=n_auto, dim=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # self-corpus auto path runs and stays equi-join-shaped (no cartesian)
+    pairs = embedding_near_dup_pairs(e, threshold=0.5, use_lsh=True, n_planes="auto", dim=64)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert pairs.count() >= 0
+    signed = embedding_signatures(corpus, "vec_id", "embedding", 8, 4, 42, 64)
+    with _pytest.raises(ValueError, match="auto"):
+        embedding_incremental_pairs(
+            batch, signed, n_planes="auto", corpus_is_signed=True, dim=64
+        )

@@ -1210,11 +1210,26 @@ def embedding_near_dup_pairs(
     return scored.filter(F.col("cosine_sim") >= threshold)
 
 
+def lsh_auto_planes(n: int, target_bucket: int = 64, floor: int = 8) -> int:
+    """The LSH capacity rule as code: enough hyperplanes that expected
+    bucket occupancy stays ~``target_bucket`` at corpus size ``n`` —
+    planes = max(floor, ceil(log2(n / target_bucket))). Candidate fan-in
+    per table is ~occupancy per probing row, so a FIXED plane count at a
+    growing corpus is quadratic (r13 ladder: exponent 2.19 frozen vs
+    0.70 sized across the sf1→sf10 decade). Recall is bought separately
+    and linearly with n_tables. Pass ``n_planes="auto"`` to
+    embedding_near_dup_pairs / embedding_incremental_pairs /
+    lsh_cosine_knn to apply this rule from a 1-row corpus count."""
+    import math
+
+    return max(floor, math.ceil(math.log2(max(int(n), 2) / max(target_bucket, 1))))
+
+
 def _lsh_embedding_candidates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
@@ -1229,7 +1244,10 @@ def _lsh_embedding_candidates(
     growing corpus is quadratic — size n_planes ≈ ceil(log2(N /
     target_bucket)) as the corpus grows (the same rule, and the same
     measured second-decade blowup, as embedding_incremental_pairs;
-    n_tables then buys recall at linear cost)."""
+    n_tables then buys recall at linear cost). ``n_planes="auto"``
+    applies :func:`lsh_auto_planes` from a 1-row count."""
+    if n_planes == "auto":
+        n_planes = lsh_auto_planes(df.count())
     signed = embedding_signatures(
         df, id_col, vec_col, n_planes, n_tables, seed, dim
     )
@@ -1292,7 +1310,7 @@ def embedding_incremental_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
@@ -1327,6 +1345,16 @@ def embedding_incremental_pairs(
     event, exactly like re-bucketing a bucketed table."""
     from workbench_spark.operators.similarity import _dot
 
+    if n_planes == "auto":
+        if corpus_is_signed:
+            raise ValueError(
+                "n_planes='auto' sizes from the raw corpus count; a "
+                "pre-signed corpus already fixed its plane count at "
+                "artifact-build time — pass that number explicitly"
+            )
+        n_planes = lsh_auto_planes(corpus.count())  # size from the CORPUS,
+        # never the batch: the fan-in the rule bounds is bucket occupancy
+        # on the corpus side
     if dim is None:
         # ONE probe shared by both sides, so they sign with identical
         # planes (independent probes could diverge on ragged data);

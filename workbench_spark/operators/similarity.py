@@ -269,7 +269,7 @@ def lsh_cosine_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 2,
     seed: int = 42,
     dim: int | None = None,
@@ -304,6 +304,10 @@ def lsh_cosine_knn(
     """
     import random
 
+    if n_planes == "auto":
+        from workbench_spark.operators.dedup import lsh_auto_planes
+
+        n_planes = lsh_auto_planes(vectors.count())
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     rng = random.Random(seed)
