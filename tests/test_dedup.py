@@ -728,3 +728,23 @@ def test_embedding_lsh_auto_matches_explicit(spark):
         embedding_incremental_pairs(
             batch, signed, n_planes="auto", corpus_is_signed=True, dim=64
         )
+
+
+def test_semdedup_auto_clusters(spark):
+    """n_clusters='auto' (the third capacity knob) resolves to
+    clamp(N/250, 8, 4096) and yields the identical verdict frame as the
+    explicit k."""
+    from workbench_spark.operators.dedup import semdedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    n = e.count()
+    k = max(8, min(n // 250, 4096))
+    a = semdedup(e, "vec_id", "embedding", n_clusters="auto", eps=0.08,
+                 exact=True, dim=64)
+    b = semdedup(e, "vec_id", "embedding", n_clusters=k, eps=0.08,
+                 exact=True, dim=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() == n

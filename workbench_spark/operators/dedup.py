@@ -1534,7 +1534,7 @@ def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     eps: float = 0.05,
     seed: int = 42,
     exact: bool = False,
@@ -1568,10 +1568,22 @@ def semdedup(
     — marginality semantics preserved, values differ from MLlib mode),
     which upgrades the registry entry to a full DuckDB-replay oracle.
     Pair search, CC, and the keep-rule are shared between both modes.
+
+    n_clusters is a CAPACITY knob (the third after LSH planes and minhash
+    bands): the intra-cell pair join is O(Σ cell²) ≈ N²/k, so a fixed k
+    at a growing corpus degenerates toward all-pairs.
+    ``n_clusters="auto"`` sizes k = clamp(N/250, 8, 4096) from a 1-row
+    count (mean cell ~250 — the measured-linear smoke shape); at auto
+    scale prefer the MLlib quantizer (default): the exact fixed-point
+    twin builds a k·d-LITERAL assignment projection, so its plan/codegen
+    cost grows with k — it is the oracle-replay tool, not the 100 TB
+    quantizer.
     """
     from workbench_spark.operators.graph import connected_components
     from workbench_spark.operators.similarity import _dot, _norm
 
+    if n_clusters == "auto":
+        n_clusters = max(8, min(df.count() // 250, 4096))
     if exact:
         if dim is None:
             raise ValueError("exact=True requires dim (quantization width)")
