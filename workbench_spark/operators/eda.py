@@ -355,6 +355,21 @@ def column_stats_table(
         aggs.append(F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"{c}__nulls"))
     for c in num_cols:
         d = F.col(c).cast("double")
+        if exact:
+            # oracle-grade mean/stddev from exact integer sums — the
+            # same partition-order-invariance recipe (and rationale) as
+            # descriptive_stats' exact mode; see that function's note.
+            q = F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("decimal(19,0)")
+            aggs += [
+                F.count(F.when(F.col(c) == 0, F.lit(1))).alias(f"{c}__zeros"),
+                F.min(d).alias(f"{c}__min"),
+                F.expr(pct_of(c)).alias(f"{c}__q"),
+                F.max(d).alias(f"{c}__max"),
+                F.sum(q).cast("decimal(38,0)").alias(f"{c}__s"),
+                F.sum((q * q).cast("decimal(38,0)")).alias(f"{c}__qq"),
+                F.count(q).alias(f"{c}__n"),
+            ]
+            continue
         aggs += [
             F.count(F.when(F.col(c) == 0, F.lit(1))).alias(f"{c}__zeros"),
             F.min(d).alias(f"{c}__min"),
@@ -383,7 +398,27 @@ def column_stats_table(
                 (F.col(f"{c}__stddev") if is_num else nd).alias("stddev"),
             )
         )
-    return df.agg(*aggs).select(F.inline(F.array(*structs)))
+    wide = df.agg(*aggs)
+    if exact:
+        for c in num_cols:
+            s_d = F.col(f"{c}__s").cast("double")
+            qq_d = F.col(f"{c}__qq").cast("double")
+            n = F.col(f"{c}__n")
+            wide = wide.withColumn(
+                f"{c}__mean", s_d / n / F.lit(1e6)
+            ).withColumn(
+                f"{c}__stddev",
+                F.when(  # n<=1: NULL, not 0 (greatest would eat the 0/0 NULL)
+                    n > 1,
+                    F.sqrt(
+                        F.greatest(
+                            (qq_d - s_d * s_d / n) / (n - F.lit(1)), F.lit(0.0)
+                        )
+                    )
+                    / F.lit(1e6),
+                ),
+            )
+    return wide.select(F.inline(F.array(*structs)))
 
 
 # ---------------------------------------------------------------- A9 / P4

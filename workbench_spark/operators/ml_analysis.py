@@ -245,8 +245,35 @@ def residual_features(
     )
 
 
-def group_aggregate(df: DataFrame, group_col: str, feature_cols: list[str]) -> DataFrame:
-    """M7 — mean features per group (aggregation.py:10-50)."""
+def group_aggregate(
+    df: DataFrame, group_col: str, feature_cols: list[str], exact: bool = False
+) -> DataFrame:
+    """M7 — mean features per group (aggregation.py:10-50).
+
+    ``exact=True`` (oracle-grade, the library-stats convention): means
+    from exact integer sums of micro-quantized values instead of float
+    avg — partition-order-invariant and engine-replayable (float AVG low
+    bits follow the shuffle layout; on grid-valued data the mean can sit
+    exactly on a ROUND half-boundary, the r13 hostile-sweep flip class).
+    Quantization error < 5e-7 per input. Default stays float avg."""
+    if exact:
+        qs = {
+            c: F.floor(F.col(c).cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+                "decimal(19,0)"
+            )
+            for c in feature_cols
+        }
+        return df.groupBy(group_col).agg(
+            *[
+                (
+                    F.sum(qs[c]).cast("decimal(38,0)").cast("double")
+                    / F.count(F.col(c))
+                    / F.lit(1e6)
+                ).alias(c)
+                for c in feature_cols
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
     return df.groupBy(group_col).agg(
         *[F.avg(c).alias(c) for c in feature_cols], F.count(F.lit(1)).alias("n")
     )

@@ -53,17 +53,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # =====================================================================
 
 
+# exact quantized-sum mean + floor-form rounding, DuckDB side — the A5
+# family convention for derived means of grid-valued data (see _DESC_MEAN
+# below; this copy exists because q1's string is built before _DESC_MEAN's
+# definition point would read naturally — keep the two textually identical)
+_Q1_MEAN = (
+    "floor((CAST(SUM(CAST(floor(CAST({c} AS DOUBLE) * 1e6 + 0.5) AS HUGEINT))"
+    " AS DOUBLE) / COUNT({c}) / 1e6) * 1e6 + 0.5) / 1e6"
+)
+
+
+def _qmean(c: str):
+    """Spark twin of _Q1_MEAN: exact integer-sum mean of micro-quantized
+    values, floor-form rounded — partition-order-invariant where float
+    AVG's low bits follow the shuffle layout (a mean of grid-valued data
+    can sit exactly on a ROUND half-boundary — the r13 hostile-sweep flip
+    class)."""
+    q = F.floor(F.col(c).cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(19,0)"
+    )
+    mean = F.sum(q).cast("decimal(38,0)").cast("double") / F.count(F.col(c)) / F.lit(1e6)
+    return F.floor(mean * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
 @query(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           {_Q1_MEAN.format(c="l_quantity")} AS avg_qty,
+           {_Q1_MEAN.format(c="l_extendedprice")} AS avg_price,
+           {_Q1_MEAN.format(c="l_discount")} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -73,7 +96,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the flagship scan+agg. Map-side partial
     aggregation on (returnflag, linestatus): 6 groups regardless of scale,
-    so the shuffle is O(partitions), not O(rows)."""
+    so the shuffle is O(partitions), not O(rows). The SUM columns round
+    exact-on-the-cent values (a sum of 2/4-decimal data is itself on the
+    1e-4 grid, so ROUND is tie-free by construction); the AVG columns
+    divide by n and CAN land on half-boundaries, so they use the exact
+    quantized-sum + floor-round form (_qmean)."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -84,9 +111,9 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _qmean("l_quantity").alias("avg_qty"),
+            _qmean("l_extendedprice").alias("avg_price"),
+            _qmean("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1225,7 +1252,7 @@ _A8_COLS = ["l_quantity", "l_extendedprice", "l_returnflag"]
 
 @query(
     "a8_column_stats",
-    """
+    f"""
     WITH s AS (
       SELECT
         COUNT(DISTINCT l_quantity) AS q_uniq,
@@ -1234,14 +1261,14 @@ _A8_COLS = ["l_quantity", "l_extendedprice", "l_returnflag"]
         ROUND(MIN(CAST(l_quantity AS DOUBLE)), 6) AS q_min,
         ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS q_med,
         ROUND(MAX(CAST(l_quantity AS DOUBLE)), 6) AS q_max,
-        ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS q_mean,
+        {_Q1_MEAN.format(c="l_quantity")} AS q_mean,
         COUNT(DISTINCT l_extendedprice) AS p_uniq,
         COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS p_nulls,
         COUNT(CASE WHEN l_extendedprice = 0 THEN 1 END) AS p_zeros,
         ROUND(MIN(CAST(l_extendedprice AS DOUBLE)), 6) AS p_min,
         ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p_med,
         ROUND(MAX(CAST(l_extendedprice AS DOUBLE)), 6) AS p_max,
-        ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 6) AS p_mean,
+        {_Q1_MEAN.format(c="l_extendedprice")} AS p_mean,
         COUNT(DISTINCT l_returnflag) AS r_uniq,
         COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END) AS r_nulls
       FROM lineitem
@@ -1272,7 +1299,7 @@ def a8_column_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min", 6).alias("min"),
         F.round("median", 6).alias("median"),
         F.round("max", 6).alias("max"),
-        F.round("mean", 6).alias("mean"),
+        _fround6(F.col("mean")).alias("mean"),
     )
 
 

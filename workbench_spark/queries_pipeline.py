@@ -1175,22 +1175,30 @@ def knn_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m7_group_aggregate",
     """
     SELECT l_returnflag,
-           ROUND(AVG(l_quantity), 6) AS l_quantity,
-           ROUND(AVG(l_extendedprice), 6) AS l_extendedprice,
+           floor((CAST(SUM(CAST(floor(CAST(l_quantity AS DOUBLE) * 1e6 + 0.5)
+                      AS HUGEINT)) AS DOUBLE) / COUNT(l_quantity) / 1e6)
+                 * 1e6 + 0.5) / 1e6 AS l_quantity,
+           floor((CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 1e6 + 0.5)
+                      AS HUGEINT)) AS DOUBLE) / COUNT(l_extendedprice) / 1e6)
+                 * 1e6 + 0.5) / 1e6 AS l_extendedprice,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def m7_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 — mean features per group (storage/aggregation.py:10-50)."""
+    """M7 — mean features per group (storage/aggregation.py:10-50), exact
+    mode: quantized-sum means + floor-form rounding both sides (the A5
+    family convention after the r13 hostile-sweep finding)."""
     from workbench_spark.operators.ml_analysis import group_aggregate
 
     li = _t(spark, sf_dir, "lineitem")
-    out = group_aggregate(li, "l_returnflag", ["l_quantity", "l_extendedprice"])
+    out = group_aggregate(
+        li, "l_returnflag", ["l_quantity", "l_extendedprice"], exact=True
+    )
     return out.select(
         "l_returnflag",
-        F.round("l_quantity", 6).alias("l_quantity"),
-        F.round("l_extendedprice", 6).alias("l_extendedprice"),
+        _fround(F.col("l_quantity")).alias("l_quantity"),
+        _fround(F.col("l_extendedprice")).alias("l_extendedprice"),
         "n",
     )
 
