@@ -420,3 +420,31 @@ def test_ivf_pq_scan_path(spark, emb):
     }
     hits = sum(1 for q in range(60) if top1.get(1_000_000 + q) == q)
     assert hits >= 58, f"twin recall {hits}/60 through the PQ scan"
+
+
+def test_lsh_knn_auto_planes(spark):
+    """lsh_cosine_knn(n_planes='auto') sizes planes from the corpus count
+    (the r13 capacity rule) and returns the same frame as the explicit
+    number; recall on the planted twin stays 1 at this scale."""
+    from pyspark.sql import functions as F
+
+    from workbench_spark.operators.dedup import lsh_auto_planes
+    from workbench_spark.operators.similarity import lsh_cosine_knn
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    qv = F.expr(
+        "transform(sequence(1, 64), i -> cast(element_at(embedding, i) as double)"
+        " + 0.03d * cast(element_at(embedding, 65 - i) as double))"
+    )
+    q = e.select("vec_id", qv.alias("embedding"))
+    n_auto = lsh_auto_planes(e.count())
+    a = lsh_cosine_knn(e, queries=q, k=1, n_planes="auto", n_tables=6, dim=64)
+    b = lsh_cosine_knn(e, queries=q, k=1, n_planes=n_auto, n_tables=6, dim=64)
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    # planted twin is rank-1 for every query (recall@1 = 1 at this sf)
+    hits = sum(1 for (qid, nid, _s) in ra if qid == nid)
+    assert hits == len(ra) == e.count()
