@@ -1,0 +1,73 @@
+"""Always-on smokes for the env-gated tiers (r13 VERDICT #2).
+
+The hostile-layout sweep shipped in r13 with an import that had never
+executed — the opt-in gate meant no CI path ever ran even the module's
+setup code, so the certification was un-rerunnable by its own documented
+command for a full round. These tests run ONE trivially small probe
+through each gated module's REAL harness code in the default suite, so
+import errors and harness rot surface immediately:
+
+- hostile sweep: the full run_hostile_sweep() path (hostile env knob,
+  shuffle.partitions=7, oracle compare) restricted to a single entry at
+  sf0.01 (~15 s);
+- scale smoke: run_smoke_entry() + check_plan_parity() on one entry over
+  the real driver decade sf0.001→sf0.01 (no sf1 generation needed), plus
+  a tiny scalegen.generate() to a tmp dir so the generator path is
+  exercised too.
+
+These are smokes for the HARNESSES, not re-certifications — the full
+tiers remain opt-in (SPARK_GRAFT_HOSTILE_SWEEP=1 / SPARK_GRAFT_SCALE_SMOKE=1)
+and are executed at round close per CLAUDE.md.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from workbench_spark.session import get_spark
+
+    return get_spark("gated-tier-smoke")
+
+
+def test_hostile_sweep_single_entry(spark):
+    """Execute the hostile sweep's real code path on one oracled entry.
+    Asserts the entry stays hash-green under the hostile 7/13 layout AND
+    that the module's imports/setup work as shipped."""
+    from tests.test_partition_invariance import run_hostile_sweep
+
+    failures = run_hostile_sweep(only="q1_pricing_summary")
+    assert not failures, failures
+    # the sweep must restore the session's shuffle layout (ADVICE r13):
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "7"
+    assert "SPARK_GRAFT_HOSTILE_PARTS" not in os.environ
+
+
+def test_scale_smoke_harness_single_entry(spark):
+    """Execute the scale-smoke harness (timed hash-of-struct runs, plan
+    killer asserts, exponent computation, plan-shape parity) on one cheap
+    entry across the driver's real sf0.001→sf0.01 decade."""
+    from tests.test_scale_smoke import check_plan_parity, run_smoke_entry
+
+    small, big = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    r = run_smoke_entry(spark, "q1_pricing_summary", small, big)
+    assert r["big_rows_out"] > 0
+    check_plan_parity(spark, "q1_pricing_summary", small, big)
+
+
+def test_scalegen_tiny_generate(spark, tmp_path):
+    """Exercise the sf1-fixture's generator path at a tiny SF: all four
+    tables written, row counts as contracted, readable back."""
+    from workbench_spark.sources.scalegen import ROWS_SF1, generate
+
+    out = str(tmp_path / "sftiny")
+    counts = generate(spark, out, sf=0.0005)
+    assert set(counts) == {"lineitem", "documents", "embeddings", "events"}
+    for name, n in counts.items():
+        assert n == int(ROWS_SF1[name] * 0.0005)
+        got = spark.read.parquet(os.path.join(out, f"{name}.parquet")).count()
+        assert got == n, f"{name}: wrote {got}, contracted {n}"

@@ -56,19 +56,30 @@ pytestmark = [
 SF = "/root/testdata/sf0.01"
 
 
-def test_full_registry_under_hostile_layout():
+def run_hostile_sweep(only: str | None = None) -> list:
+    """Run the sf0.01 oracle sweep under the hostile 7/13 layout.
+
+    ``only`` restricts the run to a single registry entry (used by the
+    always-on gated-tier smoke in test_gated_tiers_smoke.py, and settable
+    via SPARK_GRAFT_SWEEP_ONLY for ad-hoc debugging). Returns the failure
+    list so callers can assert on it.
+    """
+    import __spark_entry__ as entrymod
+
+    from tests.oracle_utils import compare, duckdb_run
+    from workbench_spark.session import get_spark
+
     os.environ["SPARK_GRAFT_HOSTILE_PARTS"] = "1"
+    spark = get_spark("hostile-sweep")
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
     try:
-        import __spark_entry__ as entrymod
-        from oracle_utils import compare, duckdb_run
-
-        from workbench_spark.session import get_spark
-
-        spark = get_spark("hostile-sweep")
-        spark.conf.set("spark.sql.shuffle.partitions", "7")
         q, o = entrymod.queries(), entrymod.oracle_sql()
+        names = sorted(q) if only is None else [only]
+        if only is not None and only not in q:
+            raise KeyError(f"unknown registry entry: {only!r}")
         failures = []
-        for name in sorted(q):
+        for name in names:
             try:
                 sdf = q[name](spark, SF)
                 if name not in o:
@@ -81,6 +92,12 @@ def test_full_registry_under_hostile_layout():
                 failures.append((name, f"{type(exc).__name__}: {exc}"))
             print(f"{name}: {'FAIL' if failures and failures[-1][0] == name else 'ok'}",
                   flush=True)
-        assert not failures, failures
+        return failures
     finally:
         os.environ.pop("SPARK_GRAFT_HOSTILE_PARTS", None)
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+
+
+def test_full_registry_under_hostile_layout():
+    failures = run_hostile_sweep(only=os.environ.get("SPARK_GRAFT_SWEEP_ONLY"))
+    assert not failures, failures
