@@ -270,7 +270,9 @@ def test_summarize_frozen_basic_ratio_and_median():
     live = {"a": 2.0, "b": 1.0, "c": 3.0}
     froz = {"a": 4.0, "b": 1.0, "c": 2.0}
     out = summarize_frozen(live, froz, "r12")
-    assert out["code_version"] == "r12" and out["passes"] == 3
+    # default aligned with main()'s actual 4-pass alternating protocol
+    # (r13 ADVICE: the old passes=3 default misdescribed the sidecar)
+    assert out["code_version"] == "r12" and out["passes"] == 4
     assert out["per_query"]["a"]["ratio"] == 0.5
     assert out["per_query"]["b"]["ratio"] == 1.0
     assert out["per_query"]["c"]["ratio"] == 1.5
@@ -339,3 +341,26 @@ def test_frozen_module_is_actually_frozen():
 
     assert FROZEN_VERSION == "r12"
     assert len(FROZEN) == 6
+
+
+def test_light_frozen_module_is_actually_frozen():
+    """Same contract for the r14 light-tier twins (bench_frozen_light.py):
+    content-hash pinned; a re-freeze must bump LIGHT_FROZEN_VERSION and
+    this hash, restarting the light ratio series."""
+    import hashlib
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent.parent / "bench_frozen_light.py"
+    digest = hashlib.sha256(p.read_bytes()).hexdigest()[:16]
+    assert digest == "7048b68676f4fe7f", (
+        "bench_frozen_light.py changed! If this is a deliberate re-freeze, "
+        "bump LIGHT_FROZEN_VERSION in the module AND this pinned hash; "
+        "otherwise revert the edit — frozen means frozen."
+    )
+    from bench_frozen_light import LIGHT_FROZEN, LIGHT_FROZEN_VERSION
+
+    assert LIGHT_FROZEN_VERSION == "r14-light"
+    assert set(LIGHT_FROZEN) == {
+        "q1_pricing_summary", "q5_revenue_by_nation",
+        "knn_cosine_bruteforce", "dedup_minhash_pairs",
+    }

@@ -277,6 +277,50 @@ def test_stratified_split(spark):
     assert {r[0] for r in train.select("event_type").distinct().collect()} == strata
 
 
+def test_stratified_split_key_cols_and_large_dict(spark):
+    """r13 ADVICE hardening: (a) explicit key_cols pins the draw, so an
+    unrelated added column does NOT reshuffle assignments; (b) the default
+    draw skips MapType columns instead of AnalysisException-ing, and an
+    explicit MapType key is rejected loudly; (c) the >64-strata broadcast
+    lookup path draws identically to the nested-CASE path."""
+    from workbench_spark.operators.windows import stratified_split
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        F.col("event_type").isNotNull()
+    )
+    # (a) key_cols pins assignment under schema evolution
+    t1, _ = stratified_split(ev, "event_type", 0.7, seed=1,
+                             key_cols=["event_id", "event_type"])
+    ev2 = ev.withColumn("__noise", F.lit("x"))
+    t2, _ = stratified_split(ev2, "event_type", 0.7, seed=1,
+                             key_cols=["event_id", "event_type"])
+    ids1 = {r[0] for r in t1.select("event_id").collect()}
+    ids2 = {r[0] for r in t2.select("event_id").collect()}
+    assert ids1 == ids2
+    # ...while the all-columns default (documented) does reshuffle
+    t3, _ = stratified_split(ev2, "event_type", 0.7, seed=1)
+    ids3 = {r[0] for r in t3.select("event_id").collect()}
+    assert ids3  # runs; assignment may legitimately differ from ids1
+
+    # (b) map columns: skipped by default, rejected when explicit
+    evm = ev.withColumn("__m", F.create_map(F.lit("k"), F.col("event_type")))
+    tm, hm = stratified_split(evm, "event_type", 0.7, seed=1)
+    assert tm.count() + hm.count() == evm.count()
+    with pytest.raises(ValueError, match="MapType"):
+        stratified_split(evm, "event_type", 0.7, key_cols=["__m"])
+
+    # (c) CASE chain vs broadcast lookup: identical draws per stratum
+    small = {v: 0.6 for v in ("click", "view", "purchase")}
+    big = dict(small)
+    big.update({f"__pad{i}": 0.5 for i in range(70)})  # absent strata: no-ops
+    t_small, h_small = stratified_split(ev, "event_type", small, seed=3)
+    t_big, h_big = stratified_split(ev, "event_type", big, seed=3)
+    s_ids = sorted(r[0] for r in t_small.select("event_id").collect())
+    b_ids = sorted(r[0] for r in t_big.select("event_id").collect())
+    assert s_ids and s_ids == b_ids
+    assert h_small.count() == h_big.count()
+
+
 def test_ruzicka_pairs_exact_values(spark):
     """ruzicka_pairs on hand-computed count vectors: sim = sum(min)/sum(max)."""
     from workbench_spark.operators.chem import ruzicka_knn, ruzicka_pairs

@@ -72,8 +72,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/bpe.py", "_merge_list"):
         "num_merges-bounded artifact table (the trained merges, not corpus "
         "rows)",
-    ("operators/windows.py", "stratified_split"):
-        "O(distinct strata) fraction map for sampleBy",
     ("sources/layout.py", "write_token_balanced_shards"):
         "O(n_shards) per-shard token totals for the export report",
     ("api/monitor.py", "create_baseline"):

@@ -172,6 +172,29 @@ def test_mut_nan_vs_value(pair):
     _expect(sdf, m, "values differ")
 
 
+# ------------------------------------------------- second pair: other dtypes
+
+
+def test_mut_timestamp_and_null_pair(spark):
+    """Same audit on a timestamp-bearing pair (w1: latest event per user)
+    — timestamps canonicalize through str(), so a 1-second shift must be
+    caught, and a NULL↔value flip in a timestamp cell must differ from
+    both the value and the string 'None'-vs-'NaT' ambiguity."""
+    import __spark_entry__ as entrymod
+
+    name = "w1_latest_event_per_user"
+    sdf = entrymod.queries()[name](spark, SF)
+    pdf = duckdb_run(entrymod.oracle_sql()[name], SF)
+    assert compare(sdf, pdf) == []
+    tcol = next(c for c in pdf.columns if pdf[c].dtype.kind == "M")
+    m = pdf.copy()
+    m.loc[0, tcol] = m.loc[0, tcol] + pd.Timedelta(seconds=1)
+    _expect(sdf, m, "values differ")
+    m2 = pdf.copy()
+    m2.loc[0, tcol] = pd.NaT
+    _expect(sdf, m2, "values differ")
+
+
 # ----------------------------------------------------------------- spark-side
 
 

@@ -53,7 +53,11 @@ pytestmark = [
     ),
 ]
 
-SF = "/root/testdata/sf0.01"
+# default sf0.01 (the driver-contract SF); SPARK_GRAFT_HOSTILE_SF_DIR
+# overrides — r13 VERDICT #6 asks for a round-close run at sf0.1 too,
+# since partition-dependence can be size-dependent (AQE coalescing and
+# skew-join splits change layouts with volume)
+SF = os.environ.get("SPARK_GRAFT_HOSTILE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def run_hostile_sweep(only: str | None = None) -> list:

@@ -93,6 +93,115 @@ BNLJ_ALLOWED = {
 }
 
 
+# name -> why a partition-less (global-order) Window is the right plan,
+# naming the scalable alternate (r13 VERDICT #5: mirror the collect-site /
+# cartesian discipline — a global window is a single task at execution, so
+# one may appear ONLY on an oracle-grade or provably-bounded-input entry
+# with a documented scale path).
+GLOBAL_WINDOW_ALLOWED = {
+    "w4_acctbal_quartiles":
+        "oracle-parity ntile(4); scalable alternate: "
+        "windows.ntile_buckets_scalable (approx-quantile cut points, no "
+        "global sort)",
+    "p_confidence_profile":
+        "oracle-parity ntile(10) over max_proba; scalable alternate: "
+        "proba.confidence_profile(scalable=True) — same approx-quantile "
+        "cut-point path",
+    "a14_regression_metrics":
+        "Spearman average-rank over the model EVALUATION set (bounded eval "
+        "frame, not the corpus); scale path: approximate ranks from "
+        "quantile cut points (metrics._avg_rank scale note)",
+    "m4_uq_metrics_panel":
+        "same Spearman _avg_rank pattern over the bounded UQ evaluation "
+        "panel (metrics._avg_rank scale note)",
+    "a17_ks_events_value":
+        "exact KS needs the global CDF; the window input is DISTINCT "
+        "metric values, not rows; binned scale alternative: PSI over fixed "
+        "bins (a17_psi_events_value)",
+    "sketch_dd_quantiles":
+        "cumulative sum over the DDSketch bucket table — artifact-sized "
+        "(O(log-range) buckets) at ANY data scale, documented in "
+        "BNLJ_ALLOWED too",
+    "text_zipf_heaps_audit":
+        "Zipf OLS needs global frequency ranks of the VOCABULARY (types, "
+        "Heaps-sublinear in tokens), never the token stream; cap to top-K "
+        "types at web scale",
+}
+
+
+def _top_groups(s: str) -> list[str]:
+    """Top-level [...] bracket groups of a Window Arguments line."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def global_windows(plan: str) -> list[str]:
+    """Arguments strings of every partition-less Window node in an
+    explain('formatted') dump. Spark 4 prints Window Arguments as
+    [functions], [partitionSpec], [orderSpec] — and OMITS the partition
+    group entirely when it is empty, so a global window shows exactly two
+    top-level groups with sort directions in the second. Restricted to
+    exact `Window` nodes: WindowGroupLimit has a different Arguments
+    layout ([partitionSpec], [orderSpec], fn, k) and always accompanies a
+    parent Window node anyway (verified empirically on Spark 4.1)."""
+    import re
+
+    out = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.match(r"\s*\(\d+\)\s+Window(\s+\[codegen[^\]]*\])?\s*$", line):
+            continue
+        for j in range(i + 1, min(i + 8, len(lines))):
+            if lines[j].lstrip().startswith("Arguments:"):
+                args = lines[j].split("Arguments:", 1)[1]
+                g = _top_groups(args)
+                if len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1]):
+                    out.append(args.strip())
+                elif len(g) == 3 and not g[1].strip():
+                    out.append(args.strip())
+                break
+    return out
+
+
+def test_global_window_detector_works(spark):
+    """Mutation-style self-check: the detector must FIRE on a real global
+    window and stay quiet on a partitioned one — a gate that cannot fail
+    certifies nothing (this round's oracle-sensitivity lesson)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("g"))
+
+    def plan(d):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            d.explain("formatted")
+        return buf.getvalue()
+
+    glob = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    part = df.withColumn("r", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+    topk = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    ).filter(F.col("r") <= 2)
+    assert len(global_windows(plan(glob))) == 1
+    assert global_windows(plan(part)) == []
+    assert global_windows(plan(topk)) == []  # WindowGroupLimit is not a hit
+    assert len(global_windows(plan(glob.filter(F.col("r") <= 2)))) == 1
+
+
 def _all_queries():
     from workbench_spark.queries import queries
 
@@ -182,6 +291,40 @@ def test_no_scale_killers_in_plan(spark, name, fn):
             f"{name}: unexpected BroadcastNestedLoopJoin — reshape into an "
             f"equi-join or add an explicit justification to BNLJ_ALLOWED"
         )
+    gw = global_windows(plan)
+    if gw:
+        assert name in GLOBAL_WINDOW_ALLOWED, (
+            f"{name}: partition-less Window (single-task global sort) — "
+            f"partition it, use the approx-quantile cut-point pattern "
+            f"(windows.ntile_buckets_scalable), or justify it in "
+            f"GLOBAL_WINDOW_ALLOWED naming the scalable alternate. "
+            f"Nodes: {gw}"
+        )
+
+
+def test_bench_extras_plans_clean(spark):
+    """The bench's production-mode variants (_bench_extras overrides the
+    headline callables for 4 queries) are plans the registry gate never
+    sees — hold them to the same bar: no cartesian, no unlisted BNLJ, no
+    unlisted global window."""
+    import bench
+
+    # sampled-quantile production stats join the 2%-sample quantile row
+    # with the full-data min/max/mean row — a 1-row x 1-row cross, the
+    # scalar-broadcast pattern
+    bench_bnlj_ok = {"descriptive_stats_lineitem"}
+    for name, fn in bench._bench_extras(spark).items():
+        df = fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "CartesianProduct" not in plan, f"bench:{name}"
+        if "BroadcastNestedLoopJoin" in plan:
+            assert name in BNLJ_ALLOWED or name in bench_bnlj_ok, (
+                f"bench:{name}: unlisted BNLJ"
+            )
+        assert not global_windows(plan), f"bench:{name}: global window"
 
 
 def test_simulator_global_sorts_gated_behind_exact():

@@ -137,7 +137,12 @@ def descriptive_stats(
         if exact:
             # oracle-grade mode: mean/stddev from EXACT integer sums of
             # micro-quantized values (q = floor(x·1e6 + 0.5), DECIMAL
-            # sums — overflow-free at any scale), finished by one fixed
+            # sums). Headroom bound, not "any scale": Σq² fits
+            # decimal(38,0) while n·(x·1e6)² < 1e38, i.e. |x| ≲ 1e10 over
+            # 1e6 rows (or 1e7 over 1e12 rows) — far past TPC-H-like
+            # magnitudes, but a column beyond it NULLs the sum silently
+            # under ANSI-off rather than erroring, so the finisher reports
+            # NULL mean/stddev with a non-null count. Finished by one fixed
             # double-op sequence below. Float avg/stddev low bits depend
             # on partition order; at a ROUND half-boundary that flips the
             # 6th decimal between layouts AND between engines (r13:

@@ -436,7 +436,10 @@ def _zscore_frame(df: DataFrame, feature_cols: list[str], id_col: str) -> DataFr
     in any partitioning AND replayable in DuckDB (HUGEINT twins), so
     neighbor selection is deterministic and oracle-matched bit-for-bit.
     Quantization shifts each input by < 5e-7 — far inside the use case
-    (standardized distances for neighborhood selection)."""
+    (standardized distances for neighborhood selection). Σq² headroom:
+    fits decimal(38,0) while n·(x·1e6)² < 1e38 (|x| ≲ 1e10 over 1e6 rows);
+    past it the sum NULLs silently under ANSI-off — see
+    eda.descriptive_stats' exact-mode note."""
     q = {
         c: F.floor(F.col(c).cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
             "decimal(19,0)"

@@ -147,6 +147,7 @@ def stratified_split(
     strata_col: str,
     fractions: dict | float,
     seed: int = 42,
+    key_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """O4 — stratified (train, holdout) split by column
     (pandas_utils.py:1077+): per-stratum Bernoulli via a deterministic
@@ -159,24 +160,76 @@ def stratified_split(
     depends on partition layout AND re-rolls on every plan re-execution,
     so the anti-join "complement" could overlap the train side whenever
     the sample re-evaluated differently (monotonically_increasing_id has
-    the same two diseases). The draw here is u = xxhash64(seed, row) mod
+    the same two diseases). The draw here is u = xxhash64(seed, keys) mod
     1e6 < frac·1e6 — a pure row function: reproducible across runs,
     partitionings, and retries (the capture-sampling / sample_to_mixture
-    convention). Rows identical in EVERY column get identical draws and
+    convention). Rows with identical key values get identical draws and
     land on the same side. Strata absent from ``fractions`` (and NULL
-    strata) go entirely to the holdout, matching sampleBy's contract."""
-    if not isinstance(fractions, dict):
-        values = [r[0] for r in df.select(strata_col).distinct().collect()]
-        fractions = {v: float(fractions) for v in values}
+    strata) go entirely to the holdout, matching sampleBy's contract.
+
+    ``key_cols`` pins the hash input (r13 ADVICE): by default EVERY
+    hashable column feeds the draw, which means adding/dropping/reordering
+    any column reshuffles every row's assignment — pass an explicit stable
+    key (e.g. the id column) when the schema may evolve under a fixed
+    seed. MapType columns are excluded from the default (Spark refuses to
+    hash maps) and rejected with a clear error when requested explicitly.
+
+    Large ``fractions`` dicts (> ~64 strata) switch from a nested-CASE cut
+    expression to a broadcast (stratum, cut) lookup join: the CASE chain's
+    expression tree grows linearly with the dict and bloats codegen, while
+    the broadcast join is one hash probe per row at any cardinality."""
+    from pyspark.sql import types as T
+
+    if key_cols is None:
+        key_cols = [
+            f.name for f in df.schema.fields
+            if not isinstance(f.dataType, T.MapType)
+        ]
+        if not key_cols:
+            raise ValueError("stratified_split: no hashable columns to draw on")
+    else:
+        bad = [
+            c for c in key_cols
+            if isinstance(df.schema[c].dataType, T.MapType)
+        ]
+        if bad:
+            raise ValueError(
+                f"stratified_split: MapType key_cols {bad} cannot feed the "
+                f"hash draw (Spark disallows hashing maps) — hash the map's "
+                f"sorted entries into a string column first"
+            )
     u = F.pmod(
-        F.xxhash64(F.lit(int(seed)), *[F.col(c) for c in df.columns]),
+        F.xxhash64(F.lit(int(seed)), *[F.col(c) for c in key_cols]),
         F.lit(1_000_000),
     )
-    cut = F.lit(0)
-    for v, frac in fractions.items():
+    if not isinstance(fractions, dict):
+        # one fraction for every observed stratum == every non-NULL value;
+        # no distinct-collect needed (the per-value dict it used to build
+        # is semantically a constant over non-NULL strata)
         cut = F.when(
-            F.col(strata_col) == F.lit(v), F.lit(int(float(frac) * 1_000_000))
-        ).otherwise(cut)
+            F.col(strata_col).isNotNull(),
+            F.lit(int(float(fractions) * 1_000_000)),
+        ).otherwise(F.lit(0))
+    elif len(fractions) <= 64:
+        cut = F.lit(0)
+        for v, frac in fractions.items():
+            cut = F.when(
+                F.col(strata_col) == F.lit(v), F.lit(int(float(frac) * 1_000_000))
+            ).otherwise(cut)
+    else:
+        lut = df.sparkSession.createDataFrame(
+            [(v, int(float(frac) * 1_000_000)) for v, frac in fractions.items()],
+            schema=T.StructType([
+                T.StructField("__stratum", df.schema[strata_col].dataType),
+                T.StructField("__cut", T.IntegerType()),
+            ]),
+        )
+        joined = df.join(
+            F.broadcast(lut), F.col(strata_col) == F.col("__stratum"), "left"
+        )
+        keep = u < F.coalesce(F.col("__cut"), F.lit(0))
+        drop = ["__stratum", "__cut"]
+        return joined.filter(keep).drop(*drop), joined.filter(~keep).drop(*drop)
     keep = u < cut
     return df.filter(keep), df.filter(~keep)
 
