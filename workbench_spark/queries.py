@@ -62,6 +62,27 @@ _Q1_MEAN = (
     " AS DOUBLE) / COUNT({c}) / 1e6) * 1e6 + 0.5) / 1e6"
 )
 
+# Exact partition-invariant SUM reported at 4 decimals (r14 — the sf0.1
+# hostile sweep flipped q1's sum_charge by one 1e-4 step: its terms
+# price·(1-disc)·(1+tax) sit on the 1e-6 grid, so the TRUE sum can land
+# exactly on a ROUND .5e-4 half-boundary, where float accumulation order
+# picks the side; the 2dp/4dp-grid sums never can — ROUND4 is identity on
+# their grid). Recipe: quantize each term to integer micro-units
+# (floor(x·1e6+0.5), exact for ≤1e-6-grid terms), SUM the integers
+# (BIGINT: headroom ~9.2e18 micro-units ≈ sf300 per group for sum_charge;
+# DuckDB's BIGINT sum widens to HUGEINT), half-up round to 1e-4 IN INTEGER
+# SPACE ((S+50) div 100 — integer div avoids the double-division-near-
+# -integer ambiguity; positive sums only, negative dividends would need
+# pca_exact._fdiv's floor-div CASE), then one exact double division.
+_Q1_SUM_SQL = (
+    "CAST((SUM(CAST(floor(({e}) * 1e6 + 0.5) AS BIGINT)) + 50) // 100"
+    " AS DOUBLE) / 1e4"
+)
+_Q1_SUM_SPARK = (
+    "CAST((SUM(CAST(floor(({e}) * 1e6 + 0.5) AS BIGINT)) + 50) DIV 100"
+    " AS DOUBLE) / 1e4"
+)
+
 
 def _qmean(c: str):
     """Spark twin of _Q1_MEAN: exact integer-sum mean of micro-quantized
@@ -83,7 +104,7 @@ def _qmean(c: str):
            ROUND(SUM(l_quantity), 4) AS sum_qty,
            ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           {_Q1_SUM_SQL.format(e="l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
            {_Q1_MEAN.format(c="l_quantity")} AS avg_qty,
            {_Q1_MEAN.format(c="l_extendedprice")} AS avg_price,
            {_Q1_MEAN.format(c="l_discount")} AS avg_disc,
@@ -96,21 +117,25 @@ def _qmean(c: str):
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the flagship scan+agg. Map-side partial
     aggregation on (returnflag, linestatus): 6 groups regardless of scale,
-    so the shuffle is O(partitions), not O(rows). The SUM columns round
-    exact-on-the-cent values (a sum of 2/4-decimal data is itself on the
-    1e-4 grid, so ROUND is tie-free by construction); the AVG columns
-    divide by n and CAN land on half-boundaries, so they use the exact
-    quantized-sum + floor-round form (_qmean)."""
+    so the shuffle is O(partitions), not O(rows). The AVG columns use
+    _qmean (exact quantized means); sum_charge uses _Q1_SUM (r14: the
+    sf0.1 hostile sweep proved ROUND(SUM(double)) flips for it — its
+    1e-6-grid terms put the TRUE sum exactly on a .5e-4 half-boundary,
+    zero margin, so accumulation-order jitter picks the side). The other
+    three sums keep float ROUND(SUM): their true values sit ON the
+    1e-4/integer grid (2dp/4dp terms), a ~50e-6 margin vs ~1e-6 observed
+    cross-engine jitter — and the full-quantized variant measured +19%
+    on the flagship's bench time for no additional invariance."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_sql = "l_extendedprice * (1 - l_discount)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.sum(F.expr(disc_sql)), 4).alias("sum_disc_price"),
+            F.expr(_Q1_SUM_SPARK.format(e=f"{disc_sql} * (1 + l_tax)")).alias("sum_charge"),
             _qmean("l_quantity").alias("avg_qty"),
             _qmean("l_extendedprice").alias("avg_price"),
             _qmean("l_discount").alias("avg_disc"),
