@@ -47,6 +47,28 @@ def test_hostile_sweep_single_entry(spark):
     assert "SPARK_GRAFT_HOSTILE_PARTS" not in os.environ
 
 
+def test_hostile_sweep_reports_seeded_failure(spark, monkeypatch):
+    """The sweep must be able to FAIL (the compare() mutation audit covers
+    the comparator; this covers the sweep wrapper's failure collection):
+    corrupt one registry entry and assert run_hostile_sweep returns it."""
+    import __spark_entry__ as entrymod
+
+    from tests.test_partition_invariance import run_hostile_sweep
+
+    real = entrymod.queries()
+
+    def corrupted():
+        q = dict(real)
+        orig = q["q1_pricing_summary"]
+        q["q1_pricing_summary"] = lambda s, sf: orig(s, sf).limit(3)
+        return q
+
+    monkeypatch.setattr(entrymod, "queries", corrupted)
+    failures = run_hostile_sweep(only="q1_pricing_summary")
+    assert len(failures) == 1 and failures[0][0] == "q1_pricing_summary"
+    assert any("row count" in p for p in failures[0][1])
+
+
 def test_scale_smoke_harness_single_entry(spark):
     """Execute the scale-smoke harness (timed hash-of-struct runs, plan
     killer asserts, exponent computation, plan-shape parity) on one cheap
