@@ -81,6 +81,19 @@ def test_scale_smoke_harness_single_entry(spark):
     check_plan_parity(spark, "q1_pricing_summary", small, big)
 
 
+def test_oracle_invariance_single_entry():
+    """Execute the oracle-side thread-invariance tier's real path on one
+    entry at sf0.01 (fast), plus prove its detector can fail: two
+    different SQLs must canonicalize differently."""
+    from tests.test_oracle_invariance import duckdb_canon, run_oracle_invariance
+
+    sf = "/root/testdata/sf0.01"
+    assert run_oracle_invariance(only="q1_pricing_summary", sf_dir=sf) == []
+    a = duckdb_canon("SELECT 1 AS x", sf, 4)
+    b = duckdb_canon("SELECT 2 AS x", sf, 4)
+    assert a != b
+
+
 def test_scalegen_tiny_generate(spark, tmp_path):
     """Exercise the sf1-fixture's generator path at a tiny SF: all four
     tables written, row counts as contracted, readable back."""
