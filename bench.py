@@ -549,41 +549,69 @@ def main() -> None:
     # compare like-for-like. These live timings feed ONLY the ratio,
     # never queries/queries_extra — the legacy series stays
     # methodology-stable.
+    # Sub-second light pairs need more samples than the multi-second heavy
+    # ones: at min-of-4 the observed q1 live/frozen ratio swung 0.80→1.41
+    # on byte-identical comparisons (a 0.3s query's per-run noise is a
+    # large fraction of its runtime), while heavy medians stayed within
+    # 1.015→1.027. 8 alternating passes for pairs under the threshold
+    # give each side four runs in each position; the extra cost is
+    # seconds (the pairs are cheap by definition).
     froz_live_t: dict[str, float] = {}
     froz_froz_t: dict[str, float] = {}
-    for pass_i in range(4):
-        for name, ffn in frozen_run.items():
-            def _timed(fn):
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).count()
-                return time.perf_counter() - t0
-            if pass_i % 2 == 0:
-                lt = _timed(live_side[name])
-                ft = _timed(ffn)
-            else:
-                ft = _timed(ffn)
-                lt = _timed(live_side[name])
-            if name not in froz_live_t or lt < froz_live_t[name]:
-                froz_live_t[name] = round(lt, 4)
-            if name not in froz_froz_t or ft < froz_froz_t[name]:
-                froz_froz_t[name] = round(ft, 4)
-            print(
-                f"# pass{pass_i} frozen-pair {name}: live={lt:.3f}s"
-                f" frozen={ft:.3f}s"
-                f" ({'live' if pass_i % 2 == 0 else 'frozen'} first)",
-                file=sys.stderr,
-            )
+
+    def _run_pairs(pairs: dict, n_passes: int) -> None:
+        for pass_i in range(n_passes):
+            for name, ffn in pairs.items():
+                def _timed(fn):
+                    t0 = time.perf_counter()
+                    fn(spark, SF_DIR).count()
+                    return time.perf_counter() - t0
+                if pass_i % 2 == 0:
+                    lt = _timed(live_side[name])
+                    ft = _timed(ffn)
+                else:
+                    ft = _timed(ffn)
+                    lt = _timed(live_side[name])
+                if name not in froz_live_t or lt < froz_live_t[name]:
+                    froz_live_t[name] = round(lt, 4)
+                if name not in froz_froz_t or ft < froz_froz_t[name]:
+                    froz_froz_t[name] = round(ft, 4)
+                print(
+                    f"# pass{pass_i} frozen-pair {name}: live={lt:.3f}s"
+                    f" frozen={ft:.3f}s"
+                    f" ({'live' if pass_i % 2 == 0 else 'frozen'} first)",
+                    file=sys.stderr,
+                )
+
+    _run_pairs({n: f for n, f in frozen_run.items() if n in FROZEN_PAIRS}, 4)
+    _run_pairs({n: f for n, f in frozen_run.items() if n in LIGHT_FROZEN_PAIRS}, 8)
     frozen_baseline = (
         summarize_frozen(froz_live_t, froz_froz_t, FROZEN_VERSION, passes=4)
         if frozen_run
         else None
     )
     if frozen_baseline and LIGHT_FROZEN_VERSION:
-        # sidecar-only annotation: which pairs ride the r14 light freeze
-        # (their ratio series starts at r14; the heavy six stay on the
-        # r12 series). Stripped from the printed line with per_query.
+        # The two twin populations are SEPARATE ratio series (heavy = r12
+        # freeze, light = r14 freeze, and a light twin can be legitimately
+        # stale the round its live query changes — q1's sum_charge fix
+        # landed after the light freeze). A single pooled median would
+        # silently change population vs r13's printed number, so:
+        # median_ratio stays the HEAVY-pairs median (series-stable with
+        # r13), and the light pairs get their own median, carried on the
+        # printed line so the light series is line-visible too.
+        def _median(names):
+            rs = sorted(
+                froz_live_t[n] / froz_froz_t[n]
+                for n in names
+                if n in froz_live_t and froz_froz_t.get(n, 0) > 0
+            )
+            return round(rs[len(rs) // 2], 4) if rs else None
+
+        frozen_baseline["median_ratio"] = _median(FROZEN_PAIRS)
+        frozen_baseline["light_median_ratio"] = _median(LIGHT_FROZEN_PAIRS)
         frozen_baseline["light"] = {
             "version": LIGHT_FROZEN_VERSION,
+            "passes": 8,
             "queries": [n for n in LIGHT_FROZEN_PAIRS if n in froz_live_t],
         }
     cal_post = _calibrate(spark)

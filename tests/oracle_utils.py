@@ -23,8 +23,13 @@ TABLES = [
 ]
 
 
-def duckdb_run(sql: str, sf_dir: str):
+def duckdb_run(sql: str, sf_dir: str, threads: int | None = None):
+    """Run sql over the sf_dir parquet views. `threads` pins DuckDB's
+    parallelism (used by the oracle-side order-invariance tier to perturb
+    aggregation tree shapes); None keeps the default."""
     con = duckdb.connect()
+    if threads is not None:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
@@ -42,6 +47,18 @@ def _norm_cell(v):
     return v
 
 
+def canon_pdf(pdf, cols=None) -> list[tuple]:
+    """The comparison's canonical form: columns sorted by name, rows as
+    sorted string tuples, floats at _norm_cell's 6-decimal granularity.
+    Shared by compare() and the oracle-side invariance tier so both
+    certify against the SAME canon."""
+    cols = sorted(pdf.columns) if cols is None else cols
+    rows = []
+    for _, row in pdf[cols].iterrows():
+        rows.append(tuple(str(_norm_cell(v)) for v in row))
+    return sorted(rows)
+
+
 def compare(spark_df, oracle_pdf, float_tol: float = 1e-9) -> list[str]:
     """Return list of mismatch descriptions; empty list == pass."""
     problems = []
@@ -53,13 +70,7 @@ def compare(spark_df, oracle_pdf, float_tol: float = 1e-9) -> list[str]:
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
 
-    def canon(pdf):
-        rows = []
-        for _, row in pdf[s_cols].iterrows():
-            rows.append(tuple(str(_norm_cell(v)) for v in row))
-        return sorted(rows)
-
-    s_rows, o_rows = canon(spark_pdf), canon(oracle_pdf)
+    s_rows, o_rows = canon_pdf(spark_pdf, s_cols), canon_pdf(oracle_pdf, s_cols)
     if s_rows != o_rows:
         diff_s = [r for r in s_rows if r not in o_rows][:3]
         diff_o = [r for r in o_rows if r not in s_rows][:3]

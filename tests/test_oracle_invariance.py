@@ -34,7 +34,6 @@ every default run so this module can never rot unexecuted.
 
 from __future__ import annotations
 
-import math
 import os
 
 import pytest
@@ -48,11 +47,6 @@ pytestmark = [
     ),
 ]
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
 SF = os.environ.get(
     "SPARK_GRAFT_ORACLE_INVARIANCE_SF_DIR", "/root/testdata/sf0.1"
 )
@@ -60,30 +54,13 @@ SF = os.environ.get(
 
 def duckdb_canon(sql: str, sf_dir: str, threads: int) -> list[tuple]:
     """Run sql in a fresh DuckDB connection pinned to `threads` and return
-    the compare()-equivalent canonical form (sorted columns, sorted rows,
-    floats at 6-decimal granularity)."""
-    import duckdb
+    compare()'s OWN canonical form — shared code (oracle_utils.canon_pdf /
+    duckdb_run), so this tier certifies against the exact canon the
+    correctness gate hashes with, and table-list or granularity changes
+    can never diverge silently."""
+    from tests.oracle_utils import canon_pdf, duckdb_run
 
-    con = duckdb.connect()
-    con.execute(f"SET threads={int(threads)}")
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    pdf = con.execute(sql).fetchdf()
-    cols = sorted(pdf.columns)
-    rows = []
-    for _, row in pdf[cols].iterrows():
-        out = []
-        for v in row:
-            if v is None:
-                out.append("None")
-            elif isinstance(v, float):
-                out.append("NaN" if math.isnan(v) else str(round(v, 6)))
-            else:
-                out.append(str(v))
-        rows.append(tuple(out))
-    return sorted(rows)
+    return canon_pdf(duckdb_run(sql, sf_dir, threads=threads))
 
 
 def run_oracle_invariance(

@@ -73,11 +73,17 @@ def run_hostile_sweep(only: str | None = None) -> list:
     from tests.oracle_utils import compare, duckdb_run
     from workbench_spark.session import get_spark
 
-    os.environ["SPARK_GRAFT_HOSTILE_PARTS"] = "1"
-    spark = get_spark("hostile-sweep")
-    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    # every mutation inside the try: this function runs in the always-on
+    # default suite (gated-tier smoke), and a session-init failure after a
+    # bare env assignment would leak the hostile layout into every
+    # subsequent test in the process
+    prior_parts = None
+    spark = None
     try:
+        os.environ["SPARK_GRAFT_HOSTILE_PARTS"] = "1"
+        spark = get_spark("hostile-sweep")
+        prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
         q, o = entrymod.queries(), entrymod.oracle_sql()
         names = sorted(q) if only is None else [only]
         if only is not None and only not in q:
@@ -99,7 +105,8 @@ def run_hostile_sweep(only: str | None = None) -> list:
         return failures
     finally:
         os.environ.pop("SPARK_GRAFT_HOSTILE_PARTS", None)
-        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
+        if spark is not None and prior_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
 
 
 def test_full_registry_under_hostile_layout():

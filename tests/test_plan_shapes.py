@@ -151,12 +151,17 @@ def _top_groups(s: str) -> list[str]:
 def global_windows(plan: str) -> list[str]:
     """Arguments strings of every partition-less Window node in an
     explain('formatted') dump. Spark 4 prints Window Arguments as
-    [functions], [partitionSpec], [orderSpec] — and OMITS the partition
-    group entirely when it is empty, so a global window shows exactly two
-    top-level groups with sort directions in the second. Restricted to
-    exact `Window` nodes: WindowGroupLimit has a different Arguments
-    layout ([partitionSpec], [orderSpec], fn, k) and always accompanies a
-    parent Window node anyway (verified empirically on Spark 4.1)."""
+    [functions], [partitionSpec], [orderSpec] — OMITTING empty trailing
+    groups — so (verified empirically on Spark 4.1):
+
+      1 group                          -> global, no order (partitionBy())
+      2 groups, ASC/DESC in group[1]   -> global with ORDER BY
+      2 groups, no sort directions     -> partitioned, no order (fine)
+      3 groups                         -> partitioned (unless [1] empty)
+
+    Restricted to exact `Window` nodes: WindowGroupLimit has a different
+    Arguments layout ([partitionSpec], [orderSpec], fn, k) and always
+    accompanies a parent Window node anyway."""
     import re
 
     out = []
@@ -168,7 +173,9 @@ def global_windows(plan: str) -> list[str]:
             if lines[j].lstrip().startswith("Arguments:"):
                 args = lines[j].split("Arguments:", 1)[1]
                 g = _top_groups(args)
-                if len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1]):
+                if len(g) == 1:
+                    out.append(args.strip())
+                elif len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1]):
                     out.append(args.strip())
                 elif len(g) == 3 and not g[1].strip():
                     out.append(args.strip())
@@ -196,10 +203,16 @@ def test_global_window_detector_works(spark):
     topk = df.withColumn(
         "r", F.row_number().over(Window.partitionBy("g").orderBy("id"))
     ).filter(F.col("r") <= 2)
+    glob_noord = df.withColumn("s", F.sum("id").over(Window.partitionBy()))
+    part_noord = df.withColumn("s", F.sum("id").over(Window.partitionBy("g")))
     assert len(global_windows(plan(glob))) == 1
     assert global_windows(plan(part)) == []
     assert global_windows(plan(topk)) == []  # WindowGroupLimit is not a hit
     assert len(global_windows(plan(glob.filter(F.col("r") <= 2)))) == 1
+    # order-less global window (single-task global aggregate) must be
+    # caught too; order-less PARTITIONED window must not
+    assert len(global_windows(plan(glob_noord))) == 1
+    assert global_windows(plan(part_noord)) == []
 
 
 def _all_queries():

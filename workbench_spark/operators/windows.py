@@ -217,6 +217,13 @@ def stratified_split(
                 F.col(strata_col) == F.lit(v), F.lit(int(float(frac) * 1_000_000))
             ).otherwise(cut)
     else:
+        clash = {"__stratum", "__cut"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"stratified_split: input columns {sorted(clash)} collide "
+                f"with the broadcast-lookup join's internal names — rename "
+                f"them (or pass <=64 strata to use the CASE path)"
+            )
         lut = df.sparkSession.createDataFrame(
             [(v, int(float(frac) * 1_000_000)) for v, frac in fractions.items()],
             schema=T.StructType([
