@@ -79,6 +79,9 @@ LIGHT_FROZEN_PAIRS = [
 def summarize_frozen(
     live_t: dict[str, float], froz_t: dict[str, float], version: str,
     passes: int = 4,
+    live_samples: dict[str, list] | None = None,
+    froz_samples: dict[str, list] | None = None,
+    tiers: dict[str, str] | None = None,
 ) -> dict | None:
     """Fold per-query live/frozen min timings into the sidecar block.
     Pure function (fuzz-tested in tests/test_bench_delta.py). ratio =
@@ -88,7 +91,18 @@ def summarize_frozen(
     within-pair order across the 4 passes (two runs per side in each
     position — always-live-first read a phantom 1.02-1.14x regression
     from JIT warm-up order). Queries missing a timing on either side are
-    skipped; all-skipped -> None."""
+    skipped; all-skipped -> None.
+
+    ``live_samples``/``froz_samples`` (r15, VERDICT r14 #6): per-pair
+    ALL-pass timings; when given, each per_query entry carries
+    ``ratio_band`` = [live_min/frozen_max, live_max/frozen_min] — the
+    extreme ratios consistent with this session's own samples. A
+    regression claim for a single pair is only meaningful when its
+    ratio sits OUTSIDE its own band's spread around 1.0 (r14's
+    leakage pair read 0.86 and 1.23 on identical code — the band makes
+    such swings self-adjudicating). ``tiers`` (r15, ADVICE) tags each
+    entry heavy/light with its true pass count, since heavy pairs run 4
+    alternating passes and light pairs 8."""
     per = {}
     for k in sorted(set(live_t) & set(froz_t)):
         lv, fz = float(live_t[k]), float(froz_t[k])
@@ -99,6 +113,16 @@ def summarize_frozen(
             "frozen": round(fz, 4),
             "ratio": round(lv / fz, 4),
         }
+        if tiers and k in tiers:
+            per[k]["tier"] = tiers[k]
+            per[k]["passes"] = 8 if tiers[k] == "light" else passes
+        ls = (live_samples or {}).get(k)
+        fs = (froz_samples or {}).get(k)
+        if ls and fs and min(fs) > 0:
+            per[k]["ratio_band"] = [
+                round(min(ls) / max(fs), 4),
+                round(max(ls) / min(fs), 4),
+            ]
     if not per:
         return None
     ratios = sorted(v["ratio"] for v in per.values())
@@ -558,6 +582,8 @@ def main() -> None:
     # seconds (the pairs are cheap by definition).
     froz_live_t: dict[str, float] = {}
     froz_froz_t: dict[str, float] = {}
+    froz_live_all: dict[str, list] = {}
+    froz_froz_all: dict[str, list] = {}
 
     def _run_pairs(pairs: dict, n_passes: int) -> None:
         for pass_i in range(n_passes):
@@ -572,6 +598,8 @@ def main() -> None:
                 else:
                     ft = _timed(ffn)
                     lt = _timed(live_side[name])
+                froz_live_all.setdefault(name, []).append(round(lt, 4))
+                froz_froz_all.setdefault(name, []).append(round(ft, 4))
                 if name not in froz_live_t or lt < froz_live_t[name]:
                     froz_live_t[name] = round(lt, 4)
                 if name not in froz_froz_t or ft < froz_froz_t[name]:
@@ -586,7 +614,14 @@ def main() -> None:
     _run_pairs({n: f for n, f in frozen_run.items() if n in FROZEN_PAIRS}, 4)
     _run_pairs({n: f for n, f in frozen_run.items() if n in LIGHT_FROZEN_PAIRS}, 8)
     frozen_baseline = (
-        summarize_frozen(froz_live_t, froz_froz_t, FROZEN_VERSION, passes=4)
+        summarize_frozen(
+            froz_live_t, froz_froz_t, FROZEN_VERSION, passes=4,
+            live_samples=froz_live_all, froz_samples=froz_froz_all,
+            tiers={
+                **{n: "heavy" for n in FROZEN_PAIRS},
+                **{n: "light" for n in LIGHT_FROZEN_PAIRS},
+            },
+        )
         if frozen_run
         else None
     )
@@ -680,6 +715,11 @@ def main() -> None:
     line_rec["calibration"] = {
         k: v for k, v in calibration.items() if k not in ("pre", "post")
     }
+    # the line keeps only harness.version (what compute_delta's
+    # same-harness check reads); the full methodology block is sidecar —
+    # r15 (VERDICT r14 #5): frees ~170 chars so the budget below has
+    # real slack instead of the r14 1,898/1,900 squeeze
+    line_rec["harness"] = {"version": HARNESS["version"]}
     # per-query deltas are sidecar-only: ~40 queries x 4 numbers would blow
     # the 2000-char stdout window the driver records
     if isinstance(prev_delta, dict) and "per_query" in prev_delta:
@@ -694,11 +734,11 @@ def main() -> None:
             if k not in ("per_query", "light")
         }
     line = json.dumps(line_rec, separators=(",", ":"))
-    if len(line) > 1900:
+    if len(line) > 1800:
         keep = dict(
             sorted(timings_extra.items(), key=lambda t: -t[1])
         )
-        while len(line) > 1900 and keep:
+        while len(line) > 1800 and keep:
             keep.popitem()
             line_rec["queries_extra"] = {
                 **keep, "_spilled": "see BENCH_DETAIL.json"

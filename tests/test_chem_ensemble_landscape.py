@@ -321,6 +321,50 @@ def test_stratified_split_key_cols_and_large_dict(spark):
     assert h_small.count() == h_big.count()
 
 
+def test_stratified_split_nested_map_and_nan_strata(spark):
+    """r15 ADVICE hardening: (a) columns whose type NESTS a map
+    (array<map>, struct-with-map) are excluded from the default draw and
+    rejected as explicit keys — the r14 guard only checked top-level
+    MapType, so these died with a raw AnalysisException; (b) NaN strata
+    in a float column go to the HOLDOUT under the scalar-fraction
+    shortcut, matching the pre-r13 distinct-collect+CASE semantics
+    (NaN != NaN) instead of riding the isNotNull() gate into train."""
+    from workbench_spark.operators.windows import stratified_split
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type").isNotNull())
+        .limit(200)
+    )
+    # (a) nested maps: array<map> and struct{m: map}
+    evn = ev.withColumn(
+        "__am", F.array(F.create_map(F.lit("k"), F.col("event_type")))
+    ).withColumn(
+        "__sm", F.struct(F.create_map(F.lit("k"), F.lit(1)).alias("m"))
+    )
+    tn, hn = stratified_split(evn, "event_type", 0.7, seed=1)
+    assert tn.count() + hn.count() == evn.count()
+    for bad_col in ("__am", "__sm"):
+        with pytest.raises(ValueError, match="MapType"):
+            stratified_split(evn, "event_type", 0.7, key_cols=[bad_col])
+
+    # (b) NaN strata → holdout, NULL strata → holdout, finite gets the frac
+    evf = ev.withColumn(
+        "__fs",
+        F.when(F.col("event_id") % 3 == 0, F.lit(float("nan")))
+        .when(F.col("event_id") % 3 == 1, F.lit(None).cast("double"))
+        .otherwise(F.lit(1.5)),
+    )
+    tr, ho = stratified_split(evf, "__fs", 0.9, seed=7,
+                              key_cols=["event_id"])
+    assert tr.count() + ho.count() == evf.count()
+    assert tr.filter(F.isnan("__fs") | F.col("__fs").isNull()).count() == 0
+    n_nan = evf.filter(F.isnan("__fs")).count()
+    assert n_nan > 0
+    assert ho.filter(F.isnan("__fs")).count() == n_nan
+    assert tr.filter(F.col("__fs") == 1.5).count() > 0
+
+
 def test_ruzicka_pairs_exact_values(spark):
     """ruzicka_pairs on hand-computed count vectors: sim = sum(min)/sum(max)."""
     from workbench_spark.operators.chem import ruzicka_knn, ruzicka_pairs

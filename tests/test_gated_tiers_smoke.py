@@ -94,6 +94,37 @@ def test_oracle_invariance_single_entry():
     assert a != b
 
 
+def test_oracle_invariance_materialized_pin():
+    """r15 ADVICE: the thread-invariance tier's skip set is a PINNED
+    registry, not a SQL substring — any oracle that grows an
+    `AS MATERIALIZED` CTE without being adjudicated onto
+    MATERIALIZED_SKIP (or a pin left stale after an entry changes) fails
+    the DEFAULT suite here, so nothing can silently escape the tier."""
+    from tests.test_oracle_invariance import (
+        MATERIALIZED_SKIP,
+        materialized_actual,
+    )
+
+    actual = materialized_actual()
+    assert actual == MATERIALIZED_SKIP, (
+        f"unpinned={sorted(actual - MATERIALIZED_SKIP)} "
+        f"stale_pins={sorted(MATERIALIZED_SKIP - actual)}"
+    )
+    assert len(MATERIALIZED_SKIP) == 14
+
+    # the pinned fixed-point replays are RUNNABLE through the tier (the
+    # r15 one-time full run certified all 14 stable at sf0.01); prove the
+    # include_materialized path executes one of them end-to-end
+    from tests.test_oracle_invariance import run_oracle_invariance
+
+    failures = run_oracle_invariance(
+        only="q16_supplier_part_counts",
+        sf_dir="/root/testdata/sf0.01",
+        include_materialized=True,
+    )
+    assert failures == []
+
+
 def test_scalegen_tiny_generate(spark, tmp_path):
     """Exercise the sf1-fixture's generator path at a tiny SF: all four
     tables written, row counts as contracted, readable back."""

@@ -10,11 +10,19 @@ partial-aggregation tree shapes) at the target SF and asserts the
 canonicalized outputs (columns sorted, rows sorted, floats at the
 compare() 6-decimal granularity) are identical.
 
-Entries whose oracle contains ``AS MATERIALIZED`` are skipped as a class:
-those are the unrolled iterative replays (KMeans/PCA/pagerank/HITS/BPE),
-integer fixed-point BY DESIGN — structurally order-invariant — and
-minutes-long per query, so they are out of scope for a float-rounding
-boundary audit.
+Entries whose oracle contains ``AS MATERIALIZED`` are skipped by default:
+9 are the unrolled iterative replays (KMeans/PCA/pagerank/HITS/IVF/
+semdedup/BPE/unigram/mixture-BPE) and 5 are the partsupp-family
+generation replays (q2/q9/q11/q16/q20) — ALL integer fixed-point BY
+DESIGN, structurally order-invariant, and the iterative ones minutes-long
+at sf0.1. The skip set is PINNED (``MATERIALIZED_SKIP``, asserted both
+here and in the default-suite smoke): a future oracle that adds a
+MATERIALIZED CTE for performance fails the default run until it is
+explicitly adjudicated onto the list (r15 ADVICE — a bare substring
+skip let entries escape the tier silently).
+``include_materialized=True`` (env SPARK_GRAFT_ORACLE_INVARIANCE_ALL=1)
+runs them too — executed once at sf0.01 in r15 per the r14 verdict:
+all 14 stable, removing the skipped-by-design asterisk (COVERAGE.md).
 
 First full run (r14, sf0.1): **186 stable / 0 thread-dependent / 14
 skipped fixed-point replays**, 824 s — combined with the sf0.1 hostile
@@ -51,6 +59,42 @@ SF = os.environ.get(
     "SPARK_GRAFT_ORACLE_INVARIANCE_SF_DIR", "/root/testdata/sf0.1"
 )
 
+# The ONLY oracles allowed to carry `AS MATERIALIZED` (and thereby skip
+# the default thread-invariance run). 9 unrolled iterative integer
+# replays + 5 partsupp-family integer-cents generation replays. Each was
+# run through threads 4-vs-32 once at sf0.01 (r15): all stable. Adding a
+# MATERIALIZED CTE to any OTHER oracle fails the default-suite pin smoke
+# until the new entry is adjudicated here.
+MATERIALIZED_SKIP = frozenset({
+    # iterative fixed-point replays (minutes-long at sf0.1)
+    "a11_smart_aggregator",        # KMeans Lloyd unroll
+    "c7_projection_pca",           # PCA power-iteration unroll
+    "dedup_semdedup",              # k-means cells unroll
+    "graph_hits_hubs_authorities",
+    "graph_pagerank_authority",
+    "knn_cosine_ivf",              # IVF centroid unroll
+    "text_bpe_merges",
+    "text_mixture_weights_bpe",
+    "text_unigram_vocab_invariants",
+    # partsupp-family integer-cents generation replays (fast, but the
+    # MATERIALIZED is load-bearing: the CTE is referenced 2+ times)
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
+})
+
+
+def materialized_actual() -> frozenset:
+    """The oracles whose SQL actually contains AS MATERIALIZED — compared
+    against the pin in the default-suite smoke and in the full tier."""
+    from workbench_spark.queries import oracle_sql
+
+    return frozenset(
+        n for n, s in oracle_sql().items() if "AS MATERIALIZED" in s
+    )
+
 
 def duckdb_canon(sql: str, sf_dir: str, threads: int) -> list[tuple]:
     """Run sql in a fresh DuckDB connection pinned to `threads` and return
@@ -66,20 +110,32 @@ def duckdb_canon(sql: str, sf_dir: str, threads: int) -> list[tuple]:
 def run_oracle_invariance(
     only: str | None = None, sf_dir: str = SF,
     threads_a: int = 4, threads_b: int = 32,
+    include_materialized: bool = False,
 ) -> list:
     """Returns [(name, detail), ...] for thread-dependent oracles. `only`
-    restricts to one entry (the always-on smoke's mode)."""
+    restricts to one entry (the always-on smoke's mode);
+    `include_materialized` also runs the pinned fixed-point replays (env
+    SPARK_GRAFT_ORACLE_INVARIANCE_ALL=1 — use sf0.01, they are minutes-
+    long at sf0.1)."""
     from workbench_spark.queries import oracle_sql
 
     o = oracle_sql()
     names = sorted(o) if only is None else [only]
     if only is not None and only not in o:
         raise KeyError(f"unknown oracled entry: {only!r}")
+    if only is None:
+        actual = materialized_actual()
+        assert actual == MATERIALIZED_SKIP, (
+            "MATERIALIZED pin drift — adjudicate the new entries: "
+            f"unpinned={sorted(actual - MATERIALIZED_SKIP)} "
+            f"stale_pins={sorted(MATERIALIZED_SKIP - actual)}"
+        )
     failures = []
     for name in names:
         sql = o[name]
-        if "AS MATERIALIZED" in sql:
-            print(f"{name}: skipped (integer fixed-point replay)", flush=True)
+        if name in MATERIALIZED_SKIP and not include_materialized:
+            print(f"{name}: skipped (pinned integer fixed-point replay)",
+                  flush=True)
             continue
         a = duckdb_canon(sql, sf_dir, threads_a)
         b = duckdb_canon(sql, sf_dir, threads_b)
@@ -93,6 +149,9 @@ def run_oracle_invariance(
 
 def test_oracles_thread_invariant():
     failures = run_oracle_invariance(
-        only=os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
+        only=os.environ.get("SPARK_GRAFT_SWEEP_ONLY"),
+        include_materialized=bool(
+            os.environ.get("SPARK_GRAFT_ORACLE_INVARIANCE_ALL")
+        ),
     )
     assert not failures, failures

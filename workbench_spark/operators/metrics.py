@@ -16,10 +16,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def regression_metrics(df: DataFrame, target: str, prediction: str) -> DataFrame:
+def regression_metrics(
+    df: DataFrame, target: str, prediction: str, exact: bool = False
+) -> DataFrame:
     """A14 — one row: rmse, mae, medae, r2, spearman, support
     (metrics_utils.py:198-256). NaN/NULL predictions are dropped first
-    (reference drops them at endpoint_core.py:1150-1163)."""
+    (reference drops them at endpoint_core.py:1150-1163).
+
+    ``exact=True`` (oracle mode — the r15 ROUND(SUM) audit conversion):
+    rmse/mae/r2 run on integer-quantized sufficient statistics instead
+    of raw float sums (|err| at 1e-6 units → BIGINT; err², y² at 1e-4
+    units and y at 1e-2 units → decimal(38,0), the Σq² headroom
+    convention: err² terms reach ~2.5e13 units, so BIGINT would overflow
+    past ~sf1). Integer sums are order-invariant under any partitioning;
+    the remaining divisions/sqrt see identical operands on both engines
+    (IEEE sqrt is exactly rounded). spearman stays the float corr over
+    binary-exact midranks — adjudicated in tests/test_round_sum_audit.py
+    (engine pairwise-merge jitter ≤1e-12 vs the 5e-7 step at d=6)."""
     d = df.select(
         F.col(target).cast("double").alias("y"),
         F.col(prediction).cast("double").alias("p"),
@@ -28,6 +41,30 @@ def regression_metrics(df: DataFrame, target: str, prediction: str) -> DataFrame
     # spearman = pearson corr of the two rank sequences (average ranks for
     # ties — matches scipy.spearmanr); rank() + count correction gives avg rank
     d = d.withColumn("ry", _avg_rank("y")).withColumn("rp", _avg_rank("p"))
+    if exact:
+        dec = "decimal(38,0)"
+        s_e2 = F.sum(F.floor(err * err * F.lit(1e4) + F.lit(0.5)).cast(dec))
+        s_abs = F.sum(F.floor(F.abs(err) * F.lit(1e6) + F.lit(0.5)).cast("long"))
+        s_y = F.sum(F.floor(F.col("y") * F.lit(100) + F.lit(0.5)).cast("long"))
+        s_y2 = F.sum(
+            F.floor(F.col("y") * F.col("y") * F.lit(1e4) + F.lit(0.5)).cast(dec)
+        )
+        n = F.count(F.lit(1))
+        return d.agg(
+            F.sqrt(s_e2.cast("double") / n / F.lit(1e4)).alias("rmse"),
+            (s_abs.cast("double") / n / F.lit(1e6)).alias("mae"),
+            F.expr("percentile(abs(y - p), 0.5)").alias("medae"),
+            (
+                F.lit(1)
+                - s_e2.cast("double")
+                / (
+                    s_y2.cast("double")
+                    - s_y.cast("double") * s_y.cast("double") / n
+                )
+            ).alias("r2"),
+            F.corr("ry", "rp").alias("spearman"),
+            n.alias("support"),
+        ).select("rmse", "mae", "medae", "r2", "spearman", "support")
     return d.agg(
         F.sqrt(F.avg(err * err)).alias("rmse"),
         F.avg(F.abs(err)).alias("mae"),

@@ -869,6 +869,7 @@ def embedding_group_centroids(
     group_col: str = "label",
     vec_col: str = "embedding",
     normalize: bool = False,
+    exact: bool = False,
 ) -> DataFrame:
     """Per-group centroid of an embedding column: (group, centroid,
     n_vectors). The class-prototype primitive (nearest-centroid
@@ -879,13 +880,30 @@ def embedding_group_centroids(
     with sort_array(collect_list(struct(dim, avg))) per group. The second
     groupBy reuses the same group key; dims-per-group rows are tiny
     (n_groups × dim). ``normalize=True`` L2-normalizes the centroid
-    (cosine-prototype form)."""
+    (cosine-prototype form).
+
+    ``exact=True`` (oracle mode — r15 ROUND(SUM) audit conversion): the
+    per-dim mean is the quantized integer fold (floor(v·1e6+0.5) BIGINT
+    sum, then ONE double division) instead of float AVG, whose
+    accumulation-order low bits could flip the downstream d=4 rounding —
+    float32 components have no decimal grid. Production default stays
+    float AVG (full precision, one fewer projection); non-finite
+    components NULL the quantized term like every quantizing fold."""
     exploded = df.select(
         F.col(group_col).alias("g"), F.posexplode(F.col(vec_col)).alias("d", "v")
     )
-    per_dim = exploded.groupBy("g", "d").agg(
-        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
-    )
+    if exact:
+        v = F.col("v").cast("double")
+        bad = F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))
+        q = F.when(~bad, F.floor(v * F.lit(1e6) + F.lit(0.5))).cast("long")
+        per_dim = exploded.groupBy("g", "d").agg(
+            (F.sum(q).cast("double") / F.count("v") / F.lit(1e6)).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    else:
+        per_dim = exploded.groupBy("g", "d").agg(
+            F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+        )
     out = per_dim.groupBy("g").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]

@@ -1016,6 +1016,7 @@ def lm_score_documents(
     id_col: str = "doc_id",
     alpha: float = 0.4,
     broadcast_unigrams: bool | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """CCNet-style LM quality scoring with Stupid Backoff (Brants et al.
     2007, "Large Language Models in Machine Translation" — the published
@@ -1036,7 +1037,14 @@ def lm_score_documents(
     limit-count; pass True/False to force). The BIGRAM table can be 10×
     the vocabulary and stays with Catalyst/AQE. Train on the corpus
     itself for self-perplexity (the CCNet setup trains on a reference
-    corpus — pass any count tables)."""
+    corpus — pass any count tables).
+
+    ``exact=True`` (oracle mode — r15 ROUND(SUM) audit conversion):
+    mean_logscore is the quantized fold (ln terms to 1e-6 integer units,
+    BIGINT sum, one division chain — the langid/unigram-fold convention)
+    instead of float AVG over no-grid ln terms; pseudo_perplexity = exp
+    of the identical deterministic mean. Scores are count ratios > 0, so
+    ln is always finite here (alpha²/T floors the OOV branch)."""
     from workbench_spark.operators.dedup import normalize_text
 
     toks = F.filter(
@@ -1079,11 +1087,16 @@ def lm_score_documents(
         )
         .otherwise(F.lit(alpha * alpha / float(total_tokens)))
     )
+    if exact:
+        qln = F.floor(F.log(score) * F.lit(1e6) + F.lit(0.5)).cast("long")
+        mean = F.sum(qln).cast("double") / F.count(F.lit(1)) / F.lit(1e6)
+    else:
+        mean = F.avg(F.log(score))
     return (
         joined.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_scored"),
-            F.avg(F.log(score)).alias("mean_logscore"),
+            mean.alias("mean_logscore"),
         )
         .withColumn("pseudo_perplexity", F.exp(-F.col("mean_logscore")))
     )
@@ -1296,6 +1309,7 @@ def tfidf_vectors(
     dim: int = 64,
     min_df: int = 1,
     vocab: DataFrame | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """Hashed TF-IDF document vectors — the text→ANN bridge when no
     external embedding model is available: vector[b] = Σ tf(t)·idf(t)
@@ -1311,7 +1325,17 @@ def tfidf_vectors(
     the vocabulary-sized idf table (vocabulary() artifact; pass a
     persisted one via ``vocab=``) → ONE groupBy(id) with map-collect →
     dense array projection. Linear in token count; documents with no
-    surviving tokens get the zero vector."""
+    surviving tokens get the zero vector.
+
+    ``exact=True`` (oracle mode — the r15 ROUND(SUM) audit conversion):
+    each tf·idf weight is quantized to 1e-6 integer units
+    (floor(w·1e6+0.5), identical doubles floor identically on both
+    engines) and the per-bucket sums run over BIGINTs — order-invariant
+    under any partitioning, where the float SUM(w) over transcendental
+    idf terms had no value grid and could land within accumulation
+    jitter of a rounding boundary. Elements come back as S/1e6 doubles.
+    Production default stays the float sum (one fewer projection; the
+    1e-6 quantization is not wanted in a production embedding)."""
     from workbench_spark.operators.dedup import normalize_text
 
     v = vocab if vocab is not None else vocabulary(df, text_col, id_col, min_df)
@@ -1329,10 +1353,17 @@ def tfidf_vectors(
         " i -> ascii(substring(token, i, 1))),"
         " 0L, (a, c) -> (a * 31 + c) % 1000000007)"
     )
+    w = F.col("__tf") * F.col("idf")
+    if exact:
+        w = F.floor(w * F.lit(1e6) + F.lit(0.5)).cast("long")
     weighted = joined.select(
         F.col(id_col),
         (F.expr(poly) % dim).cast("int").alias("__b"),
-        (F.col("__tf") * F.col("idf")).alias("__w"),
+        w.alias("__w"),
+    )
+    elem = (
+        "coalesce(element_at(__m, i), 0L) / 1e6" if exact
+        else "coalesce(element_at(__m, i), 0.0D)"
     )
     dense = (
         weighted.groupBy(id_col, "__b")
@@ -1346,8 +1377,7 @@ def tfidf_vectors(
         .select(
             F.col(id_col),
             F.expr(
-                f"transform(sequence(0, {dim - 1}),"
-                f" i -> coalesce(element_at(__m, i), 0.0D))"
+                f"transform(sequence(0, {dim - 1}), i -> {elem})"
             ).alias("vec"),
         )
     )

@@ -747,6 +747,30 @@ def uq_metrics(
         else (lambda c: F.percentile_approx(c, F.lit(0.5), F.lit(10000)))
     )
 
+    def qmean(term, alias):
+        """Exact-mode mean: integer-quantized fold (r15 ROUND(SUM) audit
+        conversion — crps/interval-score terms have no value grid, so a
+        float AVG's accumulation order could flip the entry's d=4
+        rounding). Terms quantize to 1e-6 units in decimal(38,0) (the
+        Σq² headroom convention: interval-score terms reach ~1e12 units,
+        BIGINT would overflow past ~sf1). Non-finite terms (std=0 → z=Inf
+        feeding the fold — the ANSI-off cast footgun class) NULL the
+        whole mean instead of silently saturating/dropping."""
+        bad = F.isnan(term) | (term == F.lit(float("inf"))) | (
+            term == F.lit(float("-inf"))
+        )
+        s = F.sum(
+            F.when(~bad, F.floor(term * F.lit(1e6) + F.lit(0.5)))
+            .otherwise(F.lit(None))
+            .cast("decimal(38,0)")
+        )
+        n_bad = F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0)))
+        return (
+            F.when(n_bad > 0, F.lit(None).cast("double"))
+            .otherwise(s.cast("double") / F.count(F.lit(1)) / F.lit(1e6))
+            .alias(alias)
+        )
+
     aggs = []
     for level in (68, 80, 90, 95):
         lo, hi = bounds(level)
@@ -760,7 +784,8 @@ def uq_metrics(
         crps = std * (
             z * (2.0 * _norm_cdf(z) - 1.0) + 2.0 * _norm_pdf(z) - _INV_SQRT_PI
         )
-        aggs.append(F.avg(crps).alias("mean_crps"))
+        aggs.append(qmean(crps, "mean_crps") if exact
+                    else F.avg(crps).alias("mean_crps"))
     else:
         aggs.append(F.lit(None).cast("double").alias("median_std"))
         aggs.append(F.lit(None).cast("double").alias("mean_crps"))
@@ -771,7 +796,8 @@ def uq_metrics(
         + (2.0 / alpha) * (lo95 - y) * (y < lo95).cast("double")
         + (2.0 / alpha) * (y - hi95) * (y > hi95).cast("double")
     )
-    aggs.append(F.avg(is95).alias("mean_interval_score_95"))
+    aggs.append(qmean(is95, "mean_interval_score_95") if exact
+                else F.avg(is95).alias("mean_interval_score_95"))
     aggs.append(F.count(F.lit(1)).alias("n_samples"))
 
     # Spearman correlations need rank columns (a window pass) before the agg

@@ -171,8 +171,19 @@ def stratified_split(
     hashable column feeds the draw, which means adding/dropping/reordering
     any column reshuffles every row's assignment — pass an explicit stable
     key (e.g. the id column) when the schema may evolve under a fixed
-    seed. MapType columns are excluded from the default (Spark refuses to
-    hash maps) and rejected with a clear error when requested explicitly.
+    seed. Columns whose type contains a MapType ANYWHERE (top-level,
+    array element, struct field — Spark refuses to hash maps at any
+    nesting depth) are excluded from the default and rejected with a
+    clear error when requested explicitly (r15 ADVICE: the r14 guard
+    only caught top-level maps, so array<map> / struct-with-map columns
+    still died with a raw AnalysisException).
+
+    Floating strata containing NaN go to the HOLDOUT in every path
+    (r15 ADVICE): the scalar-fraction shortcut's ``isNotNull()`` gate
+    alone would hand NaN rows the fraction (NaN is not NULL), silently
+    flipping the pre-r13 distinct-collect behavior where NaN never
+    matched any CASE arm (NaN != NaN under comparison). An explicit
+    ``~isnan`` guard on float/double strata pins the old contract.
 
     Large ``fractions`` dicts (> ~64 strata) switch from a nested-CASE cut
     expression to a broadcast (stratum, cut) lookup join: the CASE chain's
@@ -180,23 +191,30 @@ def stratified_split(
     the broadcast join is one hash probe per row at any cardinality."""
     from pyspark.sql import types as T
 
+    def _contains_map(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return _contains_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        return False
+
     if key_cols is None:
         key_cols = [
             f.name for f in df.schema.fields
-            if not isinstance(f.dataType, T.MapType)
+            if not _contains_map(f.dataType)
         ]
         if not key_cols:
             raise ValueError("stratified_split: no hashable columns to draw on")
     else:
-        bad = [
-            c for c in key_cols
-            if isinstance(df.schema[c].dataType, T.MapType)
-        ]
+        bad = [c for c in key_cols if _contains_map(df.schema[c].dataType)]
         if bad:
             raise ValueError(
-                f"stratified_split: MapType key_cols {bad} cannot feed the "
-                f"hash draw (Spark disallows hashing maps) — hash the map's "
-                f"sorted entries into a string column first"
+                f"stratified_split: key_cols {bad} contain MapType (possibly "
+                f"nested) and cannot feed the hash draw (Spark disallows "
+                f"hashing maps at any depth) — hash the map's sorted entries "
+                f"into a string column first"
             )
     u = F.pmod(
         F.xxhash64(F.lit(int(seed)), *[F.col(c) for c in key_cols]),
@@ -205,9 +223,16 @@ def stratified_split(
     if not isinstance(fractions, dict):
         # one fraction for every observed stratum == every non-NULL value;
         # no distinct-collect needed (the per-value dict it used to build
-        # is semantically a constant over non-NULL strata)
+        # is semantically a constant over non-NULL strata). NaN strata in
+        # float/double columns are NOT a stratum value (NaN != NaN in the
+        # CASE paths) — they go to the holdout, same as NULL.
+        eligible = F.col(strata_col).isNotNull()
+        if isinstance(
+            df.schema[strata_col].dataType, (T.FloatType, T.DoubleType)
+        ):
+            eligible = eligible & ~F.isnan(F.col(strata_col))
         cut = F.when(
-            F.col(strata_col).isNotNull(),
+            eligible,
             F.lit(int(float(fractions) * 1_000_000)),
         ).otherwise(F.lit(0))
     elif len(fractions) <= 64:

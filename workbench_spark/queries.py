@@ -692,7 +692,8 @@ _ORACLES["table_hash_lineitem"] = _thos(
     "a12_gmean_rollup",
     """
     SELECT event_type,
-           ROUND(EXP(AVG(LN(value + 1))), 6) AS gmean_value,
+           ROUND(EXP(CAST(SUM(CAST(floor(LN(value + 1) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / COUNT(value) / 1e6), 6) AS gmean_value,
            COUNT(*) AS n
     FROM (
       SELECT e.*, MAX(ts) OVER (PARTITION BY user_id) AS maxt FROM events e
@@ -702,13 +703,27 @@ _ORACLES["table_hash_lineitem"] = _thos(
 )
 def a12_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12/W2/F5 — rollup_experimental_data (chem_utils/misc.py:17-46):
-    keep max-time rows per id, then geometric mean exp(avg(ln(x)))."""
+    keep max-time rows per id, then geometric mean exp(avg(ln(x))).
+
+    The log-mean uses the r15 quantized-fold form (audit class
+    ROUND(EXP(AVG(ln)), 6) — ln terms have no value grid): each ln term
+    quantized to 1e-6 integer units (the langid/unigram-fold convention;
+    identical doubles floor identically on both engines), integer sum,
+    one exact division chain, EXP of identical operands. value ≥ 0 with
+    no NULLs in the driver data, so ln(value+1) is always finite — the
+    non-finite NULL-guard class doesn't arise here."""
     from workbench_spark.operators.windows import max_time_per_group
 
     ev = _t(spark, sf_dir, "events")
     latest = max_time_per_group(ev, "user_id", "ts")
+    qln = F.floor(F.log(F.col("value") + 1) * F.lit(1e6) + F.lit(0.5)).cast("long")
     return latest.groupBy("event_type").agg(
-        F.round(F.exp(F.avg(F.log(F.col("value") + 1))), 6).alias("gmean_value"),
+        F.round(
+            F.exp(
+                F.sum(qln).cast("double") / F.count("value") / F.lit(1e6)
+            ),
+            6,
+        ).alias("gmean_value"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -821,10 +836,16 @@ def p9_nandrop(spark: SparkSession, sf_dir: str) -> DataFrame:
              RANK() OVER (ORDER BY p) + (COUNT(*) OVER (PARTITION BY p) - 1) / 2.0 AS rp
       FROM d
     )
-    SELECT ROUND(SQRT(AVG((y - p) * (y - p))), 4) AS rmse,
-           ROUND(AVG(ABS(y - p)), 4) AS mae,
+    SELECT ROUND(SQRT(CAST(SUM(CAST(floor((y - p) * (y - p) * 1e4 + 0.5) AS HUGEINT)) AS DOUBLE)
+                      / COUNT(*) / 1e4), 4) AS rmse,
+           ROUND(CAST(SUM(CAST(floor(ABS(y - p) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1e6, 4) AS mae,
            ROUND(quantile_cont(ABS(y - p), 0.5), 4) AS medae,
-           ROUND(1 - SUM((y-p)*(y-p)) / (SUM(y*y) - COUNT(*) * AVG(y) * AVG(y)), 6) AS r2,
+           ROUND(1 - CAST(SUM(CAST(floor((y - p) * (y - p) * 1e4 + 0.5) AS HUGEINT)) AS DOUBLE)
+                   / (CAST(SUM(CAST(floor(y * y * 1e4 + 0.5) AS HUGEINT)) AS DOUBLE)
+                      - CAST(SUM(CAST(floor(y * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                        * CAST(SUM(CAST(floor(y * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / COUNT(*)), 6) AS r2,
            ROUND(corr(ry, rp), 6) AS spearman,
            COUNT(*) AS support
     FROM ranked
@@ -833,14 +854,18 @@ def p9_nandrop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a14_reg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 — regression metrics (metrics_utils.py:198-256) over a
     deterministic synthetic prediction column (0.9*y + 20000) so the oracle
-    can reproduce it."""
+    can reproduce it. exact=True: rmse/mae/r2 on integer-quantized
+    sufficient statistics (r15 ROUND(SUM) audit conversion — raw float
+    AVG/SUM over the 1e-3-grid errors had order-dependent accumulation
+    against the d=4/d=6 rounding boundaries); the oracle replays the
+    identical quantized sums."""
     from workbench_spark.operators.metrics import regression_metrics
 
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("y"),
         (F.col("o_totalprice") * 0.9 + 20000).alias("p"),
     )
-    m = regression_metrics(o, "y", "p")
+    m = regression_metrics(o, "y", "p", exact=True)
     return m.select(
         F.round("rmse", 4).alias("rmse"),
         F.round("mae", 4).alias("mae"),
@@ -1091,10 +1116,11 @@ def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue",
     """
-    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue_pct
+    SELECT floor(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS promo_revenue_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     """,
 )
@@ -1102,18 +1128,30 @@ def q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style conditional aggregation over a dim join. part scales
     linearly with SF (200k rows per SF unit), so no broadcast hint: AQE
     broadcasts it while it fits and shuffles when it doesn't; forcing the
-    broadcast would break at large SF."""
+    broadcast would break at large SF.
+
+    promo_revenue_pct is the r15 quantized-ratio form (the audit's
+    ROUND(SUM/SUM) class): terms sit exactly on the 1e-4 grid (2dp×2dp),
+    so the 1e4-unit floor quantization is EXACT; integer sums are
+    order-invariant; the single double division sees identical integer
+    operands on both engines; floor-form rounding replaces ROUND (equal
+    for positive values off the .5 boundary — and the boundary is now
+    unreachable by construction)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qrev = F.floor(rev * F.lit(1e4) + F.lit(0.5)).cast("long")
+    num = F.sum(F.when(F.col("p_type").like("PROMO%"), qrev).otherwise(F.lit(0)))
+    den = F.sum(qrev)
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0))
-                / F.sum(rev),
-                6,
+            (
+                F.floor(
+                    F.lit(100.0) * num.cast("double") / den.cast("double")
+                    * F.lit(1e6) + F.lit(0.5)
+                )
+                / F.lit(1e6)
             ).alias("promo_revenue_pct")
         )
     )
@@ -1422,11 +1460,11 @@ def j4_dag_union_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           floor(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN qvol ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(qvol) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5) AS BIGINT) AS qvol,
              n2.n_name AS supp_nation
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -1446,7 +1484,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: part filter pushed to its scan BEFORE the lineitem join (the
     p_type predicate removes ~5/6 of parts, so the fact join shrinks
     first); nation/region broadcast (constant-size dims); supplier and
-    customer left to AQE per the q5 template — both scale with SF."""
+    customer left to AQE per the q5 template — both scale with SF.
+
+    mkt_share is the r15 quantized-ratio form (audit class
+    ROUND(SUM/SUM, 6) over 1e-4-grid volumes — a ratio has no value
+    grid, so the old form's true value could sit arbitrarily close to a
+    .5e-6 boundary): exact 1e4-unit integer volume sums, one double
+    division of identical integers, floor-form rounding."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -1466,18 +1510,25 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qvol = F.floor(vol * F.lit(1e4) + F.lit(0.5)).cast("long")
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("qvol")).otherwise(F.lit(0))
+    )
+    den = F.sum("qvol")
     return (
         joined.select(
             F.year("o_orderdate").cast("int").alias("o_year"),
-            vol.alias("volume"),
+            qvol.alias("qvol"),
             "supp_nation",
         )
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
-                6,
+            (
+                F.floor(
+                    num.cast("double") / den.cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
             ).alias("mkt_share")
         )
     )
@@ -1558,7 +1609,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     """
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT floor(CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 700 * 1e4 + 0.5) / 1e4 AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#23'
@@ -1576,17 +1628,35 @@ def q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     in any summation order and both engines derive the identical
     threshold. The brand filter only shrinks the FINAL probe side — the
     per-part average must run over ALL lineitem rows (correlation scope),
-    matching the correlated form."""
+    matching the correlated form.
+
+    avg_yearly is the r15 quantized-ratio form (the ROUND(SUM)/7 audit
+    class): exact integer-cent sum (2dp grid → floor exact), ONE double
+    division by 700 of identical integer operands on both engines, then
+    floor-form rounding — no order-dependent float accumulation. The old
+    ROUND(SUM/7.0, 4) could not structurally land on a .5e-4 boundary
+    (200·cents = 7·odd is even=odd, impossible) but its margin 1/14 step
+    shrinks linearly with SF against the sum's ulp; the integer form has
+    no margin to audit."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (0.5 * F.avg("l_quantity")).alias("qty_thresh")
     )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(thresh, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(cents).cast("double") / F.lit(700) * F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("avg_yearly")
+        )
     )
 
 

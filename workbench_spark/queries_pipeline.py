@@ -2333,10 +2333,12 @@ def m4_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROUND(quantile_cont((pred + 1.282*std) - (pred - 1.282*std), 0.5), 4) AS median_width_80,
       ROUND(quantile_cont((pred + 1.645*std) - (pred - 1.645*std), 0.5), 4) AS median_width_90,
       ROUND(quantile_cont((pred + 1.96*std) - (pred - 1.96*std), 0.5), 4) AS median_width_95,
-      ROUND(avg(std * (z * (2.0*phi - 1.0) + 2.0*pdf - 1/sqrt(pi()))), 4) AS mean_crps,
-      ROUND(avg(((pred + 1.96*std) - (pred - 1.96*std))
+      ROUND(CAST(SUM(CAST(floor((std * (z * (2.0*phi - 1.0) + 2.0*pdf - 1/sqrt(pi()))) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+            / COUNT(*) / 1e6, 4) AS mean_crps,
+      ROUND(CAST(SUM(CAST(floor((((pred + 1.96*std) - (pred - 1.96*std))
           + 40.0 * ((pred - 1.96*std) - y) * (CASE WHEN y < pred - 1.96*std THEN 1.0 ELSE 0.0 END)
-          + 40.0 * (y - (pred + 1.96*std)) * (CASE WHEN y > pred + 1.96*std THEN 1.0 ELSE 0.0 END)), 4)
+          + 40.0 * (y - (pred + 1.96*std)) * (CASE WHEN y > pred + 1.96*std THEN 1.0 ELSE 0.0 END)) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+            / COUNT(*) / 1e6, 4)
         AS mean_interval_score_95,
       ROUND(corr(rw, rr), 6) AS interval_to_error_corr,
       ROUND(corr(rc, rr), 6) AS confidence_to_error_corr,
@@ -3468,7 +3470,11 @@ def text_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, CAST(dim AS INT) AS dim,
-           ROUND(AVG(CAST(v AS DOUBLE)), 4) + 0 AS centroid_val,  -- +0: fold -0.0
+           -- r15 quantized mean (audit class ROUND(AVG(float32), 4)):
+           -- integer 1e-6-unit sum, one division, floor-form rounding;
+           -- +0 folds the floor(-0.0) = -0.0 case
+           floor((CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / COUNT(v) / 1e6) * 1e4 + 0.5) / 1e4 + 0 AS centroid_val,
            COUNT(*) AS n_vectors
     FROM ex GROUP BY 1, 2
     """,
@@ -3476,12 +3482,13 @@ def text_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (class prototypes), exploded to
     (label, dim, value) rows for scalar hash-compare. One shuffle on
-    (label, dim) with map-side-combinable avg partials — vectors are
-    never collected."""
+    (label, dim) with map-side-combinable partials — vectors are never
+    collected. exact=True: quantized per-dim means (r15 audit), rounded
+    floor-form on both sides."""
     from workbench_spark.operators.similarity import embedding_group_centroids
 
     e = _t(spark, sf_dir, "embeddings")
-    cent = embedding_group_centroids(e, "label", "embedding")
+    cent = embedding_group_centroids(e, "label", "embedding", exact=True)
     return cent.select(
         "label",
         F.posexplode("centroid").alias("dim0", "v"),
@@ -3489,7 +3496,8 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("dim0") + 1).cast("int").alias("dim"),  # ordinality is 1-based
-        (F.round("v", 4) + F.lit(0.0)).alias("centroid_val"),  # +0: fold -0.0
+        (F.floor(F.col("v") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4) + F.lit(0.0))
+        .alias("centroid_val"),
         F.col("n_vectors").cast("long").alias("n_vectors"),
     )
 
@@ -3756,8 +3764,12 @@ def text_dedup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN tot
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
-           ROUND(AVG(ln(s)), 6) AS mean_logscore,
-           ROUND(exp(-AVG(ln(s))), 6) AS pseudo_perplexity
+           -- r15 quantized fold (audit class ROUND(AVG(ln), 6)): 1e-6
+           -- integer units per ln term, exact sum, one division chain
+           ROUND(CAST(SUM(CAST(floor(ln(s) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1e6, 6) AS mean_logscore,
+           ROUND(exp(-(CAST(SUM(CAST(floor(ln(s) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1e6)), 6) AS pseudo_perplexity
     FROM scored GROUP BY doc_id
     """,
 )
@@ -3774,7 +3786,9 @@ def text_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     uni, bi, total = ngram_lm_counts(d.filter(F.col("doc_id") < 400))
-    out = lm_score_documents(d.filter(F.col("doc_id") >= 400), uni, bi, total)
+    out = lm_score_documents(
+        d.filter(F.col("doc_id") >= 400), uni, bi, total, exact=True
+    )
     return out.select(
         "doc_id",
         F.col("n_scored").cast("long").alias("n_scored"),
@@ -4846,17 +4860,21 @@ def text_dedup_exact_substr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tfidf_oracle_sql(dim: int = 16) -> str:
-    """DuckDB replay of text.tfidf_vectors at ``dim`` buckets: same
-    normalization, same idf = ln(N/df), same portable polynomial bucket
-    hash, dense vector assembled from ``dim`` conditional sums, each
-    element floor-rounded."""
+    """DuckDB replay of text.tfidf_vectors(exact=True) at ``dim``
+    buckets: same normalization, same idf = ln(N/df), same portable
+    polynomial bucket hash, dense vector assembled from ``dim``
+    conditional sums. Each tf·idf weight is quantized to 1e-6 integer
+    units BEFORE the sum (the r15 ROUND(SUM) audit conversion — the old
+    floor(SUM(w)·1e6+0.5) rounded an order-dependent float sum of
+    no-grid transcendental terms; the integer sums are order-invariant
+    and the single /1e6 division is deterministic on both engines)."""
     poly = (
         "list_reduce(list_prepend(0::BIGINT,"
         " [ascii(substr(token, i, 1)) for i in generate_series(1, length(token))]),"
         " (a, c) -> (a * 31 + c) % 1000000007)"
     )
     sums = ", ".join(
-        f"floor(COALESCE(SUM(CASE WHEN b = {i} THEN w END), 0) * 1e6 + 0.5) / 1e6"
+        f"CAST(COALESCE(SUM(CASE WHEN b = {i} THEN qw END), 0) AS DOUBLE) / 1e6"
         for i in range(dim)
     )
     return f"""
@@ -4875,7 +4893,7 @@ def _tfidf_oracle_sql(dim: int = 16) -> str:
     weighted AS (
       SELECT tf.doc_id,
              CAST({poly} % {dim} AS INT) AS b,
-             tf.tf * vocab.idf AS w
+             CAST(floor(tf.tf * vocab.idf * 1e6 + 0.5) AS BIGINT) AS qw
       FROM tf JOIN vocab USING (token)
     ),
     dense AS (
@@ -4898,11 +4916,9 @@ def text_tfidf_vectors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workbench_spark.operators.text import tfidf_vectors
 
     d = _t(spark, sf_dir, "documents")
-    out = tfidf_vectors(d, dim=16)
-    return out.select(
-        "doc_id",
-        F.expr("transform(vec, x -> floor(x * 1e6 + 0.5) / 1e6)").alias("vec"),
-    )
+    # exact=True: per-term 1e-6 integer quantization (r15 audit) — the
+    # vector elements are already on the 1e-6 grid, no projection needed
+    return tfidf_vectors(d, dim=16, exact=True)
 
 
 def _bpe_oracle_sql(num_merges: int, min_count: int, max_words: int) -> str:
