@@ -32,8 +32,13 @@ def duckdb_run(sql: str, sf_dir: str, threads: int | None = None):
         con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):
+            # Spark-written table: a DIRECTORY of part files (the skew /
+            # scale tiers' generated corpora) — DuckDB needs the glob
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con.execute(sql).fetchdf()
 
 

@@ -125,6 +125,35 @@ def test_oracle_invariance_materialized_pin():
     assert failures == []
 
 
+def test_skew_tier_harness_smoke(spark, tmp_path):
+    """Execute the planted-skew tier's real harness path (r15 module,
+    same r14 rule: gated tiers need always-on smokes) on a tiny corpus:
+    skewed generation, the hot-key plants land at their contracted
+    shares, run_skew_ratio times one entry through the real code, and
+    one oracle hash-compares on the SKEWED corpus (DuckDB reading the
+    Spark-written parquet directories)."""
+    import pyspark.sql.functions as F
+
+    from tests.test_skew_stress import run_skew_oracle, run_skew_ratio
+    from workbench_spark.session import read_table
+    from workbench_spark.sources.scalegen import generate
+
+    uni, skw = str(tmp_path / "uni"), str(tmp_path / "skw")
+    generate(spark, uni, sf=0.002)
+    generate(spark, skw, sf=0.002, skew=True)
+    ev = read_table(spark, skw, "events")
+    hot = ev.filter(F.col("user_id") == 0).count() / ev.count()
+    assert 0.25 < hot < 0.40, f"hot-user plant off: {hot}"
+    li = read_table(spark, skw, "lineitem")
+    hp = li.filter(F.col("l_partkey") == 0).count() / li.count()
+    assert 0.15 < hp < 0.30, f"hot-part plant off: {hp}"
+    # generous bound at toy scale: this smoke checks the HARNESS, the
+    # real bounds are asserted by the gated tier at sf0.1
+    r = run_skew_ratio(spark, "w1_latest_event_per_user", uni, skw, 50.0)
+    assert r["t_skew_s"] > 0
+    assert run_skew_oracle(spark, "w_sessionize_events", skw) == []
+
+
 def test_scalegen_tiny_generate(spark, tmp_path):
     """Exercise the sf1-fixture's generator path at a tiny SF: all four
     tables written, row counts as contracted, readable back."""

@@ -16,6 +16,21 @@ from ``spark.range`` with zero driver memory. Values are deterministic
 per (sf, seed) but do NOT reproduce the driver's tables bit-for-bit —
 these tables are for throughput/plan-shape measurement, never for the
 DuckDB oracle gate (which pins the driver's own data).
+
+``skew=True`` (r15 — the planted-skew stress tier, VERDICT r14 #2)
+overlays the Zipfian hot keys a real 100 TB corpus has, on otherwise
+identical statistics (every non-planted draw uses the same hash
+streams, so uniform-vs-skew timing ratios isolate the skew itself):
+
+- events:    user 0 receives ~30% of all events (hot window/groupBy key)
+- documents: the token "the" is prepended to ~50% of docs (hot posting
+             list / shingle), and ~60% of docs land in source "src0"
+             (dominant domain for the per-source panels / domain caps)
+- lineitem:  l_partkey 0 on ~20% of lines and l_suppkey 0 on ~20%
+             (hot aggregation + hot join key; price stays coupled to
+             the planted partkey, as for any other part)
+- embeddings: label 0 on ~50% of vectors (dominant class for
+             centroid/per-label cells)
 """
 
 from __future__ import annotations
@@ -47,7 +62,9 @@ def _h(*cols) -> F.Column:
     return F.abs(F.xxhash64(*cols))
 
 
-def gen_documents(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+def gen_documents(
+    spark: SparkSession, n: int, seed: int = 42, skew: bool = False
+) -> DataFrame:
     """(doc_id, text, lang, source, n_chars) with the driver corpus'
     shape: 10-100 words from the 31-word vocab, ~uniform word draw,
     en 40% / zh,es,fr,de 15% each, 20 sources, and a ~2% near-dup tier
@@ -93,12 +110,25 @@ def gen_documents(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         "sh",
         F.struct(F.col("p"), F.element_at(vocab, (widx + 1).cast("int")).alias("w")).alias("pw"),
     )
+    text = F.concat_ws(" ", F.expr("transform(pws, s -> s.w)"))
+    source = F.concat(F.lit("src"), F.col("sh").cast("string"))
+    if skew:
+        # hot token: "the" prepended to ~50% of docs (hot posting list /
+        # shingle); dominant domain: ~60% of docs land in src0
+        text = F.when(
+            _h(F.col("doc_id"), F.lit(seed), F.lit("hotw")) % 2 == 0,
+            F.concat(F.lit("the "), text),
+        ).otherwise(text)
+        source = F.when(
+            _h(F.col("doc_id"), F.lit(seed), F.lit("hotsrc")) % 100 < 60,
+            F.lit("src0"),
+        ).otherwise(source)
     docs = (
         words.groupBy("doc_id", "lh", "sh")
         .agg(F.array_sort(F.collect_list("pw")).alias("pws"))
         .select(
             "doc_id",
-            F.concat_ws(" ", F.expr("transform(pws, s -> s.w)")).alias("text"),
+            text.alias("text"),
             F.when(F.col("lh") < 8, F.lit("en"))
             .otherwise(
                 F.element_at(
@@ -107,14 +137,17 @@ def gen_documents(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 )
             )
             .alias("lang"),
-            F.concat(F.lit("src"), F.col("sh").cast("string")).alias("source"),
+            source.alias("source"),
         )
         .withColumn("n_chars", F.length("text").cast("long"))
     )
     return docs.select("doc_id", "text", "lang", "source", "n_chars")
 
 
-def gen_embeddings(spark: SparkSession, n: int, dim: int = 64, seed: int = 42) -> DataFrame:
+def gen_embeddings(
+    spark: SparkSession, n: int, dim: int = 64, seed: int = 42,
+    skew: bool = False,
+) -> DataFrame:
     """(vec_id, embedding float[dim] — L2-normalized, label 0-9) with a
     ~5% planted near-twin tier (copy of a base vector, one coordinate
     nudged) so ANN/near-dup entries see realistic cluster structure."""
@@ -151,25 +184,37 @@ def gen_embeddings(spark: SparkSession, n: int, dim: int = 64, seed: int = 42) -
             F.expr("transform(rawv, x -> CAST(x / nrm AS FLOAT))").alias("embedding"),
         )
     )
-    return arrs.withColumn(
-        "label", (_h(F.col("vec_id"), F.lit(seed), F.lit("lbl")) % 10).cast("int")
-    ).select("vec_id", "embedding", "label")
+    label = (_h(F.col("vec_id"), F.lit(seed), F.lit("lbl")) % 10).cast("int")
+    if skew:
+        # dominant class: ~50% of vectors in label 0
+        label = F.when(
+            _h(F.col("vec_id"), F.lit(seed), F.lit("hotlbl")) % 2 == 0, F.lit(0)
+        ).otherwise(label).cast("int")
+    return arrs.withColumn("label", label).select("vec_id", "embedding", "label")
 
 
-def gen_events(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+def gen_events(
+    spark: SparkSession, n: int, seed: int = 42, skew: bool = False
+) -> DataFrame:
     """(event_id, ts over a 30-day Jan-2024 window, user_id with ~66
     events/user, 5 uniform event types, value 0-560, props JSON)."""
     n_users = max(n // 66, 1)
     types = F.array(
         F.lit("click"), F.lit("view"), F.lit("purchase"), F.lit("signup"), F.lit("error")
     )
+    user = _h(F.col("id"), F.lit(seed), F.lit("u")) % n_users
+    if skew:
+        # hot user: user 0 holds ~30% of all events
+        user = F.when(
+            _h(F.col("id"), F.lit(seed), F.lit("hotu")) % 100 < 30, F.lit(0)
+        ).otherwise(user)
     return spark.range(n).select(
         F.col("id").alias("event_id"),
         F.timestamp_micros(
             F.lit(1704067200000000)  # 2024-01-01 00:00:00 UTC
             + (_h(F.col("id"), F.lit(seed), F.lit("ts")) % (30 * 86400 * 1000000))
         ).alias("ts"),
-        (_h(F.col("id"), F.lit(seed), F.lit("u")) % n_users).alias("user_id"),
+        user.cast("long").alias("user_id"),
         F.element_at(
             types, (_h(F.col("id"), F.lit(seed), F.lit("t")) % 5 + 1).cast("int")
         ).alias("event_type"),
@@ -182,7 +227,9 @@ def gen_events(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
-def gen_lineitem(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+def gen_lineitem(
+    spark: SparkSession, n: int, seed: int = 42, skew: bool = False
+) -> DataFrame:
     """TPC-H-ish lineitem: 4 lines/order, part/supp keys scaled with SF,
     quantity 1-50, price coupled to partkey, discount 0-0.10, tax 0-0.08,
     A/N/R x O/F flags, shipdate over 1995-2001."""
@@ -190,10 +237,19 @@ def gen_lineitem(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     n_supps = max(n // 600, 1)
     qty = (_h(F.col("id"), F.lit(seed), F.lit("q")) % 50 + 1).cast("double")
     partkey = _h(F.col("id"), F.lit(seed), F.lit("p")) % n_parts
+    suppkey = _h(F.col("id"), F.lit(seed), F.lit("s")) % n_supps
+    if skew:
+        # hot part / hot supplier: key 0 on ~20% of lines each
+        partkey = F.when(
+            _h(F.col("id"), F.lit(seed), F.lit("hotp")) % 100 < 20, F.lit(0)
+        ).otherwise(partkey).cast("long")
+        suppkey = F.when(
+            _h(F.col("id"), F.lit(seed), F.lit("hots")) % 100 < 20, F.lit(0)
+        ).otherwise(suppkey).cast("long")
     return spark.range(n).select(
         (F.col("id") / 4).cast("long").alias("l_orderkey"),
         partkey.alias("l_partkey"),
-        (_h(F.col("id"), F.lit(seed), F.lit("s")) % n_supps).alias("l_suppkey"),
+        suppkey.alias("l_suppkey"),
         (F.col("id") % 4 + 1).cast("int").alias("l_linenumber"),
         qty.alias("l_quantity"),
         (qty * (F.lit(900.0) + (partkey % 1100) + F.lit(0.012345))).alias(
@@ -218,11 +274,15 @@ def gen_lineitem(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
-def generate(spark: SparkSession, out_dir: str, sf: float = 1.0, seed: int = 42) -> dict:
+def generate(
+    spark: SparkSession, out_dir: str, sf: float = 1.0, seed: int = 42,
+    skew: bool = False,
+) -> dict:
     """Write all four tables at the given SF under out_dir (parquet
     directories named {table}.parquet — the same paths read_table
     expects). Skips tables that already exist (generation is
-    deterministic, so an existing dir IS the table). Returns row counts."""
+    deterministic, so an existing dir IS the table — use distinct dirs
+    for skew=True vs False). Returns row counts."""
     os.makedirs(out_dir, exist_ok=True)
     gens = {
         "documents": gen_documents,
@@ -235,7 +295,7 @@ def generate(spark: SparkSession, out_dir: str, sf: float = 1.0, seed: int = 42)
         path = os.path.join(out_dir, f"{name}.parquet")
         n = int(ROWS_SF1[name] * sf)
         if not os.path.exists(path):
-            fn(spark, n, seed=seed).write.parquet(path)
+            fn(spark, n, seed=seed, skew=skew).write.parquet(path)
         counts[name] = n
     return counts
 
