@@ -29,11 +29,12 @@ aggregate argument's value grid, and classifies:
   below were measured against the driver parquet at sf0.01 AND sf0.1
   (abs(x·100 − round(x·100)) < 1e-4 for all rows of every dec2 column).
 - **pinned** — an explicit ADJUDICATED entry with a structural rationale
-  (e.g. CORR over binary-exact ranks, where the engine's stable pairwise
-  merge introduces ≤1e-12 relative jitter against a 5e-7 step; or a
-  3-row window mean whose denominator-3 values can never land on a
-  half-boundary by mod-parity). A new hazard column FAILS the default
-  suite until quantized or adjudicated here.
+  the grid algebra can't express. EMPTY at r15 close (the rank-corr and
+  window-mean pins were retired by converting to exact integer
+  sufficient statistics / quantized window folds); the mechanism stays
+  so a future structurally-safe-but-unexpressible column has a
+  documented path. A new hazard column FAILS the default suite until
+  quantized or adjudicated here.
 
 Both rounding spellings are audited: ``ROUND(expr, d)`` and the repo's
 floor-form ``floor(expr · 10^k + 0.5)`` (same boundary math — r15 found
@@ -95,7 +96,7 @@ ENTRY_GRIDS = {
     "a14_regression_metrics": {
         "y": ("dec", 2), "ry": "bexact", "rp": "bexact",
     },
-    # rank columns for the two Spearman pins
+    # midrank columns feeding the exact integer-stat correlations
     "m4_uq_metrics_panel": {
         "rw": "bexact", "rr": "bexact", "rc": "bexact",
     },
@@ -109,22 +110,18 @@ ENTRY_GRIDS = {
 # certified safe by a structural argument + both invariance tiers
 # (hostile sf0.01+sf0.1 Spark sweep, DuckDB 4-vs-32-thread tier). Keyed
 # by (entry, normalized-expr prefix). Stale pins fail the audit.
-ADJUDICATED = {
-    # Spearman over midranks: CORR's sufficient statistics (Σr, Σr²,
-    # Σr·r') are sums of dyadic quarter-integers — exact below 2^53
-    # (n³/3 ≈ 1.1e15 at sf0.1) — but engines may use stable pairwise /
-    # Welford merges whose float intermediates carry ≤~1e-12 relative
-    # jitter vs the 5e-7 step at d=6. Certified by both tiers at sf0.1.
-    ("a14_regression_metrics", "corr(ry, rp)"): "rank-corr, dyadic stats",
-    ("m4_uq_metrics_panel", "corr(rw, rr)"): "rank-corr, dyadic stats",
-    ("m4_uq_metrics_panel", "corr(rc, rr)"): "rank-corr, dyadic stats",
-    # 3-row trailing mean of dec2 values at d=6: window_n ∈ {1,2,3};
-    # /1 and /2 keep a decimal grid (≥1e-3, never on a .5e-6 boundary);
-    # /3: value·1e6 = k·10^4/3 ≡ 0.5 (mod 1) ⟹ 2k·10^4 = 3(2m+1) —
-    # LHS even, RHS odd — impossible; min distance 1/6 step ≈ 1.67e-7
-    # in value terms vs ~1e-13 segment-tree jitter on ~1e2 magnitudes.
-    ("rolling_avg_user_events", "AVG(value) OVER"): "mod-3 parity margin",
-}
+#
+# EMPTY since r15 round close: the last four pins were retired by
+# conversion — the three rank correlations (a14 spearman, m4's two
+# Spearman columns) now run on exact integer sufficient statistics
+# (metrics.exact_midrank_corr: dyadic midranks ×2 → decimal(38,0)/
+# HUGEINT sums, one deterministic double combination — engines' stable
+# pairwise CORR merges are float even on integer inputs), and
+# rolling_avg_user_events' 3-row window mean became the quantized
+# window fold (integer 1e-6-unit window sums / frame count). Pin here
+# ONLY with a structural rationale the audit can't express; prefer
+# conversion.
+ADJUDICATED: dict = {}
 
 AGGS = r"SUM|AVG|CORR|COVAR_POP|COVAR_SAMP|COVAR|STDDEV_POP|STDDEV_SAMP|STDDEV|VAR_POP|VAR_SAMP|VARIANCE|REGR_\w+"
 _AGG_RE = re.compile(r"\b(" + AGGS + r")\s*\(", re.I)
@@ -402,7 +399,7 @@ def audit_all():
 # How many rounded-aggregate columns the registry is expected to carry.
 # Update alongside entry changes — a silent drop in coverage (extractor
 # rot) fails here just like a new unsafe column fails below. (r15 close:
-# 69 = 50 exact-accumulation + 15 grid-margin + 4 pinned; the pre-
+# 69 = 54 exact-accumulation + 15 grid-margin + 0 pinned; the pre-
 # conversion registry carried 85, 16 of which were text_tfidf_vectors'
 # floor-forms that the per-term quantization removed outright.)
 EXPECTED_AUDITED = 69

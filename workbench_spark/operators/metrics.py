@@ -62,7 +62,7 @@ def regression_metrics(
                     - s_y.cast("double") * s_y.cast("double") / n
                 )
             ).alias("r2"),
-            F.corr("ry", "rp").alias("spearman"),
+            exact_midrank_corr(F.col("ry"), F.col("rp")).alias("spearman"),
             n.alias("support"),
         ).select("rmse", "mae", "medae", "r2", "spearman", "support")
     return d.agg(
@@ -82,6 +82,56 @@ def regression_metrics(
         (1 - F.col("__sse") / (F.col("__syy") - F.col("support") * F.col("__ybar") * F.col("__ybar"))).alias("r2"),
         "spearman",
         "support",
+    )
+
+
+def exact_midrank_corr(rx, ry):
+    """Pearson correlation of two MIDRANK columns from exact integer
+    sufficient statistics (r15 — retires the audit's rank-corr pins):
+    midranks are dyadic halves, so 2·r is an exactly-representable
+    integer; Σx, Σy, Σx², Σy², Σxy accumulate as decimal(38,0) integers
+    (order-invariant under any partitioning — per-term products (2r)²
+    reach ~9e12 at sf1, and n·Σxy ~1e21 stays far inside decimal(38);
+    DuckDB's twin runs the same sums in HUGEINT), and the final
+    combination (n·Σxy − ΣxΣy)/(√(n·Σx²−Σx²̂)·√(n·Σy²−Σy²̂)) is one fixed
+    sequence of IEEE-exact double ops on identical operands. The factor
+    2 cancels in the ratio. Zero variance → NULL (the _safe_corr
+    contract; both engines also NULL double /0 natively). Built-in
+    F.corr stays the production path — engines may implement it with
+    stable pairwise merges whose float intermediates are not
+    order-exact even on integer inputs."""
+    d = "decimal(38,0)"
+    ix = (rx * 2).cast("long")
+    iy = (ry * 2).cast("long")
+    n = F.count(F.lit(1)).cast(d)
+    sx, sy = F.sum(ix.cast(d)), F.sum(iy.cast(d))
+    sxx = F.sum((ix * ix).cast(d))
+    syy = F.sum((iy * iy).cast(d))
+    sxy = F.sum((ix * iy).cast(d))
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    return F.when(
+        (dx == 0) | (dy == 0), F.lit(None).cast("double")
+    ).otherwise(
+        num.cast("double")
+        / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+    )
+
+
+def exact_midrank_corr_sql(x: str, y: str) -> str:
+    """DuckDB twin of exact_midrank_corr over midrank columns x, y."""
+    ix, iy = f"CAST({x} * 2 AS HUGEINT)", f"CAST({y} * 2 AS HUGEINT)"
+    n = "CAST(COUNT(*) AS HUGEINT)"
+    sx, sy = f"SUM({ix})", f"SUM({iy})"
+    sxx, syy, sxy = f"SUM({ix} * {ix})", f"SUM({iy} * {iy})", f"SUM({ix} * {iy})"
+    dx = f"({n} * {sxx} - {sx} * {sx})"
+    dy = f"({n} * {syy} - {sy} * {sy})"
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    return (
+        f"CASE WHEN {dx} = 0 OR {dy} = 0 THEN NULL ELSE "
+        f"CAST({num} AS DOUBLE) / (sqrt(CAST({dx} AS DOUBLE)) * "
+        f"sqrt(CAST({dy} AS DOUBLE))) END"
     )
 
 

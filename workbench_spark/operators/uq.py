@@ -809,13 +809,18 @@ def uq_metrics(
         .withColumn("__rr", _avg_rank("__ar"))
     )
     # _safe_corr: ANSI mode makes F.corr raise DIVIDE_BY_ZERO on constant
-    # columns (e.g. uniform interval widths); NULL matches DuckDB corr()
+    # columns (e.g. uniform interval widths); NULL matches DuckDB corr().
+    # exact mode uses the integer-sufficient-statistics rank corr instead
+    # (r15 — order-invariant where the engines' stable pairwise corr
+    # merges are not; same NULL-on-zero-variance contract)
     from workbench_spark.operators.ensembles import _safe_corr
+    from workbench_spark.operators.metrics import exact_midrank_corr
 
-    aggs.append(_safe_corr(F.col("__rw"), F.col("__rr")).alias("interval_to_error_corr"))
+    _corr = exact_midrank_corr if exact else _safe_corr
+    aggs.append(_corr(F.col("__rw"), F.col("__rr")).alias("interval_to_error_corr"))
     if has_conf:
         ranked = ranked.withColumn("__rc", _avg_rank("confidence"))
-        aggs.append(_safe_corr(F.col("__rc"), F.col("__rr")).alias("confidence_to_error_corr"))
+        aggs.append(_corr(F.col("__rc"), F.col("__rr")).alias("confidence_to_error_corr"))
     else:
         aggs.append(F.lit(None).cast("double").alias("confidence_to_error_corr"))
 

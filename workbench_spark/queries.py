@@ -18,6 +18,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from workbench_spark.operators.metrics import (
+    exact_midrank_corr_sql as _corr_sql,
+)
 from workbench_spark.session import read_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -824,7 +827,7 @@ def p9_nandrop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a14_regression_metrics",
-    """
+    f"""
     WITH d AS (
       SELECT CAST(o_totalprice AS DOUBLE) AS y,
              CAST(o_totalprice * 0.9 + 20000 AS DOUBLE) AS p
@@ -846,7 +849,7 @@ def p9_nandrop(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - CAST(SUM(CAST(floor(y * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                         * CAST(SUM(CAST(floor(y * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                         / COUNT(*)), 6) AS r2,
-           ROUND(corr(ry, rp), 6) AS spearman,
+           ROUND({_corr_sql('ry', 'rp')}, 6) AS spearman,
            COUNT(*) AS support
     FROM ranked
     """,

@@ -17,6 +17,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from workbench_spark.operators.metrics import (
+    exact_midrank_corr_sql as _corr_sql,
+)
 from workbench_spark.queries import _ORACLES, _t, query
 
 
@@ -2286,7 +2289,7 @@ def m4_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "m4_uq_metrics_panel",
-    """
+    f"""
     WITH d AS (
       SELECT CAST(o_totalprice AS DOUBLE) AS y,
              CAST(o_totalprice * 0.95 + 1000 AS DOUBLE) AS pred,
@@ -2340,8 +2343,8 @@ def m4_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
           + 40.0 * (y - (pred + 1.96*std)) * (CASE WHEN y > pred + 1.96*std THEN 1.0 ELSE 0.0 END)) * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
             / COUNT(*) / 1e6, 4)
         AS mean_interval_score_95,
-      ROUND(corr(rw, rr), 6) AS interval_to_error_corr,
-      ROUND(corr(rc, rr), 6) AS confidence_to_error_corr,
+      ROUND({_corr_sql('rw', 'rr')}, 6) AS interval_to_error_corr,
+      ROUND({_corr_sql('rc', 'rr')}, 6) AS confidence_to_error_corr,
       CAST(COUNT(*) AS BIGINT) AS n_samples
     FROM ranked
     """,
@@ -2624,9 +2627,12 @@ def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_avg_user_events",
     """
     SELECT event_id, user_id,
-           ROUND(AVG(value) OVER (
+           ROUND(CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_avg,
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 1e6, 6) AS rolling_avg,
            CAST(COUNT(*) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_n
@@ -2636,7 +2642,10 @@ def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit window frame spec (rowsBetween) — SURVEY §2.5 notes the
     reference never uses frame specs; exposed here as the canonical
-    trailing-window rollup."""
+    trailing-window rollup. The mean is the quantized window fold
+    (r15 — retires the last audit pin): 1e-6-unit integer window sums
+    (exact for 2dp values) divided by the frame count, instead of a
+    float AVG whose segment-tree combine order the engine chooses."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
@@ -2645,10 +2654,15 @@ def rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
+    qv = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+        F.round(
+            F.sum(qv).over(w).cast("double")
+            / F.count(F.lit(1)).over(w) / F.lit(1e6),
+            6,
+        ).alias("rolling_avg"),
         F.count(F.lit(1)).over(w).cast("long").alias("window_n"),
     )
 
