@@ -60,13 +60,20 @@ pytestmark = [
 SF = os.environ.get("SPARK_GRAFT_HOSTILE_SF_DIR", "/root/testdata/sf0.01")
 
 
-def run_hostile_sweep(only: str | None = None) -> list:
+def run_hostile_sweep(
+    only: str | None = None,
+    entries: list | None = None,
+    sf_dir: str | None = None,
+) -> list:
     """Run the sf0.01 oracle sweep under the hostile 7/13 layout.
 
     ``only`` restricts the run to a single registry entry (used by the
     always-on gated-tier smoke in test_gated_tiers_smoke.py, and settable
-    via SPARK_GRAFT_SWEEP_ONLY for ad-hoc debugging). Returns the failure
-    list so callers can assert on it.
+    via SPARK_GRAFT_SWEEP_ONLY for ad-hoc debugging); ``entries``
+    restricts to an explicit list (r15 — the skew tier runs the hostile
+    layout over the generatable-table subset ON THE SKEWED CORPUS via
+    ``sf_dir``, certifying the layout×skew interaction). Returns the
+    failure list so callers can assert on it.
     """
     import __spark_entry__ as entrymod
 
@@ -85,17 +92,26 @@ def run_hostile_sweep(only: str | None = None) -> list:
         prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         q, o = entrymod.queries(), entrymod.oracle_sql()
-        names = sorted(q) if only is None else [only]
-        if only is not None and only not in q:
-            raise KeyError(f"unknown registry entry: {only!r}")
+        if only is not None:
+            if only not in q:
+                raise KeyError(f"unknown registry entry: {only!r}")
+            names = [only]
+        elif entries is not None:
+            unknown = [n for n in entries if n not in q]
+            if unknown:
+                raise KeyError(f"unknown registry entries: {unknown!r}")
+            names = sorted(entries)
+        else:
+            names = sorted(q)
+        run_sf = sf_dir or SF
         failures = []
         for name in names:
             try:
-                sdf = q[name](spark, SF)
+                sdf = q[name](spark, run_sf)
                 if name not in o:
                     assert sdf.count() >= 0  # rows-only entries: must run
                     continue
-                probs = compare(sdf, duckdb_run(o[name], SF))
+                probs = compare(sdf, duckdb_run(o[name], run_sf))
                 if probs:
                     failures.append((name, probs))
             except Exception as exc:  # noqa: BLE001 — collect, then report all
