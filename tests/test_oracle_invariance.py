@@ -111,19 +111,30 @@ def run_oracle_invariance(
     only: str | None = None, sf_dir: str = SF,
     threads_a: int = 4, threads_b: int = 32,
     include_materialized: bool = False,
+    entries: list | None = None,
 ) -> list:
     """Returns [(name, detail), ...] for thread-dependent oracles. `only`
-    restricts to one entry (the always-on smoke's mode);
+    restricts to one entry (the always-on smoke's mode); `entries` to an
+    explicit list (r15 — the skew tier runs the DuckDB thread cross over
+    the generatable-table subset ON THE SKEWED CORPUS);
     `include_materialized` also runs the pinned fixed-point replays (env
     SPARK_GRAFT_ORACLE_INVARIANCE_ALL=1 — use sf0.01, they are minutes-
     long at sf0.1)."""
     from workbench_spark.queries import oracle_sql
 
     o = oracle_sql()
-    names = sorted(o) if only is None else [only]
-    if only is not None and only not in o:
-        raise KeyError(f"unknown oracled entry: {only!r}")
-    if only is None:
+    if only is not None:
+        if only not in o:
+            raise KeyError(f"unknown oracled entry: {only!r}")
+        names = [only]
+    elif entries is not None:
+        unknown = [n for n in entries if n not in o]
+        if unknown:
+            raise KeyError(f"unknown oracled entries: {unknown!r}")
+        names = sorted(entries)
+    else:
+        names = sorted(o)
+    if only is None and entries is None:
         actual = materialized_actual()
         assert actual == MATERIALIZED_SKIP, (
             "MATERIALIZED pin drift — adjudicate the new entries: "

@@ -306,6 +306,23 @@ def test_skew_oracles_under_hostile_layout(spark, skew001_dir):
     assert not failures, failures
 
 
+def test_skew_oracles_thread_invariant(skew001_dir):
+    """Threads × skew — the last cell of the invariance matrix
+    (engines × {layout, threads} × {uniform, skew}): every
+    generatable-table oracle at DuckDB threads 4 vs 32 ON the skewed
+    corpus. A hot group concentrates an aggregation's mass in one
+    partial; the thread count decides how partials merge — a
+    margin-dependent rounding would flip exactly here."""
+    from tests.test_oracle_invariance import run_oracle_invariance
+
+    failures = run_oracle_invariance(
+        entries=[n for n in generatable_oracles()],
+        sf_dir=skew001_dir,
+        include_materialized=True,  # the integer replays are fast at sf0.01
+    )
+    assert not failures, failures
+
+
 @pytest.mark.parametrize("name", SKEW_SCALE_SUBSET)
 def test_skew_scale_exponent(spark, name):
     """sf0.1 → sf1 exponent on SKEWED corpora through the scale-smoke
