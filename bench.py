@@ -75,6 +75,14 @@ LIGHT_FROZEN_PAIRS = [
     "dedup_minhash_pairs",
 ]
 
+# alternating-order pass counts per twin tier (single source of truth —
+# the sidecar's per-pair "passes" methodology tag reads these same
+# constants, r15 review): heavy pairs are multi-second (4 passes, two
+# per side per position); light pairs are sub-second and need more
+# samples (8 passes).
+HEAVY_TWIN_PASSES = 4
+LIGHT_TWIN_PASSES = 8
+
 
 def summarize_frozen(
     live_t: dict[str, float], froz_t: dict[str, float], version: str,
@@ -82,6 +90,7 @@ def summarize_frozen(
     live_samples: dict[str, list] | None = None,
     froz_samples: dict[str, list] | None = None,
     tiers: dict[str, str] | None = None,
+    light_passes: int = LIGHT_TWIN_PASSES,
 ) -> dict | None:
     """Fold per-query live/frozen min timings into the sidecar block.
     Pure function (fuzz-tested in tests/test_bench_delta.py). ratio =
@@ -115,7 +124,9 @@ def summarize_frozen(
         }
         if tiers and k in tiers:
             per[k]["tier"] = tiers[k]
-            per[k]["passes"] = 8 if tiers[k] == "light" else passes
+            per[k]["passes"] = (
+                light_passes if tiers[k] == "light" else passes
+            )
         ls = (live_samples or {}).get(k)
         fs = (froz_samples or {}).get(k)
         if ls and fs and min(fs) > 0:
@@ -611,11 +622,14 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
-    _run_pairs({n: f for n, f in frozen_run.items() if n in FROZEN_PAIRS}, 4)
-    _run_pairs({n: f for n, f in frozen_run.items() if n in LIGHT_FROZEN_PAIRS}, 8)
+    _run_pairs({n: f for n, f in frozen_run.items() if n in FROZEN_PAIRS},
+               HEAVY_TWIN_PASSES)
+    _run_pairs({n: f for n, f in frozen_run.items() if n in LIGHT_FROZEN_PAIRS},
+               LIGHT_TWIN_PASSES)
     frozen_baseline = (
         summarize_frozen(
-            froz_live_t, froz_froz_t, FROZEN_VERSION, passes=4,
+            froz_live_t, froz_froz_t, FROZEN_VERSION,
+            passes=HEAVY_TWIN_PASSES,
             live_samples=froz_live_all, froz_samples=froz_froz_all,
             tiers={
                 **{n: "heavy" for n in FROZEN_PAIRS},

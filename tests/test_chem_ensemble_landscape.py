@@ -364,6 +364,13 @@ def test_stratified_split_nested_map_and_nan_strata(spark):
     assert ho.filter(F.isnan("__fs")).count() == n_nan
     assert tr.filter(F.col("__fs") == 1.5).count() > 0
 
+    # (c) a NaN KEY in fractions is rejected: Spark evaluates NaN == NaN
+    # as TRUE, so the dict paths would silently turn NaN into a matchable
+    # stratum where every other path routes it to the holdout
+    with pytest.raises(ValueError, match="NaN is not a stratum"):
+        stratified_split(evf, "__fs", {float("nan"): 0.5}, seed=7,
+                         key_cols=["event_id"])
+
 
 def test_ruzicka_pairs_exact_values(spark):
     """ruzicka_pairs on hand-computed count vectors: sim = sum(min)/sum(max)."""

@@ -600,6 +600,31 @@ def test_uq_metrics_quantile_columns_take_precedence(spark):
     assert out["median_width_68"] == pytest.approx(24.0)
 
 
+def test_uq_metrics_zero_std_nulls_quantized_means(spark):
+    """r15 review catch: std=0 makes z = (y-pred)/0.0 evaluate to NULL
+    under ANSI-off (Spark NULLs double division by zero — NOT Inf), and
+    the exact-mode quantized fold must treat that as a degenerate term
+    and NULL the WHOLE mean, not silently drop it from the numerator
+    while the denominator still counts the row."""
+    import math
+
+    from workbench_spark.operators.uq import uq_metrics
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 0.0), (2.0, 2.0, 1.0), (3.0, 2.0, 1.0)],
+        "y double, prediction double, prediction_std double",
+    )
+    out = uq_metrics(df, "y").toPandas().iloc[0]  # exact=True default
+    assert out["mean_crps"] is None or math.isnan(out["mean_crps"])
+    # interval score terms stay finite even at std=0 (width 0, one
+    # 40·|lo−y| penalty) so that mean must still compute:
+    # (40·(2−1) + 2·1.96 + 2·1.96) / 3
+    assert out["mean_interval_score_95"] == pytest.approx(
+        (40.0 + 3.92 + 3.92) / 3, abs=1e-4
+    )
+    assert out["n_samples"] == 3
+
+
 def test_uq_metrics_validation_and_dropna(spark):
     from workbench_spark.operators.uq import uq_metrics
 

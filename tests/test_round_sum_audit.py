@@ -179,13 +179,20 @@ def _split_top_comma(body: str):
     return body[:cut], body[cut + 1:].strip()
 
 
-_FLOOR_FORM = re.compile(r"(.*?)\*\s*1e(\d+)\s*\+\s*0\.5\s*$", re.S)
+# matches `<expr> * 1eK + 0.5` AND the plain-constant spelling
+# `<expr> * 10...0 + 0.5` (r15 review: the scientific-only pattern let
+# `floor(SUM(w) * 10000 + 0.5)` — the same hazard with a different
+# literal — escape the gate)
+_FLOOR_FORM = re.compile(
+    r"(.*?)\*\s*(?:1e(\d+)|1(0+))\s*\+\s*0\.5\s*$", re.S
+)
 
 
 def extract_rounded_aggs(sql: str):
     """Yield (expr, digits, form) for every ROUND(expr, d) and
-    floor(expr * 1eK + 0.5) whose expr contains a float aggregate.
-    SQL line comments are stripped first (docs may NAME hazard shapes)."""
+    floor(expr * 10^K + 0.5) (either literal spelling) whose expr
+    contains a float aggregate. SQL line comments are stripped first
+    (docs may NAME hazard shapes)."""
     sql = re.sub(r"--[^\n]*", "", sql)
     out = []
     for m in re.finditer(r"\bROUND\s*\(", sql, re.I):
@@ -198,8 +205,8 @@ def extract_rounded_aggs(sql: str):
         body = sql[m.end():end - 1]
         fm = _FLOOR_FORM.match(body)
         if fm and _AGG_RE.search(fm.group(1)):
-            out.append((" ".join(fm.group(1).split()), int(fm.group(2)),
-                        "floor-form"))
+            k = int(fm.group(2)) if fm.group(2) else len(fm.group(3))
+            out.append((" ".join(fm.group(1).split()), k, "floor-form"))
     return out
 
 
@@ -254,14 +261,22 @@ def _split_top_additive(e: str):
     """Split at top-level +/- (outside parens); drop empty parts (unary
     signs). Addition/subtraction on decimal grids keeps the COARSEST-
     SUFFICIENT grid = max of part grids, so splitting here keeps the
-    resolver conservative without over-summing dp across '+'."""
+    resolver conservative without over-summing dp across '+'. A +/-
+    that is a scientific-notation exponent sign (digit, 'e', sign —
+    as in ``1e-6``) is part of the literal, not an operator."""
     parts, depth, cur = [], 0, []
-    for ch in e:
+    for i, ch in enumerate(e):
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch in "+-" and depth == 0:
+        sci_sign = (
+            ch in "+-"
+            and i >= 2
+            and e[i - 1] in "eE"
+            and e[i - 2].isdigit()
+        )
+        if ch in "+-" and depth == 0 and not sci_sign:
             parts.append("".join(cur))
             cur = []
         else:
@@ -477,6 +492,11 @@ def test_seeded_floor_form_raw_sum_fails():
            " AS x FROM weighted")
     [(_, k, form, v)] = audit_sql("seeded", sql)
     assert v == "FAIL" and k == 6 and form == "floor-form"
+    # plain-constant spelling of the same hazard (r15 review catch)
+    sql_plain = ("SELECT floor(SUM(tf * idf) * 10000 + 0.5) / 10000"
+                 " AS x FROM weighted")
+    [(_, k2, form2, v2)] = audit_sql("seeded", sql_plain)
+    assert v2 == "FAIL" and k2 == 4 and form2 == "floor-form"
     # same sum on a coarse decimal grid under k=6 is fine (true sum ON
     # its own 1e-4 grid — ROUND-6 is the identity there)
     sql_ok = ("SELECT floor(SUM(o_totalprice * l_discount) * 1e6 + 0.5)"

@@ -67,6 +67,15 @@ def spark():
     return get_spark("skew-stress")
 
 
+def gen_skew(spark, sf: float) -> str:
+    """Generate (or reuse) just the SKEWED corpus at the given SF."""
+    from workbench_spark.sources.scalegen import generate
+
+    skw = os.path.abspath(os.path.join(_SCALE, f"sf{sf:g}skew"))
+    generate(spark, skw, sf=sf, skew=True)
+    return skw
+
+
 def gen_pair(spark, sf: float) -> tuple[str, str]:
     """Generate (uniform_dir, skewed_dir) at the given SF. Uniform is
     ALSO generated (not the driver tables) so the two corpora differ
@@ -74,10 +83,8 @@ def gen_pair(spark, sf: float) -> tuple[str, str]:
     from workbench_spark.sources.scalegen import generate
 
     uni = os.path.abspath(os.path.join(_SCALE, f"sf{sf:g}"))
-    skw = os.path.abspath(os.path.join(_SCALE, f"sf{sf:g}skew"))
     generate(spark, uni, sf=sf)
-    generate(spark, skw, sf=sf, skew=True)
-    return uni, skw
+    return uni, gen_skew(spark, sf)
 
 
 # ---------------------------------------------------------------------
@@ -261,7 +268,7 @@ def dirs01(spark):
 
 @pytest.fixture(scope="module")
 def skew001_dir(spark):
-    return gen_pair(spark, 0.01)[1]
+    return gen_skew(spark, 0.01)
 
 
 @pytest.mark.parametrize("name", sorted(SKEW_RATIO_BOUNDS))
@@ -329,8 +336,9 @@ def test_skew_scale_exponent(spark, name):
     harness — skew may shift the constant, never the law."""
     from tests.test_scale_smoke import run_smoke_entry
 
-    small = gen_pair(spark, 0.1)[1]
-    big = gen_pair(spark, 1.0)[1]
+    small = gen_skew(spark, 0.1)
+    big = gen_skew(spark, 1.0)  # skew-only: the uniform sf1 corpus is
+    # the scale tier's concern, not worth minutes of generation here
     # EXTRA entries here are invisible to run_smoke_entry's registry
     # lookup — patch them in via the module's EXTRA hook
     import tests.test_scale_smoke as sm

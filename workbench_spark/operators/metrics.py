@@ -30,9 +30,10 @@ def regression_metrics(
     convention: err² terms reach ~2.5e13 units, so BIGINT would overflow
     past ~sf1). Integer sums are order-invariant under any partitioning;
     the remaining divisions/sqrt see identical operands on both engines
-    (IEEE sqrt is exactly rounded). spearman stays the float corr over
-    binary-exact midranks — adjudicated in tests/test_round_sum_audit.py
-    (engine pairwise-merge jitter ≤1e-12 vs the 5e-7 step at d=6)."""
+    (IEEE sqrt is exactly rounded). spearman uses exact_midrank_corr
+    (below) — integer sufficient statistics over the dyadic midranks,
+    same order-invariance argument; built-in F.corr is the production
+    path only (engines merge float partials even on integer inputs)."""
     d = df.select(
         F.col(target).cast("double").alias("y"),
         F.col(prediction).cast("double").alias("p"),

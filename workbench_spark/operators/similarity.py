@@ -887,17 +887,29 @@ def embedding_group_centroids(
     sum, then ONE double division) instead of float AVG, whose
     accumulation-order low bits could flip the downstream d=4 rounding —
     float32 components have no decimal grid. Production default stays
-    float AVG (full precision, one fewer projection); non-finite
-    components NULL the quantized term like every quantizing fold."""
+    float AVG (full precision, one fewer projection). A non-finite
+    component NULLs that (group, dim)'s WHOLE mean (the uq.qmean
+    convention, r15 review — a dropped-term mean would be silently
+    biased, and the ANSI-off cast would saturate instead of erroring);
+    NULL components stay "missing" (excluded by the COUNT(v) divisor),
+    matching float AVG. The DuckDB twin in queries_pipeline mirrors
+    both rules."""
     exploded = df.select(
         F.col(group_col).alias("g"), F.posexplode(F.col(vec_col)).alias("d", "v")
     )
     if exact:
         v = F.col("v").cast("double")
-        bad = F.isnan(v) | (v == F.lit(float("inf"))) | (v == F.lit(float("-inf")))
+        bad = v.isNotNull() & (
+            F.isnan(v)
+            | (v == F.lit(float("inf")))
+            | (v == F.lit(float("-inf")))
+        )
         q = F.when(~bad, F.floor(v * F.lit(1e6) + F.lit(0.5))).cast("long")
+        n_bad = F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0)))
         per_dim = exploded.groupBy("g", "d").agg(
-            (F.sum(q).cast("double") / F.count("v") / F.lit(1e6)).alias("m"),
+            F.when(n_bad > 0, F.lit(None).cast("double"))
+            .otherwise(F.sum(q).cast("double") / F.count("v") / F.lit(1e6))
+            .alias("m"),
             F.count(F.lit(1)).alias("n"),
         )
     else:

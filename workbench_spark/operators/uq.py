@@ -753,18 +753,27 @@ def uq_metrics(
         float AVG's accumulation order could flip the entry's d=4
         rounding). Terms quantize to 1e-6 units in decimal(38,0) (the
         Σq² headroom convention: interval-score terms reach ~1e12 units,
-        BIGINT would overflow past ~sf1). Non-finite terms (std=0 → z=Inf
-        feeding the fold — the ANSI-off cast footgun class) NULL the
-        whole mean instead of silently saturating/dropping."""
-        bad = F.isnan(term) | (term == F.lit(float("inf"))) | (
-            term == F.lit(float("-inf"))
+        BIGINT would overflow past ~sf1). Degenerate terms NULL the
+        WHOLE mean instead of silently saturating or dropping — and
+        "degenerate" must include NULL itself: under ANSI-off, std=0
+        makes z = (y-pred)/0.0 evaluate to NULL (not Inf — Spark NULLs
+        double division by zero), so a guard that only checked
+        NaN/±Inf would let the NULL term fall out of the SUM while
+        COUNT(*) still counted the row, biasing the mean (r15 review
+        catch). `ok` leads with isNotNull so the boolean is never
+        three-valued."""
+        ok = (
+            term.isNotNull()
+            & ~F.isnan(term)
+            & (term != F.lit(float("inf")))
+            & (term != F.lit(float("-inf")))
         )
         s = F.sum(
-            F.when(~bad, F.floor(term * F.lit(1e6) + F.lit(0.5)))
+            F.when(ok, F.floor(term * F.lit(1e6) + F.lit(0.5)))
             .otherwise(F.lit(None))
             .cast("decimal(38,0)")
         )
-        n_bad = F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0)))
+        n_bad = F.sum(F.when(~ok, F.lit(1)).otherwise(F.lit(0)))
         return (
             F.when(n_bad > 0, F.lit(None).cast("double"))
             .otherwise(s.cast("double") / F.count(F.lit(1)) / F.lit(1e6))

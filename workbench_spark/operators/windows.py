@@ -179,11 +179,15 @@ def stratified_split(
     still died with a raw AnalysisException).
 
     Floating strata containing NaN go to the HOLDOUT in every path
-    (r15 ADVICE): the scalar-fraction shortcut's ``isNotNull()`` gate
-    alone would hand NaN rows the fraction (NaN is not NULL), silently
-    flipping the pre-r13 distinct-collect behavior where NaN never
-    matched any CASE arm (NaN != NaN under comparison). An explicit
-    ``~isnan`` guard on float/double strata pins the old contract.
+    (r15 ADVICE, contract pinned r15 review): NaN is not a stratum —
+    it behaves like NULL. The scalar-fraction shortcut's ``isNotNull()``
+    gate alone would hand NaN rows the fraction (NaN is not NULL), so
+    float/double strata get an explicit ``~isnan`` guard. In the dict
+    paths a NaN row can never match a FINITE key (NaN == finite is
+    false), but Spark evaluates NaN == NaN as TRUE, so a NaN *key* in
+    ``fractions`` would silently turn NaN into a matchable stratum in
+    the dict paths only — NaN keys are rejected with a ValueError to
+    keep the contract uniform.
 
     Large ``fractions`` dicts (> ~64 strata) switch from a nested-CASE cut
     expression to a broadcast (stratum, cut) lookup join: the CASE chain's
@@ -215,6 +219,16 @@ def stratified_split(
                 f"nested) and cannot feed the hash draw (Spark disallows "
                 f"hashing maps at any depth) — hash the map's sorted entries "
                 f"into a string column first"
+            )
+    if isinstance(fractions, dict):
+        import math
+
+        if any(
+            isinstance(k, float) and math.isnan(k) for k in fractions
+        ):
+            raise ValueError(
+                "stratified_split: NaN is not a stratum (it routes to the "
+                "holdout like NULL) — remove the NaN key from fractions"
             )
     u = F.pmod(
         F.xxhash64(F.lit(int(seed)), *[F.col(c) for c in key_cols]),

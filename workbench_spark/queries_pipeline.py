@@ -3486,9 +3486,20 @@ def text_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label, CAST(dim AS INT) AS dim,
            -- r15 quantized mean (audit class ROUND(AVG(float32), 4)):
            -- integer 1e-6-unit sum, one division, floor-form rounding;
-           -- +0 folds the floor(-0.0) = -0.0 case
-           floor((CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-                  / COUNT(v) / 1e6) * 1e4 + 0.5) / 1e4 + 0 AS centroid_val,
+           -- +0 folds the floor(-0.0) = -0.0 case. A non-finite
+           -- component NULLs the whole (label, dim) mean (the engine
+           -- side's uq.qmean convention); the inner CASE keeps DuckDB's
+           -- BIGINT cast off Inf/NaN (it would error where Spark's
+           -- ANSI-off cast saturates)
+           CASE WHEN SUM(CASE WHEN v IS NOT NULL
+                              AND NOT isfinite(CAST(v AS DOUBLE))
+                         THEN 1 ELSE 0 END) > 0 THEN NULL
+           ELSE floor((CAST(SUM(CAST(floor(
+                    CASE WHEN isfinite(CAST(v AS DOUBLE))
+                         THEN CAST(v AS DOUBLE) END * 1e6 + 0.5)
+                    AS BIGINT)) AS DOUBLE)
+                  / COUNT(v) / 1e6) * 1e4 + 0.5) / 1e4 + 0
+           END AS centroid_val,
            COUNT(*) AS n_vectors
     FROM ex GROUP BY 1, 2
     """,
@@ -3510,8 +3521,7 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("dim0") + 1).cast("int").alias("dim"),  # ordinality is 1-based
-        (F.floor(F.col("v") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4) + F.lit(0.0))
-        .alias("centroid_val"),
+        (_fround(F.col("v"), 4) + F.lit(0.0)).alias("centroid_val"),
         F.col("n_vectors").cast("long").alias("n_vectors"),
     )
 
