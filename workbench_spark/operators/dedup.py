@@ -87,7 +87,8 @@ def _shingle_sql(attr: str, n: int) -> str:
 
 
 def shingle_frame(
-    df: DataFrame, text_col: str, id_col: str, n: int = 5, out_col: str = "__sh"
+    df: DataFrame, text_col: str, id_col: str, n: int = 5, out_col: str = "__sh",
+    min_len: int | None = None,
 ) -> DataFrame:
     """(id, shingles array) — normalization projected to a column first,
     shingles computed from the attribute (see _shingle_sql note).
@@ -95,7 +96,17 @@ def shingle_frame(
     Small inputs are fanned out to the cluster's parallelism before the
     hash-heavy downstream work: a compact parquet corpus arrives as 1-2
     partitions and would otherwise single-thread every signature op (the
-    shuffle moves only (id, text) — cheap relative to the compute)."""
+    shuffle moves only (id, text) — cheap relative to the compute).
+
+    ``min_len`` (r15 opt): drop rows whose NORMALIZED text is shorter
+    than ``min_len`` BEFORE the shingle projection. With min_len=n this
+    is exactly the old callers' post-hoc ``size(shingles) > 0`` filter
+    (a shingle exists iff length(__norm) >= n), but that filter
+    collapsed into the shingle expression under predicate pushdown and
+    re-evaluated the whole interpreted transform per row in filter
+    context — measured 0.3s → 12.3s on the sf0.1 corpus (guide §4.4
+    duplication class). Filtering on the cheap length predicate keeps
+    the shingle transform single-eval."""
     cores = df.sparkSession.sparkContext.defaultParallelism
     src = df.select(F.col(id_col), F.col(text_col))
     if src.rdd.getNumPartitions() < cores:
@@ -103,6 +114,8 @@ def shingle_frame(
     normed = src.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
     )
+    if min_len is not None:
+        normed = normed.filter(F.length("__norm") >= min_len)
     return normed.select(
         F.col(id_col), F.expr(_shingle_sql("__norm", n)).alias(out_col)
     )
@@ -223,15 +236,22 @@ def jaccard_prefix_pairs(
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be a proper fraction, got {threshold}")
     sh = (
-        shingle_frame(df, text_col, id_col, n, "sh")
+        shingle_frame(df, text_col, id_col, n, "sh", min_len=n)
         .withColumnRenamed(id_col, "id")
         .withColumn("sz", F.size("sh"))
-        .filter(F.col("sz") > 0)
     )
     exploded = sh.select("id", "sz", F.explode("sh").alias("g"))
     dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     # per-doc shingle list in the global (df, shingle) canonical order;
     # prefix = the first sz - ceil(t*sz) + 1 entries (rarest first)
+    # The ordered frame feeds FOUR consumers (both prefix-join sides and
+    # both verify sides) and its lineage holds the shingle pipeline plus
+    # TWO shuffles (dfreq join + collect_list groupBy); Spark self-joins
+    # never reuse a subtree, so without materialization the whole
+    # pipeline executed 4× per query (plan before r15: 8 Generate nodes,
+    # 4 parquet scans). localCheckpoint = the documented shape for
+    # multi-consumed shuffle-bearing frames (CLAUDE.md); lazy (the first
+    # action materializes it once, no extra barrier job).
     ordered = (
         exploded.join(dfreq, "g")
         .groupBy("id", "sz")
@@ -242,6 +262,7 @@ def jaccard_prefix_pairs(
             - F.expr(f"(({t_num} * sz + {t_den - 1}) div {t_den})")
             + F.lit(1),
         )
+        .localCheckpoint(eager=False)
     )
     prefix = ordered.select(
         "id",
@@ -266,9 +287,12 @@ def jaccard_prefix_pairs(
         )
         .distinct()
     )
-    # verify: exact intersection over the candidates' FULL shingle sets
-    ea = exploded.select(F.col("id").alias("id_a"), "g")
-    eb = exploded.select(F.col("id").alias("id_b"), "g")
+    # verify: exact intersection over the candidates' FULL shingle sets —
+    # __ord holds every shingle of the doc exactly once (shingle sets are
+    # array_distinct), so the verify sides re-explode the CHECKPOINTED
+    # frame instead of re-running the shingle pipeline
+    ea = ordered.select(F.col("id").alias("id_a"), F.explode("__ord.g").alias("g"))
+    eb = ordered.select(F.col("id").alias("id_b"), F.explode("__ord.g").alias("g"))
     inter = (
         cand.join(ea, "id_a")
         .join(eb, ["id_b", "g"])
@@ -315,10 +339,9 @@ def containment_pairs(
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must be a proper fraction, got {threshold}")
     sh = (
-        shingle_frame(df, text_col, id_col, n, "sh")
+        shingle_frame(df, text_col, id_col, n, "sh", min_len=n)
         .withColumnRenamed(id_col, "id")
         .withColumn("sz", F.size("sh"))
-        .filter(F.col("sz") > 0)
     )
     exploded = sh.select("id", "sz", F.explode("sh").alias("g"))
     dfreq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
@@ -332,16 +355,20 @@ def containment_pairs(
             - F.expr(f"(({t_num} * sz + {t_den - 1}) div {t_den})")
             + F.lit(1),
         )
+        # multi-consumed (prefix + container index + both verify sides)
+        # with two shuffles in its lineage — materialize once, see the
+        # jaccard_prefix_pairs note (r15 opt)
+        .localCheckpoint(eager=False)
     )
     prefix = ordered.select(
         "id",
         "sz",
         F.explode(F.expr("slice(__ord, 1, __plen)")).alias("__e"),
     ).select("id", "sz", F.col("__e.g").alias("g"))
-    full = exploded.select(
+    full = ordered.select(
         F.col("id").alias("id_container"),
         F.col("sz").alias("sz_container"),
-        "g",
+        F.explode("__ord.g").alias("g"),
     )
     cand = (
         prefix.join(full, "g")
@@ -359,8 +386,12 @@ def containment_pairs(
         )
         .distinct()
     )
-    ea = exploded.select(F.col("id").alias("id_contained"), "g")
-    eb = exploded.select(F.col("id").alias("id_container"), "g")
+    ea = ordered.select(
+        F.col("id").alias("id_contained"), F.explode("__ord.g").alias("g")
+    )
+    eb = ordered.select(
+        F.col("id").alias("id_container"), F.explode("__ord.g").alias("g")
+    )
     inter = (
         cand.join(ea, "id_contained")
         .join(eb, ["id_container", "g"])

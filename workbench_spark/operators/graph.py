@@ -399,7 +399,27 @@ def hits(
         )
     hubs = nodes.select("node", F.lit(scale // n).cast("long").alias("h"))
     auths = None
+
+    def _normed(raw: DataFrame, tot: DataFrame, out: str, dense: bool) -> DataFrame:
+        """(raw*scale) div tot per node. dense=True left-joins from the
+        full node frame (zero-score nodes included — the output contract
+        and the oracle's a{t}/h{t} CTE shape). Mid-loop frames stay
+        SPARSE (r15 opt, guide §2.4): a zero-score node contributes
+        exactly 0 to the next phase's equi-join SUM whether present or
+        absent, so the per-phase nodes LEFT JOIN — one O(V) shuffle join
+        per phase per iteration — is pure overhead except on the final
+        iteration. Values are bit-identical: tot is computed from raw
+        either way, and (0 * scale) div tot = 0."""
+        side = nodes.join(raw, "node", "left") if dense else raw
+        return side.join(F.broadcast(tot)).select(
+            "node",
+            F.expr(f"(coalesce(__raw, 0L) * {scale}) div __tot")
+            .cast("long")
+            .alias(out),
+        )
+
     for it in range(iters):
+        last = it == iters - 1
         # authority phase: a_raw(v) = sum of current hub scores over in-edges
         a_raw = (
             fwd.join(hubs.withColumnRenamed("node", "s"), "s")
@@ -407,17 +427,8 @@ def hits(
             .agg(F.sum("h").alias("__raw"))
         )
         a_tot = a_raw.agg(F.coalesce(F.sum("__raw"), F.lit(1)).alias("__tot"))
-        auths = (
-            nodes.join(a_raw, "node", "left")
-            .join(F.broadcast(a_tot))
-            .select(
-                "node",
-                F.expr(f"(coalesce(__raw, 0L) * {scale}) div __tot")
-                .cast("long")
-                .alias("a"),
-            )
-        )
-        if it == iters - 1:
+        auths = _normed(a_raw, a_tot, "a", dense=last)
+        if last:
             # only the final authority frame is reused (the output join);
             # mid-loop auths feed the hub phase once and stay lazy
             auths = auths.localCheckpoint(eager=True)
@@ -428,19 +439,10 @@ def hits(
             .agg(F.sum("a").alias("__raw"))
         )
         h_tot = h_raw.agg(F.coalesce(F.sum("__raw"), F.lit(1)).alias("__tot"))
-        hubs = (
-            nodes.join(h_raw, "node", "left")
-            .join(F.broadcast(h_tot))
-            .select(
-                "node",
-                F.expr(f"(coalesce(__raw, 0L) * {scale}) div __tot")
-                .cast("long")
-                .alias("h"),
-            )
-        )
+        hubs = _normed(h_raw, h_tot, "h", dense=last)
         # truncate lineage every 2nd iteration + last (each iteration is
         # two join+agg phases; see pagerank's checkpoint-cadence note)
-        if it % 2 == 1 or it == iters - 1:
+        if it % 2 == 1 or last:
             hubs = hubs.localCheckpoint(eager=True)
     return (
         hubs.join(auths, "node")

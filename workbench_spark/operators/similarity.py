@@ -116,16 +116,11 @@ def cosine_knn(
     scored = pairs.select(
         "id",
         "neighbor_id",
-        (_dot(F.col("__qv"), F.col("__rv")) / (F.col("__qn") * F.col("__rn"))).alias(
-            "cosine_sim"
-        ),
+        _safe_sim(
+            _dot(F.col("__qv"), F.col("__rv")) / (F.col("__qn") * F.col("__rn"))
+        ).alias("cosine_sim"),
     )
-    w = Window.partitionBy("id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        _finite_sims(scored).withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _topk_finite(scored, k)
 
 
 def _dlit(x: float) -> str:
@@ -205,8 +200,56 @@ def _finite_sims(df: DataFrame, col: str = "cosine_sim") -> DataFrame:
     and would hijack every top-k they touch; NULL sims (zero-norm vectors
     under ANSI-off division) add junk rows. Finite inputs produce neither,
     so healthy results — and the DuckDB oracles — are unaffected (r12
-    numeric-edge fuzz)."""
+    numeric-edge fuzz).
+
+    NOTE (r15 opt): do NOT use this ahead of a pair-scoring window —
+    Catalyst pushes the filter into the join condition and re-evaluates
+    the interpreted higher-order cosine fold up to 3× per candidate pair
+    (isnotnull + isnan in the condition, plus the projection). Use
+    ``_safe_sim`` + ``_topk_finite`` instead, which evaluate the fold
+    exactly once. This helper remains for frames whose sim column is
+    already materialized (no fold to duplicate)."""
     return df.filter(F.col(col).isNotNull() & ~F.isnan(col))
+
+
+def _safe_sim(sim):
+    """NaN-safe similarity projection: nanvl evaluates its first arg ONCE
+    and maps NaN → NULL (NULL stays NULL), so the downstream finite-guard
+    can be a plain isNotNull — finite values pass through bit-identically
+    (oracle hashes unchanged)."""
+    return F.nanvl(sim, F.lit(None).cast("double"))
+
+
+def _topk_finite(
+    scored: DataFrame, k: int, sim_col: str = "cosine_sim",
+    rn_name: str = "__rn",
+) -> DataFrame:
+    """Top-k per id by (sim DESC, neighbor_id ASC) with non-finite sims
+    excluded, in the single-eval plan shape (r15 opt, guide §4.4 class).
+
+    The old shape (`_finite_sims` BEFORE the window) let Catalyst push
+    ``isNotNull & ~isnan(sim)`` into the join condition, evaluating the
+    interpreted cosine fold 3× per candidate pair (measured: the
+    knn_cosine_bruteforce BNLJ carried the whole fold twice in its join
+    condition and once in the projection). New shape: the scoring
+    projection wraps the fold in ``_safe_sim`` (single eval, NaN→NULL),
+    the window orders sim DESC (Spark default NULLS LAST), and the
+    finite filter runs AFTER row_number, where a predicate on a
+    non-partition column cannot be pushed below the Window.
+
+    Equivalence: every finite sim outranks every NULL in the window
+    order, so {rn <= k AND sim IS NOT NULL} selects exactly the
+    top-min(k, #finite) rows per id — the old `_finite_sims` result,
+    including the NaN-hijack and zero-norm-junk contracts
+    (test_numeric_edges)."""
+    w = Window.partitionBy("id").orderBy(
+        F.col(sim_col).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn(rn_name, F.row_number().over(w))
+        .filter((F.col(rn_name) <= k) & F.col(sim_col).isNotNull())
+        .drop(rn_name)
+    )
 
 
 def _rescore_topk(
@@ -248,19 +291,12 @@ def _rescore_topk(
         .select(
             "id",
             "neighbor_id",
-            (
+            _safe_sim(
                 _dot(F.col("v"), F.col("__rv")) / (F.col("nrm") * F.col("__rn"))
             ).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        _finite_sims(scored).withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return _topk_finite(scored, k, rn_name="__rk")
 
 
 def lsh_cosine_knn(
@@ -375,16 +411,11 @@ def lsh_cosine_knn(
     scored = cands.select(
         "id",
         "neighbor_id",
-        (_dot(F.col("__qv"), F.col("__rv")) / (F.col("__qn") * F.col("__rn"))).alias(
-            "cosine_sim"
-        ),
+        _safe_sim(
+            _dot(F.col("__qv"), F.col("__rv")) / (F.col("__qn") * F.col("__rn"))
+        ).alias("cosine_sim"),
     )
-    w = Window.partitionBy("id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        _finite_sims(scored).withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _topk_finite(scored, k)
 
 
 def euclidean_knn_standardized(
@@ -767,16 +798,11 @@ def ivf_cosine_knn(
     scored = cands.select(
         "id",
         "neighbor_id",
-        (_dot(F.col("__qv"), F.col("__rv")) / (F.col("__qn") * F.col("__rn"))).alias(
-            "cosine_sim"
-        ),
+        _safe_sim(
+            _dot(F.col("__qv"), F.col("__rv")) / (F.col("__qn") * F.col("__rn"))
+        ).alias("cosine_sim"),
     )
-    w = Window.partitionBy("id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        _finite_sims(scored).withColumn("__rn2", F.row_number().over(w))
-        .filter(F.col("__rn2") <= k)
-        .drop("__rn2")
-    )
+    return _topk_finite(scored, k, rn_name="__rn2")
 
 
 def cosine_knn_blas(

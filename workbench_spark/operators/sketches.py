@@ -62,12 +62,24 @@ def _bucket(j: int, width: int) -> Column:
     return ((F.col("__p") * _A[j] + _B[j]) % _P % width).cast("int")
 
 
+def _bucket_xx(j: int, width: int, key: str = "__k") -> Column:
+    """xxhash64 bucket family (r15 opt): one codegen'd native hash per
+    depth instead of the portable per-character polynomial fold, which
+    is an INTERPRETED O(len) lambda per row (guide §4.1 — prefer
+    codegen'd built-ins). Use ONLY where the sketch contents are not
+    oracle-replayed (e.g. the heavy-hitters prefilter, whose output is
+    exact for ANY hash family); artifact-oracled builds keep the
+    engine-portable poly family."""
+    return F.pmod(F.xxhash64(F.lit(j), F.col(key)), F.lit(width)).cast("int")
+
+
 def cms_build(
     df: DataFrame,
     key_col: str,
     depth: int = 4,
     width: int = 4096,
     weight_col: str | None = None,
+    hash_family: str = "poly",
 ) -> DataFrame:
     """Count-Min sketch of a key column: (j int, bucket int, cnt long)
     rows, at most depth×width of them (absent cells are implicit zeros).
@@ -75,15 +87,22 @@ def cms_build(
 
     One projection + one posexplode (depth rows per input row) + one
     map-side-combinable groupBy — the natural distributed build. Pass
-    ``weight_col`` to sketch a weighted frequency (e.g. token counts)."""
+    ``weight_col`` to sketch a weighted frequency (e.g. token counts).
+    ``hash_family``: 'poly' (default) is the engine-portable polynomial
+    the artifact oracles replay bit-for-bit; 'xx' is the codegen'd
+    xxhash64 family (see _bucket_xx) for paths whose RESULT does not
+    depend on the hash choice."""
     _check_depth(depth)
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    if hash_family == "xx":
+        keyed = df.withColumn("__k", F.col(key_col).cast("string"))
+        buckets = [_bucket_xx(j, width) for j in range(depth)]
+    else:
+        keyed = _with_poly(df, key_col)
+        buckets = [_bucket(j, width) for j in range(depth)]
     rows = (
-        _with_poly(df, key_col)
-        .select(
-            F.posexplode(F.array(*[_bucket(j, width) for j in range(depth)])).alias(
-                "j", "bucket"
-            ),
+        keyed.select(
+            F.posexplode(F.array(*buckets)).alias("j", "bucket"),
             w.alias("__w"),
         )
         .groupBy("j", "bucket")
@@ -234,16 +253,23 @@ def cms_heavy_hitters(
     the false positives — the same no-false-negative two-pass shape as
     the Bloom decontamination prefilter. Shuffle volume and groupBy
     state drop from all-keys to candidate-keys (ε·stream collisions at
-    most above threshold)."""
+    most above threshold).
+
+    Hash family (r15 opt): the output is EXACT for any hash choice
+    (superset prefilter + exact recount), so both passes use the
+    codegen'd xxhash64 buckets instead of the interpreted per-character
+    polynomial fold, which was evaluated once per row per pass and
+    dominated the query (guide §4.1; measured on the sf0.1 token
+    stream). Artifact-replayed CMS entries keep the poly family."""
     _check_depth(depth)
-    sk = cms_build(df, key_col, depth, width)
-    rows = _with_poly(df, key_col)
+    sk = cms_build(df, key_col, depth, width, hash_family="xx")
+    rows = df.withColumn("__k", F.col(key_col).cast("string"))
     for j in range(depth):
         skj = (
             sk.filter(F.col("j") == j)
             .select(F.col("bucket").alias(f"__b{j}"), F.col("cnt").alias(f"__c{j}"))
         )
-        rows = rows.withColumn(f"__b{j}", _bucket(j, width)).join(
+        rows = rows.withColumn(f"__b{j}", _bucket_xx(j, width)).join(
             F.broadcast(skj), f"__b{j}", "left"
         )
     est = F.least(*[F.coalesce(F.col(f"__c{j}"), F.lit(0)) for j in range(depth)])

@@ -38,6 +38,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner pick shuffled-hash over sort-merge when its size
+        # conditions are met (guide §3.1/§9): skips both sort passes on
+        # mid-size equi-joins. Scale-safe: the build side is per-PARTITION
+        # (bounded by shuffle partitioning + AQE split), not per-table.
+        # Interleaved A/B r15: leakage_safe_split 0.90, HITS 0.98, others
+        # parity — no benched query regressed.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # Spark 4 defaults ANSI on, where /0 and zero-variance corr THROW;
         # DuckDB (the oracle engine) returns NULL for both. ANSI-off was
