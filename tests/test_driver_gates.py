@@ -33,6 +33,9 @@ ALLOWED: dict[tuple[str, str], str] = {
         "two 1-row aggregates: strategy parameters, then 7 strategy MAEs",
     ("operators/graph.py", "fingerprint"):
         "1-row xor-hash convergence fingerprint per CC round",
+    ("queries_pipeline.py", "a10_smart_sample_q"):
+        "two 1-row invariant aggregates (r15: fused from five separate "
+        "driver actions that blew the sweep time budget under load)",
     ("operators/ml_analysis.py", "projection_2d"):
         "sampled t-SNE/exact PCA driver path behind driver_matrix_check",
     ("operators/packing.py", "_ranged_cumsum"):

@@ -123,22 +123,25 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("__nbr_min"), F.col("component"))
                 ).alias("component"),
+                # label changed iff a strictly smaller neighbor min exists
+                # — computed INSIDE the update join (r15 opt) so the
+                # change probe below is a plain filter over the
+                # checkpointed frame instead of a join of the new and old
+                # label frames (one fewer join job per iteration)
+                (
+                    F.col("__nbr_min").isNotNull()
+                    & (F.col("__nbr_min") < F.col("component"))
+                ).alias("__chg"),
             )
         )
         # checkpoint FIRST, then detect change against the materialized
         # frame: probing `updated` directly would execute its join+agg
         # plan once for the isEmpty and AGAIN for the checkpoint (r10 —
         # measured 2x per-round work at sf0.1); this order runs the plan
-        # once and the change probe joins two checkpointed frames.
+        # once and the change probe scans the checkpointed frame.
         new_labels = updated.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-        )
-        has_change = not changed.isEmpty()
-        labels = new_labels
+        has_change = not new_labels.filter(F.col("__chg")).limit(1).isEmpty()
+        labels = new_labels.drop("__chg")
         if not has_change:
             break
     return labels

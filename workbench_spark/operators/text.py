@@ -1440,6 +1440,14 @@ def bm25_index(
         base.select("id", F.size("__toks").alias("dl"), F.explode("__toks").alias("token"))
         .groupBy("token", "id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # materialize once (r15 opt): postings feed THREE consumers in
+        # bm25_search (stats, avgdl, the scoring join) and Spark reuses
+        # no subtrees across them, so the tokenize+explode+groupBy
+        # pipeline executed 3× per query; lazy localCheckpoint = the
+        # multi-consumed shuffle-bearing-frame shape (CLAUDE.md). The
+        # index is the persistable artifact anyway — materializing is
+        # its intended life cycle.
+        .localCheckpoint(eager=False)
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     stats = (

@@ -3072,11 +3072,29 @@ def a10_smart_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
     out = smart_sample(li, columns=["l_extendedprice"], rows=100)
-    out_n = out.count()
-    distinct_n = out.distinct().count()
+    # fused probes (r15 opt): the old shape ran FIVE driver actions
+    # (count, distinct-count, anti-join count, outlier count) — each a
+    # separate cold-plan job; this entry led the driver sweep and blew
+    # its 20s sf0.001 budget under load. Same invariants from TWO jobs:
+    # one count/count-distinct agg over the sample, one left-join agg
+    # for |outliers| and the unmatched count.
+    row1 = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct(*out.columns)).alias("nd"),
+    ).collect()[0]
+    out_n, distinct_n = row1["n"], row1["nd"]
     outs = outliers(li, ["l_extendedprice"]).drop("outlier_group").distinct()
-    missing = outs.join(out, outs.columns, "left_anti").count()
-    n_out = outs.count()
+    row2 = (
+        outs.join(
+            out.distinct().withColumn("__hit", F.lit(1)), outs.columns, "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("missing"),
+        )
+        .collect()[0]
+    )
+    n_out, missing = row2["n_out"], row2["missing"] or 0
     return spark.createDataFrame(
         [(distinct_n == out_n, missing == 0, n_out <= out_n <= n_out + 100)],
         "no_duplicate_rows boolean, contains_all_outliers boolean, size_bounded boolean",
