@@ -387,3 +387,60 @@ def test_simulator_global_sorts_gated_behind_exact():
         "Window.orderBy (global sort) reachable under exact=False in "
         f"ensemble_simulator.py at: {violations}"
     )
+
+
+def test_r15_single_eval_shapes(spark):
+    """r15 optimization regression gates: the duplicated-heavy-expression
+    fixes stay fixed.
+
+    1. cosine_knn's plan evaluates the interpreted cosine machinery
+       exactly three times (query-side norm, corpus-side norm, dot) —
+       the pre-r15 shape carried the whole fold in the BNLJ join
+       condition twice more (guide §4.4 duplication via filter pushdown
+       of the pre-window finite-sim guard).
+    2. cms_heavy_hitters plans ZERO interpreted per-character polynomial
+       folds (both passes use the codegen'd xxhash64 bucket family; the
+       output is exact for any hash family so nothing pins the poly).
+    3. jaccard_prefix_pairs scans its parquet input at most twice (the
+       ordered shingle frame is checkpointed once for the prefix
+       self-join AND the verify sides; pre-r15 the plan held 4 scans /
+       8 Generates).
+    """
+    from workbench_spark.operators.dedup import jaccard_prefix_pairs
+    from workbench_spark.operators.similarity import cosine_knn
+    from workbench_spark.operators.sketches import cms_heavy_hitters
+    from workbench_spark.session import read_table
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    knn_plan = plan_of(cosine_knn(emb.filter("vec_id < 20"), emb, k=5))
+    n_folds = knn_plan.count("aggregate(")
+    assert n_folds <= 3, (
+        f"cosine_knn plan evaluates {n_folds} interpreted folds (expected "
+        f"<= 3: two norms + one dot) — the finite-sim filter is being "
+        f"pushed into the join condition again (use _safe_sim + "
+        f"_topk_finite, not _finite_sims-before-window)"
+    )
+
+    d = read_table(spark, SF_DIR, "documents")
+    toks = d.selectExpr("explode(split(lower(text), ' ')) AS token").filter(
+        "length(token) > 0"
+    )
+    hh_plan = plan_of(cms_heavy_hitters(toks, "token", min_count=5))
+    assert "aggregate(" not in hh_plan, (
+        "cms_heavy_hitters plans an interpreted polynomial fold — the "
+        "prefilter must stay on the codegen'd xxhash64 family (_bucket_xx)"
+    )
+
+    pp_plan = plan_of(jaccard_prefix_pairs(d.filter("doc_id < 50")))
+    n_scans = pp_plan.count("Scan parquet")
+    assert n_scans <= 2, (
+        f"jaccard_prefix_pairs plans {n_scans} parquet scans (expected <= "
+        f"2) — the ordered shingle frame must stay localCheckpoint'd and "
+        f"feed prefix AND verify sides"
+    )
