@@ -925,7 +925,14 @@ def dedup_embedding_incremental_invariants_q(
     new_df = e.filter(F.col("vec_id") % 5 == 0)
     corpus = e.filter(F.col("vec_id") % 5 != 0)
     kw = dict(threshold=0.8, n_planes=8, n_tables=4, seed=42)
-    inc = embedding_incremental_pairs(new_df, corpus, **kw)
+    # both pair frames feed multiple driver probes (count + two exceptAll
+    # sides + the matched-id distinct) and carry LSH-join shuffles in
+    # their lineage — materialize each ONCE (CLAUDE.md checkpoint rule;
+    # r15 opt: the entry re-executed the incremental LSH pipeline 4x and
+    # the full self-join 3x)
+    inc = embedding_incremental_pairs(new_df, corpus, **kw).localCheckpoint(
+        eager=False
+    )
     inc_norm = inc.select(
         F.least("new_id", "corpus_id").alias("id_a"),
         F.greatest("new_id", "corpus_id").alias("id_b"),
@@ -933,7 +940,7 @@ def dedup_embedding_incremental_invariants_q(
     full = embedding_near_dup_pairs(e, threshold=0.8, use_lsh=True)
     cross = full.filter(
         (F.col("id_a") % 5 == 0) != (F.col("id_b") % 5 == 0)
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     n_inc, n_cross = inc_norm.count(), cross.count()
     sym_diff = (
         inc_norm.exceptAll(cross).count() + cross.exceptAll(inc_norm).count()
@@ -978,17 +985,26 @@ def dedup_star_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ca, cb = comps(a), comps(b)
         return ca.exceptAll(cb).count() == 0 and cb.exceptAll(ca).count() == 0
 
-    mh_all = minhash_lsh_pairs(d, verify_threshold=None, pair_mode="all")
-    mh_star = minhash_lsh_pairs(d, verify_threshold=None, pair_mode="star")
+    # each pair frame is consumed twice (CC's internal edge checkpoint +
+    # the not_more count) with banding-join shuffles in its lineage —
+    # materialize once per frame (r15 opt, CLAUDE.md checkpoint rule)
+    mh_all = minhash_lsh_pairs(
+        d, verify_threshold=None, pair_mode="all"
+    ).localCheckpoint(eager=False)
+    mh_star = minhash_lsh_pairs(
+        d, verify_threshold=None, pair_mode="star"
+    ).localCheckpoint(eager=False)
     # simhash in the same threshold-free regime (max_hamming = all 60
     # bits): the post-hoc hamming filter applies to hub edges only and
     # DOES split components on this corpus (verified at sf0.001-0.1) —
     # which is precisely the documented caveat; the equality theorem is
     # candidate-graph-level, so that is what gets certified
-    sh_all = simhash_near_pairs(d, max_hamming=60, n_bands=10, portable=True)
+    sh_all = simhash_near_pairs(
+        d, max_hamming=60, n_bands=10, portable=True
+    ).localCheckpoint(eager=False)
     sh_star = simhash_near_pairs(
         d, max_hamming=60, n_bands=10, portable=True, pair_mode="star"
-    )
+    ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         [(
             cc_equal(mh_all, mh_star),
@@ -1026,7 +1042,11 @@ def dedup_incremental_invariants_q(spark: SparkSession, sf_dir: str) -> DataFram
     d = _t(spark, sf_dir, "documents")
     new_df = d.filter(F.col("doc_id") % 7 == 0)
     corpus = d.filter(F.col("doc_id") % 7 != 0)
-    inc = minhash_incremental_pairs(new_df, corpus, verify_threshold=0.5)
+    # multi-probed LSH pair frames (count + two exceptAll sides + the
+    # matched-id distinct) — materialize once, see the embedding twin
+    inc = minhash_incremental_pairs(
+        new_df, corpus, verify_threshold=0.5
+    ).localCheckpoint(eager=False)
     inc_norm = inc.select(
         F.least("new_id", "corpus_id").alias("id_a"),
         F.greatest("new_id", "corpus_id").alias("id_b"),
@@ -1034,7 +1054,7 @@ def dedup_incremental_invariants_q(spark: SparkSession, sf_dir: str) -> DataFram
     full = minhash_lsh_pairs(d, verify_threshold=0.5)
     cross = full.filter(
         (F.col("id_a") % 7 == 0) != (F.col("id_b") % 7 == 0)
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     n_inc = inc_norm.count()
     n_cross = cross.count()
     sym_diff = (
@@ -3988,7 +4008,10 @@ def simhash_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from workbench_spark.operators.dedup import simhash, simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents")
-    pairs = simhash_near_pairs(d, max_hamming=3)
+    # the pair frame (banding self-join shuffles) feeds the hamming join
+    # AND two direct probes — materialize once; the four driver counts
+    # fuse into two 1-row aggregates (r15 opt, same values)
+    pairs = simhash_near_pairs(d, max_hamming=3).localCheckpoint(eager=False)
     sig = simhash(d).select(
         F.col("doc_id"), F.col("simhash")
     )
@@ -3997,10 +4020,19 @@ def simhash_invariants_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "s_b"), "id_b")
         .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
     )
-    n = joined.count()
-    bad_h = joined.filter(F.col("hamming") > 3).count()
-    bad_order = pairs.filter(F.col("id_a") >= F.col("id_b")).count()
-    dup = n - pairs.select("id_a", "id_b").distinct().count()
+    row_j = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("hamming") > 3, 1).otherwise(0)).alias("bad_h"),
+    ).first()
+    n, bad_h = row_j["n"], row_j["bad_h"] or 0
+    row_p = pairs.agg(
+        F.sum(F.when(F.col("id_a") >= F.col("id_b"), 1).otherwise(0)).alias(
+            "bad_order"
+        ),
+        F.count_distinct(F.struct("id_a", "id_b")).alias("dist"),
+    ).first()
+    bad_order = row_p["bad_order"] or 0
+    dup = n - row_p["dist"]
     return spark.createDataFrame(
         [(bad_h == 0, bad_order == 0, dup == 0)],
         "all_pairs_within_hamming boolean, ids_ordered boolean, pairs_unique boolean",
@@ -4026,8 +4058,16 @@ def knn_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     k = 5
-    exact = cosine_knn(e, k=k).select("id", "neighbor_id")
-    approx = lsh_cosine_knn(e, k=k, n_planes=3, n_tables=5, dim=64)
+    # exact (BNLJ + window) feeds the semi-join AND the total count;
+    # approx feeds three probes — materialize each once (r15 opt)
+    exact = (
+        cosine_knn(e, k=k)
+        .select("id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    approx = lsh_cosine_knn(e, k=k, n_planes=3, n_tables=5, dim=64).localCheckpoint(
+        eager=False
+    )
     hits = approx.join(
         exact,
         (approx["id"] == exact["id"]) & (approx["neighbor_id"] == exact["neighbor_id"]),
@@ -4070,8 +4110,15 @@ def knn_ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     k = 5
-    exact = cosine_knn(e, k=k).select("id", "neighbor_id")
-    approx = ivf_cosine_knn(e, k=k, n_cells=8, n_probe=4)
+    # same multi-probe shape as knn_lsh_recall_invariant (r15 opt)
+    exact = (
+        cosine_knn(e, k=k)
+        .select("id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    approx = ivf_cosine_knn(e, k=k, n_cells=8, n_probe=4).localCheckpoint(
+        eager=False
+    )
     hits = approx.join(
         exact,
         (approx["id"] == exact["id"]) & (approx["neighbor_id"] == exact["neighbor_id"]),
