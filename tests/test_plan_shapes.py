@@ -444,3 +444,28 @@ def test_r15_single_eval_shapes(spark):
         f"2) — the ordered shingle frame must stay localCheckpoint'd and "
         f"feed prefix AND verify sides"
     )
+
+
+def test_r15_pq_knn_flat_lookup_shape(spark):
+    """r15 optimization regression gate: pq_knn's ADC scoring reads FLAT
+    per-subspace LUT attributes and scalar code attributes — never the
+    nested array<array> LUT + element_at(pq_codes, j) per pair (measured
+    interleaved at sf0.1: the nested form ran the end-to-end query 10.7 s
+    vs 6.1 s flat — per-pair array-header navigation, 2 levels x 8 terms
+    x |corpus| pairs per query). The flat form sums the same doubles in
+    the same order, so the shortlist and output are bit-identical."""
+    from workbench_spark.operators.similarity import pq_knn
+    from workbench_spark.session import read_table
+
+    def plan_of(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    plan = plan_of(pq_knn(emb, emb.limit(20), k=1, m=8, n_codes=16))
+    assert "element_at(element_at(" not in plan, (
+        "pq_knn plans nested LUT lookups — keep the per-subspace flat "
+        "__lt_j arrays + scalar __c_j codes (r15 opt, ratio 0.57)"
+    )
