@@ -84,7 +84,14 @@ _TIME_BUDGET_OVERRIDES = {
     "a11_smart_aggregator": 45.0,
     "c7_projection_pca": 45.0,
     "dedup_semdedup": 45.0,
-    "knn_cosine_ivf": 40.0,
+    # r15: tripped 40s once at 68s mid-suite on a degraded box (bench
+    # calibration probes read 1.4-1.6x that day). Measured breakdown,
+    # isolated: ~15s cold / ~1s warm end-to-end, DuckDB replay ~1s — the
+    # wall time is Lloyd driver actions + k·dim-literal plan compiles,
+    # not data. The r15 single-eval checkpoint halved the retrieval's
+    # fold sites (25 → 1 in-plan); 60 leaves the same ~4x headroom over
+    # the measured cold time that the other Lloyd entries carry
+    "knn_cosine_ivf": 60.0,
 }
 
 

@@ -654,11 +654,25 @@ def ivf_cosine_knn(
         )
         z = quantize_array_col(base, "v", dim)
         assigned, cents = kmeans_fixed_point(z, k=n_cells, iters=iters)
-        # probe the n_probe integer-nearest cells (dist, cell-idx tiebreak)
-        probes = assigned.withColumn(
-            "__probe",
-            F.explode(F.slice(F.array_sort(centroid_scores(cents)), 1, n_probe)["c"]),
+        # probe the n_probe integer-nearest cells (dist, cell-idx tiebreak).
+        # Fuse the probe shortlist INTO the assigned frame and materialize
+        # once (r15 opt, CLAUDE.md single-eval rule): assigned feeds BOTH
+        # join sides (query probes + corpus cells), so without the
+        # checkpoint each side re-evaluates the k·dim-literal centroid
+        # folds per row — 2× the scoring map work at scale, and 2× the
+        # k·dim expression trees compiled per plan (the dominant cost at
+        # small SF: 16.4–17.7 s cold → measured after: fold sites in the
+        # retrieval plan 25 → 1). Same expressions evaluated once —
+        # bit-identical cells/probes/output.
+        assigned = (
+            assigned.withColumn(
+                "__probes",
+                F.slice(F.array_sort(centroid_scores(cents)), 1, n_probe)["c"],
+            )
+            .select("id", "v", "nrm", "__cell", "__probes")
+            .localCheckpoint(eager=False)
         )
+        probes = assigned.withColumn("__probe", F.explode("__probes"))
     else:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -692,12 +706,18 @@ def ivf_cosine_knn(
                 for i, c in enumerate(centers)
             ]
         )
-        probes = assigned.withColumn(
-            "__probe",
-            F.explode(
-                F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe)["cell"]
-            ),
+        # same single-eval fuse as the exact branch: assigned feeds both
+        # join sides — materialize the cell/probe columns once instead of
+        # re-running the model transform + k·dim-literal score fold per side
+        assigned = (
+            assigned.withColumn(
+                "__probes",
+                F.slice(F.reverse(F.array_sort(cell_scores)), 1, n_probe)["cell"],
+            )
+            .select("id", "v", "nrm", "__cell", "__probes")
+            .localCheckpoint(eager=False)
         )
+        probes = assigned.withColumn("__probe", F.explode("__probes"))
     if quantized == "pq":
         books = pq_train(vectors, id_col, vec_col, m=8, k=16, seed=seed)
         scan = pq_sdc_frame(vectors, books, id_col, vec_col).withColumnRenamed(
