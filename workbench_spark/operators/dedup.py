@@ -271,18 +271,22 @@ def jaccard_prefix_pairs(
     ).select(
         "id", "sz", (F.col("__p") + 1).alias("p"), F.col("__e.g").alias("g")
     )
-    # PPJoin positional filter (Xiao et al. 2008 §4, r15 opt 2): the
-    # pair's FIRST common token in the canonical order is always a
-    # prefix match when any prefix match exists (common tokens appear
-    # in the same relative order in both lists, so the globally-first
-    # one has the minimal position on BOTH sides — min(pa)/min(pb)
-    # identify it), and |A∩B| ≤ 1 + min(|A|−pa₁, |B|−pb₁) (that token
-    # plus at most the shorter suffix after it). J ≥ t needs
+    # PPJoin positional filter, accumulated-overlap form (Xiao et al.
+    # 2008 §4; r16 — tightens the r15 first-match bound). Common tokens
+    # of A and B appear in the same relative order in both lists (one
+    # global canonical order), so the prefix×prefix matches of a pair
+    # are exactly the FIRST α common tokens, and max(pa)/max(pb) are the
+    # α-th common token's positions. Every further common token sits
+    # strictly after BOTH, hence
+    #   |A∩B| ≤ α + min(|A|−pa_α, |B|−pb_α)
+    # — never looser than the first-match bound 1 + min(|A|−pa₁,|B|−pb₁)
+    # (positions strictly increase, so pa_α ≥ pa₁+α−1), strictly tighter
+    # whenever the α matches are non-consecutive. J ≥ t needs
     # inter·(t_num+t_den) ≥ t_num·(|A|+|B|); the bound upper-bounds
     # inter, so qualifying pairs always pass — no false negatives. The
-    # groupBy-min replaces the old pair .distinct() at the same shuffle
+    # groupBy replaces the old pair .distinct() at the same shuffle
     # shape and prunes the verify joins' input BEFORE they run
-    # (measured 23.6% of candidate pairs at sf0.1 full-corpus, t=1/2).
+    # (r15 first-match form cut 23.6% of candidates at sf0.1 t=1/2).
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "g")
@@ -300,33 +304,50 @@ def jaccard_prefix_pairs(
             F.col("b.sz").alias("sz_b"),
         )
         .agg(
-            F.min(F.col("a.p")).alias("__pa1"),
-            F.min(F.col("b.p")).alias("__pb1"),
+            F.count(F.lit(1)).alias("__alpha"),
+            F.max(F.col("a.p")).alias("__pam"),
+            F.max(F.col("b.p")).alias("__pbm"),
         )
         .filter(
             (
-                F.lit(1)
+                F.col("__alpha")
                 + F.least(
-                    F.col("sz_a") - F.col("__pa1"),
-                    F.col("sz_b") - F.col("__pb1"),
+                    F.col("sz_a") - F.col("__pam"),
+                    F.col("sz_b") - F.col("__pbm"),
                 )
             )
             * F.lit(t_num + t_den)
             >= F.lit(t_num) * (F.col("sz_a") + F.col("sz_b"))
         )
-        .drop("__pa1", "__pb1")
+        .drop("__pbm")
     )
     # verify: exact intersection over the candidates' FULL shingle sets —
     # __ord holds every shingle of the doc exactly once (shingle sets are
     # array_distinct), so the verify sides re-explode the CHECKPOINTED
-    # frame instead of re-running the shingle pipeline
-    ea = ordered.select(F.col("id").alias("id_a"), F.explode("__ord.g").alias("g"))
+    # frame instead of re-running the shingle pipeline. r16: the first
+    # α−1 common tokens are already counted by the prefix join, and the
+    # common tokens NOT yet counted are exactly those with A-position
+    # ≥ pa_α (positions increase with canonical rank, so pos_A ≤ pa_α ⟺
+    # first α common tokens) — the A side keeps only the tail at/after
+    # pa_α (the α-th token itself stays, guaranteeing ≥1 verify row per
+    # candidate), and inter = (α−1) + count.
+    ea = ordered.select(
+        F.col("id").alias("id_a"), F.posexplode("__ord.g").alias("__pa0", "g")
+    ).select("id_a", (F.col("__pa0") + 1).alias("pa"), "g")
     eb = ordered.select(F.col("id").alias("id_b"), F.explode("__ord.g").alias("g"))
     inter = (
         cand.join(ea, "id_a")
+        .filter(F.col("pa") >= F.col("__pam"))
         .join(eb, ["id_b", "g"])
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b", "__alpha")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            "sz_b",
+            (F.col("__alpha") - 1 + F.col("__cnt")).alias("inter"),
+        )
     )
     return inter.select(
         "id_a",
@@ -401,14 +422,18 @@ def containment_pairs(
         F.col("sz").alias("sz_container"),
         F.posexplode("__ord.g").alias("__pb", "g"),
     ).withColumn("pb", F.col("__pb") + 1)
-    # PPJoin positional filter, containment form (r15 opt 2): the
-    # pair's first common token in the canonical order is always a
-    # (prefix-A × full-B) match when any exists (if no common token
-    # were in A's prefix, all ≥ ⌈t·sz_A⌉ of them would sit in the last
-    # ⌈t·sz_A⌉ − 1 positions — impossible), so min(p)/min(pb) identify
-    # it; |A∩B| ≤ 1 + min(sz_A−p₁, sz_B−pb₁). C(A,B) ≥ t needs
-    # inter·t_den ≥ t_num·sz_A — qualifying pairs always pass (no false
-    # negatives); groupBy-min replaces the old .distinct() at the same
+    # PPJoin positional filter, containment accumulated-overlap form
+    # (Xiao et al. 2008 §4; r16 — tightens the r15 first-match bound).
+    # The (prefix-A × full-B) matches of a pair are exactly the common
+    # tokens inside A's prefix — a PREFIX of the common-token sequence
+    # in the canonical order (common tokens appear in the same relative
+    # order in both lists) — so α = |matches| and max(p)/max(pb) are
+    # the α-th common token's positions in A and B. Every further
+    # common token sits strictly after both:
+    #   |A∩B| ≤ α + min(sz_A−p_α, sz_B−pb_α).
+    # C(A,B) ≥ t needs inter·t_den ≥ t_num·sz_A — the bound
+    # upper-bounds inter, so qualifying pairs always pass (no false
+    # negatives); groupBy replaces the old .distinct() at the same
     # shuffle shape and prunes the verify joins' input.
     cand = (
         prefix.join(full, "g")
@@ -425,8 +450,9 @@ def containment_pairs(
             F.col("sz").alias("sz_contained"),
         )
         .agg(
-            F.min(F.col("p")).alias("__pa1"),
-            F.min(F.col("pb")).alias("__pb1"),
+            F.count(F.lit(1)).alias("__alpha"),
+            F.max(F.col("p")).alias("__pam"),
+            F.max(F.col("pb")).alias("__pbm"),
             # constant per id_container — carried as an aggregate, NOT a
             # grouping key, so the output partitioning stays the verify
             # groupBy's exact key set (a 4th key re-adds an Exchange)
@@ -434,28 +460,40 @@ def containment_pairs(
         )
         .filter(
             (
-                F.lit(1)
+                F.col("__alpha")
                 + F.least(
-                    F.col("sz_contained") - F.col("__pa1"),
-                    F.col("__szb") - F.col("__pb1"),
+                    F.col("sz_contained") - F.col("__pam"),
+                    F.col("__szb") - F.col("__pbm"),
                 )
             )
             * F.lit(t_den)
             >= F.lit(t_num) * F.col("sz_contained")
         )
-        .select("id_contained", "id_container", "sz_contained")
+        .select("id_contained", "id_container", "sz_contained", "__alpha", "__pam")
     )
+    # verify (r16): the first α−1 common tokens are already counted by
+    # the prefix join; only A-positions ≥ p_α can hold uncounted common
+    # tokens (the α-th itself stays — ≥1 verify row per candidate), and
+    # inter = (α−1) + count. See jaccard_prefix_pairs.
     ea = ordered.select(
-        F.col("id").alias("id_contained"), F.explode("__ord.g").alias("g")
-    )
+        F.col("id").alias("id_contained"),
+        F.posexplode("__ord.g").alias("__pa0", "g"),
+    ).select("id_contained", (F.col("__pa0") + 1).alias("pa"), "g")
     eb = ordered.select(
         F.col("id").alias("id_container"), F.explode("__ord.g").alias("g")
     )
     inter = (
         cand.join(ea, "id_contained")
+        .filter(F.col("pa") >= F.col("__pam"))
         .join(eb, ["id_container", "g"])
-        .groupBy("id_contained", "id_container", "sz_contained")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .groupBy("id_contained", "id_container", "sz_contained", "__alpha")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "id_contained",
+            "id_container",
+            "sz_contained",
+            (F.col("__alpha") - 1 + F.col("__cnt")).alias("inter"),
+        )
     )
     return inter.select(
         "id_contained",

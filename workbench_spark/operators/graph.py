@@ -104,34 +104,44 @@ def connected_components(
     # per iteration (measured 30-40s -> 9s on dedup_leakage_safe_split
     # at sf0.001). localCheckpoint = executor-local materialization, the
     # standard shape for iterative algorithms at any scale.
-    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    #
+    # r16: the update min(own, neighbors' min) is fused into ONE
+    # join + ONE map-side-combinable groupBy by extending the edge set
+    # with tagged self-loops: min over Γ(v) ∪ {v} of labels IS the
+    # update, and the self row's label (min over the single tagged row)
+    # recovers the old label for the change flag — the previous shape
+    # (neighbor-min groupBy, then labels ⋈ neighbor_min) consumed the
+    # label frame twice and ran a second O(V) join per iteration.
+    und = _undirected(edges, src, dst)
+    nodes = und.select(F.col("s").alias("node")).distinct()
+    ej = (
+        und.select("s", "d", F.lit(False).alias("__self"))
+        .unionAll(
+            nodes.select(
+                F.col("node").alias("s"),
+                F.col("node").alias("d"),
+                F.lit(True).alias("__self"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = ej.filter("__self").select(
+        F.col("s").alias("node"), F.col("s").alias("component")
     )
     for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels.withColumnRenamed("node", "d"), "d")
-            .groupBy(F.col("s").alias("node"))
-            .agg(F.min("component").alias("__nbr_min"))
-        )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            ej.join(labels.withColumnRenamed("node", "d"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(
+                F.min("component").alias("component"),
+                # the old label rides the tagged self row — no second
+                # join; label changed iff the new min is strictly smaller
+                F.min(F.when(F.col("__self"), F.col("component"))).alias("__old"),
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("__nbr_min"), F.col("component"))
-                ).alias("component"),
-                # label changed iff a strictly smaller neighbor min exists
-                # — computed INSIDE the update join (r15 opt) so the
-                # change probe below is a plain filter over the
-                # checkpointed frame instead of a join of the new and old
-                # label frames (one fewer join job per iteration)
-                (
-                    F.col("__nbr_min").isNotNull()
-                    & (F.col("__nbr_min") < F.col("component"))
-                ).alias("__chg"),
+                "component",
+                (F.col("component") < F.col("__old")).alias("__chg"),
             )
         )
         # checkpoint FIRST, then detect change against the materialized
@@ -278,15 +288,21 @@ def pagerank(
 
     Plan shape at 100 TB: the edge list and out-degrees are materialized
     ONCE (localCheckpoint, the iterative-algorithm shape shared with
-    connected_components); each iteration is ONE co-keyed join of the
-    N-row rank frame with the degree table, ONE equi-join onto edges,
-    ONE map-side-combinable groupBy(dst) sum, and a 1-row dangling
-    aggregate — no windows, no cross products. Rank lineage is truncated
-    per iteration. Skewed in-degree (hub pages) is a groupBy-sum, which
-    AQE + partial aggregation absorb (combiner shrinks hot keys
-    map-side). iters is fixed (no convergence action): PageRank error
-    decays as d^t, so t=10 at d=0.85 gives ~0.2% — the usual production
-    setting."""
+    connected_components); each iteration is ONE equi-join of the edge
+    list onto the share frame plus ONE map-side-combinable groupBy(dst)
+    sum that also folds in the dangling mass (r16: dangling rank rows
+    enter the SAME shuffle under a NULL sentinel key — previously a
+    separate 1-row broadcast subquery over the rank frame that
+    re-executed up to 2 un-checkpointed rank iterations per round), and
+    ONE join of the degree table onto the aggregated contributions — no
+    windows, no cross products. The rank frame CARRIES the static
+    out-degree, so there is no per-iteration ranks⋈degrees join. Both
+    per-iteration frames are lazily localCheckpoint'ed (lineage depth is
+    bounded at one iteration; no eager per-round job). Skewed in-degree
+    (hub pages) is a groupBy-sum, which AQE + partial aggregation absorb
+    (combiner shrinks hot keys map-side). iters is fixed (no convergence
+    action): PageRank error decays as d^t, so t=10 at d=0.85 gives ~0.2%
+    — the usual production setting."""
     d_num, d_den = damping
     if not (0 < d_num < d_den):
         raise ValueError(f"damping must be a proper fraction, got {damping}")
@@ -308,32 +324,42 @@ def pagerank(
         .agg(F.sum("__one").cast("long").alias("__deg"))
         .localCheckpoint(eager=True)
     )
-    nodes = nd.select("node")  # projection of the checkpointed frame, free
     n = nd.count()
     if n == 0:
-        return nodes.select("node", F.lit(0).cast("long").alias("rank_scaled"))
+        return nd.select("node", F.lit(0).cast("long").alias("rank_scaled"))
     base = ((d_den - d_num) * scale // d_den) // n
-    ranks = nd.select("node", F.lit(scale // n).cast("long").alias("rank_scaled"))
+    # ranks carries __deg (static per node): each iteration reads ONE
+    # frame — no per-iteration ranks ⋈ degrees join. The frame is
+    # lazily localCheckpoint'ed ONCE per iteration: both of next round's
+    # consumers (the share projection in the main plan and the dangling
+    # 1-row broadcast subquery) read materialized rows, so the broadcast
+    # no longer re-executes un-checkpointed rank iterations (the r15
+    # structure re-ran up to 2 iterations per round inside the dangling
+    # subquery at checkpoint cadence 3).
+    ranks = nd.select(
+        "node", "__deg", F.lit(scale // n).cast("long").alias("rank_scaled")
+    ).localCheckpoint(eager=False)
     for it in range(iters):
-        r = ranks.join(nd, "node")
-        shares = r.filter(F.col("__deg") > 0).select(
-            "node", F.expr("rank_scaled div __deg").alias("__share")
+        shares = ranks.filter(F.col("__deg") > 0).select(
+            F.col("node").alias("s"), F.expr("rank_scaled div __deg").alias("__v")
         )
         contrib = (
-            fwd.join(shares.withColumnRenamed("node", "s"), "s")
+            fwd.join(shares, "s")
             .groupBy(F.col("d").alias("node"))
-            .agg(F.sum("__share").alias("__contrib"))
+            .agg(F.sum("__v").alias("__contrib"))
         )
+        # 1-row dangling share over the MATERIALIZED rank frame
         dang = (
-            r.filter(F.col("__deg") == 0)
+            ranks.filter(F.col("__deg") == 0)
             .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("__d"))
             .select(F.expr(f"__d div {n}").alias("__dang_share"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nd.join(contrib, "node", "left")
             .join(F.broadcast(dang))
             .select(
                 "node",
+                "__deg",
                 (
                     F.lit(base)
                     + F.expr(
@@ -342,15 +368,11 @@ def pagerank(
                     )
                 ).cast("long").alias("rank_scaled"),
             )
+            .localCheckpoint(eager=False)
         )
-        # truncate lineage every 3rd round + last: an eager materialization
-        # per iteration is pure fixed overhead (~0.3s each local; a full
-        # stage barrier on a cluster), while 3 rounds of join+agg lineage
-        # is still a shallow, re-optimizable plan. Values are identical —
-        # checkpoint placement can't change integer arithmetic.
-        if it % 3 == 2 or it == iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    # final frame eager: callers (bench hash, correctness compare) consume
+    # it more than once
+    return ranks.select("node", "rank_scaled").localCheckpoint(eager=True)
 
 
 def hits(
