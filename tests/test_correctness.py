@@ -108,7 +108,60 @@ _TIME_BUDGET_OVERRIDES = {
 }
 
 
-@pytest.mark.parametrize("name,fn,oracle", _pairs(), ids=[p[0] for p in _pairs()])
+# ---------------------------------------------------------------------
+# r16 (r15 VERDICT #2): the driver's pytest run stopped COMPLETING inside
+# its window (VERIFY_r15 tests_ok=false with zero failures — the tail was
+# cut mid-suite; the full suite measured 33:57 on the r16 round-start
+# box). The oracle replica is the bulk of the module (405 s of the
+# 2037 s suite), and ten entries carry 156 s of it — each one a
+# multi-pipeline / iterative / recursive-CTE-oracle entry whose cost is
+# by design (their budget overrides above document the breakdowns).
+# Those ten are demoted to the env-gated slow tier, run at round close
+# with the other gated tiers:
+#
+#     SPARK_GRAFT_SLOW_TESTS=1 python -m pytest tests/test_correctness.py -q
+#
+# Per the gated-tier convention (CLAUDE.md, test_gated_tiers_smoke) one
+# member — the cheapest — stays in the default suite as the always-on
+# smoke through the exact same parametrized path, so the harness cannot
+# rot. Default-suite oracle coverage for the other nine is not lost, only
+# deferred: the driver's own 50-slot sweep and the builder's round-close
+# full sf0.01 simulation run every entry regardless of this gate.
+# Values = seconds measured on the r16 round-start run (sf0.001).
+SLOW_TIER = {
+    "a11_smart_aggregator": 35.2,
+    "dedup_star_invariants": 20.3,
+    "dedup_semdedup": 18.5,
+    "knn_cosine_ivf": 16.0,
+    "dedup_leakage_safe_split": 12.9,
+    "dedup_cc_membership": 12.9,
+    "dedup_minhash_pairs": 11.6,
+    "dedup_cluster_representatives": 10.9,
+    "knn_lsh_recall_invariant": 9.2,
+    "dedup_semdedup_invariants": 8.2,
+}
+SLOW_SMOKE = "dedup_semdedup_invariants"  # always-on member
+
+
+def _params():
+    gate = os.environ.get("SPARK_GRAFT_SLOW_TESTS")
+    out = []
+    for name, fn, oracle in _pairs():
+        marks = ()
+        if name in SLOW_TIER and name != SLOW_SMOKE and not gate:
+            marks = (
+                pytest.mark.skip(
+                    reason=(
+                        f"slow oracle-replica tier ({SLOW_TIER[name]}s at "
+                        "sf0.001) — SPARK_GRAFT_SLOW_TESTS=1"
+                    )
+                ),
+            )
+        out.append(pytest.param(name, fn, oracle, id=name, marks=marks))
+    return out
+
+
+@pytest.mark.parametrize("name,fn,oracle", _params())
 def test_query_matches_oracle(spark, name, fn, oracle):
     import time
 

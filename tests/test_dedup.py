@@ -4,8 +4,17 @@ catch planted near-duplicates; exact dedup must be idempotent."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
+
+_SLOW_GATE = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW_TESTS"),
+    reason="by-design-slow certification tier (SPARK_GRAFT_SLOW_TESTS=1, "
+    "run at round close with the other gated tiers; r16 suite-time cut — "
+    "the default suite stopped fitting the driver's pytest window)",
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -730,6 +739,7 @@ def test_embedding_lsh_auto_matches_explicit(spark):
         )
 
 
+@_SLOW_GATE  # measured 25.1s on the r16 baseline run
 def test_semdedup_auto_clusters(spark):
     """n_clusters='auto' (the third capacity knob) resolves to
     clamp(N/250, 8, 4096) and yields the identical verdict frame as the

@@ -152,6 +152,11 @@ def test_skew_tier_harness_smoke(spark, tmp_path):
     r = run_skew_ratio(spark, "w1_latest_event_per_user", uni, skw, 50.0)
     assert r["t_skew_s"] > 0
     assert run_skew_oracle(spark, "w_sessionize_events", skw) == []
+    # SHJ survival pin (r16): the hint-pinned ShuffledHashJoin probe's
+    # plan assert + completion must stay runnable in shipped form
+    from tests.test_skew_stress import run_shj_survival
+
+    assert run_shj_survival(spark, uni, skw, 50.0)["t_skew_s"] > 0
 
 
 def test_scalegen_tiny_generate(spark, tmp_path):

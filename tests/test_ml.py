@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -837,6 +838,36 @@ def hpo_frame(spark):
     )
 
 
+def test_hpo_linear_smoke(spark, warehouse, hpo_frame):
+    """Default-suite smoke through the FULL hpo_train path (search + cv
+    tuner + rerank + publish + baseline contest) with the cheapest
+    estimator — the always-on probe for the gated GBT done-bar test
+    below (r16 suite-time cut: the 4-trial GBT grid is ~62 s of MLlib
+    fits; linear fits make the same code path seconds)."""
+    from workbench_spark.api.hpo import FloatRange, hpo_train
+
+    out = hpo_train(
+        hpo_frame, "hpo_lin", target="net_rev",
+        features=["total_qty", "avg_price", "n_lines"],
+        model_type="regressor", algo="linear",
+        search_space={"regParam": FloatRange(1e-6, 1.0, log=True, default=0.0)},
+        n_trials=2, tuner="cv", k=2, rerank_top_k=1, seed=42,
+        spark=spark, warehouse=warehouse,
+    )
+    result = out["result"]
+    assert result.n_trials == 2 and len(result.trials) == 2
+    assert all(t["state"] == "COMPLETE" for t in result.trials)
+    rr = out["rerank"]
+    assert rr["best_value"] is not None and rr["baseline_value"] is not None
+    assert rr["best_value"] <= rr["baseline_value"]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW_TESTS"),
+    reason="by-design-slow certification tier (61.7s of MLlib GBT fits on "
+    "the r16 baseline run) — SPARK_GRAFT_SLOW_TESTS=1, run at round close; "
+    "test_hpo_linear_smoke keeps the hpo_train path always-on",
+)
 def test_hpo_mllib_search_and_train(spark, warehouse, hpo_frame):
     """The judge's done-bar: a grid of >=2 params through the MLlib tuner,
     the published model never worse than the untuned default on the

@@ -291,7 +291,32 @@ def test_no_forced_broadcast_on_sf_scaling_tables():
     assert not violations, "\n".join(violations)
 
 
-@pytest.mark.parametrize("name,fn", _all_queries(), ids=[n for n, _ in _all_queries()])
+def _killer_params():
+    """r16 suite-time cut (r15 VERDICT #2): building the PLAN of the
+    iterative / index-building entries executes their driver loops
+    (pagerank's 10 checkpointed rounds, semdedup's Lloyd training, the
+    recall invariants' index builds) — ~60 s of this module is the same
+    ten entries test_correctness.SLOW_TIER demotes, so they share the
+    gate (SPARK_GRAFT_SLOW_TESTS=1, run at round close) and the
+    same always-on smoke member."""
+    from tests.test_correctness import SLOW_SMOKE, SLOW_TIER
+
+    gate = os.environ.get("SPARK_GRAFT_SLOW_TESTS")
+    out = []
+    for name, fn in _all_queries():
+        marks = ()
+        if name in SLOW_TIER and name != SLOW_SMOKE and not gate:
+            marks = (
+                pytest.mark.skip(
+                    reason="slow oracle-replica tier — "
+                    "SPARK_GRAFT_SLOW_TESTS=1"
+                ),
+            )
+        out.append(pytest.param(name, fn, id=name, marks=marks))
+    return out
+
+
+@pytest.mark.parametrize("name,fn", _killer_params())
 def test_no_scale_killers_in_plan(spark, name, fn):
     df = fn(spark, SF_DIR)
     buf = io.StringIO()
@@ -453,7 +478,11 @@ def test_r15_pq_knn_flat_lookup_shape(spark):
     interleaved at sf0.1: the nested form ran the end-to-end query 10.7 s
     vs 6.1 s flat — per-pair array-header navigation, 2 levels x 8 terms
     x |corpus| pairs per query). The flat form sums the same doubles in
-    the same order, so the shortlist and output are bit-identical."""
+    the same order, so the shortlist and output are bit-identical.
+
+    r16 (ADVICE): literal codebooks + explicit dim — the gate only needs
+    the PLAN shape, so it must not spend live Spark jobs training real
+    codebooks (pq_train + the dim probe cost seconds per suite run)."""
     from workbench_spark.operators.similarity import pq_knn
     from workbench_spark.session import read_table
 
@@ -464,7 +493,15 @@ def test_r15_pq_knn_flat_lookup_shape(spark):
         return buf.getvalue()
 
     emb = read_table(spark, SF_DIR, "embeddings")
-    plan = plan_of(pq_knn(emb, emb.limit(20), k=1, m=8, n_codes=16))
+    # any float grid works — the plan shape is codebook-value-independent
+    books = [
+        [[float(m * 16 + c + d) for d in range(8)] for c in range(16)]
+        for m in range(8)
+    ]
+    plan = plan_of(
+        pq_knn(emb, emb.limit(20), k=1, m=8, n_codes=16,
+               codebooks=books, dim=64)
+    )
     assert "element_at(element_at(" not in plan, (
         "pq_knn plans nested LUT lookups — keep the per-subspace flat "
         "__lt_j arrays + scalar __c_j codes (r15 opt, ratio 0.57)"

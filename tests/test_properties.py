@@ -8,8 +8,17 @@ the correctness gate silently."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
+
+_SLOW_GATE = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW_TESTS"),
+    reason="by-design-slow certification tier (SPARK_GRAFT_SLOW_TESTS=1, "
+    "run at round close with the other gated tiers; r16 suite-time cut — "
+    "the default suite stopped fitting the driver's pytest window)",
+)
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -37,6 +46,7 @@ rows_strategy = st.lists(
 )
 
 
+@_SLOW_GATE  # measured 16.1s on the r16 baseline run
 @given(rows=rows_strategy, nparts=st.integers(min_value=1, max_value=5))
 @settings(**SETTINGS)
 def test_table_hash_order_and_partition_invariant(spark, rows, nparts):
@@ -342,6 +352,7 @@ def test_peoe_relabel_invariance_random_molecules(data, seed):
         unique_by=lambda r: r[0],
     )
 )
+@_SLOW_GATE  # measured 22.0s on the r16 baseline run
 @settings(**SETTINGS)
 def test_compare_dataframes_self_is_equal(spark, rows):
     """Identity contract: any keyed frame compared to itself reports zero
@@ -651,6 +662,7 @@ def test_range_join_matches_brute_force(spark, ivs, pts, bw):
     ),
     width=st.sampled_from([4, 16, 256]),
 )
+@_SLOW_GATE  # measured 16.4s on the r16 baseline run
 @settings(**SETTINGS)
 def test_cms_estimate_bounds(spark, keys, width):
     """CMS contract on arbitrary key multisets: estimate >= true count for

@@ -3,8 +3,17 @@ LSH recall vs brute force, plan-shape checks (broadcast on the small side)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
+
+_SLOW_GATE = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW_TESTS"),
+    reason="by-design-slow certification tier (SPARK_GRAFT_SLOW_TESTS=1, "
+    "run at round close with the other gated tiers; r16 suite-time cut — "
+    "the default suite stopped fitting the driver's pytest window)",
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -384,6 +393,7 @@ def test_pq_knn_planted_twin_recall(spark, emb):
         assert r["cosine_sim"] > 0.99
 
 
+@_SLOW_GATE  # measured 18.9s on the r16 baseline run
 def test_ivf_pq_scan_path(spark, emb):
     """IVF-PQ (quantized='pq'): the cell join carries m-byte PQ codes and
     pairs score via SDC dot tables. On worst-case i.i.d. vectors the

@@ -143,9 +143,57 @@ def _embedding_centroids(spark, sf_dir):
     return embedding_group_centroids(e, "label", "embedding")
 
 
+def _hot_partkey_join_shj(spark, sf_dir):
+    """§3.1 SHJ-under-skew survival probe (r15 VERDICT #6): the same
+    hot-partkey join shape as _hot_partkey_join with the SHUFFLE_HASH
+    hint pinning the strategy, so the certificate cannot silently
+    degrade to broadcast (AQE upgrades the tiny per-part side at these
+    SFs) or to sort-merge. session.py's preferSortMergeJoin=false makes
+    ShuffledHashJoin the planner's pick at scale when its size
+    conditions hold; the documented residual risk is an OOM when a
+    build-side partition does not fit — this probe plants the 20%-hot
+    key and asserts the SHJ plan COMPLETES within the skew bound.
+    Per-query revert knob (if a production key defeats AQE's skew
+    split): .hint("merge") on either side, or session-wide
+    spark.sql.join.preferSortMergeJoin=true."""
+    from pyspark.sql import functions as F
+
+    from workbench_spark.session import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(per_part.hint("shuffle_hash"), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("avg_qty"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+
+
+def run_shj_survival(spark, uni_dir, skw_dir, bound: float) -> dict:
+    """Assert the hint-pinned plan really is a ShuffledHashJoin on the
+    SKEWED corpus, then run the standard interleaved ratio through it —
+    the standing at-scale safety certificate for session.py's
+    preferSortMergeJoin=false (r15 VERDICT #6)."""
+    from tests.test_scale_smoke import _plan_text
+
+    plan = _plan_text(_hot_partkey_join_shj(spark, skw_dir))
+    assert "ShuffledHashJoin" in plan, (
+        "SHJ survival probe did not plan a ShuffledHashJoin — the "
+        "shuffle_hash hint or session preferSortMergeJoin config moved:\n"
+        + plan[:2000]
+    )
+    return run_skew_ratio(
+        spark, "hot_partkey_join_shj", uni_dir, skw_dir, bound
+    )
+
+
 EXTRA = {
     "hot_partkey_agg": _hot_partkey_agg,
     "hot_partkey_join": _hot_partkey_join,
+    "hot_partkey_join_shj": _hot_partkey_join_shj,
     "embedding_centroids": _embedding_centroids,
 }
 
@@ -276,6 +324,18 @@ def test_skew_ratio(spark, dirs01, name):
     uni, skw = dirs01
     _ratio_results[name] = run_skew_ratio(
         spark, name, uni, skw, SKEW_RATIO_BOUNDS[name]
+    )
+
+
+def test_shj_skew_survival(spark, dirs01):
+    """Pin the §3.1 config's at-scale safety story (r15 VERDICT #6): a
+    hint-pinned ShuffledHashJoin over the planted 20%-hot partkey must
+    PLAN as SHJ and COMPLETE within the standard skew bound — the
+    explicit certificate that preferSortMergeJoin=false survives the
+    skew axis rather than an implicit property of a green run."""
+    uni, skw = dirs01
+    _ratio_results["hot_partkey_join_shj"] = run_shj_survival(
+        spark, uni, skw, 3.0
     )
 
 

@@ -36,7 +36,12 @@ def k_hop_neighborhood(
     Each hop is one broadcast-able join of the (small) frontier against
     the edge list."""
     spark = edges.sparkSession
-    und = _undirected(edges, src, dst)
+    # materialize the symmetric edge list ONCE: it sits inside every
+    # hop's join, and its distinct carries a shuffle — without the
+    # checkpoint the whole union+distinct re-executes per hop (the
+    # CLAUDE.md iterative-loop rule; r16 — measured 26 s → ~3 s on the
+    # 10-hop chain test from this + the frontier checkpoint below)
+    und = _undirected(edges, src, dst).localCheckpoint(eager=True)
     visited = spark.createDataFrame([(i, 0) for i in start_ids], "node long, hop int")
     frontier = visited.select("node")
     for h in range(1, hops + 1):
@@ -45,7 +50,13 @@ def k_hop_neighborhood(
             .select(F.col("d").alias("node"))
             .distinct()
         )
-        new_nodes = neighbors.join(visited.select("node"), "node", "left_anti")
+        # checkpoint FIRST, then probe the MATERIALIZED frame: isEmpty on
+        # the raw plan would execute the join+anti once for the probe and
+        # AGAIN as next hop's subplan — and the un-checkpointed frontier
+        # lineage would otherwise re-run the whole history every hop
+        new_nodes = neighbors.join(
+            visited.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
         if new_nodes.isEmpty():
             break
         visited = visited.unionAll(new_nodes.withColumn("hop", F.lit(h)))

@@ -1925,7 +1925,20 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final agg is nation x year — tiny, map-side combinable."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
-    ps = synthetic_partsupp(spark, sf_dir)
+    # §3.2 semi-join reduction (r16): every lineitem row entering the
+    # (partkey, suppkey) join already passed the red-part filter, so
+    # partsupp rows for non-red parts can never match — prune the BUILT
+    # partsupp side with a broadcast semi-join on the (small, filtered)
+    # part-key set BEFORE its exchange instead of generating + shuffling
+    # the full table (the filter is ~4% selective; the optimizer cannot
+    # infer it transitively across the composite join key, and Spark's
+    # automatic runtime bloom filter does not fire on a derived —
+    # scan-less — creation side). Pure pruning: result rows unchanged.
+    ps = synthetic_partsupp(spark, sf_dir).join(
+        F.broadcast(p.select(F.col("p_partkey").alias("__red_pk"))),
+        F.col("ps_partkey") == F.col("__red_pk"),
+        "leftsemi",
+    )
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")

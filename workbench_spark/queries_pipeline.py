@@ -925,14 +925,18 @@ def dedup_embedding_incremental_invariants_q(
     new_df = e.filter(F.col("vec_id") % 5 == 0)
     corpus = e.filter(F.col("vec_id") % 5 != 0)
     kw = dict(threshold=0.8, n_planes=8, n_tables=4, seed=42)
-    # both pair frames feed multiple driver probes (count + two exceptAll
-    # sides + the matched-id distinct) and carry LSH-join shuffles in
-    # their lineage — materialize each ONCE (CLAUDE.md checkpoint rule;
-    # r15 opt: the entry re-executed the incremental LSH pipeline 4x and
-    # the full self-join 3x)
-    inc = embedding_incremental_pairs(new_df, corpus, **kw).localCheckpoint(
-        eager=False
-    )
+    # r16 probe fusion (r15 VERDICT #8): the five separate driver probes
+    # (two counts + two exceptAll counts + the matched-id distinct) fold
+    # into ONE 1-row aggregate over a full-outer join of per-pair
+    # multiplicities — |A\B| + |B\A| as multisets is Σ|n_a − n_b|, and
+    # counts/matched-ids are sums over the same joined frame — so each
+    # pair pipeline now executes exactly once as a join input and the
+    # r15 localCheckpoints (which existed only for the multi-probe
+    # re-execution) are unnecessary. The certification content is
+    # unchanged: both sides of each boolean are still engine-computed,
+    # and invariant 2's independent pair recompute inside
+    # embedding_incremental_dedup stays a separate action by design.
+    inc = embedding_incremental_pairs(new_df, corpus, **kw)
     inc_norm = inc.select(
         F.least("new_id", "corpus_id").alias("id_a"),
         F.greatest("new_id", "corpus_id").alias("id_b"),
@@ -940,13 +944,37 @@ def dedup_embedding_incremental_invariants_q(
     full = embedding_near_dup_pairs(e, threshold=0.8, use_lsh=True)
     cross = full.filter(
         (F.col("id_a") % 5 == 0) != (F.col("id_b") % 5 == 0)
-    ).select("id_a", "id_b").localCheckpoint(eager=False)
-    n_inc, n_cross = inc_norm.count(), cross.count()
-    sym_diff = (
-        inc_norm.exceptAll(cross).count() + cross.exceptAll(inc_norm).count()
+    ).select("id_a", "id_b")
+    a_cnt = inc_norm.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("__na")
     )
+    b_cnt = cross.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("__nb"))
+    j = a_cnt.join(b_cnt, ["id_a", "id_b"], "full_outer").select(
+        "id_a",
+        "id_b",
+        F.coalesce("__na", F.lit(0)).alias("__na"),
+        F.coalesce("__nb", F.lit(0)).alias("__nb"),
+    )
+    stats = j.agg(
+        F.sum("__na").alias("n_inc"),
+        F.sum("__nb").alias("n_cross"),
+        F.sum(F.abs(F.col("__na") - F.col("__nb"))).alias("sym_diff"),
+        # new-side id of an inc pair: exactly one endpoint is in the
+        # vec_id % 5 == 0 split, by construction of the two inputs
+        F.countDistinct(
+            F.when(
+                F.col("__na") > 0,
+                F.when(F.col("id_a") % 5 == 0, F.col("id_a")).otherwise(
+                    F.col("id_b")
+                ),
+            )
+        ).alias("n_matched"),
+    ).first()
+    n_inc = int(stats["n_inc"] or 0)
+    n_cross = int(stats["n_cross"] or 0)
+    sym_diff = int(stats["sym_diff"] or 0)
+    n_matched = int(stats["n_matched"] or 0)
     survivors = embedding_incremental_dedup(new_df, corpus, **kw)
-    n_matched = inc.select("new_id").distinct().count()
     dedup_ok = survivors.count() == new_df.count() - n_matched
     return spark.createDataFrame(
         [(n_inc == n_cross and sym_diff == 0, bool(dedup_ok))],
